@@ -1,0 +1,334 @@
+"""Minimal GGUF v3 reader/writer (numpy memmap).
+
+Implemented from the GGUF format specification; functionally replaces the
+parts of the reference's vendored gguf-py that the engine actually uses
+(reference ``fun_asr_gguf/gguf/gguf_reader.py`` for runtime embedding
+extraction and ``gguf_writer.py`` for export). Covers:
+
+* header / metadata KV parsing (all scalar types, strings, arrays)
+* tensor info + lazy memmap views of tensor payloads
+* payload decoding for F32 / F16 / BF16 / I8 / I32 and Q8_0
+* a writer sufficient to round-trip checkpoints and export q8_0 models
+
+Shapes are exposed in numpy (row-major) order; GGUF stores dims innermost
+first, so we reverse on read and write.
+"""
+
+import struct
+from dataclasses import dataclass
+from enum import IntEnum
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .quant_np import (Q8_0_BLOCK, Q8_0_BLOCK_BYTES, q8_0_dequantize_blocks,
+                       q8_0_from_blocks, q8_0_to_blocks)
+
+GGUF_MAGIC = 0x46554747  # b"GGUF" little-endian
+GGUF_VERSION = 3
+DEFAULT_ALIGNMENT = 32
+
+
+class GGMLType(IntEnum):
+    F32 = 0
+    F16 = 1
+    Q8_0 = 8
+    I8 = 24
+    I16 = 25
+    I32 = 26
+    I64 = 27
+    F64 = 28
+    BF16 = 30
+
+
+_NUMPY_FOR_TYPE = {
+    GGMLType.F32: np.dtype(np.float32),
+    GGMLType.F16: np.dtype(np.float16),
+    GGMLType.I8: np.dtype(np.int8),
+    GGMLType.I16: np.dtype(np.int16),
+    GGMLType.I32: np.dtype(np.int32),
+    GGMLType.I64: np.dtype(np.int64),
+    GGMLType.F64: np.dtype(np.float64),
+    GGMLType.BF16: np.dtype(np.uint16),  # raw bits
+}
+
+
+class GGUFValueType(IntEnum):
+    UINT8 = 0
+    INT8 = 1
+    UINT16 = 2
+    INT16 = 3
+    UINT32 = 4
+    INT32 = 5
+    FLOAT32 = 6
+    BOOL = 7
+    STRING = 8
+    ARRAY = 9
+    UINT64 = 10
+    INT64 = 11
+    FLOAT64 = 12
+
+
+_SCALAR_FMT = {
+    GGUFValueType.UINT8: "<B",
+    GGUFValueType.INT8: "<b",
+    GGUFValueType.UINT16: "<H",
+    GGUFValueType.INT16: "<h",
+    GGUFValueType.UINT32: "<I",
+    GGUFValueType.INT32: "<i",
+    GGUFValueType.FLOAT32: "<f",
+    GGUFValueType.BOOL: "<?",
+    GGUFValueType.UINT64: "<Q",
+    GGUFValueType.INT64: "<q",
+    GGUFValueType.FLOAT64: "<d",
+}
+
+
+@dataclass
+class GGUFTensorInfo:
+    name: str
+    shape: Tuple[int, ...]        # numpy order
+    ggml_type: GGMLType
+    offset: int                   # relative to data section
+    nbytes: int
+
+
+def _type_nbytes(ggml_type: GGMLType, n_elements: int) -> int:
+    if ggml_type == GGMLType.Q8_0:
+        assert n_elements % Q8_0_BLOCK == 0
+        return (n_elements // Q8_0_BLOCK) * Q8_0_BLOCK_BYTES
+    return n_elements * _NUMPY_FOR_TYPE[ggml_type].itemsize
+
+
+class _Cursor:
+    def __init__(self, buf: np.memmap):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        out = self.buf[self.pos:self.pos + n].tobytes()
+        self.pos += n
+        return out
+
+    def scalar(self, fmt: str):
+        size = struct.calcsize(fmt)
+        (val,) = struct.unpack(fmt, self.read(size))
+        return val
+
+    def string(self) -> str:
+        n = self.scalar("<Q")
+        return self.read(n).decode("utf-8", errors="replace")
+
+    def value(self, vtype: int):
+        vtype = GGUFValueType(vtype)
+        if vtype == GGUFValueType.STRING:
+            return self.string()
+        if vtype == GGUFValueType.ARRAY:
+            etype = self.scalar("<I")
+            count = self.scalar("<Q")
+            etype = GGUFValueType(etype)
+            if etype == GGUFValueType.STRING:
+                return [self.string() for _ in range(count)]
+            if etype == GGUFValueType.ARRAY:
+                return [self.value(etype) for _ in range(count)]
+            fmt = _SCALAR_FMT[etype]
+            size = struct.calcsize(fmt)
+            raw = self.read(size * count)
+            return list(struct.unpack(f"<{count}{fmt[-1]}", raw))
+        return self.scalar(_SCALAR_FMT[vtype])
+
+
+class GGUFReader:
+    """Memory-mapped GGUF file reader."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.data = np.memmap(path, mode="r", dtype=np.uint8)
+        cur = _Cursor(self.data)
+        magic = cur.scalar("<I")
+        if magic != GGUF_MAGIC:
+            raise ValueError(f"not a GGUF file: {path}")
+        self.version = cur.scalar("<I")
+        n_tensors = cur.scalar("<Q")
+        n_kv = cur.scalar("<Q")
+
+        self.fields: Dict[str, Any] = {}
+        for _ in range(n_kv):
+            key = cur.string()
+            vtype = cur.scalar("<I")
+            self.fields[key] = cur.value(vtype)
+
+        self.alignment = int(self.fields.get("general.alignment", DEFAULT_ALIGNMENT))
+
+        self.tensors: List[GGUFTensorInfo] = []
+        for _ in range(n_tensors):
+            name = cur.string()
+            n_dims = cur.scalar("<I")
+            ne = [cur.scalar("<Q") for _ in range(n_dims)]
+            ggml_type = GGMLType(cur.scalar("<I"))
+            offset = cur.scalar("<Q")
+            shape = tuple(reversed(ne))
+            n_elem = int(np.prod(ne, dtype=np.int64)) if ne else 1
+            self.tensors.append(GGUFTensorInfo(
+                name=name, shape=shape, ggml_type=ggml_type, offset=offset,
+                nbytes=_type_nbytes(ggml_type, n_elem)))
+
+        pad = -cur.pos % self.alignment
+        self.data_start = cur.pos + pad
+        self._by_name = {t.name: t for t in self.tensors}
+
+    def tensor_names(self) -> List[str]:
+        return [t.name for t in self.tensors]
+
+    def tensor_info(self, name: str) -> GGUFTensorInfo:
+        return self._by_name[name]
+
+    def tensor_raw(self, name: str) -> np.ndarray:
+        """Raw byte view of a tensor payload (no copy)."""
+        t = self._by_name[name]
+        start = self.data_start + t.offset
+        return self.data[start:start + t.nbytes]
+
+    def tensor(self, name: str, dequantize: bool = True) -> np.ndarray:
+        """Decode a tensor to a numpy array.
+
+        Q8_0 is dequantized to float32 when ``dequantize`` is True; otherwise
+        returns the raw block byte stream. BF16 is upcast to float32.
+        """
+        t = self._by_name[name]
+        raw = self.tensor_raw(name)
+        if t.ggml_type == GGMLType.Q8_0:
+            if not dequantize:
+                return np.frombuffer(raw, dtype=np.uint8)
+            return q8_0_dequantize_blocks(raw, t.shape)
+        dtype = _NUMPY_FOR_TYPE[t.ggml_type]
+        arr = np.frombuffer(raw, dtype=dtype).reshape(t.shape)
+        if t.ggml_type == GGMLType.BF16:
+            arr = (arr.astype(np.uint32) << 16).view(np.float32)
+        return arr
+
+    def tensor_q8_0(self, name: str) -> Tuple[np.ndarray, np.ndarray]:
+        """Return the split (int8 values, fp16 scales) representation."""
+        t = self._by_name[name]
+        if t.ggml_type != GGMLType.Q8_0:
+            raise ValueError(f"{name} is {t.ggml_type.name}, not Q8_0")
+        return q8_0_from_blocks(self.tensor_raw(name), t.shape)
+
+
+class GGUFWriter:
+    """Single-pass GGUF v3 writer."""
+
+    def __init__(self, path: str, arch: str = "qwen3"):
+        self.path = path
+        self.kv: List[Tuple[str, Any, Optional[GGUFValueType]]] = []
+        self.tensors: List[Tuple[str, np.ndarray, GGMLType, Optional[np.ndarray]]] = []
+        self.add_kv("general.architecture", arch)
+
+    # -- KV ----------------------------------------------------------------
+    def add_kv(self, key: str, value: Any, vtype: Optional[GGUFValueType] = None):
+        self.kv.append((key, value, vtype))
+
+    @staticmethod
+    def _infer_type(value: Any) -> GGUFValueType:
+        if isinstance(value, bool):
+            return GGUFValueType.BOOL
+        if isinstance(value, int):
+            return GGUFValueType.INT64 if (value < 0 or value >= 2 ** 32) \
+                else GGUFValueType.UINT32
+        if isinstance(value, float):
+            return GGUFValueType.FLOAT32
+        if isinstance(value, str):
+            return GGUFValueType.STRING
+        if isinstance(value, (list, tuple)):
+            return GGUFValueType.ARRAY
+        raise TypeError(f"unsupported KV value: {type(value)}")
+
+    @classmethod
+    def _pack_value(cls, value: Any, vtype: Optional[GGUFValueType]) -> bytes:
+        vtype = vtype or cls._infer_type(value)
+        out = struct.pack("<I", int(vtype))
+        out += cls._pack_payload(value, vtype)
+        return out
+
+    @classmethod
+    def _pack_payload(cls, value: Any, vtype: GGUFValueType) -> bytes:
+        if vtype == GGUFValueType.STRING:
+            raw = value.encode("utf-8")
+            return struct.pack("<Q", len(raw)) + raw
+        if vtype == GGUFValueType.ARRAY:
+            if not value:
+                return struct.pack("<IQ", int(GGUFValueType.INT32), 0)
+            etype = cls._infer_type(value[0])
+            out = struct.pack("<IQ", int(etype), len(value))
+            for v in value:
+                out += cls._pack_payload(v, etype)
+            return out
+        return struct.pack(_SCALAR_FMT[vtype], value)
+
+    # -- tensors -----------------------------------------------------------
+    def add_tensor(self, name: str, array: np.ndarray,
+                   ggml_type: Optional[GGMLType] = None):
+        """Add a tensor. array dtype decides the storage type unless given.
+
+        For Q8_0, pass a float array with ggml_type=GGMLType.Q8_0 (it will be
+        quantized), or call :meth:`add_tensor_q8_0` with split (q, d).
+        """
+        array = np.asarray(array)
+        if ggml_type is None:
+            ggml_type = {
+                np.dtype(np.float32): GGMLType.F32,
+                np.dtype(np.float16): GGMLType.F16,
+                np.dtype(np.int8): GGMLType.I8,
+                np.dtype(np.int32): GGMLType.I32,
+                np.dtype(np.int64): GGMLType.I64,
+            }[array.dtype]
+        self.tensors.append((name, array, ggml_type, None))
+
+    def add_tensor_q8_0(self, name: str, q: np.ndarray, d: np.ndarray):
+        self.tensors.append((name, q, GGMLType.Q8_0, d))
+
+    # -- serialize ---------------------------------------------------------
+    def write(self):
+        alignment = DEFAULT_ALIGNMENT
+        self.add_kv("general.alignment", alignment, GGUFValueType.UINT32)
+
+        payloads: List[bytes] = []
+        infos: List[bytes] = []
+        offset = 0
+        for name, arr, gtype, scales in self.tensors:
+            if gtype == GGMLType.Q8_0:
+                if scales is not None:
+                    raw = q8_0_to_blocks(arr, scales).tobytes()
+                else:
+                    from .quant_np import q8_0_quantize
+                    q, d = q8_0_quantize(np.asarray(arr, dtype=np.float32))
+                    raw = q8_0_to_blocks(q, d).tobytes()
+            elif gtype == GGMLType.BF16:
+                a32 = np.asarray(arr, dtype=np.float32)
+                raw = ((a32.view(np.uint32) + 0x8000) >> 16).astype(np.uint16).tobytes()
+            else:
+                raw = np.ascontiguousarray(arr.astype(_NUMPY_FOR_TYPE[gtype])).tobytes()
+            pad = -len(raw) % alignment
+            name_b = name.encode("utf-8")
+            ne = list(reversed(arr.shape))
+            info = struct.pack("<Q", len(name_b)) + name_b
+            info += struct.pack("<I", len(ne))
+            for n in ne:
+                info += struct.pack("<Q", n)
+            info += struct.pack("<IQ", int(gtype), offset)
+            infos.append(info)
+            payloads.append(raw + b"\x00" * pad)
+            offset += len(raw) + pad
+
+        with open(self.path, "wb") as f:
+            f.write(struct.pack("<IIQQ", GGUF_MAGIC, GGUF_VERSION,
+                                len(self.tensors), len(self.kv)))
+            for key, value, vtype in self.kv:
+                key_b = key.encode("utf-8")
+                f.write(struct.pack("<Q", len(key_b)) + key_b)
+                f.write(self._pack_value(value, vtype))
+            for info in infos:
+                f.write(info)
+            f.write(b"\x00" * (-f.tell() % alignment))
+            for raw in payloads:
+                f.write(raw)

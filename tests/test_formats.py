@@ -1,0 +1,162 @@
+"""Tests for the GGUF/quant/vocab/tokenizer format layer.
+
+Kernel-level parity tests in the spirit of llama.cpp's test-quantize-fns
+(see SURVEY.md §4): q8_0 must be bit-exact against the ggml block layout.
+"""
+
+import base64
+
+import numpy as np
+import pytest
+
+from fun_asr_gguf_tpu.formats import (GGMLType, GGUFReader, GGUFWriter,
+                                      q8_0_dequantize, q8_0_from_blocks,
+                                      q8_0_quantize, q8_0_to_blocks)
+from fun_asr_gguf_tpu.formats.ctc_vocab import (generate_sensevoice_vocab,
+                                                load_ctc_tokens,
+                                                write_tokens_file)
+from fun_asr_gguf_tpu.formats.tokenizer import (ByteTokenizer,
+                                                StreamTextDecoder)
+
+
+class TestQ8_0:
+    def test_roundtrip_error_bound(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(16, 128)).astype(np.float32) * 3.0
+        q, d = q8_0_quantize(x)
+        y = q8_0_dequantize(q, d)
+        # max error is half a quantization step per block
+        step = np.abs(x).reshape(16, 4, 32).max(-1) / 127.0
+        err = np.abs(x - y).reshape(16, 4, 32).max(-1)
+        assert np.all(err <= step * 0.5 + 1e-6)
+
+    def test_reference_block_layout(self):
+        """34-byte blocks: fp16 scale then 32 int8 quants (llama.py:779-784)."""
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 64)).astype(np.float32)
+        q, d = q8_0_quantize(x)
+        raw = q8_0_to_blocks(q, d)
+        assert raw.size == 4 * 34
+        blocks = raw.reshape(4, 34)
+        deltas = blocks[:, :2].copy().view(np.float16).ravel()
+        quants = blocks[:, 2:].copy().view(np.int8)
+        np.testing.assert_array_equal(deltas, d.reshape(-1))
+        np.testing.assert_array_equal(quants, q.reshape(4, 32))
+        # reference-style dequant formula
+        ref = (deltas[:, None].astype(np.float32) * quants).reshape(2, 64)
+        np.testing.assert_allclose(ref, q8_0_dequantize(q, d), rtol=0, atol=0)
+
+    def test_round_half_away_from_zero(self):
+        # scale = 1.0 exactly; values ±0.5, ±1.5 must round away from zero
+        x = np.array([[0.5, -0.5, 1.5, -1.5] + [127.0] + [0.0] * 27],
+                     dtype=np.float32)
+        q, d = q8_0_quantize(x)
+        assert d[0, 0] == np.float16(1.0)
+        np.testing.assert_array_equal(q[0, :4], [1, -1, 2, -2])
+
+    def test_blocks_roundtrip(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(8, 96)).astype(np.float32)
+        q, d = q8_0_quantize(x)
+        q2, d2 = q8_0_from_blocks(q8_0_to_blocks(q, d), (8, 96))
+        np.testing.assert_array_equal(q, q2)
+        np.testing.assert_array_equal(d, d2)
+
+
+class TestGGUF:
+    def test_write_read_roundtrip(self, tmp_path):
+        path = str(tmp_path / "test.gguf")
+        rng = np.random.default_rng(3)
+        w = GGUFWriter(path, arch="qwen3")
+        w.add_kv("qwen3.embedding_length", 64)
+        w.add_kv("qwen3.block_count", 2)
+        w.add_kv("general.name", "tiny")
+        w.add_kv("tokenizer.ggml.tokens", ["a", "b", "c"])
+        w.add_kv("qwen3.rope.freq_base", 1000000.0)
+        a = rng.normal(size=(10, 64)).astype(np.float32)
+        b = rng.normal(size=(64,)).astype(np.float16)
+        c = rng.normal(size=(4, 64)).astype(np.float32)
+        w.add_tensor("a.weight", a)
+        w.add_tensor("b.bias", b)
+        w.add_tensor("c.weight", c, ggml_type=GGMLType.Q8_0)
+        w.write()
+
+        r = GGUFReader(path)
+        assert r.fields["general.architecture"] == "qwen3"
+        assert r.fields["qwen3.embedding_length"] == 64
+        assert r.fields["tokenizer.ggml.tokens"] == ["a", "b", "c"]
+        assert abs(r.fields["qwen3.rope.freq_base"] - 1e6) < 1
+        np.testing.assert_array_equal(r.tensor("a.weight"), a)
+        np.testing.assert_array_equal(r.tensor("b.bias"), b)
+        info = r.tensor_info("c.weight")
+        assert info.ggml_type == GGMLType.Q8_0
+        assert info.shape == (4, 64)
+        qref, dref = q8_0_quantize(c)
+        q, d = r.tensor_q8_0("c.weight")
+        np.testing.assert_array_equal(q, qref)
+        np.testing.assert_array_equal(d, dref)
+        np.testing.assert_allclose(r.tensor("c.weight"),
+                                   q8_0_dequantize(qref, dref))
+
+    def test_bf16_tensor(self, tmp_path):
+        path = str(tmp_path / "bf.gguf")
+        w = GGUFWriter(path)
+        x = np.array([[1.5, -2.25, 3e4, 1e-3] * 32], dtype=np.float32)
+        w.add_tensor("x", x, ggml_type=GGMLType.BF16)
+        w.write()
+        r = GGUFReader(path)
+        y = r.tensor("x")
+        np.testing.assert_allclose(y, x, rtol=8e-3)
+
+
+class TestCTCVocab:
+    def test_load_tokens_base64(self, tmp_path):
+        p = tmp_path / "tokens.txt"
+        hello = base64.b64encode("你好".encode()).decode()
+        p.write_text(f"{hello} 0\nplain 1\n2\n", encoding="utf-8")
+        id2tok = load_ctc_tokens(str(p))
+        assert id2tok[0] == "你好"
+        assert id2tok[1] == "plain"
+        # single-field line: text " " is then b64-decoded to "" — matches the
+        # reference quirk (nano_ctc.py:22,30: b64decode(" ") == b"")
+        assert id2tok[2] == ""
+
+    def test_generate_vocab_layout(self, tmp_path):
+        tik = tmp_path / "m.tiktoken"
+        lines = [f"{base64.b64encode(str(i).encode()).decode()} {i}"
+                 for i in range(10)]
+        tik.write_text("\n".join(lines), encoding="utf-8")
+        tokens = generate_sensevoice_vocab(str(tik))
+        # 10 base + 128 labels + 50 specials + 1500 timestamps + blank
+        assert len(tokens) == 10 + 128 + 50 + 1500 + 1
+        assert base64.b64decode(tokens[-1]).decode() == "<blk>"
+        out = tmp_path / "tokens.txt"
+        write_tokens_file(tokens, str(out))
+        id2tok = load_ctc_tokens(str(out))
+        assert id2tok[max(id2tok)] == "<blk>"
+        assert id2tok[0] == "0"
+
+
+class TestByteTokenizer:
+    def test_specials_and_bytes(self):
+        tok = ByteTokenizer()
+        ids = tok.encode("<|im_start|>hi<|im_end|>")
+        assert ids[0] == tok.encode("<|im_start|>")[0]
+        assert ids[-1] == tok.eos_token
+        assert tok.decode(ids) == "<|im_start|>hi<|im_end|>"
+
+    def test_stream_decoder_multibyte(self):
+        tok = ByteTokenizer()
+        ids = tok.encode("你好a")
+        dec = StreamTextDecoder(tok)
+        for i in ids:
+            dec.push(i)
+        dec.flush()
+        assert dec.generated_text == "你好a"
+        assert dec.tokens_generated == len(ids)
+
+
+@pytest.mark.skipif(
+    True, reason="QwenTokenizer requires a real tokenizer.json artifact")
+class TestQwenTokenizer:
+    pass
