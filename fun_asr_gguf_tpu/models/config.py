@@ -1,0 +1,109 @@
+"""Model architecture configs.
+
+Shapes are taken from the reference model definitions (see
+``fun_asr_gguf/model_definition.py:191-229`` for the encoder stack and
+``03-Export-Decoder-GGUF.py`` + HF Qwen3-0.6B for the decoder); every config
+has a ``tiny()`` constructor so the full pipeline is testable on CPU without
+model artifacts.
+"""
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """SenseVoiceEncoderSmall (``model_definition.py:191-214``)."""
+    input_size: int = 560
+    d_model: int = 512
+    heads: int = 4
+    ffn_dim: int = 2048
+    num_blocks: int = 50        # 1 input block (560->512) + 49 at 512
+    tp_blocks: int = 20
+    kernel_size: int = 11
+    ln_eps: float = 1e-5
+
+    @staticmethod
+    def tiny(input_size: int = 560):
+        return EncoderConfig(input_size=input_size, d_model=64, heads=4,
+                             ffn_dim=128, num_blocks=2, tp_blocks=1,
+                             kernel_size=11)
+
+
+@dataclass(frozen=True)
+class AdaptorConfig:
+    """CorrectTransformerAdaptor (``model_definition.py:165-185``)."""
+    in_dim: int = 512
+    out_dim: int = 1024
+    ffn_dim: int = 2048         # projection hidden
+    n_layers: int = 2
+    heads: int = 8
+    downsample: int = 1
+    ln_eps: float = 1e-12
+
+    @property
+    def block_ffn_dim(self) -> int:
+        # PositionwiseFeedForward(llm_dim, llm_dim // 4) in the blocks
+        return self.out_dim // 4
+
+    @staticmethod
+    def tiny(in_dim: int = 64, out_dim: int = 96):
+        return AdaptorConfig(in_dim=in_dim, out_dim=out_dim, ffn_dim=128,
+                             n_layers=1, heads=4)
+
+
+@dataclass(frozen=True)
+class CTCHeadConfig:
+    """ctc_decoder adaptor (512->512, 5 layers) + linear to vocab
+    (``model_definition.py:216-229``)."""
+    adaptor: AdaptorConfig = field(default_factory=lambda: AdaptorConfig(
+        in_dim=512, out_dim=512, ffn_dim=2048, n_layers=5, heads=8))
+    vocab_size: int = 60515
+
+    @staticmethod
+    def tiny(d: int = 64, vocab_size: int = 101):
+        return CTCHeadConfig(
+            adaptor=AdaptorConfig(in_dim=d, out_dim=d, ffn_dim=128,
+                                  n_layers=1, heads=4),
+            vocab_size=vocab_size)
+
+
+@dataclass(frozen=True)
+class Qwen3Config:
+    """Qwen3-0.6B decoder (HF config referenced by ``03-Export…py:14``)."""
+    hidden: int = 1024
+    n_layers: int = 28
+    q_heads: int = 16
+    kv_heads: int = 8
+    head_dim: int = 128
+    ffn_dim: int = 3072
+    vocab_size: int = 151936
+    rope_theta: float = 1e6
+    rms_eps: float = 1e-6
+    tie_embeddings: bool = True
+    max_position: int = 40960
+
+    @staticmethod
+    def tiny(vocab_size: int = 512):
+        return Qwen3Config(hidden=64, n_layers=2, q_heads=4, kv_heads=2,
+                           head_dim=16, ffn_dim=128, vocab_size=vocab_size,
+                           rope_theta=1e4)
+
+
+@dataclass(frozen=True)
+class HybridConfig:
+    """Full Fun-ASR-Nano stack (``model_definition.py:223-229``)."""
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    adaptor: AdaptorConfig = field(default_factory=AdaptorConfig)
+    ctc: CTCHeadConfig = field(default_factory=CTCHeadConfig)
+    llm: Qwen3Config = field(default_factory=Qwen3Config)
+
+    @staticmethod
+    def tiny(ctc_vocab: int = 101, llm_vocab: int = 512):
+        enc = EncoderConfig.tiny()
+        llm = Qwen3Config.tiny(vocab_size=llm_vocab)
+        return HybridConfig(
+            encoder=enc,
+            # adaptor output dim must match the LLM embedding width
+            adaptor=AdaptorConfig.tiny(in_dim=enc.d_model, out_dim=llm.hidden),
+            ctc=CTCHeadConfig.tiny(d=enc.d_model, vocab_size=ctc_vocab),
+            llm=llm)

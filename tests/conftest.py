@@ -1,17 +1,26 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh.
 
-Multi-chip TPU hardware is unavailable in CI; sharding/collective paths are
-validated on host-platform virtual devices, and the real-chip path is
-exercised by bench.py.
+The container globally forces JAX_PLATFORMS=axon (remote TPU tunnel) via
+sitecustomize, so the env var alone doesn't stick — use jax.config.update
+before any backend is touched. Multi-chip sharding paths are validated on
+host-platform virtual devices; the real-chip path is exercised by bench.py.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
