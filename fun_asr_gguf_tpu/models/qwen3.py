@@ -1,0 +1,299 @@
+"""Qwen3 decoder-only LLM in functional JAX (the llama.cpp replacement).
+
+This is the TPU-native equivalent of the reference's GGUF/llama.cpp decode
+engine (reference ``fun_asr_gguf/llama.py`` + ``bin/llama.dll``): the same
+Qwen3-0.6B architecture (GQA 16/8 heads, head_dim 128, qk-RMSNorm, SiLU MLP,
+rope θ=1e6, tied embeddings — see ``03-Export-Decoder-GGUF.py``), but as
+jitted XLA programs:
+
+* **embedding-injection prefill** — the prompt arrives as embeddings
+  (prefix-text ++ audio ++ suffix-text, ``core/decoder.py:71-80``),
+  left-padded to a static bucket so one compiled program serves any prompt
+  length;
+* **single-token decode step** with a static-shape KV cache updated by
+  ``dynamic_update_slice`` — scanned over layers so 28 blocks compile to one
+  loop;
+* layers run in bf16 on TPU with f32 softmax/norms; logits in f32.
+
+KV-cache layout: [n_layers, B, max_len, kv_heads, head_dim]. The prompt
+occupies slots [P-L, P) (left-aligned padding mask) and generated token t
+lives at slot P+t with rope position L+t.
+"""
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .common import rms_norm
+from .config import Qwen3Config
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # [n_layers, B, S, kv_heads, head_dim]
+    v: jnp.ndarray
+
+    @property
+    def max_len(self):
+        return self.k.shape[2]
+
+
+def init_kv_cache(cfg: Qwen3Config, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.n_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# RoPE (HF half-rotation convention)
+# ---------------------------------------------------------------------------
+
+def rope_cos_sin(positions, head_dim: int, theta: float, dtype):
+    """positions [...,] → (cos, sin) each [..., head_dim]."""
+    half = head_dim // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., half]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x, cos, sin):
+    """x [..., T, H, D]; cos/sin broadcastable [..., T, 1, D]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos + rotated * sin
+
+
+# ---------------------------------------------------------------------------
+# Transformer block primitives
+# ---------------------------------------------------------------------------
+
+def _proj(x, w):
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _qkv(x, lp, cfg: Qwen3Config, cos, sin):
+    """Project + qk-norm + rope. x [B, T, H] → q [B,T,qh,D], k/v [B,T,kh,D]."""
+    b, t, _ = x.shape
+    q = _proj(x, lp["q_w"]).reshape(b, t, cfg.q_heads, cfg.head_dim)
+    k = _proj(x, lp["k_w"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    v = _proj(x, lp["v_w"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+    k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    return q, k, v
+
+
+def _attn_out(attn_heads, lp, cfg: Qwen3Config):
+    b, t = attn_heads.shape[0], attn_heads.shape[2]
+    merged = attn_heads.transpose(0, 2, 1, 3).reshape(
+        b, t, cfg.q_heads * cfg.head_dim)
+    return _proj(merged, lp["o_w"])
+
+
+def _mlp(x, lp):
+    gate = _proj(x, lp["gate_w"])
+    up = _proj(x, lp["up_w"])
+    return _proj(jax.nn.silu(gate) * up, lp["down_w"])
+
+
+def _gqa_scores(q, k, cfg: Qwen3Config):
+    """q [B,T,qh,D], k [B,S,kh,D] → scores [B,qh,T,S] (f32, scaled)."""
+    group = cfg.q_heads // cfg.kv_heads
+    b, t = q.shape[0], q.shape[1]
+    s = k.shape[1]
+    qg = q.reshape(b, t, cfg.kv_heads, group, cfg.head_dim)
+    scores = jnp.einsum("btkgd,bskd->bkgts", qg, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (cfg.head_dim ** -0.5)
+    return scores.reshape(b, cfg.q_heads, t, s)
+
+
+def _gqa_mix(probs, v, cfg: Qwen3Config):
+    """probs [B,qh,T,S] f32, v [B,S,kh,D] → [B,qh,T,D]."""
+    group = cfg.q_heads // cfg.kv_heads
+    b, _, t, s = probs.shape
+    pg = probs.reshape(b, cfg.kv_heads, group, t, s).astype(v.dtype)
+    out = jnp.einsum("bkgts,bskd->bkgtd", pg, v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, cfg.q_heads, t, cfg.head_dim).astype(v.dtype)
+
+
+NEG_INF = -1e30
+
+
+def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
+                  kv_max_len: Optional[int] = None
+                  ) -> Tuple[jnp.ndarray, KVCache]:
+    """Prefill from injected embeddings.
+
+    embeds: [B, P, hidden] left-padded (valid tokens occupy the suffix).
+    attn_mask: [B, P] 1.0 for valid. Returns (last-token logits [B, vocab]
+    f32, KVCache with the prompt written at slots [0, P)).
+    """
+    b, p, _ = embeds.shape
+    kv_max_len = kv_max_len or p
+    x = embeds
+    prompt_len = jnp.sum(attn_mask, axis=1).astype(jnp.int32)     # [B]
+    shift = p - prompt_len                                        # [B]
+    positions = (jnp.arange(p, dtype=jnp.int32)[None, :] - shift[:, None])
+    positions = jnp.maximum(positions, 0)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, x.dtype)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+
+    # causal + padding mask [B, 1, P, P]
+    i = jnp.arange(p)[:, None]
+    j = jnp.arange(p)[None, :]
+    causal = (j <= i)[None, None, :, :]
+    pad = attn_mask[:, None, None, :] > 0
+    bias = jnp.where(causal & pad, 0.0, NEG_INF).astype(jnp.float32)
+
+    def layer(x, lp):
+        h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
+        q, k, v = _qkv(h, lp, cfg, cos, sin)
+        scores = _gqa_scores(q, k, cfg) + bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        x = x + _attn_out(_gqa_mix(probs, v, cfg), lp, cfg)
+        h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
+        x = x + _mlp(h, lp)
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(lambda c, lp: layer(c, lp), x, params["layers"])
+
+    kv_dtype = x.dtype
+    pad_len = kv_max_len - p
+    if pad_len > 0:
+        zpad = jnp.zeros((cfg.n_layers, b, pad_len, cfg.kv_heads,
+                          cfg.head_dim), kv_dtype)
+        ks = jnp.concatenate([ks.astype(kv_dtype), zpad], axis=2)
+        vs = jnp.concatenate([vs.astype(kv_dtype), zpad], axis=2)
+    kv = KVCache(k=ks.astype(kv_dtype), v=vs.astype(kv_dtype))
+
+    x = rms_norm(x, params["final_ln"], cfg.rms_eps)
+    last = x[:, -1, :]                                            # [B, hidden]
+    logits = jnp.dot(last, _lm_head(params, cfg),
+                     preferred_element_type=jnp.float32)
+    return logits, kv
+
+
+def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
+                      valid_from, cfg: Qwen3Config
+                      ) -> Tuple[jnp.ndarray, KVCache]:
+    """One generation step.
+
+    token_embed: [B, hidden]; slot: [] int32 cache slot to write;
+    position: [B] rope position; valid_from: [B] first valid cache slot
+    (= P - prompt_len for left-padded prompts). Returns (logits [B, vocab]
+    f32, updated cache).
+    """
+    b = token_embed.shape[0]
+    x = token_embed[:, None, :]                                   # [B,1,H]
+    cos, sin = rope_cos_sin(position[:, None], cfg.head_dim,
+                            cfg.rope_theta, x.dtype)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+
+    s = kv.max_len
+    j = jnp.arange(s, dtype=jnp.int32)[None, :]
+    visible = (j >= valid_from[:, None]) & (j <= slot)
+    bias = jnp.where(visible, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
+
+    def layer(x, inputs):
+        lp, k_cache, v_cache = inputs
+        h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
+        q, k, v = _qkv(h, lp, cfg, cos, sin)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k.astype(k_cache.dtype), slot, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v.astype(v_cache.dtype), slot, axis=1)
+        scores = _gqa_scores(q, k_cache, cfg) + bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        x = x + _attn_out(_gqa_mix(probs, v_cache, cfg), lp, cfg)
+        h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
+        x = x + _mlp(h, lp)
+        return x, (k_cache, v_cache)
+
+    x, (ks, vs) = jax.lax.scan(layer, x, (params["layers"], kv.k, kv.v))
+    x = rms_norm(x, params["final_ln"], cfg.rms_eps)
+    logits = jnp.dot(x[:, 0, :], _lm_head(params, cfg),
+                     preferred_element_type=jnp.float32)
+    return logits, KVCache(k=ks, v=vs)
+
+
+def qwen3_forward_logits(params, embeds, attn_mask, cfg: Qwen3Config):
+    """All-position logits (training / parity tests). embeds [B,T,H] →
+    logits [B,T,vocab] f32 with causal+padding masking."""
+    b, p, _ = embeds.shape
+    x = embeds
+    prompt_len = jnp.sum(attn_mask, axis=1).astype(jnp.int32)
+    shift = p - prompt_len
+    positions = jnp.maximum(
+        jnp.arange(p, dtype=jnp.int32)[None, :] - shift[:, None], 0)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, x.dtype)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    i = jnp.arange(p)[:, None]
+    j = jnp.arange(p)[None, :]
+    bias = jnp.where((j <= i)[None, None] & (attn_mask[:, None, None, :] > 0),
+                     0.0, NEG_INF).astype(jnp.float32)
+
+    def layer(x, lp):
+        h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
+        q, k, v = _qkv(h, lp, cfg, cos, sin)
+        scores = _gqa_scores(q, k, cfg) + bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        x = x + _attn_out(_gqa_mix(probs, v, cfg), lp, cfg)
+        h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
+        x = x + _mlp(h, lp)
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+    x = rms_norm(x, params["final_ln"], cfg.rms_eps)
+    return jnp.dot(x, _lm_head(params, cfg),
+                   preferred_element_type=jnp.float32)
+
+
+def _lm_head(params, cfg: Qwen3Config):
+    if cfg.tie_embeddings:
+        return params["embed"].T
+    return params["lm_head"]
+
+
+def embed_tokens(params, token_ids):
+    """Token ids → embeddings (the device-side embedding table)."""
+    return params["embed"][token_ids]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def init_qwen3_params(rng, cfg: Qwen3Config, dtype=jnp.float32):
+    def norm(key, shape, scale):
+        return jax.random.normal(key, shape, dtype) * scale
+
+    n = cfg.n_layers
+    keys = jax.random.split(rng, 8)
+    h, qd, kd = cfg.hidden, cfg.q_heads * cfg.head_dim, cfg.kv_heads * cfg.head_dim
+    s_h, s_q, s_f = h ** -0.5, qd ** -0.5, cfg.ffn_dim ** -0.5
+    layers = {
+        "input_ln": jnp.ones((n, h), dtype),
+        "post_ln": jnp.ones((n, h), dtype),
+        "q_norm": jnp.ones((n, cfg.head_dim), dtype),
+        "k_norm": jnp.ones((n, cfg.head_dim), dtype),
+        "q_w": norm(keys[0], (n, h, qd), s_h),
+        "k_w": norm(keys[1], (n, h, kd), s_h),
+        "v_w": norm(keys[2], (n, h, kd), s_h),
+        "o_w": norm(keys[3], (n, qd, h), s_q),
+        "gate_w": norm(keys[4], (n, h, cfg.ffn_dim), s_h),
+        "up_w": norm(keys[5], (n, h, cfg.ffn_dim), s_h),
+        "down_w": norm(keys[6], (n, cfg.ffn_dim, h), s_f),
+    }
+    params = {
+        "layers": layers,
+        "final_ln": jnp.ones((h,), dtype),
+        "embed": norm(keys[7], (cfg.vocab_size, h), 0.02),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = norm(keys[7], (h, cfg.vocab_size), s_h)
+    return params
