@@ -1,0 +1,395 @@
+"""Weight loading: reference artifacts → JAX pytrees, plus our checkpoint IO.
+
+Interop targets:
+
+* **decoder.gguf** — the llama.cpp-format GGUF the reference exports
+  (``03-Export-Decoder-GGUF.py``); tensor names follow the llama.cpp qwen3
+  schema (``token_embd.weight``, ``blk.N.attn_q.weight``, ...). Loading it
+  directly means a user of the reference can point this engine at the same
+  artifact.
+* **model.pt** — the original FunASR torch checkpoint with
+  ``audio_encoder.* / audio_adaptor.* / ctc_decoder.* / ctc.ctc_lo.*`` keys
+  (``model_definition.py:231-238``); linear weights are [out, in] in torch
+  and transposed into our [in, out] convention.
+* **our checkpoint dir** — ``encoder.safetensors`` + ``decoder.gguf`` (or
+  ``decoder.safetensors``) + ``config.json`` + tokenizer/vocab files.
+"""
+
+import json
+import os
+from dataclasses import asdict
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..formats.gguf import GGMLType, GGUFReader, GGUFWriter
+from .config import (AdaptorConfig, CTCHeadConfig, EncoderConfig,
+                     HybridConfig, Qwen3Config)
+
+
+# ---------------------------------------------------------------------------
+# pytree <-> flat dict
+# ---------------------------------------------------------------------------
+
+def flatten_tree(tree, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}."))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_tree(v, f"{prefix}{i}."))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]):
+    root: Dict = {}
+    for key, value in flat.items():
+        parts = key.split(".")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(value)
+    return root
+
+
+# ---------------------------------------------------------------------------
+# GGUF → Qwen3 params
+# ---------------------------------------------------------------------------
+
+def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
+    f = reader.fields
+    arch = f.get("general.architecture", "qwen3")
+    def g(key, default):
+        return f.get(f"{arch}.{key}", default)
+    vocab, hidden = reader.tensor_info("token_embd.weight").shape
+    has_head = "output.weight" in reader.tensor_names()
+    return Qwen3Config(
+        hidden=int(g("embedding_length", hidden)),
+        n_layers=int(g("block_count", 28)),
+        q_heads=int(g("attention.head_count", 16)),
+        kv_heads=int(g("attention.head_count_kv", 8)),
+        head_dim=int(g("attention.key_length", 128)),
+        ffn_dim=int(g("feed_forward_length", 3072)),
+        vocab_size=int(vocab),
+        rope_theta=float(g("rope.freq_base", 1e6)),
+        rms_eps=float(g("attention.layer_norm_rms_epsilon", 1e-6)),
+        tie_embeddings=not has_head,
+    )
+
+
+def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16
+                         ) -> Tuple[dict, Qwen3Config, np.ndarray]:
+    """Load a llama.cpp-format qwen3 GGUF (f32/f16/bf16/q8_0 tensors).
+
+    Returns (params, config, embedding_table_f32). The embedding table is
+    the host-side copy the prompt builder gathers from (the analogue of
+    ``get_token_embeddings_gguf``, reference ``llama.py:751-796``).
+    """
+    r = GGUFReader(path)
+    cfg = qwen3_config_from_gguf(r)
+
+    def t(name):  # dense-dequantized fetch, [out, in] -> [in, out]
+        return np.ascontiguousarray(r.tensor(name).astype(np.float32).T)
+
+    def vec(name):
+        return r.tensor(name).astype(np.float32)
+
+    embed = r.tensor("token_embd.weight").astype(np.float32)  # [vocab, h]
+
+    n = cfg.n_layers
+    def stack(fn):
+        return np.stack([fn(i) for i in range(n)])
+
+    layers = {
+        "input_ln": stack(lambda i: vec(f"blk.{i}.attn_norm.weight")),
+        "post_ln": stack(lambda i: vec(f"blk.{i}.ffn_norm.weight")),
+        "q_norm": stack(lambda i: vec(f"blk.{i}.attn_q_norm.weight")),
+        "k_norm": stack(lambda i: vec(f"blk.{i}.attn_k_norm.weight")),
+        "q_w": stack(lambda i: t(f"blk.{i}.attn_q.weight")),
+        "k_w": stack(lambda i: t(f"blk.{i}.attn_k.weight")),
+        "v_w": stack(lambda i: t(f"blk.{i}.attn_v.weight")),
+        "o_w": stack(lambda i: t(f"blk.{i}.attn_output.weight")),
+        "gate_w": stack(lambda i: t(f"blk.{i}.ffn_gate.weight")),
+        "up_w": stack(lambda i: t(f"blk.{i}.ffn_up.weight")),
+        "down_w": stack(lambda i: t(f"blk.{i}.ffn_down.weight")),
+    }
+    params = {
+        "layers": {k: jnp.asarray(v, dtype) for k, v in layers.items()},
+        "final_ln": jnp.asarray(vec("output_norm.weight"), dtype),
+        "embed": jnp.asarray(embed, dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = jnp.asarray(t("output.weight"), dtype)
+    return params, cfg, embed
+
+
+def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
+                       quantize_q8_0: bool = True):
+    """Export our params as a llama.cpp-compatible qwen3 GGUF."""
+    w = GGUFWriter(path, arch="qwen3")
+    w.add_kv("qwen3.embedding_length", cfg.hidden)
+    w.add_kv("qwen3.block_count", cfg.n_layers)
+    w.add_kv("qwen3.attention.head_count", cfg.q_heads)
+    w.add_kv("qwen3.attention.head_count_kv", cfg.kv_heads)
+    w.add_kv("qwen3.attention.key_length", cfg.head_dim)
+    w.add_kv("qwen3.attention.value_length", cfg.head_dim)
+    w.add_kv("qwen3.feed_forward_length", cfg.ffn_dim)
+    w.add_kv("qwen3.rope.freq_base", float(cfg.rope_theta))
+    w.add_kv("qwen3.attention.layer_norm_rms_epsilon", float(cfg.rms_eps))
+    w.add_kv("qwen3.context_length", cfg.max_position)
+
+    def mat(name, arr2d):
+        """our [in, out] -> gguf [out, in]; q8_0 blocks run along `in`."""
+        a = np.asarray(arr2d, dtype=np.float32).T
+        if quantize_q8_0 and a.shape[-1] % 32 == 0:
+            w.add_tensor(name, a, ggml_type=GGMLType.Q8_0)
+        else:
+            w.add_tensor(name, a.astype(np.float16))
+
+    flat = jax.device_get(params)
+    emb = np.asarray(flat["embed"], dtype=np.float32)
+    if quantize_q8_0 and emb.shape[-1] % 32 == 0:
+        w.add_tensor("token_embd.weight", emb, ggml_type=GGMLType.Q8_0)
+    else:
+        w.add_tensor("token_embd.weight", emb.astype(np.float16))
+    w.add_tensor("output_norm.weight",
+                 np.asarray(flat["final_ln"], np.float32))
+    L = flat["layers"]
+    for i in range(cfg.n_layers):
+        w.add_tensor(f"blk.{i}.attn_norm.weight",
+                     np.asarray(L["input_ln"][i], np.float32))
+        w.add_tensor(f"blk.{i}.ffn_norm.weight",
+                     np.asarray(L["post_ln"][i], np.float32))
+        w.add_tensor(f"blk.{i}.attn_q_norm.weight",
+                     np.asarray(L["q_norm"][i], np.float32))
+        w.add_tensor(f"blk.{i}.attn_k_norm.weight",
+                     np.asarray(L["k_norm"][i], np.float32))
+        mat(f"blk.{i}.attn_q.weight", L["q_w"][i])
+        mat(f"blk.{i}.attn_k.weight", L["k_w"][i])
+        mat(f"blk.{i}.attn_v.weight", L["v_w"][i])
+        mat(f"blk.{i}.attn_output.weight", L["o_w"][i])
+        mat(f"blk.{i}.ffn_gate.weight", L["gate_w"][i])
+        mat(f"blk.{i}.ffn_up.weight", L["up_w"][i])
+        mat(f"blk.{i}.ffn_down.weight", L["down_w"][i])
+    if not cfg.tie_embeddings:
+        mat("output.weight", flat["lm_head"])
+    w.write()
+
+
+# ---------------------------------------------------------------------------
+# torch model.pt → encoder/adaptor/CTC params
+# ---------------------------------------------------------------------------
+
+def _lin(sd, name, bias=True):
+    p = {"w": np.ascontiguousarray(
+        sd[f"{name}.weight"].astype(np.float32).T)}
+    if bias and f"{name}.bias" in sd:
+        p["b"] = sd[f"{name}.bias"].astype(np.float32)
+    return p
+
+
+def _ln(sd, name):
+    return {"scale": sd[f"{name}.weight"].astype(np.float32),
+            "bias": sd[f"{name}.bias"].astype(np.float32)}
+
+
+def _sanm_layer_from_sd(sd, prefix, with_ffn=True):
+    p = {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "attn": {
+            "qkv": _lin(sd, f"{prefix}.self_attn.linear_q_k_v"),
+            "out": _lin(sd, f"{prefix}.self_attn.linear_out"),
+            # torch depthwise Conv1d weight [C, 1, K] -> our [K, C]
+            "fsmn_w": np.ascontiguousarray(
+                sd[f"{prefix}.self_attn.fsmn_block.weight"]
+                .astype(np.float32)[:, 0, :].T),
+        },
+    }
+    if with_ffn:
+        p["norm2"] = _ln(sd, f"{prefix}.norm2")
+        p["ffn"] = {"w1": _lin(sd, f"{prefix}.feed_forward.w_1"),
+                    "w2": _lin(sd, f"{prefix}.feed_forward.w_2")}
+    return p
+
+
+def _block_from_sd(sd, prefix):
+    return {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "attn": {
+            "q": _lin(sd, f"{prefix}.self_attn.linear_q"),
+            "k": _lin(sd, f"{prefix}.self_attn.linear_k"),
+            "v": _lin(sd, f"{prefix}.self_attn.linear_v"),
+            "out": _lin(sd, f"{prefix}.self_attn.linear_out"),
+        },
+        "ffn": {"w1": _lin(sd, f"{prefix}.feed_forward.w_1"),
+                "w2": _lin(sd, f"{prefix}.feed_forward.w_2")},
+    }
+
+
+def _adaptor_from_sd(sd, prefix, n_layers):
+    p = {
+        "linear1": _lin(sd, f"{prefix}.linear1"),
+        "linear2": _lin(sd, f"{prefix}.linear2"),
+    }
+    if n_layers > 0:
+        blocks = [_block_from_sd(sd, f"{prefix}.blocks.{i}")
+                  for i in range(n_layers)]
+        p["blocks"] = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *blocks)
+    return p
+
+
+def load_encoder_from_pt(model_pt_path: str,
+                         enc_cfg: EncoderConfig = EncoderConfig(),
+                         ad_cfg: AdaptorConfig = AdaptorConfig(),
+                         ctc_cfg: CTCHeadConfig = CTCHeadConfig(),
+                         dtype=jnp.float32):
+    """Load the FunASR torch checkpoint into our param pytrees.
+
+    Handles the ``ctc.ctc_lo`` → ctc projection rename done by the reference
+    loader (``model_definition.py:231-238``).
+    """
+    import torch
+    raw = torch.load(model_pt_path, map_location="cpu", weights_only=False)
+    if isinstance(raw, dict) and "state_dict" in raw:
+        raw = raw["state_dict"]
+    sd = {k: v.detach().cpu().numpy() for k, v in raw.items()
+          if hasattr(v, "detach")}
+
+    n_mid = enc_cfg.num_blocks - 1
+    mids = [_sanm_layer_from_sd(sd, f"audio_encoder.encoders.{i}")
+            for i in range(n_mid)]
+    tps = [_sanm_layer_from_sd(sd, f"audio_encoder.tp_encoders.{i}")
+           for i in range(enc_cfg.tp_blocks)]
+    encoder = {
+        "encoder0": _sanm_layer_from_sd(sd, "audio_encoder.encoders0.0",
+                                        with_ffn=False),
+        "encoders": jax.tree_util.tree_map(lambda *xs: np.stack(xs), *mids),
+        "tp_encoders": jax.tree_util.tree_map(lambda *xs: np.stack(xs), *tps),
+        "after_norm": _ln(sd, "audio_encoder.after_norm"),
+        "tp_norm": _ln(sd, "audio_encoder.tp_norm"),
+    }
+    adaptor = _adaptor_from_sd(sd, "audio_adaptor", ad_cfg.n_layers)
+    ctc_proj_key = "ctc.ctc_lo" if "ctc.ctc_lo.weight" in sd else "ctc_proj.ctc_lo"
+    ctc = {
+        "decoder": _adaptor_from_sd(sd, "ctc_decoder",
+                                    ctc_cfg.adaptor.n_layers),
+        "proj": _lin(sd, ctc_proj_key),
+    }
+    to_dev = lambda tree: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype), tree)
+    return to_dev(encoder), to_dev(adaptor), to_dev(ctc)
+
+
+# ---------------------------------------------------------------------------
+# Our checkpoint directory
+# ---------------------------------------------------------------------------
+
+_CONFIG_FILE = "config.json"
+_ENCODER_FILE = "encoder.safetensors"
+_DECODER_GGUF = "decoder.gguf"
+
+
+def save_checkpoint(ckpt_dir: str, cfg: HybridConfig, encoder_params,
+                    adaptor_params, ctc_params, llm_params,
+                    quantize_q8_0: bool = True):
+    """Write a complete engine checkpoint directory."""
+    from safetensors.numpy import save_file
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with open(os.path.join(ckpt_dir, _CONFIG_FILE), "w") as f:
+        json.dump({
+            "encoder": asdict(cfg.encoder),
+            "adaptor": asdict(cfg.adaptor),
+            "ctc": asdict(cfg.ctc),
+            "llm": asdict(cfg.llm),
+        }, f, indent=1)
+    flat = {}
+    flat.update(flatten_tree(jax.device_get(encoder_params), "encoder."))
+    flat.update(flatten_tree(jax.device_get(adaptor_params), "adaptor."))
+    flat.update(flatten_tree(jax.device_get(ctc_params), "ctc."))
+    save_file({k: np.ascontiguousarray(v) for k, v in flat.items()},
+              os.path.join(ckpt_dir, _ENCODER_FILE))
+    save_qwen3_to_gguf(os.path.join(ckpt_dir, _DECODER_GGUF), llm_params,
+                       cfg.llm, quantize_q8_0=quantize_q8_0)
+
+
+def _cfg_from_dict(d):
+    ad = d["ctc"].pop("adaptor")
+    return HybridConfig(
+        encoder=EncoderConfig(**d["encoder"]),
+        adaptor=AdaptorConfig(**d["adaptor"]),
+        ctc=CTCHeadConfig(adaptor=AdaptorConfig(**ad), **d["ctc"]),
+        llm=Qwen3Config(**d["llm"]),
+    )
+
+
+def load_checkpoint(ckpt_dir: str, dtype=jnp.float32,
+                    llm_dtype=jnp.bfloat16):
+    """Load a checkpoint directory.
+
+    Returns (cfg, encoder_params, adaptor_params, ctc_params, llm_params,
+    embedding_table_f32).
+    """
+    from safetensors.numpy import load_file
+    with open(os.path.join(ckpt_dir, _CONFIG_FILE)) as f:
+        cfg = _cfg_from_dict(json.load(f))
+    flat = load_file(os.path.join(ckpt_dir, _ENCODER_FILE))
+    groups: Dict[str, Dict[str, np.ndarray]] = {"encoder": {}, "adaptor": {},
+                                                "ctc": {}}
+    for k, v in flat.items():
+        head, rest = k.split(".", 1)
+        groups[head][rest] = v
+    enc = _cast(unflatten_tree(groups["encoder"]), dtype)
+    ada = _cast(unflatten_tree(groups["adaptor"]), dtype)
+    ctc = _cast(unflatten_tree(groups["ctc"]), dtype)
+    enc = _relist_stacked(enc)
+    llm_params, llm_cfg, embed = load_qwen3_from_gguf(
+        os.path.join(ckpt_dir, _DECODER_GGUF), dtype=llm_dtype)
+    cfg = HybridConfig(encoder=cfg.encoder, adaptor=cfg.adaptor, ctc=cfg.ctc,
+                       llm=llm_cfg)
+    return cfg, enc, ada, ctc, llm_params, embed
+
+
+def _cast(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        else jnp.asarray(x), tree)
+
+
+def _relist_stacked(tree):
+    """safetensors round-trip keeps stacked layers as dict-of-arrays; ensure
+    integer-keyed dicts (from lists) become stacked arrays again."""
+    if isinstance(tree, dict):
+        keys = list(tree.keys())
+        if keys and all(k.isdigit() for k in keys):
+            items = [(_relist_stacked(tree[k])) for k in
+                     sorted(keys, key=int)]
+            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *items)
+        return {k: _relist_stacked(v) for k, v in tree.items()}
+    return tree
+
+
+def create_random_checkpoint(ckpt_dir: str, cfg: Optional[HybridConfig] = None,
+                             seed: int = 0, quantize_q8_0: bool = True):
+    """Random-init checkpoint for tests/benchmarks (no artifacts required)."""
+    from .adaptor import init_adaptor_params, init_ctc_head_params
+    from .qwen3 import init_qwen3_params
+    from .sanm import init_encoder_params
+    cfg = cfg or HybridConfig.tiny()
+    rng = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    enc = init_encoder_params(k1, cfg.encoder)
+    ada = init_adaptor_params(k2, cfg.adaptor)
+    ctc = init_ctc_head_params(k3, cfg.ctc)
+    llm = init_qwen3_params(k4, cfg.llm)
+    save_checkpoint(ckpt_dir, cfg, enc, ada, ctc, llm,
+                    quantize_q8_0=quantize_q8_0)
+    return cfg
