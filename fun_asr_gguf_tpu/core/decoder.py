@@ -1,0 +1,237 @@
+"""Per-segment decode pipeline: encode → CTC+hotwords → prompt → LLM → align.
+
+Behavioral port of the reference decoders (``fun_asr_gguf/core/decoder.py``)
+on top of the jitted TPU programs:
+
+* :class:`CTCDecoder` — CTC forward (device argmax, only int32 indices come
+  back) + greedy decode + hotword recall;
+* :class:`LLMDecoder` — embedding-injection prefill + chunked on-device
+  generation with streaming text assembly; reports inject/generate timings
+  like the reference's Timings;
+* :class:`StreamDecoder` — orchestration incl. the retry-with-hotter-
+  temperature loop on repetition aborts (+0.3, up to 6 attempts,
+  ``core/decoder.py:201-211``).
+"""
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..ctc import align_timestamps, decode_ctc
+from ..datatypes import (DecodeResult, LLMDecodeResult, RecognitionStream,
+                         Timings)
+from ..display import DisplayReporter
+from ..formats.tokenizer import StreamTextDecoder
+from .model_manager import ModelManager
+
+ABORT_MARKER = "====解码有误，强制熔断===="
+
+
+class CTCDecoder:
+    """CTC inference + hotword recall."""
+
+    def __init__(self, models: ModelManager):
+        self.models = models
+
+    def decode(self, enc_output, enable_ctc: bool, max_hotwords: int
+               ) -> Tuple[List, List[str], Dict[str, float]]:
+        t_stats = {"infer": 0.0, "decode": 0.0, "hotword": 0.0}
+        if not enable_ctc or not self.models.ctc_id2token:
+            return [], [], t_stats
+
+        t0 = time.perf_counter()
+        indices = self.models.ctc_indices(enc_output)
+        t_stats["infer"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        ctc_text, ctc_results, ctc_details = decode_ctc(
+            indices, self.models.ctc_id2token)
+        t_stats["decode"] = time.perf_counter() - t0
+        t_stats.update(ctc_details)
+
+        hotwords: List[str] = []
+        t0 = time.perf_counter()
+        if (self.models.corrector and self.models.corrector.hotwords
+                and ctc_text):
+            res = self.models.corrector.correct(ctc_text, k=max_hotwords)
+            candidates = set()
+            for _, hw, _ in res.matchs:
+                candidates.add(hw)
+            for _, hw, _ in res.similars:
+                candidates.add(hw)
+            hotwords = list(candidates)
+        t_stats["hotword"] = time.perf_counter() - t0
+        return ctc_results, hotwords, t_stats
+
+
+class LLMDecoder:
+    """Generation loop driver (chunked on-device generation)."""
+
+    def __init__(self, models: ModelManager):
+        self.models = models
+
+    def decode(self, full_embd: np.ndarray, n_input_tokens: int,
+               n_predict: int, stream_output: bool = False,
+               reporter: Optional[DisplayReporter] = None,
+               temperature: float = 0.3, top_p: float = 1.0,
+               top_k: int = 50) -> LLMDecodeResult:
+        res = LLMDecodeResult()
+        models = self.models
+
+        t0 = time.perf_counter()
+        seed = int(np.random.randint(0, 2 ** 31 - 1))
+        state = models.prefill(full_embd, rng_seed=seed)
+        state.logits.block_until_ready()
+        res.t_inject = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        text_decoder = StreamTextDecoder(
+            models.tokenizer, reporter if stream_output else None)
+        chunk_len = models._default_chunk_len() if stream_output \
+            else n_predict
+        generated = 0
+        stop_set = set(models.stop_tokens) | {models.eos_token}
+        while generated < n_predict:
+            todo = min(chunk_len, n_predict - generated)
+            state, tokens = models.generate(
+                state, temperature=temperature, top_p=top_p, top_k=top_k,
+                chunk_len=todo)
+            toks = np.asarray(tokens)[0]
+            for t in toks.tolist():
+                if t < 0 or t in stop_set:
+                    continue
+                text_decoder.push(t)
+            generated += todo
+            if bool(np.asarray(state.done)[0]):
+                break
+        res.is_aborted = bool(np.asarray(state.aborted)[0])
+        text_decoder.flush()
+
+        res.text = text_decoder.generated_text
+        res.n_gen = int(np.asarray(state.n_gen)[0])
+        res.t_gen = time.perf_counter() - t0
+        return res
+
+
+class StreamDecoder:
+    """Full per-segment pipeline."""
+
+    def __init__(self, models: ModelManager):
+        self.models = models
+        self.ctc_decoder = CTCDecoder(models)
+        self.llm_decoder = LLMDecoder(models)
+
+    def decode_stream(self, stream: RecognitionStream,
+                      language: Optional[str] = None,
+                      context: Optional[str] = None,
+                      verbose: bool = True,
+                      reporter: Optional[DisplayReporter] = None,
+                      temperature: float = 0.3, top_p: float = 1.0,
+                      top_k: int = 50) -> DecodeResult:
+        timings = Timings()
+
+        # 1. Encode
+        if reporter:
+            reporter.print("\n[2] 音频编码...")
+        t0 = time.perf_counter()
+        audio_embd, enc_output = self.models.encode_audio(stream.audio_data)
+        timings.encode = time.perf_counter() - t0
+        if reporter:
+            reporter.print(f"    耗时: {timings.encode*1000:.2f}ms")
+
+        # 2. CTC + hotwords
+        if reporter:
+            reporter.print("\n[3] CTC 解码...")
+        t0 = time.perf_counter()
+        ctc_results, hotwords, ctc_times = self.ctc_decoder.decode(
+            enc_output, self.models.config.enable_ctc,
+            self.models.config.max_hotwords)
+        timings.ctc = time.perf_counter() - t0
+        timings.ctc_infer = ctc_times["infer"]
+        timings.ctc_decode = ctc_times["decode"]
+        timings.hotword_verify = ctc_times["hotword"]
+        timings.ctc_cast = ctc_times.get("cast", 0.0)
+        timings.ctc_argmax = ctc_times.get("argmax", 0.0)
+        timings.ctc_loop = ctc_times.get("loop", 0.0)
+
+        if verbose and ctc_results and reporter:
+            ctc_text = "".join(r.text for r in ctc_results)
+            reporter.print(f"    CTC: {ctc_text}")
+            if hotwords:
+                reporter.print(f"    热词: {hotwords}")
+        if reporter:
+            reporter.print(
+                f"    耗时: {timings.ctc*1000:.2f}ms "
+                f"(Infer: {timings.ctc_infer*1000:.0f}ms, "
+                f"Dec: {timings.ctc_decode*1000:.0f}ms, "
+                f"HW: {timings.hotword_verify*1000:.0f}ms)")
+
+        # 3. Prompt
+        if reporter:
+            reporter.print("\n[4] 准备 Prompt...")
+        t0 = time.perf_counter()
+        p_embd, s_embd, n_p, n_s, p_text = \
+            self.models.prompt_builder.build_prompt(hotwords, language,
+                                                    context)
+        timings.prepare = time.perf_counter() - t0
+        if verbose and reporter:
+            reporter.print("-" * 15 + " Prefix Prompt " + "-" * 15 + "\n"
+                           + p_text + "\n" + "-" * 40)
+        if reporter:
+            reporter.print(f"    Prefix: {n_p} tokens")
+            reporter.print(f"    Suffix: {n_s} tokens")
+
+        # 4. LLM (retry with hotter temperature on repetition aborts)
+        if reporter:
+            reporter.print("\n[5] LLM 解码...")
+            reporter.print("=" * 70)
+        full_embd = np.concatenate(
+            [p_embd, audio_embd.astype(np.float32), s_embd], axis=0)
+
+        llm_res = None
+        for _ in range(6):
+            llm_res = self.llm_decoder.decode(
+                full_embd, full_embd.shape[0], self.models.config.n_predict,
+                stream_output=verbose, reporter=reporter,
+                temperature=temperature, top_p=top_p, top_k=top_k)
+            if not llm_res.is_aborted:
+                break
+            temperature += 0.3
+            llm_res.text += ABORT_MARKER
+            print(f"\n\n[!] 触发重试 (Temp -> {temperature:.1f})\n")
+
+        text = llm_res.text.strip()
+        timings.inject = llm_res.t_inject
+        timings.llm_generate = llm_res.t_gen
+        if reporter:
+            reporter.print("\n" + "=" * 70)
+
+        # 5. Align
+        if reporter:
+            reporter.print("\n[6] 时间戳对齐")
+        t0 = time.perf_counter()
+        aligned = None
+        timestamps: List[float] = []
+        tokens: List[str] = []
+        if ctc_results:
+            aligned = align_timestamps(ctc_results, text)
+            if aligned:
+                tokens = [seg["char"] for seg in aligned]
+                timestamps = [seg["start"] for seg in aligned]
+        timings.align = time.perf_counter() - t0
+
+        if reporter and aligned:
+            reporter.print(f"    对齐耗时: {timings.align*1000:.2f}ms")
+            preview = " ".join(f"{r['char']}({r['start']:.2f}s)"
+                               for r in aligned[:10])
+            if len(aligned) > 10:
+                preview += " ..."
+            reporter.print(f"    结果预览: {preview}")
+
+        stream.set_result(text=text, timestamps=timestamps, tokens=tokens)
+        return DecodeResult(
+            text=text, ctc_results=ctc_results, aligned=aligned,
+            audio_embd=audio_embd, n_prefix=n_p, n_suffix=n_s,
+            n_gen=llm_res.n_gen, timings=timings, hotwords=hotwords,
+            is_aborted=llm_res.is_aborted)

@@ -1,0 +1,236 @@
+"""Resource manager: checkpoint loading + jitted program compilation.
+
+TPU-native analogue of the reference ModelManager
+(``fun_asr_gguf/core/model_manager.py``). The six init stages map as:
+
+1. ONNX sessions            → jitted encode/CTC programs (+ warm-up compile,
+                              the XLA analogue of the 60 s DML warm-up runs,
+                              ``nano_onnx.py:47-73``)
+2. GGUF model load          → qwen3 param pytree from decoder.gguf
+3. embedding table          → host f32 copy of token_embd (``llama.py:751``)
+4. llama context (KV cache) → prefill/generate jit programs, static buckets
+5. CTC vocab + PromptBuilder
+6. hotword manager + watcher + numpy warm-up correct("热个身")
+"""
+
+import logging
+import time
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..datatypes import ASREngineConfig
+from ..formats.ctc_vocab import load_ctc_tokens
+from ..formats.tokenizer import load_tokenizer
+from ..frontend import audio_token_length
+from ..hotword.manager import get_hotword_manager
+from ..models.adaptor import ctc_head_forward
+from ..models.audio_encoder import (AudioEncoderConfig, audio_encoder_forward,
+                                    make_frontend_constants)
+from ..models.generate import generate_chunk, prefill_init
+from ..models.loaders import load_checkpoint
+from ..prompt_utils import PromptBuilder
+from ..utils import vprint
+
+logger = logging.getLogger("fun_asr_gguf_tpu.core")
+
+
+class ModelManager:
+    """Owns params, compiled programs and host-side resources."""
+
+    def __init__(self, config: ASREngineConfig):
+        self.config = config
+
+        self.hybrid_cfg = None
+        self.audio_cfg: Optional[AudioEncoderConfig] = None
+        self.frontend_consts = None
+        self.encoder_params = None
+        self.adaptor_params = None
+        self.ctc_params = None
+        self.llm_params = None
+        self.embedding_table: Optional[np.ndarray] = None
+        self.tokenizer = None
+        self.eos_token = None
+        self.stop_tokens = (151643, 151645)
+        self.ctc_id2token: Optional[Dict[int, str]] = None
+        self.prompt_builder: Optional[PromptBuilder] = None
+        self.hotword_manager = None
+        self.corrector = None
+
+        self._compute_dtype = jnp.bfloat16 \
+            if config.compute_dtype == "bfloat16" else jnp.float32
+        self._ctc_fn_cache = None
+        self._initialized = False
+
+    # -- static-shape policy -------------------------------------------------
+
+    def pad_window_samples(self, n_samples: int) -> int:
+        """Static audio window for a segment (pad-to-60 s analogue)."""
+        base = int(self.config.segment_pad_seconds * self.config.sample_rate)
+        if n_samples <= base:
+            return base
+        # beyond the standard window (e.g. 62 s short-path slack): round up
+        # to whole seconds to bound recompilations
+        return -(-n_samples // self.config.sample_rate) * self.config.sample_rate
+
+    def prompt_bucket(self, prompt_len: int) -> int:
+        for b in sorted(self.config.prefill_buckets):
+            if prompt_len <= b:
+                return b
+        return -(-prompt_len // 128) * 128
+
+    # -- initialization ------------------------------------------------------
+
+    def initialize(self, verbose: bool = True) -> bool:
+        if self._initialized:
+            return True
+        try:
+            t_start = time.perf_counter()
+
+            vprint("[1/6] 加载模型权重 (checkpoint)...", verbose)
+            ckpt = self.config.checkpoint_dir
+            (self.hybrid_cfg, self.encoder_params, self.adaptor_params,
+             self.ctc_params, self.llm_params,
+             self.embedding_table) = load_checkpoint(
+                ckpt, dtype=self._compute_dtype,
+                llm_dtype=self._compute_dtype)
+            self.audio_cfg = AudioEncoderConfig(
+                encoder=self.hybrid_cfg.encoder,
+                adaptor=self.hybrid_cfg.adaptor)
+            self.frontend_consts = jax.tree_util.tree_map(
+                jnp.asarray, make_frontend_constants(self.audio_cfg))
+
+            vprint("[2/6] 加载 Tokenizer...", verbose)
+            tok_path = self.config.tokenizer_path or ckpt
+            self.tokenizer = load_tokenizer(tok_path)
+            self.eos_token = self.tokenizer.eos_token
+            stop = set(self.tokenizer.stop_tokens) | {self.eos_token}
+            self.stop_tokens = tuple(sorted(
+                t for t in stop if t < self.hybrid_cfg.llm.vocab_size))
+
+            vprint("[3/6] 加载 CTC 词表与 Prompt 构建器...", verbose)
+            tokens_path = self.config.tokens_path or str(
+                Path(ckpt) / "tokens.txt")
+            self.ctc_id2token = load_ctc_tokens(tokens_path)
+            self.prompt_builder = PromptBuilder(self.tokenizer,
+                                                self.embedding_table)
+
+            vprint("[4/6] 编译 TPU 程序 (warm-up)...", verbose)
+            self._warmup()
+
+            vprint("[5/6] 初始化热词管理器...", verbose)
+            hw_path = self.config.hotwords_path
+            if not hw_path:
+                hw_path = str(Path(ckpt) / "hot.txt")
+            self.hotword_manager = get_hotword_manager(
+                hotword_file=Path(hw_path),
+                threshold=1.0,
+                similar_threshold=self.config.similar_threshold)
+            self.hotword_manager.load()
+            self.hotword_manager.start_file_watcher()
+            self.corrector = self.hotword_manager.get_corrector()
+            self.corrector.correct("热个身")
+
+            vprint("[6/6] 完成。", verbose)
+            self._initialized = True
+            vprint(f"✓ 模型加载完成 (耗时: {time.perf_counter() - t_start:.2f}s)",
+                   verbose)
+            return True
+        except Exception as e:
+            logger.exception("initialization failed")
+            vprint(f"✗ 初始化失败: {e}", verbose)
+            return False
+
+    # -- compiled entry points ----------------------------------------------
+
+    def encode_audio(self, audio: np.ndarray):
+        """audio [n] float → (audio_embd [T_llm,llm_dim] f32 np,
+        enc_output [1,T_lfr,d] device array). Mirrors
+        ``nano_onnx.encode_audio`` semantics incl. the valid-length trim."""
+        n = len(audio)
+        window = self.pad_window_samples(n)
+        buf = np.zeros(window, dtype=np.float32)
+        buf[:n] = audio
+        enc, embd, _mask = audio_encoder_forward(
+            {"encoder": self.encoder_params, "adaptor": self.adaptor_params},
+            self.frontend_consts,
+            jnp.asarray(buf[None]), jnp.asarray([n], jnp.int32),
+            cfg=self.audio_cfg, compute_dtype=self._compute_dtype)
+        target_len = audio_token_length(n, self.audio_cfg.frontend)
+        audio_embd = np.asarray(embd[0, :target_len, :], dtype=np.float32)
+        return audio_embd, enc
+
+    def ctc_indices(self, enc_output) -> np.ndarray:
+        """enc_output [1,T,d] → argmax indices [T] (int32, host)."""
+        idx = self._ctc_fn(self.ctc_params, enc_output)
+        return np.asarray(idx[0])
+
+    def prefill(self, full_embd: np.ndarray, rng_seed: int):
+        """Left-pad the prompt into its bucket and run prefill."""
+        p_len = full_embd.shape[0]
+        bucket = self.prompt_bucket(p_len)
+        llm_dim = full_embd.shape[1]
+        buf = np.zeros((1, bucket, llm_dim), dtype=np.float32)
+        buf[0, bucket - p_len:] = full_embd
+        mask = np.zeros((1, bucket), dtype=np.float32)
+        mask[0, bucket - p_len:] = 1.0
+        max_len = bucket + self.config.n_predict
+        state = prefill_init(
+            self.llm_params,
+            jnp.asarray(buf, self._compute_dtype),
+            jnp.asarray(mask),
+            jax.random.PRNGKey(rng_seed),
+            self.hybrid_cfg.llm, max_len=max_len)
+        return state
+
+    def generate(self, state, temperature: float, top_p: float, top_k: int,
+                 chunk_len: int):
+        return generate_chunk(
+            self.llm_params, state, self.hybrid_cfg.llm,
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_p, jnp.float32),
+            top_k, chunk_len=chunk_len, stop_tokens=self.stop_tokens)
+
+    # -- internals -----------------------------------------------------------
+
+    @property
+    def _ctc_fn(self):
+        if self._ctc_fn_cache is None:
+            self._ctc_fn_cache = jax.jit(partial(
+                ctc_head_forward, cfg=self.hybrid_cfg.ctc))
+        return self._ctc_fn_cache
+
+    def _warmup(self):
+        """Compile the hot programs once with representative shapes."""
+        sr = self.config.sample_rate
+        window = int(self.config.segment_pad_seconds * sr)
+        dummy = np.zeros(min(window, sr), dtype=np.float32)
+        _embd, enc = self.encode_audio(dummy)
+        if self.config.enable_ctc:
+            self.ctc_indices(enc)
+        bucket = sorted(self.config.prefill_buckets)[0]
+        llm_dim = self.hybrid_cfg.llm.hidden
+        fake = np.zeros((min(8, bucket), llm_dim), dtype=np.float32)
+        state = self.prefill(fake, rng_seed=0)
+        state, _tokens = self.generate(state, temperature=0.0, top_p=1.0,
+                                       top_k=50,
+                                       chunk_len=self._default_chunk_len())
+        jax.block_until_ready(state.logits)
+
+    def _default_chunk_len(self) -> int:
+        return min(32, self.config.n_predict)
+
+    def cleanup(self):
+        if self.hotword_manager:
+            self.hotword_manager.stop_file_watcher()
+        self.encoder_params = None
+        self.adaptor_params = None
+        self.ctc_params = None
+        self.llm_params = None
+        self._initialized = False
+        print("[ASR] 资源已释放")

@@ -1,10 +1,107 @@
-"""Public facade (placeholder — full engine lands with the core layer)."""
+"""Public facade: FunASREngine / create_asr_engine.
+
+API-compatible with the reference facade (``fun_asr_gguf/asr_engine.py``),
+including the sherpa-onnx-style ``create_stream``/``decode_stream`` pair.
+The constructor takes a checkpoint directory (our TPU artifact layout:
+``encoder.safetensors`` + ``decoder.gguf`` + ``tokenizer.json`` +
+``tokens.txt``) instead of the reference's onnx/gguf path triple — the
+remaining knobs and defaults match the reference.
+"""
+
+from typing import Optional
+
+from .core.model_manager import ModelManager
+from .core.orchestrator import TranscriptionOrchestrator
+from .datatypes import (ASREngineConfig, DecodeResult, RecognitionStream,
+                        TranscriptionResult)
 
 
-class FunASREngine:  # pragma: no cover - replaced by the real engine
-    def __init__(self, *a, **k):
-        raise NotImplementedError("engine core not built yet")
+class FunASREngine:
+    """TPU ASR inference engine (facade)."""
+
+    def __init__(self,
+                 checkpoint_dir: str,
+                 tokens_path: Optional[str] = None,
+                 tokenizer_path: Optional[str] = None,
+                 hotwords_path: Optional[str] = None,
+                 enable_ctc: bool = True,
+                 n_predict: int = 512,
+                 similar_threshold: float = 0.6,
+                 max_hotwords: int = 10,
+                 compute_dtype: str = "bfloat16",
+                 segment_pad_seconds: float = 60.0,
+                 prefill_buckets=(256, 512)):
+        self.config = ASREngineConfig(
+            checkpoint_dir=checkpoint_dir,
+            tokens_path=tokens_path,
+            tokenizer_path=tokenizer_path,
+            hotwords_path=hotwords_path,
+            enable_ctc=enable_ctc,
+            n_predict=n_predict,
+            similar_threshold=similar_threshold,
+            max_hotwords=max_hotwords,
+            compute_dtype=compute_dtype,
+            segment_pad_seconds=segment_pad_seconds,
+            prefill_buckets=tuple(prefill_buckets))
+        self.models = ModelManager(self.config)
+        self.orchestrator = TranscriptionOrchestrator(self.models)
+        self.sample_rate = self.config.sample_rate
+
+    def initialize(self, verbose: bool = True) -> bool:
+        return self.models.initialize(verbose=verbose)
+
+    def transcribe(self, audio_path: str, language: Optional[str] = None,
+                   context: Optional[str] = None, verbose: bool = True,
+                   segment_size: float = 60.0, overlap: float = 2.0,
+                   start_second: Optional[float] = None,
+                   duration: Optional[float] = None, srt: bool = False,
+                   temperature: float = 0.4, top_p: float = 1.0,
+                   top_k: int = 50) -> TranscriptionResult:
+        return self.orchestrator.transcribe(
+            audio_path=audio_path, language=language, context=context,
+            verbose=verbose, segment_size=segment_size, overlap=overlap,
+            start_second=start_second, duration=duration, srt=srt,
+            temperature=temperature, top_p=top_p, top_k=top_k)
+
+    def create_stream(self, hotwords: Optional[str] = None
+                      ) -> RecognitionStream:
+        """sherpa-onnx compatible stream creation."""
+        return RecognitionStream(sample_rate=self.sample_rate)
+
+    def decode_stream(self, stream: RecognitionStream,
+                      language: Optional[str] = None,
+                      context: Optional[str] = None, verbose: bool = True,
+                      reporter=None, temperature: float = 0.3,
+                      top_p: float = 1.0, top_k: int = 50) -> DecodeResult:
+        """sherpa-onnx compatible stream decoding."""
+        return self.orchestrator.decoder.decode_stream(
+            stream, language, context, verbose, reporter,
+            temperature=temperature, top_p=top_p, top_k=top_k)
+
+    def cleanup(self):
+        self.models.cleanup()
 
 
-def create_asr_engine(*a, **k):  # pragma: no cover
-    raise NotImplementedError("engine core not built yet")
+def create_asr_engine(checkpoint_dir: str,
+                      tokens_path: Optional[str] = None,
+                      tokenizer_path: Optional[str] = None,
+                      hotwords_path: Optional[str] = None,
+                      enable_ctc: bool = True,
+                      similar_threshold: float = 0.6,
+                      max_hotwords: int = 10,
+                      verbose: bool = True,
+                      **kwargs) -> FunASREngine:
+    """Create and initialize the engine (raises on failure, like the
+    reference ``create_asr_engine``, ``asr_engine.py:112-136``)."""
+    engine = FunASREngine(
+        checkpoint_dir=checkpoint_dir,
+        tokens_path=tokens_path,
+        tokenizer_path=tokenizer_path,
+        hotwords_path=hotwords_path,
+        enable_ctc=enable_ctc,
+        similar_threshold=similar_threshold,
+        max_hotwords=max_hotwords,
+        **kwargs)
+    if not engine.initialize(verbose=verbose):
+        raise RuntimeError("Failed to initialize ASR engine")
+    return engine

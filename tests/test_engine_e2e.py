@@ -1,0 +1,134 @@
+# coding: utf-8
+"""End-to-end engine tests on a tiny random checkpoint (CPU).
+
+Covers the reference's manual-E2E role (``04-Inference.py``): init → WAV →
+transcribe (short + long paths) → result structure, timings, SRT export,
+sherpa-style streams, hotword path. Random weights mean the text itself is
+arbitrary — assertions target structure, determinism, and plumbing.
+"""
+
+import base64
+import os
+
+import numpy as np
+import pytest
+
+from fun_asr_gguf_tpu.audio import write_wav
+from fun_asr_gguf_tpu.hotword.manager import reset_hotword_manager
+from fun_asr_gguf_tpu.models.config import HybridConfig
+from fun_asr_gguf_tpu.models.loaders import create_random_checkpoint
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt") / "model")
+    cfg = create_random_checkpoint(ckpt, HybridConfig.tiny(), seed=0)
+    # tiny CTC vocab file: ids 0..vocab-1, blank last
+    lines = []
+    for i in range(cfg.ctc.vocab_size):
+        ch = chr(ord("一") + i) if i < cfg.ctc.vocab_size - 1 else "<blk>"
+        lines.append(f"{base64.b64encode(ch.encode()).decode()} {i}")
+    with open(os.path.join(ckpt, "tokens.txt"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(os.path.join(ckpt, "hot.txt"), "w", encoding="utf-8") as f:
+        f.write("# test hotwords\n测试\n")
+    return ckpt, cfg
+
+
+@pytest.fixture(scope="module")
+def engine(checkpoint):
+    reset_hotword_manager()
+    from fun_asr_gguf_tpu import create_asr_engine
+    ckpt, _cfg = checkpoint
+    eng = create_asr_engine(
+        checkpoint_dir=ckpt, verbose=False,
+        compute_dtype="float32",
+        segment_pad_seconds=2.0,     # tiny static window for CPU tests
+        n_predict=16,
+        prefill_buckets=(64,))
+    yield eng
+    eng.cleanup()
+    reset_hotword_manager()
+
+
+def make_wav(tmp_path, seconds, name="a.wav", seed=0):
+    sr = 16000
+    rng = np.random.default_rng(seed)
+    sig = rng.normal(size=int(sr * seconds)) * 0.05
+    path = str(tmp_path / name)
+    write_wav(path, sig, sr)
+    return path
+
+
+class TestShortPath:
+    def test_transcribe_structure(self, engine, tmp_path):
+        path = make_wav(tmp_path, 1.5)
+        res = engine.transcribe(path, verbose=False, temperature=0.0)
+        assert isinstance(res.text, str)
+        assert isinstance(res.segments, list)
+        assert res.timings.encode > 0
+        assert res.timings.inject > 0
+        assert res.timings.llm_generate > 0
+        assert res.timings.total > 0
+        # CTC ran and produced some text with random weights
+        assert isinstance(res.ctc_text, str)
+        for seg in res.segments:
+            assert set(seg) == {"char", "start"}
+
+    def test_greedy_deterministic(self, engine, tmp_path):
+        path = make_wav(tmp_path, 1.0, "b.wav", seed=1)
+        r1 = engine.transcribe(path, verbose=False, temperature=0.0)
+        r2 = engine.transcribe(path, verbose=False, temperature=0.0)
+        assert r1.text == r2.text
+
+    def test_start_second_duration(self, engine, tmp_path):
+        path = make_wav(tmp_path, 2.0, "c.wav", seed=2)
+        res = engine.transcribe(path, verbose=False, temperature=0.0,
+                                start_second=0.5, duration=1.0)
+        assert res.timings.load_audio > 0
+
+    def test_srt_export(self, engine, tmp_path):
+        path = make_wav(tmp_path, 1.0, "d.wav", seed=3)
+        res = engine.transcribe(path, verbose=False, temperature=0.0,
+                                srt=True)
+        srt_path = os.path.splitext(path)[0] + ".srt"
+        if res.segments:
+            assert os.path.exists(srt_path)
+            assert "-->" in open(srt_path, encoding="utf-8").read()
+
+    def test_language_and_context(self, engine, tmp_path):
+        path = make_wav(tmp_path, 1.0, "e.wav", seed=4)
+        res = engine.transcribe(path, verbose=False, temperature=0.0,
+                                language="中文", context="会议记录")
+        assert isinstance(res.text, str)
+
+
+class TestLongPath:
+    def test_segmentation_and_merge(self, engine, tmp_path):
+        # segment_size=1.0 & 5s audio → 5+ segments through the long path
+        path = make_wav(tmp_path, 5.0, "long.wav", seed=5)
+        res = engine.transcribe(path, verbose=False, temperature=0.0,
+                                segment_size=1.0, overlap=0.25)
+        assert isinstance(res.text, str)
+        starts = [s["start"] for s in res.segments]
+        assert starts == sorted(starts)
+        # accumulated timings across segments
+        assert res.timings.encode > 0
+
+
+class TestStreams:
+    def test_sherpa_stream_api(self, engine):
+        stream = engine.create_stream()
+        rng = np.random.default_rng(6)
+        stream.accept_waveform(16000, rng.normal(size=8000) * 0.05)
+        d_res = engine.decode_stream(stream, verbose=False, temperature=0.0)
+        assert stream.result.text == d_res.text
+        assert len(stream.result.tokens) == len(stream.result.timestamps)
+
+
+class TestEngineInit:
+    def test_bad_checkpoint_raises(self, tmp_path):
+        from fun_asr_gguf_tpu import create_asr_engine
+        with pytest.raises(RuntimeError):
+            create_asr_engine(checkpoint_dir=str(tmp_path / "missing"),
+                              verbose=False)
