@@ -136,21 +136,29 @@ def compute_lfr_features(consts, audio: jnp.ndarray, ilens: jnp.ndarray,
             [audio[:, :1], audio[:, 1:] - cfg.pre_emphasis * audio[:, :-1]],
             axis=1) * smask
 
-    # 2. frame + windowed DFT as matmuls
-    padded = jnp.pad(audio, ((0, 0), (half, half)))
-    frame_idx = (jnp.arange(t_phys, dtype=jnp.int32)[:, None] * hop
-                 + jnp.arange(n_fft, dtype=jnp.int32)[None, :])
-    frames = padded[:, frame_idx]                      # [B, T, n_fft]
-    real = frames @ consts["cos_k"]
-    imag = frames @ consts["sin_k"]
+    # 2. windowed DFT as ONE strided conv per kernel (no index gathers —
+    # XLA TPU gathers are slow; convs map onto the MXU, mirroring the
+    # reference's conv1d-STFT trick for DML, model_definition.py:244-256)
+    padded = jnp.pad(audio, ((0, 0), (half, half)))[:, :, None]  # [B,N',1]
+    def dft(kernel):
+        return jax.lax.conv_general_dilated(
+            padded, kernel[:, None, :],                # [n_fft, 1, n_freqs]
+            window_strides=(hop,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"))
+    real = dft(consts["cos_k"])
+    imag = dft(consts["sin_k"])
     power = real * real + imag * imag                  # [B, T, n_freqs]
     mel = jnp.log(power @ consts["fbank"].T + 1e-7)    # [B, T, n_mels]
 
-    # 3. LFR with replicate padding; valid-region consistency via clamp
+    # 3. LFR with replicate padding; valid-region consistency without
+    # gathers: frames past t_mel_valid-1 are overwritten by the last valid
+    # frame (one dynamic_slice per sample), then 7 strided slices stack LFR.
     t_mel_valid = ilens // hop + 1                     # [B]
-    mel_pos = jnp.arange(t_phys, dtype=jnp.int32)[None, :]
-    gather = jnp.minimum(mel_pos, t_mel_valid[:, None] - 1)
-    mel_c = jnp.take_along_axis(mel, gather[:, :, None], axis=1)
+    last_valid = jax.vmap(
+        lambda m, idx: jax.lax.dynamic_slice_in_dim(m, idx, 1, axis=0)
+    )(mel, t_mel_valid - 1)                            # [B, 1, n_mels]
+    mel_pos = jnp.arange(t_phys, dtype=jnp.int32)[None, :, None]
+    mel_c = jnp.where(mel_pos < t_mel_valid[:, None, None], mel, last_valid)
 
     m_half = (cfg.lfr_m - 1) // 2
     right_pad = t_lfr_phys * cfg.lfr_n + cfg.lfr_m - t_phys
@@ -158,10 +166,10 @@ def compute_lfr_features(consts, audio: jnp.ndarray, ilens: jnp.ndarray,
         [jnp.repeat(mel_c[:, :1], m_half, axis=1),
          mel_c,
          jnp.repeat(mel_c[:, -1:], right_pad, axis=1)], axis=1)
-    lfr_idx = (jnp.arange(t_lfr_phys, dtype=jnp.int32)[:, None] * cfg.lfr_n
-               + jnp.arange(cfg.lfr_m, dtype=jnp.int32)[None, :])
-    x = padded_mel[:, lfr_idx]                         # [B, T_lfr, m, n_mels]
-    x = x.reshape(B, t_lfr_phys, cfg.lfr_m * cfg.n_mels)
+    x = jnp.concatenate(
+        [jax.lax.slice_in_dim(padded_mel, i, i + t_lfr_phys * cfg.lfr_n,
+                              stride=cfg.lfr_n, axis=1)
+         for i in range(cfg.lfr_m)], axis=-1)          # [B, T_lfr, m*n_mels]
 
     t_lfr_valid = (t_mel_valid + cfg.lfr_n - 1) // cfg.lfr_n
     mask = (jnp.arange(t_lfr_phys, dtype=jnp.int32)[None, :]

@@ -1,0 +1,88 @@
+"""Parameter sharding rules (tensor parallelism for the Qwen3 decoder).
+
+Megatron-style TP laid out for NamedSharding + jit: q/k/v and gate/up are
+column-sharded over the 'tp' axis (heads / ffn slices stay local), o and
+down are row-sharded (XLA inserts the psum on their outputs), norms and
+embeddings are replicated. Encoder FFNs get the same column/row split; its
+4-head attention stays replicated (too small to matter).
+"""
+
+from typing import Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def llm_param_sharding(mesh: Mesh) -> Dict:
+    """PartitionSpec pytree matching the qwen3 param layout
+    (stacked layers: leading axis = layer)."""
+    repl = P()
+    layers = {
+        "input_ln": repl,
+        "post_ln": repl,
+        "q_norm": repl,
+        "k_norm": repl,
+        "q_w": P(None, None, "tp"),
+        "k_w": P(None, None, "tp"),
+        "v_w": P(None, None, "tp"),
+        "o_w": P(None, "tp", None),
+        "gate_w": P(None, None, "tp"),
+        "up_w": P(None, None, "tp"),
+        "down_w": P(None, "tp", None),
+    }
+    spec = {"layers": layers, "final_ln": repl, "embed": repl}
+    return jax.tree_util.tree_map(
+        lambda p: NamedSharding(mesh, p), spec,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def encoder_param_sharding(mesh: Mesh, params) -> Dict:
+    """Shard encoder/adaptor/CTC FFN weights over tp, replicate the rest.
+
+    Works structurally: any leaf named ffn.w1/w2 (or linear1/linear2 on the
+    adaptors) gets column/row split when divisible; everything else is
+    replicated.
+    """
+    tp = mesh.shape["tp"]
+
+    def spec_for(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        joined = ".".join(str(n) for n in names)
+        nd = leaf.ndim
+        def col():
+            # column-shard last dim when divisible
+            if leaf.shape[-1] % tp == 0:
+                return P(*([None] * (nd - 1) + ["tp"]))
+            return P()
+        def row():
+            if leaf.shape[-2] % tp == 0:
+                return P(*([None] * (nd - 2) + ["tp", None]))
+            return P()
+        if joined.endswith("w1.w") or joined.endswith("linear1.w"):
+            return col()
+        if joined.endswith("w2.w") or joined.endswith("linear2.w"):
+            return row()
+        if joined.endswith("w1.b") or joined.endswith("linear1.b"):
+            if leaf.shape[-1] % tp == 0:
+                return P(*([None] * (nd - 1) + ["tp"]))
+            return P()
+        return P()
+
+    specs = jax.tree_util.tree_map_with_path(spec_for, params)
+    return jax.tree_util.tree_map(
+        lambda p: NamedSharding(mesh, p), specs,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def replicated(mesh: Mesh, params):
+    shard = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda _: shard, params)
+
+
+def shard_llm_params(params, mesh: Mesh):
+    """Place LLM params on the mesh according to the TP rules."""
+    return jax.device_put(params, llm_param_sharding(mesh))
+
+
+def shard_params(params, shardings):
+    return jax.device_put(params, shardings)
