@@ -1,0 +1,175 @@
+"""Artifact conversion: FunASR / HF artifacts → our TPU checkpoint dir.
+
+Replaces the reference's three-stage export toolchain:
+
+* ``01-Export-Encoder-Adaptor-CTC.py`` (torch→ONNX) — here the encoder
+  weights go straight from ``model.pt`` into ``encoder.safetensors``
+  (there is no intermediate graph format: the JAX model is the runtime);
+  the CTC vocab is regenerated from ``multilingual.tiktoken`` with the
+  same layout (``01-Export…py:52-79``).
+* ``03-Export-Decoder-GGUF.py`` + ``convert_hf_to_gguf.py`` — the
+  ``llm.*`` weights from ``model.pt`` (or an HF Qwen3 directory) become a
+  llama.cpp-compatible qwen3 GGUF via our writer.
+
+Usage:
+    python -m fun_asr_gguf_tpu.tools.convert \
+        --model-dir Fun-ASR-Nano-2512 --out model_tpu [--outtype q8_0]
+"""
+
+import argparse
+import json
+import os
+import shutil
+from dataclasses import asdict
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..formats.ctc_vocab import generate_sensevoice_vocab, write_tokens_file
+from ..models.config import HybridConfig, Qwen3Config
+from ..models.loaders import (flatten_tree, load_encoder_from_pt,
+                              save_qwen3_to_gguf)
+
+
+def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
+                               cfg: Qwen3Config) -> dict:
+    """HF Qwen3 key schema → our param pytree (host numpy)."""
+    def t(name):
+        return np.ascontiguousarray(sd[name].astype(np.float32).T)
+
+    def stack(fmt):
+        return np.stack([t(fmt.format(i)) for i in range(cfg.n_layers)])
+
+    def stack_vec(fmt):
+        return np.stack([sd[fmt.format(i)].astype(np.float32)
+                         for i in range(cfg.n_layers)])
+
+    params = {
+        "layers": {
+            "input_ln": stack_vec("model.layers.{}.input_layernorm.weight"),
+            "post_ln": stack_vec(
+                "model.layers.{}.post_attention_layernorm.weight"),
+            "q_norm": stack_vec("model.layers.{}.self_attn.q_norm.weight"),
+            "k_norm": stack_vec("model.layers.{}.self_attn.k_norm.weight"),
+            "q_w": stack("model.layers.{}.self_attn.q_proj.weight"),
+            "k_w": stack("model.layers.{}.self_attn.k_proj.weight"),
+            "v_w": stack("model.layers.{}.self_attn.v_proj.weight"),
+            "o_w": stack("model.layers.{}.self_attn.o_proj.weight"),
+            "gate_w": stack("model.layers.{}.mlp.gate_proj.weight"),
+            "up_w": stack("model.layers.{}.mlp.up_proj.weight"),
+            "down_w": stack("model.layers.{}.mlp.down_proj.weight"),
+        },
+        "final_ln": sd["model.norm.weight"].astype(np.float32),
+        "embed": sd["model.embed_tokens.weight"].astype(np.float32),
+    }
+    if "lm_head.weight" in sd and not cfg.tie_embeddings:
+        params["lm_head"] = t("lm_head.weight")
+    return params
+
+
+def qwen3_config_from_hf(config: dict) -> Qwen3Config:
+    return Qwen3Config(
+        hidden=config["hidden_size"],
+        n_layers=config["num_hidden_layers"],
+        q_heads=config["num_attention_heads"],
+        kv_heads=config["num_key_value_heads"],
+        head_dim=config.get("head_dim",
+                            config["hidden_size"]
+                            // config["num_attention_heads"]),
+        ffn_dim=config["intermediate_size"],
+        vocab_size=config["vocab_size"],
+        rope_theta=float(config.get("rope_theta", 1e6)),
+        rms_eps=float(config.get("rms_norm_eps", 1e-6)),
+        tie_embeddings=bool(config.get("tie_word_embeddings", True)),
+        max_position=config.get("max_position_embeddings", 40960),
+    )
+
+
+def extract_llm_from_model_pt(model_pt: str) -> Dict[str, np.ndarray]:
+    """Pull the ``llm.*`` weights out of the FunASR checkpoint
+    (``03-Export…py:55-64``)."""
+    import torch
+    raw = torch.load(model_pt, map_location="cpu", weights_only=False)
+    if isinstance(raw, dict) and "state_dict" in raw:
+        raw = raw["state_dict"]
+    return {k[len("llm."):]: v.detach().cpu().numpy()
+            for k, v in raw.items() if k.startswith("llm.")}
+
+
+def load_hf_safetensors_dir(hf_dir: str) -> Dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+    sd: Dict[str, np.ndarray] = {}
+    for name in sorted(os.listdir(hf_dir)):
+        if name.endswith(".safetensors"):
+            sd.update(load_file(os.path.join(hf_dir, name)))
+    return sd
+
+
+def convert(model_dir: str, out_dir: str, outtype: str = "q8_0",
+            hf_llm_dir: Optional[str] = None):
+    """Produce a complete checkpoint directory from reference artifacts."""
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = HybridConfig()
+
+    # 1. CTC vocab
+    tiktoken = os.path.join(model_dir, "multilingual.tiktoken")
+    if os.path.exists(tiktoken):
+        tokens = generate_sensevoice_vocab(tiktoken)
+        write_tokens_file(tokens, os.path.join(out_dir, "tokens.txt"))
+        print(f"tokens.txt: {len(tokens)} tokens")
+
+    # 2. encoder / adaptor / CTC weights
+    model_pt = os.path.join(model_dir, "model.pt")
+    enc, ada, ctc = load_encoder_from_pt(model_pt, cfg.encoder, cfg.adaptor,
+                                         cfg.ctc)
+    from safetensors.numpy import save_file
+    import jax
+    flat = {}
+    flat.update(flatten_tree(jax.device_get(enc), "encoder."))
+    flat.update(flatten_tree(jax.device_get(ada), "adaptor."))
+    flat.update(flatten_tree(jax.device_get(ctc), "ctc."))
+    save_file({k: np.ascontiguousarray(v) for k, v in flat.items()},
+              os.path.join(out_dir, "encoder.safetensors"))
+    print(f"encoder.safetensors: {len(flat)} tensors")
+
+    # 3. LLM decoder
+    hf_dir = hf_llm_dir or os.path.join(model_dir, "Qwen3-0.6B")
+    cfg_path = os.path.join(hf_dir, "config.json")
+    with open(cfg_path) as f:
+        llm_cfg = qwen3_config_from_hf(json.load(f))
+    if os.path.exists(os.path.join(hf_dir, "model.safetensors")):
+        sd = load_hf_safetensors_dir(hf_dir)
+    else:
+        sd = extract_llm_from_model_pt(model_pt)
+    params = qwen3_params_from_hf_state(sd, llm_cfg)
+    save_qwen3_to_gguf(os.path.join(out_dir, "decoder.gguf"), params,
+                       llm_cfg, quantize_q8_0=(outtype == "q8_0"))
+    print(f"decoder.gguf ({outtype})")
+
+    # 4. tokenizer + config
+    for name in ("tokenizer.json", "tokenizer_config.json"):
+        src = os.path.join(hf_dir, name)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(out_dir, name))
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump({"encoder": asdict(cfg.encoder),
+                   "adaptor": asdict(cfg.adaptor),
+                   "ctc": asdict(cfg.ctc),
+                   "llm": asdict(llm_cfg)}, f, indent=1)
+    print(f"checkpoint written to {out_dir}")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model-dir", required=True,
+                    help="Fun-ASR-Nano model dir (model.pt, tiktoken, ...)")
+    ap.add_argument("--out", required=True, help="output checkpoint dir")
+    ap.add_argument("--outtype", default="q8_0", choices=["q8_0", "f16"])
+    ap.add_argument("--hf-llm-dir", default=None,
+                    help="optional HF Qwen3 dir overriding model.pt llm.*")
+    args = ap.parse_args()
+    convert(args.model_dir, args.out, args.outtype, args.hf_llm_dir)
+
+
+if __name__ == "__main__":
+    main()

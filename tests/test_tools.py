@@ -1,0 +1,97 @@
+"""Toolchain tests: HF conversion, quantizer, inspector."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from fun_asr_gguf_tpu.formats.gguf import GGMLType, GGUFReader
+from fun_asr_gguf_tpu.models.config import Qwen3Config
+from fun_asr_gguf_tpu.models.loaders import (load_qwen3_from_gguf,
+                                             save_qwen3_to_gguf)
+from fun_asr_gguf_tpu.models.qwen3 import init_qwen3_params
+from fun_asr_gguf_tpu.tools.convert import (qwen3_config_from_hf,
+                                            qwen3_params_from_hf_state)
+from fun_asr_gguf_tpu.tools.quantize import quantize_gguf
+
+
+class TestHFConversion:
+    def test_config_from_hf(self):
+        hf = {"hidden_size": 1024, "num_hidden_layers": 28,
+              "num_attention_heads": 16, "num_key_value_heads": 8,
+              "head_dim": 128, "intermediate_size": 3072,
+              "vocab_size": 151936, "rope_theta": 1000000,
+              "rms_norm_eps": 1e-6, "tie_word_embeddings": True}
+        cfg = qwen3_config_from_hf(hf)
+        assert cfg == Qwen3Config()
+
+    def test_params_from_hf_state(self):
+        cfg = Qwen3Config.tiny(vocab_size=48)
+        rng = np.random.default_rng(0)
+        h, qd = cfg.hidden, cfg.q_heads * cfg.head_dim
+        kd, f = cfg.kv_heads * cfg.head_dim, cfg.ffn_dim
+        sd = {"model.embed_tokens.weight": rng.normal(size=(48, h)),
+              "model.norm.weight": rng.normal(size=(h,))}
+        for i in range(cfg.n_layers):
+            p = f"model.layers.{i}"
+            sd[f"{p}.input_layernorm.weight"] = rng.normal(size=(h,))
+            sd[f"{p}.post_attention_layernorm.weight"] = rng.normal(size=(h,))
+            sd[f"{p}.self_attn.q_norm.weight"] = rng.normal(size=(cfg.head_dim,))
+            sd[f"{p}.self_attn.k_norm.weight"] = rng.normal(size=(cfg.head_dim,))
+            sd[f"{p}.self_attn.q_proj.weight"] = rng.normal(size=(qd, h))
+            sd[f"{p}.self_attn.k_proj.weight"] = rng.normal(size=(kd, h))
+            sd[f"{p}.self_attn.v_proj.weight"] = rng.normal(size=(kd, h))
+            sd[f"{p}.self_attn.o_proj.weight"] = rng.normal(size=(h, qd))
+            sd[f"{p}.mlp.gate_proj.weight"] = rng.normal(size=(f, h))
+            sd[f"{p}.mlp.up_proj.weight"] = rng.normal(size=(f, h))
+            sd[f"{p}.mlp.down_proj.weight"] = rng.normal(size=(h, f))
+        params = qwen3_params_from_hf_state(sd, cfg)
+        assert params["layers"]["q_w"].shape == (cfg.n_layers, h, qd)
+        # transposition check
+        np.testing.assert_allclose(
+            params["layers"]["q_w"][0],
+            sd["model.layers.0.self_attn.q_proj.weight"].T, atol=1e-6)
+        assert params["embed"].shape == (48, h)
+
+
+class TestQuantizer:
+    def test_quantize_roundtrip(self, tmp_path):
+        cfg = Qwen3Config.tiny(vocab_size=64)
+        params = init_qwen3_params(jax.random.PRNGKey(0), cfg)
+        f16 = str(tmp_path / "f16.gguf")
+        q8 = str(tmp_path / "q8.gguf")
+        save_qwen3_to_gguf(f16, params, cfg, quantize_q8_0=False)
+        quantize_gguf(f16, q8, "q8_0")
+        r = GGUFReader(q8)
+        assert r.tensor_info("blk.0.attn_q.weight").ggml_type == GGMLType.Q8_0
+        assert r.tensor_info("blk.0.attn_norm.weight").ggml_type == GGMLType.F32
+        # loads and matches within quantization error
+        p2, cfg2, _ = load_qwen3_from_gguf(q8)
+        w1 = np.asarray(params["layers"]["q_w"][0])
+        w2 = np.asarray(p2["layers"]["q_w"][0], dtype=np.float32)
+        assert np.abs(w1 - w2).max() < np.abs(w1).max() * 0.02
+
+    def test_smaller_file(self, tmp_path):
+        cfg = Qwen3Config.tiny(vocab_size=64)
+        params = init_qwen3_params(jax.random.PRNGKey(1), cfg)
+        f16 = str(tmp_path / "f16.gguf")
+        q8 = str(tmp_path / "q8.gguf")
+        save_qwen3_to_gguf(f16, params, cfg, quantize_q8_0=False)
+        quantize_gguf(f16, q8, "q8_0")
+        assert os.path.getsize(q8) < os.path.getsize(f16)
+
+
+class TestInspector:
+    def test_inspect_runs(self, tmp_path, capsys):
+        from fun_asr_gguf_tpu.tools.inspect_gguf import inspect
+        cfg = Qwen3Config.tiny(vocab_size=32)
+        params = init_qwen3_params(jax.random.PRNGKey(2), cfg)
+        path = str(tmp_path / "m.gguf")
+        save_qwen3_to_gguf(path, params, cfg)
+        inspect(path)
+        out = capsys.readouterr().out
+        assert "token_embd.weight" in out
+        assert "qwen3" in out
