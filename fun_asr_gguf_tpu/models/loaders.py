@@ -83,19 +83,35 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
     )
 
 
-def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16
+def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
+                         keep_quantized: bool = False
                          ) -> Tuple[dict, Qwen3Config, np.ndarray]:
     """Load a llama.cpp-format qwen3 GGUF (f32/f16/bf16/q8_0 tensors).
 
     Returns (params, config, embedding_table_f32). The embedding table is
     the host-side copy the prompt builder gathers from (the analogue of
     ``get_token_embeddings_gguf``, reference ``llama.py:751-796``).
+
+    With ``keep_quantized=True``, q8_0 matmul weights are loaded straight
+    into ``QuantTensor`` (int8 + scales) without dequantizing — the on-disk
+    block layout already matches the Pallas kernel's [out, in] layout.
     """
+    from ..formats.gguf import GGMLType
+    from ..ops.quant_matmul import QuantTensor
+
     r = GGUFReader(path)
     cfg = qwen3_config_from_gguf(r)
 
     def t(name):  # dense-dequantized fetch, [out, in] -> [in, out]
         return np.ascontiguousarray(r.tensor(name).astype(np.float32).T)
+
+    def mat(name):
+        info = r.tensor_info(name)
+        if keep_quantized and info.ggml_type == GGMLType.Q8_0:
+            q, d = r.tensor_q8_0(name)          # [out, in], [out, in/32]
+            return QuantTensor(q=jnp.asarray(q),
+                               d=jnp.asarray(d.astype(np.float32)))
+        return jnp.asarray(t(name), dtype)
 
     def vec(name):
         return r.tensor(name).astype(np.float32)
@@ -104,23 +120,32 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16
 
     n = cfg.n_layers
     def stack(fn):
-        return np.stack([fn(i) for i in range(n)])
+        items = [fn(i) for i in range(n)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *items)
 
     layers = {
-        "input_ln": stack(lambda i: vec(f"blk.{i}.attn_norm.weight")),
-        "post_ln": stack(lambda i: vec(f"blk.{i}.ffn_norm.weight")),
-        "q_norm": stack(lambda i: vec(f"blk.{i}.attn_q_norm.weight")),
-        "k_norm": stack(lambda i: vec(f"blk.{i}.attn_k_norm.weight")),
-        "q_w": stack(lambda i: t(f"blk.{i}.attn_q.weight")),
-        "k_w": stack(lambda i: t(f"blk.{i}.attn_k.weight")),
-        "v_w": stack(lambda i: t(f"blk.{i}.attn_v.weight")),
-        "o_w": stack(lambda i: t(f"blk.{i}.attn_output.weight")),
-        "gate_w": stack(lambda i: t(f"blk.{i}.ffn_gate.weight")),
-        "up_w": stack(lambda i: t(f"blk.{i}.ffn_up.weight")),
-        "down_w": stack(lambda i: t(f"blk.{i}.ffn_down.weight")),
+        "input_ln": jnp.asarray(
+            np.stack([vec(f"blk.{i}.attn_norm.weight") for i in range(n)]),
+            dtype),
+        "post_ln": jnp.asarray(
+            np.stack([vec(f"blk.{i}.ffn_norm.weight") for i in range(n)]),
+            dtype),
+        "q_norm": jnp.asarray(
+            np.stack([vec(f"blk.{i}.attn_q_norm.weight") for i in range(n)]),
+            dtype),
+        "k_norm": jnp.asarray(
+            np.stack([vec(f"blk.{i}.attn_k_norm.weight") for i in range(n)]),
+            dtype),
+        "q_w": stack(lambda i: mat(f"blk.{i}.attn_q.weight")),
+        "k_w": stack(lambda i: mat(f"blk.{i}.attn_k.weight")),
+        "v_w": stack(lambda i: mat(f"blk.{i}.attn_v.weight")),
+        "o_w": stack(lambda i: mat(f"blk.{i}.attn_output.weight")),
+        "gate_w": stack(lambda i: mat(f"blk.{i}.ffn_gate.weight")),
+        "up_w": stack(lambda i: mat(f"blk.{i}.ffn_up.weight")),
+        "down_w": stack(lambda i: mat(f"blk.{i}.ffn_down.weight")),
     }
     params = {
-        "layers": {k: jnp.asarray(v, dtype) for k, v in layers.items()},
+        "layers": layers,
         "final_ln": jnp.asarray(vec("output_norm.weight"), dtype),
         "embed": jnp.asarray(embed, dtype),
     }

@@ -25,6 +25,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.quant_matmul import QuantTensor, matmul_any, quantize_weight
 from .common import rms_norm
 from .config import Qwen3Config
 
@@ -70,7 +71,27 @@ def apply_rope(x, cos, sin):
 # ---------------------------------------------------------------------------
 
 def _proj(x, w):
-    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    """Dense or q8_0-quantized projection (see ops/quant_matmul.py)."""
+    return matmul_any(x, w).astype(x.dtype)
+
+
+def quantize_qwen3_params(params, keys=("q_w", "k_w", "v_w", "o_w",
+                                        "gate_w", "up_w", "down_w")):
+    """Convert the per-layer matmul weights to q8_0 QuantTensors.
+
+    The embedding (and tied lm_head) stays dense for gather efficiency;
+    everything else drops to 1.06 bytes/param in HBM — the same storage
+    policy as the reference's q8_0 GGUF decode path.
+    """
+    layers = dict(params["layers"])
+    for key in keys:
+        w = layers[key]                   # [L, k_in, n_out]
+        if isinstance(w, QuantTensor):
+            continue
+        layers[key] = jax.vmap(quantize_weight)(w)
+    out = dict(params)
+    out["layers"] = layers
+    return out
 
 
 def _qkv(x, lp, cfg: Qwen3Config, cos, sin):

@@ -1,0 +1,150 @@
+"""Pallas q8_0 dequant-matmul kernel + quantized-weight representation.
+
+The TPU replacement for llama.cpp's fused q8_0 kernels (the entire decode
+path of the reference runs through them, ``bin/ggml-*.dll``): weights live
+in HBM as int8 + per-32-block fp16 scales (1.06 B/param instead of 2 for
+bf16), are DMA'd to VMEM as int8, and dequantized in-register right before
+the MXU multiply. For the bandwidth-bound single-token decode this halves
+the bytes moved per step, which is the whole game (SURVEY.md §7 risks).
+
+Weight layout: ``QuantTensor(q=[..., n_out, k] int8, d=[..., n_out, k/32]
+f32)`` — contraction dim innermost so a block's 32 quants are contiguous.
+``quant_matmul(x, qt)`` computes ``x @ dequant(qt).T``; a jnp reference
+path (`use_pallas=False`) backs tests and non-TPU platforms.
+"""
+
+import functools
+from typing import NamedTuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 32
+
+
+class QuantTensor(NamedTuple):
+    q: jnp.ndarray   # int8  [..., n, k]
+    d: jnp.ndarray   # f32   [..., n, k // 32]
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+
+def quantize_weight(w: jnp.ndarray) -> QuantTensor:
+    """w [k_in, n_out] (x @ w convention) → QuantTensor([n, k])."""
+    wt = jnp.swapaxes(w, -1, -2).astype(jnp.float32)      # [n, k]
+    k = wt.shape[-1]
+    if k % BLOCK != 0:
+        raise ValueError(f"contraction dim {k} not divisible by {BLOCK}")
+    blocks = wt.reshape(*wt.shape[:-1], k // BLOCK, BLOCK)
+    absmax = jnp.max(jnp.abs(blocks), axis=-1)
+    d = (absmax / 127.0).astype(jnp.float16).astype(jnp.float32)
+    inv = jnp.where(d == 0, 0.0, 1.0 / d)
+    q = jnp.round(blocks * inv[..., None]).astype(jnp.int8)
+    return QuantTensor(q=q.reshape(wt.shape), d=d)
+
+
+def dequantize_weight(qt: QuantTensor) -> jnp.ndarray:
+    """QuantTensor → dense [k_in, n_out] f32."""
+    n, k = qt.q.shape[-2], qt.q.shape[-1]
+    deq = (qt.q.astype(jnp.float32)
+           .reshape(*qt.q.shape[:-1], k // BLOCK, BLOCK)
+           * qt.d[..., None]).reshape(*qt.q.shape[:-2], n, k)
+    return jnp.swapaxes(deq, -1, -2)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _q8_matmul_kernel(x_ref, q_ref, d_ref, o_ref):
+    """One (m, TN) output tile: dequantize the int8 tile in VMEM, matmul."""
+    q = q_ref[:]                                     # [TN, K] int8
+    d = d_ref[:]                                     # [TN, K//32] f32
+    tn, k = q.shape
+    deq = (q.astype(jnp.bfloat16)
+           .reshape(tn, k // BLOCK, BLOCK)
+           * d.astype(jnp.bfloat16)[:, :, None]).reshape(tn, k)
+    x = x_ref[:].astype(jnp.bfloat16)                # [M, K]
+    o_ref[:] = jax.lax.dot_general(
+        x, deq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_n", "use_pallas", "interpret"))
+def quant_matmul(x: jnp.ndarray, qt: QuantTensor, tile_n: int = 512,
+                 use_pallas: bool = True, interpret: bool = False
+                 ) -> jnp.ndarray:
+    """x [m, k] × QuantTensor([n, k]) → [m, n] f32.
+
+    ``use_pallas=False`` falls back to a dequantize-then-dot jnp path
+    (reference implementation for parity tests / CPU).
+    """
+    m, k = x.shape
+    n = qt.q.shape[0]
+    if not use_pallas:
+        deq = dequantize_weight(qt)                  # [k, n]
+        return jnp.dot(x.astype(jnp.bfloat16), deq.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+
+    tile_n = min(tile_n, n)
+    if n % tile_n != 0:
+        # fall back rather than mask — weight dims here are all multiples
+        # of 256 in practice
+        deq = dequantize_weight(qt)
+        return jnp.dot(x.astype(jnp.bfloat16), deq.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+
+    grid = (n // tile_n,)
+    return pl.pallas_call(
+        _q8_matmul_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, k // BLOCK), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, tile_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2 + n * k + n * (k // BLOCK) * 4
+                           + m * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, qt.q, qt.d)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def matmul_any(x: jnp.ndarray,
+               w: Union[jnp.ndarray, QuantTensor],
+               use_pallas: bool = None) -> jnp.ndarray:
+    """Dispatch: dense ``x @ w`` or quantized kernel. Keeps callers
+    (qwen3 _proj) agnostic of the weight storage format. Supports leading
+    batch dims on x by flattening. The Pallas path engages only on TPU
+    backends unless forced."""
+    if isinstance(w, QuantTensor):
+        if use_pallas is None:
+            use_pallas = _on_tpu()
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        out = quant_matmul(x2, w, use_pallas=use_pallas)
+        return out.reshape(*lead, out.shape[-1])
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)

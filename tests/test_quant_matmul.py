@@ -1,0 +1,116 @@
+"""q8_0 quantized-weight matmul tests (jnp path + Pallas interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fun_asr_gguf_tpu.models.config import Qwen3Config
+from fun_asr_gguf_tpu.models.qwen3 import (init_qwen3_params,
+                                           qwen3_prefill,
+                                           quantize_qwen3_params)
+from fun_asr_gguf_tpu.ops.quant_matmul import (QuantTensor,
+                                               dequantize_weight,
+                                               matmul_any, quant_matmul,
+                                               quantize_weight)
+
+
+class TestQuantizeWeight:
+    def test_roundtrip_error(self):
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(128, 96)), jnp.float32)
+        qt = quantize_weight(w)
+        assert qt.q.shape == (96, 128)
+        assert qt.d.shape == (96, 4)
+        back = dequantize_weight(qt)
+        step = np.abs(np.asarray(w)).max() / 127
+        assert np.abs(np.asarray(back) - np.asarray(w)).max() < step * 1.1
+
+    def test_matches_numpy_q8_0(self):
+        """Device quantization must agree with the numpy/ggml formula."""
+        from fun_asr_gguf_tpu.formats.quant_np import q8_0_quantize
+        rng = np.random.default_rng(1)
+        w = rng.normal(size=(64, 32)).astype(np.float32)
+        qt = quantize_weight(jnp.asarray(w))
+        q_np, d_np = q8_0_quantize(w.T)          # numpy path on [n, k]
+        np.testing.assert_array_equal(np.asarray(qt.q), q_np)
+        np.testing.assert_allclose(np.asarray(qt.d),
+                                   d_np.astype(np.float32), rtol=1e-6)
+
+
+class TestQuantMatmul:
+    def test_jnp_path_accuracy(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(4, 256)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(256, 128)), jnp.float32)
+        qt = quantize_weight(w)
+        out = quant_matmul(x, qt, use_pallas=False)
+        ref = np.asarray(x) @ np.asarray(w)
+        # q8_0 + bf16 accumulate error budget
+        rel = np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()
+        assert rel < 0.05
+
+    def test_pallas_interpret_matches_jnp(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(1, 256)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(256, 512)), jnp.float32)
+        qt = quantize_weight(w)
+        ref = quant_matmul(x, qt, use_pallas=False)
+        out = quant_matmul(x, qt, tile_n=256, use_pallas=True,
+                           interpret=True)
+        # interpret-mode bf16 rounding differs slightly from the XLA path
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=6e-2, atol=0.5)
+
+    def test_matmul_any_dense_and_quant(self):
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(2, 3, 64)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)
+        dense = matmul_any(x, w)
+        quant = matmul_any(x, quantize_weight(w), use_pallas=False)
+        assert dense.shape == quant.shape == (2, 3, 32)
+        rel = (np.abs(np.asarray(dense) - np.asarray(quant)).max()
+               / np.abs(np.asarray(dense)).max())
+        assert rel < 0.05
+
+
+class TestQuantizedQwen3:
+    def test_prefill_parity_dense_vs_quant(self):
+        cfg = Qwen3Config.tiny(vocab_size=64)
+        params = init_qwen3_params(jax.random.PRNGKey(0), cfg)
+        qparams = quantize_qwen3_params(params)
+        # quantized layers are QuantTensors stacked over layers
+        qt = qparams["layers"]["q_w"]
+        assert isinstance(qt, QuantTensor)
+        assert qt.q.shape[0] == cfg.n_layers
+        assert qt.q.dtype == jnp.int8
+
+        rng = np.random.default_rng(5)
+        e = jnp.asarray(rng.normal(size=(1, 5, cfg.hidden)), jnp.float32) * 0.1
+        m = jnp.ones((1, 5), jnp.float32)
+        l_dense, _ = qwen3_prefill(params, e, m, cfg)
+        l_quant, _ = qwen3_prefill(qparams, e, m, cfg)
+        ld, lq = np.asarray(l_dense), np.asarray(l_quant)
+        # same top-1 predictions and small logit drift
+        np.testing.assert_array_equal(ld.argmax(-1), lq.argmax(-1))
+        assert np.abs(ld - lq).max() / (np.abs(ld).max() + 1e-9) < 0.12
+
+    def test_gguf_keep_quantized(self, tmp_path):
+        from fun_asr_gguf_tpu.models.loaders import (load_qwen3_from_gguf,
+                                                     save_qwen3_to_gguf)
+        cfg = Qwen3Config.tiny(vocab_size=64)
+        params = init_qwen3_params(jax.random.PRNGKey(1), cfg)
+        path = str(tmp_path / "q.gguf")
+        save_qwen3_to_gguf(path, params, cfg, quantize_q8_0=True)
+        qp, cfg2, _ = load_qwen3_from_gguf(path, keep_quantized=True)
+        assert isinstance(qp["layers"]["gate_w"], QuantTensor)
+        dp, _, _ = load_qwen3_from_gguf(path, keep_quantized=False,
+                                        dtype=jnp.float32)
+        rng = np.random.default_rng(6)
+        e = jnp.asarray(rng.normal(size=(1, 4, cfg.hidden)), jnp.float32) * 0.1
+        m = jnp.ones((1, 4), jnp.float32)
+        lq, _ = qwen3_prefill(qp, e, m, cfg2)
+        ld, _ = qwen3_prefill(dp, e, m, cfg2)
+        np.testing.assert_array_equal(np.asarray(lq).argmax(-1),
+                                      np.asarray(ld).argmax(-1))
