@@ -84,9 +84,15 @@ def load_audio(audio_path: str, sample_rate: int = 16000,
     errors = []
     if ext in (".wav", ".wave"):
         try:
-            audio = _load_wav(audio_path, sample_rate)
-        except Exception as e:  # fall through to generic decoders
-            errors.append(f"wav: {e}")
+            from .native import load_wav_mono_native
+            audio = load_wav_mono_native(audio_path, sample_rate)
+        except Exception as e:
+            errors.append(f"native: {e}")
+        if audio is None:
+            try:
+                audio = _load_wav(audio_path, sample_rate)
+            except Exception as e:  # fall through to generic decoders
+                errors.append(f"wav: {e}")
     if audio is None:
         try:
             audio = _load_pydub(audio_path, sample_rate)

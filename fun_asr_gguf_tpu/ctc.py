@@ -86,6 +86,11 @@ def _nw_align(ctc_chars: List[str], llm_chars: List[str]
     Scores: match +1, mismatch −1, gap −1; traceback prefers diag, then up
     (delete ctc), then left (gap in ctc) — the reference's tie-break order.
     """
+    from .native import nw_align_native
+    native = nw_align_native(ctc_chars, llm_chars)
+    if native is not None:
+        return native
+
     n, m = len(ctc_chars) + 1, len(llm_chars) + 1
     ctc_l = np.array([c.lower() for c in ctc_chars])
     llm_l = np.array([c.lower() for c in llm_chars])

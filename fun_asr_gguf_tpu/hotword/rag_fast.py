@@ -96,9 +96,14 @@ def batched_fuzzy_distance(main_codes: np.ndarray,
 
     dp[i][j] = min(dp[i-1][j]+1, dp[i][j-1]+1, dp[i-1][j-1]+(sub_i!=main_j));
     dp[0][j] = 0 (free start), answer = min_j dp[n][j].
-    Vectorized over the candidate axis; rows iterate to the longest sub with
-    finished rows masked. Returns [C] float32 distances.
+    Prefers the native C++ kernel (native/dp_kernels.cc) when built;
+    otherwise a candidate-batched numpy DP with a prefix min-scan for the
+    in-row dependency. Returns [C] float32 distances.
     """
+    from ..native import fuzzy_substring_distance_batch_native
+    native = fuzzy_substring_distance_batch_native(main_codes, subs)
+    if native is not None:
+        return native
     c = len(subs)
     if c == 0:
         return np.zeros(0, np.float32)

@@ -1,0 +1,133 @@
+"""ctypes bindings for the native host-runtime library.
+
+The TPU compute path is JAX/XLA/Pallas; this module covers the *host*
+hot loops the reference runs natively (numba JIT DP, ffmpeg audio decode):
+
+* ``fuzzy_substring_distance`` / batch — hotword coarse retrieval DP;
+* ``nw_align`` — Needleman-Wunsch char alignment fill+traceback;
+* ``load_wav_mono`` — WAV decode + mono mixdown + resample.
+
+Build with ``make -C native`` (produces ``native/libfunasr_native.so``).
+Every entry point has a numpy fallback, so the library is an optional
+accelerator, never a hard dependency.
+"""
+
+import ctypes
+import os
+from typing import List, Optional
+
+import numpy as np
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "native", "libfunasr_native.so"),
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "libfunasr_native.so"),
+]
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    for path in _LIB_PATHS:
+        if os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError:
+                continue
+            lib.fuzzy_substring_distance_i32.restype = ctypes.c_float
+            lib.fuzzy_substring_distance_i32.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+            lib.fuzzy_substring_distance_batch.restype = None
+            lib.fuzzy_substring_distance_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float)]
+            lib.nw_align_i32.restype = None
+            lib.nw_align_i32.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32)]
+            lib.load_wav_mono.restype = ctypes.c_int64
+            lib.load_wav_mono.argtypes = [
+                ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+            _lib = lib
+            return _lib
+    _lib = False
+    return _lib
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def _i32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def fuzzy_substring_distance_native(main_codes: np.ndarray,
+                                    sub_codes: np.ndarray
+                                    ) -> Optional[float]:
+    lib = _load()
+    if not lib:
+        return None
+    main_c = np.ascontiguousarray(main_codes, dtype=np.int32)
+    sub_c = np.ascontiguousarray(sub_codes, dtype=np.int32)
+    return float(lib.fuzzy_substring_distance_i32(
+        _i32ptr(main_c), len(main_c), _i32ptr(sub_c), len(sub_c)))
+
+
+def fuzzy_substring_distance_batch_native(main_codes: np.ndarray,
+                                          subs: List[np.ndarray]
+                                          ) -> Optional[np.ndarray]:
+    lib = _load()
+    if not lib or not subs:
+        return None
+    main_c = np.ascontiguousarray(main_codes, dtype=np.int32)
+    lens = np.array([len(s) for s in subs], dtype=np.int32)
+    max_len = int(lens.max())
+    mat = np.zeros((len(subs), max_len), dtype=np.int32)
+    for i, s in enumerate(subs):
+        mat[i, : len(s)] = s
+    out = np.empty(len(subs), dtype=np.float32)
+    lib.fuzzy_substring_distance_batch(
+        _i32ptr(main_c), len(main_c), _i32ptr(mat), _i32ptr(lens),
+        len(subs), max_len, out.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def nw_align_native(ctc_chars: List[str], llm_chars: List[str]
+                    ) -> Optional[List[Optional[int]]]:
+    lib = _load()
+    if not lib:
+        return None
+    ctc = np.array([ord(c.lower()) for c in ctc_chars], dtype=np.int32)
+    llm = np.array([ord(c.lower()) for c in llm_chars], dtype=np.int32)
+    out = np.empty(len(llm), dtype=np.int32)
+    lib.nw_align_i32(_i32ptr(ctc), len(ctc), _i32ptr(llm), len(llm),
+                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return [None if v < 0 else int(v) for v in out.tolist()]
+
+
+def load_wav_mono_native(path: str, sample_rate: int) -> Optional[np.ndarray]:
+    lib = _load()
+    if not lib:
+        return None
+    n = lib.load_wav_mono(path.encode(), sample_rate, None, 0)
+    if n < 0:
+        return None
+    out = np.empty(int(n), dtype=np.float64)
+    got = lib.load_wav_mono(path.encode(), sample_rate,
+                            out.ctypes.data_as(
+                                ctypes.POINTER(ctypes.c_double)), n)
+    if got != n:
+        return None
+    return out
