@@ -1,0 +1,190 @@
+"""Batched multi-stream decoding: N concurrent audios in one device program.
+
+New TPU-idiomatic capability (BASELINE.json configs[3]) with no reference
+counterpart (the reference is strictly single-sequence, ``llama.py:464``):
+the batch dimension rides through every jitted program — one encoder
+forward for all streams, one CTC forward, one batched prefill (per-row
+prompt lengths via left-padding masks) and one batched generation loop with
+per-row stop/fuse flags. Host-side stages (hotword recall, prompt build,
+alignment) loop per row.
+
+Aborted rows (repetition fuse) are retried individually with the
+reference's +0.3-temperature policy (``core/decoder.py:201-211``).
+"""
+
+import time
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ctc import align_timestamps, decode_ctc
+from ..datatypes import DecodeResult, RecognitionStream, Timings
+from ..frontend import audio_token_length
+from ..models.audio_encoder import audio_encoder_forward
+from ..models.generate import generate_chunk, prefill_init
+from .decoder import ABORT_MARKER, StreamDecoder
+from .model_manager import ModelManager
+
+
+class BatchStreamDecoder:
+    """Decodes N recognition streams concurrently."""
+
+    def __init__(self, models: ModelManager):
+        self.models = models
+        self._single = StreamDecoder(models)
+
+    def decode_streams(self, streams: List[RecognitionStream],
+                       language: Optional[str] = None,
+                       context: Optional[str] = None,
+                       temperature: float = 0.3, top_p: float = 1.0,
+                       top_k: int = 50) -> List[DecodeResult]:
+        models = self.models
+        b = len(streams)
+        if b == 0:
+            return []
+        if b == 1:
+            return [self._single.decode_stream(
+                streams[0], language, context, verbose=False,
+                temperature=temperature, top_p=top_p, top_k=top_k)]
+
+        timings = [Timings() for _ in range(b)]
+
+        # 1. batched encode
+        t0 = time.perf_counter()
+        lens = [len(s.audio_data) for s in streams]
+        window = max(models.pad_window_samples(n) for n in lens)
+        buf = np.zeros((b, window), dtype=np.float32)
+        for i, s in enumerate(streams):
+            buf[i, : lens[i]] = s.audio_data
+        enc, embd, _mask = audio_encoder_forward(
+            {"encoder": models.encoder_params,
+             "adaptor": models.adaptor_params},
+            models.frontend_consts,
+            jnp.asarray(buf), jnp.asarray(lens, jnp.int32),
+            cfg=models.audio_cfg, compute_dtype=models._compute_dtype)
+        embd_np = np.asarray(embd, dtype=np.float32)
+        t_encode = time.perf_counter() - t0
+
+        # 2. batched CTC + per-row hotwords
+        t0 = time.perf_counter()
+        ctc_rows = [[] for _ in range(b)]
+        hotword_rows = [[] for _ in range(b)]
+        if models.config.enable_ctc and models.ctc_id2token:
+            indices = np.asarray(models._ctc_fn(models.ctc_params, enc))
+            for i in range(b):
+                text, results, _ = decode_ctc(indices[i],
+                                              models.ctc_id2token)
+                ctc_rows[i] = results
+                if models.corrector and models.corrector.hotwords and text:
+                    res = models.corrector.correct(
+                        text, k=models.config.max_hotwords)
+                    cand = {hw for _, hw, _ in res.matchs}
+                    cand |= {hw for _, hw, _ in res.similars}
+                    hotword_rows[i] = list(cand)
+        t_ctc = time.perf_counter() - t0
+
+        # 3. per-row prompts → one left-padded batch
+        t0 = time.perf_counter()
+        full_embds = []
+        n_prefix, n_suffix = [], []
+        for i in range(b):
+            p_embd, s_embd, n_p, n_s, _ = models.prompt_builder.build_prompt(
+                hotword_rows[i], language, context)
+            target = audio_token_length(lens[i],
+                                        models.audio_cfg.frontend)
+            audio_e = embd_np[i, :target]
+            full_embds.append(np.concatenate(
+                [p_embd, audio_e, s_embd], axis=0))
+            n_prefix.append(n_p)
+            n_suffix.append(n_s)
+        max_len_prompt = max(e.shape[0] for e in full_embds)
+        bucket = models.prompt_bucket(max_len_prompt)
+        llm_dim = full_embds[0].shape[1]
+        prompt_buf = np.zeros((b, bucket, llm_dim), dtype=np.float32)
+        mask_buf = np.zeros((b, bucket), dtype=np.float32)
+        for i, e in enumerate(full_embds):
+            prompt_buf[i, bucket - e.shape[0]:] = e
+            mask_buf[i, bucket - e.shape[0]:] = 1.0
+        t_prepare = time.perf_counter() - t0
+
+        # 4. batched prefill + generation
+        t0 = time.perf_counter()
+        seed = int(np.random.randint(0, 2 ** 31 - 1))
+        state = prefill_init(
+            models.llm_params,
+            jnp.asarray(prompt_buf, models._compute_dtype),
+            jnp.asarray(mask_buf),
+            jax.random.PRNGKey(seed), models.hybrid_cfg.llm,
+            max_len=bucket + models.config.n_predict)
+        state.logits.block_until_ready()
+        t_inject = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        state, tokens = generate_chunk(
+            models.llm_params, state, models.hybrid_cfg.llm,
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_p, jnp.float32), top_k,
+            chunk_len=models.config.n_predict,
+            stop_tokens=models.stop_tokens)
+        tokens = np.asarray(tokens)
+        n_gen = np.asarray(state.n_gen)
+        aborted = np.asarray(state.aborted)
+        t_gen = time.perf_counter() - t0
+
+        # 5. assemble per-row results; retry aborted rows individually
+        stop_set = set(models.stop_tokens) | {models.eos_token}
+        results: List[DecodeResult] = []
+        for i in range(b):
+            t = timings[i]
+            t.encode = t_encode / b
+            t.ctc = t_ctc / b
+            t.prepare = t_prepare / b
+            t.inject = t_inject / b
+            t.llm_generate = t_gen / b
+
+            if aborted[i]:
+                retry = self._retry_row(streams[i], language, context,
+                                        temperature + 0.3, top_p, top_k)
+                retry.timings.encode += t.encode
+                results.append(retry)
+                continue
+
+            from ..formats.tokenizer import StreamTextDecoder
+            dec = StreamTextDecoder(models.tokenizer)
+            for tok in tokens[i].tolist():
+                if tok < 0 or tok in stop_set:
+                    continue
+                dec.push(tok)
+            dec.flush()
+            text = dec.generated_text.strip()
+
+            t0a = time.perf_counter()
+            aligned, ts, toks_out = [], [], []
+            if ctc_rows[i]:
+                aligned = align_timestamps(ctc_rows[i], text) or []
+                toks_out = [seg["char"] for seg in aligned]
+                ts = [seg["start"] for seg in aligned]
+            t.align = time.perf_counter() - t0a
+
+            streams[i].set_result(text=text, timestamps=ts, tokens=toks_out)
+            target = audio_token_length(lens[i], models.audio_cfg.frontend)
+            results.append(DecodeResult(
+                text=text, ctc_results=ctc_rows[i], aligned=aligned,
+                audio_embd=embd_np[i, :target],
+                n_prefix=n_prefix[i], n_suffix=n_suffix[i],
+                n_gen=int(n_gen[i]), timings=t,
+                hotwords=hotword_rows[i], is_aborted=False))
+        return results
+
+    def _retry_row(self, stream, language, context, temperature, top_p,
+                   top_k) -> DecodeResult:
+        """Single-row retry path after a repetition abort."""
+        res = self._single.decode_stream(
+            stream, language, context, verbose=False,
+            temperature=temperature, top_p=top_p, top_k=top_k)
+        if res.is_aborted:
+            res.text += ABORT_MARKER
+        return res

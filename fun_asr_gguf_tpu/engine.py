@@ -46,6 +46,7 @@ class FunASREngine:
         self.models = ModelManager(self.config)
         self.orchestrator = TranscriptionOrchestrator(self.models)
         self.sample_rate = self.config.sample_rate
+        self._batch_decoder = None
 
     def initialize(self, verbose: bool = True) -> bool:
         return self.models.initialize(verbose=verbose)
@@ -77,6 +78,50 @@ class FunASREngine:
         return self.orchestrator.decoder.decode_stream(
             stream, language, context, verbose, reporter,
             temperature=temperature, top_p=top_p, top_k=top_k)
+
+    def decode_streams(self, streams, language: Optional[str] = None,
+                       context: Optional[str] = None,
+                       temperature: float = 0.3, top_p: float = 1.0,
+                       top_k: int = 50):
+        """Decode N recognition streams concurrently in one batched device
+        program (TPU-native extension; no reference counterpart — the
+        reference context is single-sequence, ``llama.py:464``)."""
+        from .core.batch import BatchStreamDecoder
+        if self._batch_decoder is None:
+            self._batch_decoder = BatchStreamDecoder(self.models)
+        return self._batch_decoder.decode_streams(
+            streams, language, context, temperature=temperature,
+            top_p=top_p, top_k=top_k)
+
+    def transcribe_batch(self, audio_paths, language: Optional[str] = None,
+                         context: Optional[str] = None,
+                         temperature: float = 0.3, top_p: float = 1.0,
+                         top_k: int = 50):
+        """Batched short-audio transcription (each file ≤ segment window).
+
+        Returns a list of TranscriptionResult in input order.
+        """
+        from .audio import load_audio
+        from .ctc import CHAR_DURATION  # noqa: F401 (doc anchor)
+        streams = []
+        for path in audio_paths:
+            audio = load_audio(path, self.config.sample_rate)
+            stream = RecognitionStream()
+            stream.accept_waveform(self.config.sample_rate, audio)
+            streams.append(stream)
+        decoded = self.decode_streams(streams, language, context,
+                                      temperature=temperature, top_p=top_p,
+                                      top_k=top_k)
+        results = []
+        for d in decoded:
+            res = TranscriptionResult(
+                text=d.text,
+                segments=[{"char": s["char"], "start": s["start"]}
+                          for s in (d.aligned or [])],
+                ctc_text="".join(r.text for r in d.ctc_results),
+                hotwords=d.hotwords, timings=d.timings)
+            results.append(res)
+        return results
 
     def cleanup(self):
         self.models.cleanup()

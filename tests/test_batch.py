@@ -1,0 +1,82 @@
+# coding: utf-8
+"""Batched multi-stream decoding tests (tiny random checkpoint, CPU)."""
+
+import base64
+import os
+
+import numpy as np
+import pytest
+
+from fun_asr_gguf_tpu.audio import write_wav
+from fun_asr_gguf_tpu.datatypes import RecognitionStream
+from fun_asr_gguf_tpu.hotword.manager import reset_hotword_manager
+from fun_asr_gguf_tpu.models.config import HybridConfig
+from fun_asr_gguf_tpu.models.loaders import create_random_checkpoint
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("bckpt") / "model")
+    cfg = create_random_checkpoint(ckpt, HybridConfig.tiny(), seed=3)
+    lines = []
+    for i in range(cfg.ctc.vocab_size):
+        ch = chr(ord("一") + i) if i < cfg.ctc.vocab_size - 1 else "<blk>"
+        lines.append(f"{base64.b64encode(ch.encode()).decode()} {i}")
+    with open(os.path.join(ckpt, "tokens.txt"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
+    reset_hotword_manager()
+    from fun_asr_gguf_tpu import create_asr_engine
+    eng = create_asr_engine(
+        checkpoint_dir=ckpt, verbose=False, compute_dtype="float32",
+        segment_pad_seconds=1.0, n_predict=8, prefill_buckets=(64,))
+    yield eng
+    eng.cleanup()
+    reset_hotword_manager()
+
+
+def make_stream(seconds, seed):
+    sr = 16000
+    rng = np.random.default_rng(seed)
+    s = RecognitionStream()
+    s.accept_waveform(sr, rng.normal(size=int(sr * seconds)) * 0.05)
+    return s
+
+
+class TestBatchDecode:
+    def test_batch_matches_single_greedy(self, engine):
+        streams_b = [make_stream(0.8, 1), make_stream(0.5, 2)]
+        streams_s = [make_stream(0.8, 1), make_stream(0.5, 2)]
+        batch = engine.decode_streams(streams_b, temperature=0.0)
+        singles = [engine.decode_stream(s, verbose=False, temperature=0.0)
+                   for s in streams_s]
+        assert len(batch) == 2
+        for b, s in zip(batch, singles):
+            assert b.text == s.text
+            assert b.n_gen == s.n_gen
+            assert [seg["char"] for seg in (b.aligned or [])] == \
+                   [seg["char"] for seg in (s.aligned or [])]
+
+    def test_stream_results_set(self, engine):
+        streams = [make_stream(0.6, 4), make_stream(0.7, 5),
+                   make_stream(0.4, 6)]
+        out = engine.decode_streams(streams, temperature=0.0)
+        for st, d in zip(streams, out):
+            assert st.result.text == d.text
+
+    def test_single_element_batch(self, engine):
+        out = engine.decode_streams([make_stream(0.5, 7)], temperature=0.0)
+        assert len(out) == 1
+
+    def test_transcribe_batch_files(self, engine, tmp_path):
+        paths = []
+        for i in range(2):
+            p = str(tmp_path / f"b{i}.wav")
+            rng = np.random.default_rng(10 + i)
+            write_wav(p, rng.normal(size=12000) * 0.05, 16000)
+            paths.append(p)
+        results = engine.transcribe_batch(paths, temperature=0.0)
+        assert len(results) == 2
+        for r in results:
+            assert isinstance(r.text, str)
+            assert isinstance(r.segments, list)
