@@ -2,8 +2,16 @@
 
 Measures the reference's headline workload (BASELINE.md): 60 s audio
 through frontend + SANM encoder + adaptor + CTC, a 204-token embedding-
-injection prefill, and 253 generated tokens — the reference GPU numbers are
+injection prefill, and 253 generated tokens — reference GPU numbers are
 1.89 s E2E / 219 tok/s generation on an RTX 5050 (README.md:200,268).
+
+Timing methodology (the TPU tunnel memoizes identical dispatches and has
+high per-call latency): every stage is measured as a *two-point amortized
+difference* — one jitted program runs the stage N times over perturbed
+inputs via lax.fori_loop and reduces to a scalar that is fetched to host;
+per-iteration cost = (t(N2) − t(N1)) / (N2 − N1), which cancels dispatch,
+fetch and fixed-graph overhead. Generation cost similarly uses two chunk
+lengths of the sequential decode loop.
 
 Prints ONE JSON line:
   {"metric": "rtf_60s_e2e", "value": <rtf>, "unit": "ratio",
@@ -11,6 +19,8 @@ Prints ONE JSON line:
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
@@ -21,12 +31,29 @@ import jax.numpy as jnp
 
 REF_E2E_S = 1.89          # BASELINE.md: reference E2E on 60 s audio
 REF_GEN_TOKS_PER_S = 219.0
-AUDIO_SECONDS = 60
-N_PROMPT = 204            # 73 prefix + 126 audio + 5 suffix (README.md:267)
-N_GEN = 253               # generated tokens in the reference run
+_TINY = os.environ.get("BENCH_TINY") == "1"   # CPU smoke-test mode
+AUDIO_SECONDS = 2 if _TINY else 60
+N_PROMPT = 16 if _TINY else 204   # full: 73 prefix + 126 audio + 5 suffix
+N_GEN = 12 if _TINY else 253      # full: generated tokens in reference run
+
+_partial = {"metric": "rtf_60s_e2e", "value": -1.0, "unit": "ratio",
+            "vs_baseline": 0.0, "status": "incomplete"}
+
+
+def _emit_and_exit(*_args):
+    print(json.dumps(_partial))
+    sys.stdout.flush()
+    sys.exit(0)
+
+
+def fetch(x) -> float:
+    return float(jax.device_get(jnp.sum(x.astype(jnp.float32))))
 
 
 def main():
+    signal.signal(signal.SIGALRM, _emit_and_exit)
+    signal.alarm(int(float(sys.argv[1]) if len(sys.argv) > 1 else 3300))
+
     from fun_asr_gguf_tpu.frontend import FrontendConfig
     from fun_asr_gguf_tpu.models.adaptor import (ctc_head_forward,
                                                  init_ctc_head_params)
@@ -35,12 +62,15 @@ def main():
         make_frontend_constants)
     from fun_asr_gguf_tpu.models.config import HybridConfig
     from fun_asr_gguf_tpu.models.generate import generate_chunk, prefill_init
-    from fun_asr_gguf_tpu.models.qwen3 import init_qwen3_params
+    from fun_asr_gguf_tpu.models.qwen3 import (init_qwen3_params,
+                                               quantize_qwen3_params)
 
     dev = jax.devices()[0]
-    print(f"[bench] device: {dev}", file=sys.stderr)
+    log = lambda *a: print("[bench]", *a, file=sys.stderr, flush=True)
+    log("device:", dev)
 
-    cfg = HybridConfig()  # full-size Fun-ASR-Nano (SenseVoice + Qwen3-0.6B)
+    cfg = HybridConfig.tiny() if _TINY \
+        else HybridConfig()  # full-size Fun-ASR-Nano (SenseVoice+Qwen3-0.6B)
     audio_cfg = AudioEncoderConfig(frontend=FrontendConfig(),
                                    encoder=cfg.encoder, adaptor=cfg.adaptor)
     dtype = jnp.bfloat16
@@ -54,76 +84,110 @@ def main():
     consts = jax.tree_util.tree_map(jnp.asarray,
                                     make_frontend_constants(audio_cfg))
     jax.block_until_ready(llm_params["embed"])
-    print(f"[bench] params initialized in {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr)
+    log(f"params initialized in {time.perf_counter()-t0:.1f}s")
 
     n = 16000 * AUDIO_SECONDS
     audio = jnp.asarray(
         np.random.default_rng(0).normal(size=(1, n)).astype(np.float32) * 0.1)
     ilens = jnp.asarray([n], jnp.int32)
 
-    # NOTE: the runtime memoizes identical dispatches, so every timed
-    # iteration must use a distinct input (audio + i·ε, distinct rng seeds).
-    def encode(a):
-        enc, embd, _ = audio_encoder_forward(
-            {"encoder": audio_params["encoder"],
-             "adaptor": audio_params["adaptor"]},
-            consts, a, ilens, cfg=audio_cfg, compute_dtype=dtype)
-        return enc, embd
+    def timed_fetch(fn, *args):
+        t0 = time.perf_counter()
+        v = fetch(fn(*args))
+        return time.perf_counter() - t0, v
 
-    ctc_fn = jax.jit(lambda p, e: ctc_head_forward(p, e.astype(dtype),
-                                                   cfg.ctc))
+    def two_point(make_rep, n1, n2, label):
+        """per-iteration seconds from two amortized runs."""
+        rep = jax.jit(make_rep, static_argnames=("iters",))
+        t_c1, _ = timed_fetch(lambda: rep(iters=n1))     # compile n1
+        t_c2, _ = timed_fetch(lambda: rep(iters=n2))     # compile n2
+        log(f"{label}: compiled ({t_c1:.1f}s / {t_c2:.1f}s)")
+        t1 = min(timed_fetch(lambda: rep(iters=n1))[0] for _ in range(2))
+        t2 = min(timed_fetch(lambda: rep(iters=n2))[0] for _ in range(2))
+        per = max((t2 - t1) / (n2 - n1), 1e-9)
+        log(f"{label}: t({n1})={t1:.3f}s t({n2})={t2:.3f}s "
+            f"-> {per*1000:.2f} ms/iter")
+        return per
 
-    # warm-up compiles
-    enc, embd = encode(audio)
-    jax.block_until_ready(enc)
-    idx = ctc_fn(ctc_params, enc)
-    jax.block_until_ready(idx)
+    # NOTE: `iters` must stay a static python int; perturb inputs per
+    # iteration so nothing is CSE'd or memoized.
+    enc_params_pair = {"encoder": audio_params["encoder"],
+                      "adaptor": audio_params["adaptor"]}
 
-    def timeit(fn, iters=3):
-        best = float("inf")
-        for i in range(iters):
-            arg = i + 1
-            t0 = time.perf_counter()
-            out = fn(arg)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def encode_rep(iters: int):
+        def body(i, acc):
+            a = audio + (i.astype(jnp.float32) + 1.0) * 1e-6
+            enc, embd, _ = audio_encoder_forward(
+                enc_params_pair, consts, a, ilens, cfg=audio_cfg,
+                compute_dtype=dtype)
+            return acc + jnp.sum(enc.astype(jnp.float32))
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    variants = [audio + 1e-6 * (i + 1) for i in range(4)]
-    jax.block_until_ready(variants)
-    t_encode = timeit(lambda i: encode(variants[i])[0])
-    enc_variants = [encode(v)[0] for v in variants]
-    jax.block_until_ready(enc_variants)
-    t_ctc = timeit(lambda i: ctc_fn(ctc_params, enc_variants[i]))
+    t_encode = two_point(encode_rep, 1, 3, "encode")
 
-    # ---- LLM prefill + generation ----
+    # representative encoder output for CTC / prompt
+    enc, embd, _ = audio_encoder_forward(enc_params_pair, consts, audio,
+                                         ilens, cfg=audio_cfg,
+                                         compute_dtype=dtype)
+    enc = enc.astype(dtype)
+
+    def ctc_rep(iters: int):
+        def body(i, acc):
+            e = enc + (i.astype(dtype) + dtype(1.0)) * dtype(1e-3)
+            idx = ctc_head_forward(ctc_params, e, cfg.ctc)
+            return acc + jnp.sum(idx)
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    t_ctc = two_point(ctc_rep, 1, 3, "ctc")
+
     prompt = embd[:, :N_PROMPT, :].astype(dtype)
     mask = jnp.ones((1, N_PROMPT), jnp.float32)
     max_len = N_PROMPT + N_GEN + 8
-    prompts = [(prompt + 1e-3 * (i + 1)).astype(dtype) for i in range(8)]
-    jax.block_until_ready(prompts)
 
-    def prefill(i):
-        return prefill_init(llm_params, prompts[i], mask,
-                            jax.random.PRNGKey(i), cfg.llm, max_len=max_len)
+    def prefill_rep(iters: int):
+        def body(i, acc):
+            p = prompt + (i.astype(dtype) + dtype(1.0)) * dtype(1e-3)
+            state = prefill_init(llm_params, p, mask, jax.random.PRNGKey(0),
+                                 cfg.llm, max_len=max_len)
+            return acc + jnp.sum(state.logits)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    state = prefill(0)
-    jax.block_until_ready(state.logits)
-    t_prefill = timeit(lambda i: prefill(i).logits)
+    t_prefill = two_point(prefill_rep, 1, 3, "prefill")
 
-    def gen_full(i):
-        st = prefill(i + 4)
-        st, toks = generate_chunk(
-            llm_params, st, cfg.llm, jnp.asarray(0.0), jnp.asarray(1.0),
-            50, chunk_len=N_GEN, stop_tokens=(), fuse_enabled=False)
-        return toks
+    def measure_generation(params, label):
+        def gen(chunk_len: int):
+            st = prefill_init(params, prompt, mask, jax.random.PRNGKey(2),
+                              cfg.llm, max_len=max_len)
+            st, toks = generate_chunk(
+                params, st, cfg.llm, jnp.asarray(0.0), jnp.asarray(1.0),
+                50, chunk_len=chunk_len, stop_tokens=(),
+                fuse_enabled=False)
+            return toks
+        n1, n2 = (4, N_GEN) if _TINY else (33, N_GEN)
+        t_c, _ = timed_fetch(lambda: gen(n1))
+        t_c2, _ = timed_fetch(lambda: gen(n2))
+        log(f"{label}: compiled ({t_c:.1f}s / {t_c2:.1f}s)")
+        t1 = min(timed_fetch(lambda: gen(n1))[0] for _ in range(2))
+        t2 = min(timed_fetch(lambda: gen(n2))[0] for _ in range(2))
+        per_tok = max((t2 - t1) / (n2 - n1), 1e-9)
+        log(f"{label}: t({n1})={t1:.3f}s t({n2})={t2:.3f}s "
+            f"-> {per_tok*1000:.3f} ms/token")
+        return per_tok
 
-    toks = gen_full(-4)         # compile (prefill(0) memoized anyway)
-    jax.block_until_ready(toks)
-    t_prefill_plus_gen = timeit(gen_full, iters=3)
-    t_gen = max(t_prefill_plus_gen - t_prefill, 1e-9)
-    gen_tps = N_GEN / t_gen
+    per_tok_bf16 = measure_generation(llm_params, "generate[bf16]")
+
+    log("quantizing decoder weights to q8_0...")
+    qparams = quantize_qwen3_params(llm_params)
+    jax.block_until_ready(qparams["layers"]["q_w"].q)
+    try:
+        per_tok_q8 = measure_generation(qparams, "generate[q8_0]")
+    except Exception as e:  # pallas path may be unavailable
+        log("q8_0 generation failed:", e)
+        per_tok_q8 = float("inf")
+
+    per_tok = min(per_tok_bf16, per_tok_q8)
+    t_gen = per_tok * N_GEN
+    gen_tps = 1.0 / per_tok
 
     total = t_encode + t_ctc + t_prefill + t_gen
     rtf = total / AUDIO_SECONDS
@@ -138,10 +202,14 @@ def main():
         "prefill_ms": round(t_prefill * 1000, 2),
         "generate_ms": round(t_gen * 1000, 2),
         "generate_tokens_per_s": round(gen_tps, 1),
+        "generate_tokens_per_s_bf16": round(1.0 / per_tok_bf16, 1),
+        "generate_tokens_per_s_q8_0": (round(1.0 / per_tok_q8, 1)
+                                       if np.isfinite(per_tok_q8) else None),
         "gen_vs_baseline": round(gen_tps / REF_GEN_TOKS_PER_S, 2),
         "total_s": round(total, 4),
         "device": str(dev),
     }
+    signal.alarm(0)
     print(json.dumps(result))
 
 

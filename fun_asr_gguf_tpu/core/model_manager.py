@@ -94,11 +94,16 @@ class ModelManager:
 
             vprint("[1/6] 加载模型权重 (checkpoint)...", verbose)
             ckpt = self.config.checkpoint_dir
+            fmt = self.config.llm_weight_format
+            keep_q = (fmt == "q8_0"
+                      or (fmt == "auto"
+                          and jax.default_backend() in ("tpu", "axon")))
             (self.hybrid_cfg, self.encoder_params, self.adaptor_params,
              self.ctc_params, self.llm_params,
              self.embedding_table) = load_checkpoint(
                 ckpt, dtype=self._compute_dtype,
-                llm_dtype=self._compute_dtype)
+                llm_dtype=self._compute_dtype,
+                llm_keep_quantized=keep_q)
             self.audio_cfg = AudioEncoderConfig(
                 encoder=self.hybrid_cfg.encoder,
                 adaptor=self.hybrid_cfg.adaptor)

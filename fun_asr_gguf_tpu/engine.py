@@ -30,7 +30,8 @@ class FunASREngine:
                  max_hotwords: int = 10,
                  compute_dtype: str = "bfloat16",
                  segment_pad_seconds: float = 60.0,
-                 prefill_buckets=(256, 512)):
+                 prefill_buckets=(256, 512),
+                 llm_weight_format: str = "auto"):
         self.config = ASREngineConfig(
             checkpoint_dir=checkpoint_dir,
             tokens_path=tokens_path,
@@ -42,7 +43,8 @@ class FunASREngine:
             max_hotwords=max_hotwords,
             compute_dtype=compute_dtype,
             segment_pad_seconds=segment_pad_seconds,
-            prefill_buckets=tuple(prefill_buckets))
+            prefill_buckets=tuple(prefill_buckets),
+            llm_weight_format=llm_weight_format)
         self.models = ModelManager(self.config)
         self.orchestrator = TranscriptionOrchestrator(self.models)
         self.sample_rate = self.config.sample_rate

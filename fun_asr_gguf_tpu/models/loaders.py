@@ -356,11 +356,12 @@ def _cfg_from_dict(d):
 
 
 def load_checkpoint(ckpt_dir: str, dtype=jnp.float32,
-                    llm_dtype=jnp.bfloat16):
+                    llm_dtype=jnp.bfloat16, llm_keep_quantized: bool = False):
     """Load a checkpoint directory.
 
     Returns (cfg, encoder_params, adaptor_params, ctc_params, llm_params,
-    embedding_table_f32).
+    embedding_table_f32). With ``llm_keep_quantized``, q8_0 GGUF weights
+    stay int8 (QuantTensor) for the Pallas dequant-matmul path.
     """
     from safetensors.numpy import load_file
     with open(os.path.join(ckpt_dir, _CONFIG_FILE)) as f:
@@ -376,7 +377,8 @@ def load_checkpoint(ckpt_dir: str, dtype=jnp.float32,
     ctc = _cast(unflatten_tree(groups["ctc"]), dtype)
     enc = _relist_stacked(enc)
     llm_params, llm_cfg, embed = load_qwen3_from_gguf(
-        os.path.join(ckpt_dir, _DECODER_GGUF), dtype=llm_dtype)
+        os.path.join(ckpt_dir, _DECODER_GGUF), dtype=llm_dtype,
+        keep_quantized=llm_keep_quantized)
     cfg = HybridConfig(encoder=cfg.encoder, adaptor=cfg.adaptor, ctc=cfg.ctc,
                        llm=llm_cfg)
     return cfg, enc, ada, ctc, llm_params, embed
