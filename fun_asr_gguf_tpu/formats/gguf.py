@@ -21,8 +21,11 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .quant_np import (Q8_0_BLOCK, Q8_0_BLOCK_BYTES, q8_0_dequantize_blocks,
-                       q8_0_from_blocks, q8_0_to_blocks)
+from .quant_np import (Q8_0_BLOCK, Q8_0_BLOCK_BYTES,
+                       q4_0_dequantize_blocks, q4_1_dequantize_blocks,
+                       q5_0_dequantize_blocks, q5_1_dequantize_blocks,
+                       q8_0_dequantize_blocks, q8_0_from_blocks,
+                       q8_0_to_blocks)
 
 GGUF_MAGIC = 0x46554747  # b"GGUF" little-endian
 GGUF_VERSION = 3
@@ -32,6 +35,10 @@ DEFAULT_ALIGNMENT = 32
 class GGMLType(IntEnum):
     F32 = 0
     F16 = 1
+    Q4_0 = 2
+    Q4_1 = 3
+    Q5_0 = 6
+    Q5_1 = 7
     Q8_0 = 8
     I8 = 24
     I16 = 25
@@ -39,6 +46,10 @@ class GGMLType(IntEnum):
     I64 = 27
     F64 = 28
     BF16 = 30
+
+
+# (block_bytes, dequantize_fn) for 32-value block formats
+_BLOCK_FORMATS = {}
 
 
 _NUMPY_FOR_TYPE = {
@@ -93,10 +104,19 @@ class GGUFTensorInfo:
     nbytes: int
 
 
+_BLOCK_FORMATS.update({
+    GGMLType.Q4_0: (18, q4_0_dequantize_blocks),
+    GGMLType.Q4_1: (20, q4_1_dequantize_blocks),
+    GGMLType.Q5_0: (22, q5_0_dequantize_blocks),
+    GGMLType.Q5_1: (24, q5_1_dequantize_blocks),
+    GGMLType.Q8_0: (Q8_0_BLOCK_BYTES, q8_0_dequantize_blocks),
+})
+
+
 def _type_nbytes(ggml_type: GGMLType, n_elements: int) -> int:
-    if ggml_type == GGMLType.Q8_0:
+    if ggml_type in _BLOCK_FORMATS:
         assert n_elements % Q8_0_BLOCK == 0
-        return (n_elements // Q8_0_BLOCK) * Q8_0_BLOCK_BYTES
+        return (n_elements // Q8_0_BLOCK) * _BLOCK_FORMATS[ggml_type][0]
     return n_elements * _NUMPY_FOR_TYPE[ggml_type].itemsize
 
 
@@ -197,10 +217,10 @@ class GGUFReader:
         """
         t = self._by_name[name]
         raw = self.tensor_raw(name)
-        if t.ggml_type == GGMLType.Q8_0:
+        if t.ggml_type in _BLOCK_FORMATS:
             if not dequantize:
                 return np.frombuffer(raw, dtype=np.uint8)
-            return q8_0_dequantize_blocks(raw, t.shape)
+            return _BLOCK_FORMATS[t.ggml_type][1](raw, t.shape)
         dtype = _NUMPY_FOR_TYPE[t.ggml_type]
         arr = np.frombuffer(raw, dtype=dtype).reshape(t.shape)
         if t.ggml_type == GGMLType.BF16:

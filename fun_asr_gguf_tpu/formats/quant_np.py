@@ -82,3 +82,84 @@ def q8_0_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
     """Dequantize a ggml q8_0 byte stream straight to float32 [shape]."""
     q, d = q8_0_from_blocks(raw, shape)
     return q8_0_dequantize(q, d)
+
+
+# ---------------------------------------------------------------------------
+# Legacy 4/5-bit formats (read-side support for arbitrary llama.cpp GGUFs)
+# ---------------------------------------------------------------------------
+# Block layouts per the GGUF/ggml spec; all blocks cover 32 values, low
+# nibbles hold elements 0..15 and high nibbles 16..31.
+
+def _blocks(raw: np.ndarray, block_bytes: int) -> np.ndarray:
+    raw = np.frombuffer(np.ascontiguousarray(raw), dtype=np.uint8)
+    nb = raw.size // block_bytes
+    return raw[: nb * block_bytes].reshape(nb, block_bytes)
+
+
+def _nibbles(qbytes: np.ndarray) -> np.ndarray:
+    """[nb, 16] packed bytes -> [nb, 32] int nibble values (0..15)."""
+    lo = qbytes & 0x0F
+    hi = qbytes >> 4
+    return np.concatenate([lo, hi], axis=1).astype(np.int32)
+
+
+def _high_bits(qh: np.ndarray) -> np.ndarray:
+    """[nb] uint32 -> [nb, 32] single-bit values."""
+    shifts = np.arange(32, dtype=np.uint32)
+    return ((qh[:, None] >> shifts[None, :]) & 1).astype(np.int32)
+
+
+def q4_0_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """Q4_0: 18-byte block = f16 d + 16 packed nibbles; v = (q - 8) * d."""
+    b = _blocks(raw, 18)
+    d = b[:, :2].copy().view(np.float16).astype(np.float32)
+    q = _nibbles(b[:, 2:]) - 8
+    return (q * d).astype(np.float32).reshape(shape)
+
+
+def q4_1_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """Q4_1: 20-byte block = f16 d + f16 m + 16 nibbles; v = q*d + m."""
+    b = _blocks(raw, 20)
+    d = b[:, :2].copy().view(np.float16).astype(np.float32)
+    m = b[:, 2:4].copy().view(np.float16).astype(np.float32)
+    q = _nibbles(b[:, 4:])
+    return (q * d + m).astype(np.float32).reshape(shape)
+
+
+def q5_0_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """Q5_0: 22-byte block = f16 d + u32 qh + 16 nibbles;
+    v = ((q | (hb << 4)) - 16) * d."""
+    b = _blocks(raw, 22)
+    d = b[:, :2].copy().view(np.float16).astype(np.float32)
+    qh = b[:, 2:6].copy().view(np.uint32).reshape(-1)
+    q = _nibbles(b[:, 6:]) | (_high_bits(qh) << 4)
+    return ((q - 16) * d).astype(np.float32).reshape(shape)
+
+
+def q5_1_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """Q5_1: 24-byte block = f16 d + f16 m + u32 qh + 16 nibbles;
+    v = (q | (hb << 4)) * d + m."""
+    b = _blocks(raw, 24)
+    d = b[:, :2].copy().view(np.float16).astype(np.float32)
+    m = b[:, 2:4].copy().view(np.float16).astype(np.float32)
+    qh = b[:, 4:8].copy().view(np.uint32).reshape(-1)
+    q = _nibbles(b[:, 8:]) | (_high_bits(qh) << 4)
+    return (q * d + m).astype(np.float32).reshape(shape)
+
+
+def q4_0_quantize(x: np.ndarray):
+    """Quantize to the q4_0 byte stream (ggml scaling: d = signed-absmax/-8).
+
+    Returns the packed uint8 stream; mainly for tests/export completeness.
+    """
+    x = np.asarray(x, dtype=np.float32).reshape(-1, Q8_0_BLOCK)
+    idx = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(x.shape[0]), idx]
+    d = (maxv / -8.0).astype(np.float16)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = np.where(d == 0, 0.0, 1.0 / d.astype(np.float32))
+    q = np.clip(_round_half_away(x * inv[:, None]) + 8, 0, 15).astype(np.uint8)
+    lo, hi = q[:, :16], q[:, 16:]
+    packed = (lo | (hi << 4)).astype(np.uint8)
+    return np.concatenate([d[:, None].view(np.uint8), packed],
+                          axis=1).reshape(-1)

@@ -160,3 +160,90 @@ class TestByteTokenizer:
     True, reason="QwenTokenizer requires a real tokenizer.json artifact")
 class TestQwenTokenizer:
     pass
+
+
+class TestLegacyQuantFormats:
+    """Q4_0/Q4_1/Q5_0/Q5_1 dequantization (read-side llama.cpp compat)."""
+
+    def test_q4_0_roundtrip_bound(self):
+        from fun_asr_gguf_tpu.formats.quant_np import (q4_0_dequantize_blocks,
+                                                       q4_0_quantize)
+        rng = np.random.default_rng(10)
+        x = rng.normal(size=(4, 64)).astype(np.float32)
+        raw = q4_0_quantize(x)
+        assert raw.size == 8 * 18
+        y = q4_0_dequantize_blocks(raw, (4, 64))
+        # 4-bit: error bounded by one step (absmax/8) per block
+        step = np.abs(x).reshape(8, 32).max(1) / 8.0
+        err = np.abs(x - y).reshape(8, 32).max(1)
+        assert np.all(err <= step + 1e-6)
+
+    def test_q4_1_handbuilt_block(self):
+        from fun_asr_gguf_tpu.formats.quant_np import q4_1_dequantize_blocks
+        d, m = np.float16(0.5), np.float16(-1.0)
+        q = np.arange(32, dtype=np.uint8) % 16
+        packed = (q[:16] | (q[16:] << 4)).astype(np.uint8)
+        raw = np.concatenate([np.array([d], np.float16).view(np.uint8),
+                              np.array([m], np.float16).view(np.uint8),
+                              packed])
+        y = q4_1_dequantize_blocks(raw, (32,))
+        expect = q.astype(np.float32) * 0.5 - 1.0
+        np.testing.assert_allclose(y, expect, atol=1e-3)
+
+    def test_q5_0_handbuilt_block(self):
+        from fun_asr_gguf_tpu.formats.quant_np import q5_0_dequantize_blocks
+        d = np.float16(1.0)
+        ql = np.zeros(32, dtype=np.uint8)
+        ql[0] = 15
+        qh = np.uint32(1)          # element 0 gets the high bit -> q=31
+        packed = (ql[:16] | (ql[16:] << 4)).astype(np.uint8)
+        raw = np.concatenate([np.array([d], np.float16).view(np.uint8),
+                              np.array([qh], np.uint32).view(np.uint8),
+                              packed])
+        y = q5_0_dequantize_blocks(raw, (32,))
+        assert y[0] == (31 - 16) * 1.0
+        assert y[1] == -16.0
+
+    def test_q5_1_handbuilt_block(self):
+        from fun_asr_gguf_tpu.formats.quant_np import q5_1_dequantize_blocks
+        d, m = np.float16(2.0), np.float16(3.0)
+        ql = np.zeros(32, dtype=np.uint8)
+        qh = np.uint32(1 << 5)     # element 5 high bit -> q=16
+        packed = (ql[:16] | (ql[16:] << 4)).astype(np.uint8)
+        raw = np.concatenate([np.array([d], np.float16).view(np.uint8),
+                              np.array([m], np.float16).view(np.uint8),
+                              np.array([qh], np.uint32).view(np.uint8),
+                              packed])
+        y = q5_1_dequantize_blocks(raw, (32,))
+        assert y[5] == 16 * 2.0 + 3.0
+        assert y[0] == 3.0
+
+    def test_reader_q4_0_tensor(self, tmp_path):
+        """A GGUF with a Q4_0 tensor reads back dequantized."""
+        from fun_asr_gguf_tpu.formats.gguf import (GGMLType, GGUFReader,
+                                                   GGUFWriter)
+        from fun_asr_gguf_tpu.formats.quant_np import (q4_0_dequantize_blocks,
+                                                       q4_0_quantize)
+        import struct
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(2, 64)).astype(np.float32)
+        raw = q4_0_quantize(x).tobytes()
+        # hand-write a minimal gguf with a Q4_0 payload
+        path = tmp_path / "q4.gguf"
+        with open(path, "wb") as f:
+            f.write(struct.pack("<IIQQ", 0x46554747, 3, 1, 1))
+            key = b"general.alignment"
+            f.write(struct.pack("<Q", len(key)) + key)
+            f.write(struct.pack("<II", 4, 32))          # u32 32
+            name = b"w"
+            f.write(struct.pack("<Q", len(name)) + name)
+            f.write(struct.pack("<I", 2))
+            f.write(struct.pack("<QQ", 64, 2))          # ne: in, out
+            f.write(struct.pack("<IQ", int(GGMLType.Q4_0), 0))
+            f.write(b"\x00" * (-f.tell() % 32))
+            f.write(raw)
+        r = GGUFReader(str(path))
+        got = r.tensor("w")
+        np.testing.assert_allclose(got,
+                                   q4_0_dequantize_blocks(
+                                       np.frombuffer(raw, np.uint8), (2, 64)))
