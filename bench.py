@@ -97,24 +97,25 @@ def main():
         return time.perf_counter() - t0, v
 
     def two_point(make_rep, n1, n2, label):
-        """per-iteration seconds from two amortized runs."""
-        rep = jax.jit(make_rep, static_argnames=("iters",))
-        t_c1, _ = timed_fetch(lambda: rep(iters=n1))     # compile n1
-        t_c2, _ = timed_fetch(lambda: rep(iters=n2))     # compile n2
-        log(f"{label}: compiled ({t_c1:.1f}s / {t_c2:.1f}s)")
-        t1 = min(timed_fetch(lambda: rep(iters=n1))[0] for _ in range(2))
-        t2 = min(timed_fetch(lambda: rep(iters=n2))[0] for _ in range(2))
+        """per-iteration seconds from two amortized runs of ONE compiled
+        program (`iters` is traced — the tunnel compiles very slowly, so
+        each stage gets exactly one compilation)."""
+        rep = jax.jit(make_rep)
+        n1j, n2j = jnp.asarray(n1, jnp.int32), jnp.asarray(n2, jnp.int32)
+        t_c, _ = timed_fetch(lambda: rep(n1j))           # compile once
+        log(f"{label}: compiled ({t_c:.1f}s)")
+        t1 = min(timed_fetch(lambda: rep(n1j + i))[0] for i in range(2))
+        t2 = min(timed_fetch(lambda: rep(n2j + i))[0] for i in range(2))
         per = max((t2 - t1) / (n2 - n1), 1e-9)
         log(f"{label}: t({n1})={t1:.3f}s t({n2})={t2:.3f}s "
             f"-> {per*1000:.2f} ms/iter")
         return per
 
-    # NOTE: `iters` must stay a static python int; perturb inputs per
-    # iteration so nothing is CSE'd or memoized.
+    # NOTE: perturb inputs per iteration so nothing is CSE'd or memoized.
     enc_params_pair = {"encoder": audio_params["encoder"],
                       "adaptor": audio_params["adaptor"]}
 
-    def encode_rep(iters: int):
+    def encode_rep(iters):
         def body(i, acc):
             a = audio + (i.astype(jnp.float32) + 1.0) * 1e-6
             enc, embd, _ = audio_encoder_forward(
@@ -131,7 +132,7 @@ def main():
                                          compute_dtype=dtype)
     enc = enc.astype(dtype)
 
-    def ctc_rep(iters: int):
+    def ctc_rep(iters):
         def body(i, acc):
             e = enc + (i.astype(dtype) + dtype(1.0)) * dtype(1e-3)
             idx = ctc_head_forward(ctc_params, e, cfg.ctc)
@@ -144,7 +145,7 @@ def main():
     mask = jnp.ones((1, N_PROMPT), jnp.float32)
     max_len = N_PROMPT + N_GEN + 8
 
-    def prefill_rep(iters: int):
+    def prefill_rep(iters):
         def body(i, acc):
             p = prompt + (i.astype(dtype) + dtype(1.0)) * dtype(1e-3)
             state = prefill_init(llm_params, p, mask, jax.random.PRNGKey(0),
@@ -155,20 +156,24 @@ def main():
     t_prefill = two_point(prefill_rep, 1, 3, "prefill")
 
     def measure_generation(params, label):
-        def gen(chunk_len: int):
-            st = prefill_init(params, prompt, mask, jax.random.PRNGKey(2),
+        # one compiled program (chunk buffer N_GEN); `limit` traces the
+        # actual number of generated tokens
+        def gen(limit, seed):
+            st = prefill_init(params, prompt, mask, jax.random.PRNGKey(seed),
                               cfg.llm, max_len=max_len)
             st, toks = generate_chunk(
                 params, st, cfg.llm, jnp.asarray(0.0), jnp.asarray(1.0),
-                50, chunk_len=chunk_len, stop_tokens=(),
-                fuse_enabled=False)
+                50, chunk_len=N_GEN, stop_tokens=(),
+                fuse_enabled=False, limit=limit)
             return toks
+        gen = jax.jit(gen)
         n1, n2 = (4, N_GEN) if _TINY else (33, N_GEN)
-        t_c, _ = timed_fetch(lambda: gen(n1))
-        t_c2, _ = timed_fetch(lambda: gen(n2))
-        log(f"{label}: compiled ({t_c:.1f}s / {t_c2:.1f}s)")
-        t1 = min(timed_fetch(lambda: gen(n1))[0] for _ in range(2))
-        t2 = min(timed_fetch(lambda: gen(n2))[0] for _ in range(2))
+        t_c, _ = timed_fetch(lambda: gen(jnp.asarray(n1), 0))
+        log(f"{label}: compiled ({t_c:.1f}s)")
+        t1 = min(timed_fetch(lambda: gen(jnp.asarray(n1), 10 + i))[0]
+                 for i in range(2))
+        t2 = min(timed_fetch(lambda: gen(jnp.asarray(n2), 20 + i))[0]
+                 for i in range(2))
         per_tok = max((t2 - t1) / (n2 - n1), 1e-9)
         log(f"{label}: t({n1})={t1:.3f}s t({n2})={t2:.3f}s "
             f"-> {per_tok*1000:.3f} ms/token")

@@ -89,20 +89,24 @@ def generate_chunk(params, state: GenState, cfg: Qwen3Config,
                    temperature, top_p, top_k: int = 50,
                    chunk_len: int = 64,
                    stop_tokens: Tuple[int, ...] = (151643, 151645),
-                   fuse_enabled: bool = True
-                   ) -> Tuple[GenState, jnp.ndarray]:
+                   fuse_enabled: bool = True,
+                   limit=None) -> Tuple[GenState, jnp.ndarray]:
     """Generate up to ``chunk_len`` tokens entirely on device.
 
     Returns (new_state, tokens [B, chunk_len] i32). Slots for rows that were
-    already done (or positions after a stop) hold -1.
+    already done (or positions after a stop) hold -1. ``limit`` is an
+    optional *traced* cap (< chunk_len) letting one compiled program serve
+    several lengths (used by bench.py on the slow-compile tunnel).
     """
     b = state.logits.shape[0]
     p = state.prompt_slots
     tokens_buf = jnp.full((b, chunk_len), -1, jnp.int32)
+    if limit is None:
+        limit = chunk_len
 
     def cond(carry):
         t, state, _ = carry
-        return (t < chunk_len) & ~state.all_done
+        return (t < chunk_len) & (t < limit) & ~state.all_done
 
     def body(carry):
         t, state, buf = carry
