@@ -88,6 +88,19 @@ class Qwen3Config:
                            head_dim=16, ffn_dim=128, vocab_size=vocab_size,
                            rope_theta=1e4)
 
+    # -- stretch decoder presets (BASELINE.json configs[4]: larger
+    # Qwen-class audio-LLM decoders with int8 TP across a TPU mesh) --
+
+    @staticmethod
+    def qwen3_1_7b():
+        return Qwen3Config(hidden=2048, n_layers=28, q_heads=16, kv_heads=8,
+                           head_dim=128, ffn_dim=6144, vocab_size=151936)
+
+    @staticmethod
+    def qwen3_4b():
+        return Qwen3Config(hidden=2560, n_layers=36, q_heads=32, kv_heads=8,
+                           head_dim=128, ffn_dim=9728, vocab_size=151936)
+
 
 @dataclass(frozen=True)
 class HybridConfig:

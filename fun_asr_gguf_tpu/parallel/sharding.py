@@ -13,24 +13,51 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def llm_param_sharding(mesh: Mesh) -> Dict:
+_COL_PARALLEL = ("q_w", "k_w", "v_w", "gate_w", "up_w")
+_ROW_PARALLEL = ("o_w", "down_w")
+
+
+def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
     """PartitionSpec pytree matching the qwen3 param layout
-    (stacked layers: leading axis = layer)."""
+    (stacked layers: leading axis = layer).
+
+    Dense weights are [L, in, out]; QuantTensor weights are
+    (q=[L, out, in], d=[L, out, in/32]) — so column-parallel shards axis 2
+    for dense / axis 1 for quantized, and row-parallel the reverse. When
+    ``params`` is given, the spec mirrors its dense/quantized mix (the
+    quantized TP path runs through the jnp dequant-dot, which XLA
+    partitions; the single-chip Pallas kernel is unaffected).
+    """
+    from ..ops.quant_matmul import QuantTensor
+
     repl = P()
+
+    def wspec(key):
+        quantized = (params is not None and isinstance(
+            params["layers"].get(key), QuantTensor))
+        if key in _COL_PARALLEL:
+            if quantized:
+                return QuantTensor(q=P(None, "tp", None),
+                                   d=P(None, "tp", None))
+            return P(None, None, "tp")
+        if quantized:
+            # row-parallel: contraction dim sharded; q8 blocks (32 wide)
+            # stay intact as long as in/tp % 32 == 0
+            return QuantTensor(q=P(None, None, "tp"),
+                               d=P(None, None, "tp"))
+        return P(None, "tp", None)
+
     layers = {
         "input_ln": repl,
         "post_ln": repl,
         "q_norm": repl,
         "k_norm": repl,
-        "q_w": P(None, None, "tp"),
-        "k_w": P(None, None, "tp"),
-        "v_w": P(None, None, "tp"),
-        "o_w": P(None, "tp", None),
-        "gate_w": P(None, None, "tp"),
-        "up_w": P(None, None, "tp"),
-        "down_w": P(None, "tp", None),
     }
+    for key in _COL_PARALLEL + _ROW_PARALLEL:
+        layers[key] = wspec(key)
     spec = {"layers": layers, "final_ln": repl, "embed": repl}
+    if params is not None and "lm_head" in params:
+        spec["lm_head"] = repl
     return jax.tree_util.tree_map(
         lambda p: NamedSharding(mesh, p), spec,
         is_leaf=lambda x: isinstance(x, P))
@@ -81,7 +108,7 @@ def replicated(mesh: Mesh, params):
 
 def shard_llm_params(params, mesh: Mesh):
     """Place LLM params on the mesh according to the TP rules."""
-    return jax.device_put(params, llm_param_sharding(mesh))
+    return jax.device_put(params, llm_param_sharding(mesh, params))
 
 
 def shard_params(params, shardings):

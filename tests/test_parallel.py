@@ -113,3 +113,44 @@ class TestTrainStep:
         state, metrics = step_fn(state, batch)
         assert np.isfinite(float(metrics["ctc_loss"]))
         assert np.isfinite(float(metrics["lm_loss"]))
+
+
+class TestQuantizedTP:
+    def test_quantized_prefill_tp_parity(self):
+        """int8 decoder weights + TP sharding (jnp dequant-dot path) must
+        match the unsharded quantized model — the BASELINE configs[4]
+        'int8 TP across TPU mesh' contract, exercised on the CPU mesh."""
+        from fun_asr_gguf_tpu.models.qwen3 import quantize_qwen3_params
+        from fun_asr_gguf_tpu.ops.quant_matmul import QuantTensor
+
+        cfg = Qwen3Config.tiny(vocab_size=64)
+        params = quantize_qwen3_params(
+            init_qwen3_params(jax.random.PRNGKey(3), cfg))
+        rng = np.random.default_rng(3)
+        e = jnp.asarray(rng.normal(size=(1, 5, cfg.hidden)), jnp.float32) * .1
+        m = jnp.ones((1, 5), jnp.float32)
+        ref, _ = qwen3_prefill(params, e, m, cfg)
+
+        mesh = make_mesh(dp=4, tp=2)
+        sharded = shard_llm_params(params, mesh)
+        assert isinstance(sharded["layers"]["q_w"], QuantTensor)
+        # sharded over tp on the out axis of the int8 tensor
+        spec = sharded["layers"]["q_w"].q.sharding.spec
+        assert spec[1] == "tp"
+        out, _ = jax.jit(qwen3_prefill, static_argnames=("cfg",))(
+            sharded, e, m, cfg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+
+class TestStretchConfigs:
+    def test_presets_shapes(self):
+        big = Qwen3Config.qwen3_1_7b()
+        assert big.hidden == 2048 and big.ffn_dim == 6144
+        huge = Qwen3Config.qwen3_4b()
+        assert huge.q_heads % huge.kv_heads == 0
+        # TP-divisibility for the standard mesh sizes
+        for tp in (2, 4, 8):
+            assert big.kv_heads % tp == 0 or tp > big.kv_heads
+            assert big.ffn_dim % tp == 0
+            assert huge.ffn_dim % tp == 0
