@@ -156,10 +156,49 @@ class TestByteTokenizer:
         assert dec.tokens_generated == len(ids)
 
 
-@pytest.mark.skipif(
-    True, reason="QwenTokenizer requires a real tokenizer.json artifact")
 class TestQwenTokenizer:
-    pass
+    """Exercises the real tokenizers-backed path with a constructed
+    byte-level-BPE tokenizer.json (same structure as Qwen's)."""
+
+    @pytest.fixture()
+    def tok_path(self, tmp_path):
+        from tokenizers import Tokenizer, decoders, models, pre_tokenizers
+        from fun_asr_gguf_tpu.formats.tokenizer import _bytes_to_unicode
+        b2u = _bytes_to_unicode()
+        vocab = {ch: i for i, (b, ch) in enumerate(sorted(b2u.items()))}
+        tok = Tokenizer(models.BPE(vocab=vocab, merges=[]))
+        tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+        tok.decoder = decoders.ByteLevel()
+        tok.add_special_tokens(["<|endoftext|>", "<|im_start|>",
+                                "<|im_end|>"])
+        path = str(tmp_path / "tokenizer.json")
+        tok.save(path)
+        return path
+
+    def test_parse_special_and_byte_pieces(self, tok_path):
+        from fun_asr_gguf_tpu.formats.tokenizer import QwenTokenizer
+        qt = QwenTokenizer(tok_path)
+        ids = qt.encode("<|im_start|>你好ab<|im_end|>")
+        # specials parsed as single ids (parse_special=True semantics)
+        assert ids[0] == 257 and ids[-1] == 258
+        assert qt.decode(ids) == "<|im_start|>你好ab<|im_end|>"
+        # byte pieces reassemble multibyte chars through the stream decoder
+        from fun_asr_gguf_tpu.formats.tokenizer import StreamTextDecoder
+        dec = StreamTextDecoder(qt)
+        for i in ids[1:-1]:
+            dec.push(i)
+        dec.flush()
+        assert dec.generated_text == "你好ab"
+
+    def test_eos_detection(self, tok_path):
+        from fun_asr_gguf_tpu.formats.tokenizer import (QwenTokenizer,
+                                                        load_tokenizer)
+        qt = QwenTokenizer(tok_path)
+        assert qt.token_bytes(qt.eos_token) == b"<|im_end|>"
+        # load_tokenizer resolves directories too
+        import os
+        qt2 = load_tokenizer(os.path.dirname(tok_path))
+        assert qt2.eos_token == qt.eos_token
 
 
 class TestLegacyQuantFormats:
