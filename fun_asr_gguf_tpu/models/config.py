@@ -21,6 +21,7 @@ class EncoderConfig:
     tp_blocks: int = 20
     kernel_size: int = 11
     ln_eps: float = 1e-5
+    use_flash_attention: bool = False   # Pallas online-softmax attention
 
     @staticmethod
     def tiny(input_size: int = 560):

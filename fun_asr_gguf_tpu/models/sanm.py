@@ -63,7 +63,7 @@ def fsmn_memory(v, mask, fsmn_w):
     return v + conv
 
 
-def sanm_attention(x, mask, p, n_heads: int):
+def sanm_attention(x, mask, p, n_heads: int, use_flash: bool = False):
     """SANM self-attention: softmax attention + FSMN memory, summed."""
     qkv = linear(x, p["qkv"])                      # [B, T, 3D]
     d = qkv.shape[-1] // 3
@@ -75,13 +75,18 @@ def sanm_attention(x, mask, p, n_heads: int):
 
     mem = fsmn_memory(v, mask, p["fsmn_w"])
 
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
-                        preferred_element_type=jnp.float32)
-    if mask is not None:
-        scores = scores + additive_mask_bias(mask.astype(jnp.float32))
-    attn = softmax_f32(scores).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if use_flash:
+        from ..ops.flash_attention import attention_with_mask
+        m = mask if mask is not None else jnp.ones(x.shape[:2], x.dtype)
+        out = attention_with_mask(qh, kh, vh, m)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32)
+        if mask is not None:
+            scores = scores + additive_mask_bias(mask.astype(jnp.float32))
+        attn = softmax_f32(scores).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
     return linear(merge_heads(out), p["out"]) + mem
 
 
@@ -90,11 +95,11 @@ def feed_forward(x, p):
 
 
 def sanm_layer(x, mask, p, n_heads: int, adapt_dims: bool = False,
-               ln_eps: float = 1e-5):
+               ln_eps: float = 1e-5, use_flash: bool = False):
     """Pre-norm SANM encoder layer (``model_definition.py:100-116``)."""
     residual = x
     h = layer_norm(x, p["norm1"], ln_eps)
-    h = sanm_attention(h, mask, p["attn"], n_heads)
+    h = sanm_attention(h, mask, p["attn"], n_heads, use_flash)
     if adapt_dims:
         return h  # 560->512 input block: no residual, no FFN
     x = residual + h
@@ -103,10 +108,11 @@ def sanm_layer(x, mask, p, n_heads: int, adapt_dims: bool = False,
     return residual + feed_forward(h, p["ffn"])
 
 
-def _scan_layers(x, mask, stacked, n_heads, ln_eps):
+def _scan_layers(x, mask, stacked, n_heads, ln_eps, use_flash=False):
     """Run a stack of identically-shaped SANM layers via lax.scan."""
     def body(carry, layer_p):
-        return sanm_layer(carry, mask, layer_p, n_heads, False, ln_eps), None
+        return sanm_layer(carry, mask, layer_p, n_heads, False, ln_eps,
+                          use_flash), None
     x, _ = jax.lax.scan(body, x, stacked)
     return x
 
@@ -122,13 +128,16 @@ def encoder_forward(params, x, mask, cfg: EncoderConfig):
     x = x * (cfg.d_model ** 0.5)
     x = x + sinusoidal_position_encoding(t_len, cfg.input_size, x.dtype)[None]
 
+    flash = cfg.use_flash_attention
     x = sanm_layer(x, mask, params["encoder0"], cfg.heads, adapt_dims=True,
-                   ln_eps=cfg.ln_eps)
-    x = _scan_layers(x, mask, params["encoders"], cfg.heads, cfg.ln_eps)
+                   ln_eps=cfg.ln_eps, use_flash=flash)
+    x = _scan_layers(x, mask, params["encoders"], cfg.heads, cfg.ln_eps,
+                     flash)
     x = layer_norm(x, params["after_norm"], cfg.ln_eps)
     if mask is not None:
         x = x * mask[:, :, None].astype(x.dtype)
-    x = _scan_layers(x, mask, params["tp_encoders"], cfg.heads, cfg.ln_eps)
+    x = _scan_layers(x, mask, params["tp_encoders"], cfg.heads, cfg.ln_eps,
+                     flash)
     x = layer_norm(x, params["tp_norm"], cfg.ln_eps)
     if mask is not None:
         x = x * mask[:, :, None].astype(x.dtype)

@@ -134,3 +134,21 @@ class TestAdaptorAndCTC:
         assert logits.shape == (1, 10, 33)
         np.testing.assert_array_equal(np.asarray(jnp.argmax(logits, -1)),
                                       np.asarray(idx))
+
+
+class TestFlashEncoder:
+    def test_flash_encoder_matches_plain(self):
+        """Encoder with use_flash_attention must match the plain path
+        (jnp fallback engages off-TPU; same math either way)."""
+        from dataclasses import replace
+        cfg = EncoderConfig.tiny()
+        params = init_encoder_params(jax.random.PRNGKey(9), cfg)
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=(1, 20, 560)).astype(np.float32)
+        mask = make_mask(1, 20, [14])
+        plain = encoder_forward(params, jnp.asarray(x), jnp.asarray(mask),
+                                cfg)
+        flash = encoder_forward(params, jnp.asarray(x), jnp.asarray(mask),
+                                replace(cfg, use_flash_attention=True))
+        np.testing.assert_allclose(np.asarray(plain), np.asarray(flash),
+                                   rtol=3e-4, atol=3e-4)
