@@ -125,6 +125,7 @@ def main():
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     t_encode = two_point(encode_rep, 1, 3, "encode")
+    _partial["encode_ms"] = round(t_encode * 1000, 2)
 
     # representative encoder output for CTC / prompt
     enc, embd, _ = audio_encoder_forward(enc_params_pair, consts, audio,
@@ -140,6 +141,7 @@ def main():
         return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
     t_ctc = two_point(ctc_rep, 1, 3, "ctc")
+    _partial["ctc_ms"] = round(t_ctc * 1000, 2)
 
     prompt = embd[:, :N_PROMPT, :].astype(dtype)
     mask = jnp.ones((1, N_PROMPT), jnp.float32)
@@ -154,6 +156,7 @@ def main():
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     t_prefill = two_point(prefill_rep, 1, 3, "prefill")
+    _partial["prefill_ms"] = round(t_prefill * 1000, 2)
 
     def measure_generation(params, label):
         # one compiled program (chunk buffer N_GEN); `limit` traces the
@@ -180,6 +183,7 @@ def main():
         return per_tok
 
     per_tok_bf16 = measure_generation(llm_params, "generate[bf16]")
+    _partial["generate_tokens_per_s_bf16"] = round(1.0 / per_tok_bf16, 1)
 
     log("quantizing decoder weights to q8_0...")
     qparams = quantize_qwen3_params(llm_params)
