@@ -63,21 +63,36 @@ def adaptor_forward(params, x, mask, cfg: AdaptorConfig):
     return x
 
 
-def ctc_head_forward(params, enc_output, cfg: CTCHeadConfig):
-    """enc_output [B, T, d] → argmax indices [B, T] int32 (unmasked)."""
+def _ctc_logits(params, enc_output, cfg: CTCHeadConfig):
+    from ..ops.quant_matmul import matmul_any
     h = adaptor_forward(params["decoder"], enc_output, None, cfg.adaptor)
-    logits = jnp.dot(h, params["proj"]["w"],
-                     preferred_element_type=jnp.float32)
-    logits = logits + params["proj"]["b"].astype(jnp.float32)
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = matmul_any(h, params["proj"]["w"])
+    return logits + params["proj"]["b"].astype(jnp.float32)
+
+
+def ctc_head_forward(params, enc_output, cfg: CTCHeadConfig):
+    """enc_output [B, T, d] → argmax indices [B, T] int32 (unmasked).
+
+    The projection supports dense or q8_0 QuantTensor weights (the
+    reference runs its CTC head int8, ``02-Quantize-ONNX.py:38-45``)."""
+    return jnp.argmax(_ctc_logits(params, enc_output, cfg),
+                      axis=-1).astype(jnp.int32)
 
 
 def ctc_logits_forward(params, enc_output, cfg: CTCHeadConfig):
     """Full-logit variant (for training / beam decoding)."""
-    h = adaptor_forward(params["decoder"], enc_output, None, cfg.adaptor)
-    logits = jnp.dot(h, params["proj"]["w"],
-                     preferred_element_type=jnp.float32)
-    return logits + params["proj"]["b"].astype(jnp.float32)
+    return _ctc_logits(params, enc_output, cfg)
+
+
+def quantize_ctc_params(params):
+    """Quantize the vocab projection (the dominant CTC matmul) to q8_0."""
+    from ..ops.quant_matmul import QuantTensor, quantize_weight
+    proj = dict(params["proj"])
+    if not isinstance(proj["w"], QuantTensor):
+        proj["w"] = quantize_weight(proj["w"])
+    out = dict(params)
+    out["proj"] = proj
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -133,6 +133,45 @@ def make_dummy_batch(cfg: HybridConfig, batch: int = 2, t: int = 16,
     }
 
 
+def save_train_state(path: str, state: TrainState):
+    """Checkpoint params + optimizer state + step to one safetensors file.
+
+    Training checkpoint/resume — an aux capability the inference-only
+    reference lacks (SURVEY.md §5 'no training checkpoints'). Leaves are
+    stored in jax tree_flatten order; the matching ``init_train_state``
+    template reconstructs the structure on load.
+    """
+    from safetensors.numpy import save_file
+    leaves = jax.tree_util.tree_leaves(jax.device_get(state))
+    save_file({f"leaf_{i:05d}": np.ascontiguousarray(np.asarray(v))
+               for i, v in enumerate(leaves)}, path)
+
+
+def load_train_state(path: str, template: TrainState) -> TrainState:
+    """Restore a TrainState saved by :func:`save_train_state`.
+
+    ``template`` (from ``init_train_state``, same config/optimizer/mesh)
+    provides pytree structure and shardings; stored leaves are placed with
+    the template leaf's sharding, so a dp×tp-sharded state restores
+    sharded.
+    """
+    from safetensors.numpy import load_file
+    flat = load_file(path)
+    tpl_leaves, treedef = jax.tree_util.tree_flatten(template)
+    assert len(flat) == len(tpl_leaves), "checkpoint/template leaf mismatch"
+    new_leaves = []
+    for i, tpl in enumerate(tpl_leaves):
+        arr = flat[f"leaf_{i:05d}"]
+        if hasattr(tpl, "shape"):
+            arr = np.asarray(arr).reshape(tpl.shape)  # 0-d safetensors quirk
+        if hasattr(tpl, "sharding"):
+            new_leaves.append(jax.device_put(jnp.asarray(arr, tpl.dtype),
+                                             tpl.sharding))
+        else:
+            new_leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 def init_train_state(rng, cfg: HybridConfig, optimizer, mesh: Mesh = None):
     """Random-init params (+ optional mesh placement) and optimizer state."""
     from ..models.adaptor import init_adaptor_params, init_ctc_head_params

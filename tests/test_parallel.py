@@ -154,3 +154,64 @@ class TestStretchConfigs:
             assert big.kv_heads % tp == 0 or tp > big.kv_heads
             assert big.ffn_dim % tp == 0
             assert huge.ffn_dim % tp == 0
+
+
+class TestTrainCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        from fun_asr_gguf_tpu.parallel.training import (load_train_state,
+                                                        save_train_state)
+        cfg = HybridConfig.tiny(ctc_vocab=17, llm_vocab=32)
+        opt = make_optimizer(1e-3)
+        state = init_train_state(jax.random.PRNGKey(5), cfg, opt, mesh=None)
+        step_fn = make_train_step(cfg, opt)
+        batch = {k: jnp.asarray(v)
+                 for k, v in make_dummy_batch(cfg, batch=2, t=8).items()}
+        state, m1 = step_fn(state, batch)
+
+        path = str(tmp_path / "ckpt.safetensors")
+        save_train_state(path, state)
+        template = init_train_state(jax.random.PRNGKey(6), cfg, opt,
+                                    mesh=None)
+        restored = load_train_state(path, template)
+        assert int(restored.step) == int(state.step) == 1
+        np.testing.assert_allclose(
+            np.asarray(restored.params["llm"]["embed"]),
+            np.asarray(state.params["llm"]["embed"]), atol=1e-6)
+
+        # resumed training matches continued training (same batch)
+        s_cont, mc = step_fn(state, batch)
+        s_res, mr = step_fn(restored, batch)
+        np.testing.assert_allclose(float(mc["loss"]), float(mr["loss"]),
+                                   rtol=1e-5)
+
+    def test_sharded_restore(self, tmp_path):
+        from fun_asr_gguf_tpu.parallel.training import (load_train_state,
+                                                        save_train_state)
+        cfg = HybridConfig.tiny(ctc_vocab=17, llm_vocab=32)
+        opt = make_optimizer(1e-3)
+        mesh = make_mesh(dp=4, tp=2)
+        state = init_train_state(jax.random.PRNGKey(7), cfg, opt, mesh=mesh)
+        path = str(tmp_path / "s.safetensors")
+        save_train_state(path, state)
+        template = init_train_state(jax.random.PRNGKey(8), cfg, opt,
+                                    mesh=mesh)
+        restored = load_train_state(path, template)
+        spec = restored.params["llm"]["layers"]["q_w"].sharding.spec
+        assert spec == P(None, None, "tp")
+
+
+class TestQuantizedCTC:
+    def test_int8_ctc_matches_dense_argmax(self):
+        from fun_asr_gguf_tpu.models.adaptor import (ctc_head_forward,
+                                                     init_ctc_head_params,
+                                                     quantize_ctc_params)
+        from fun_asr_gguf_tpu.models.config import CTCHeadConfig
+        cfg = CTCHeadConfig.tiny(d=64, vocab_size=64)
+        params = init_ctc_head_params(jax.random.PRNGKey(9), cfg)
+        qparams = quantize_ctc_params(params)
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.normal(size=(1, 12, 64)), jnp.float32)
+        dense = np.asarray(ctc_head_forward(params, x, cfg))
+        quant = np.asarray(ctc_head_forward(qparams, x, cfg))
+        # argmax indices agree except possibly at near-ties
+        assert (dense == quant).mean() > 0.9
