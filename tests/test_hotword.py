@@ -316,3 +316,65 @@ class TestManager:
         m2 = get_hotword_manager()
         assert m1 is m2
         reset_hotword_manager()
+
+
+class TestConcurrency:
+    def test_correct_during_update(self):
+        """Hammer correct() from threads while update_hotwords swaps the
+        index — must never raise or return None (thread-safety contract,
+        reference hot_phoneme.py:67,83,198)."""
+        import threading
+        corrector = PhonemeCorrector(threshold=1.0, similar_threshold=0.6)
+        corrector.update_hotwords("撒贝宁\n康辉\n")
+        errors = []
+        stop = threading.Event()
+
+        def reader():
+            while not stop.is_set():
+                try:
+                    res = corrector.correct("撒贝你说的康灰")
+                    assert res is not None
+                except Exception as e:   # pragma: no cover
+                    errors.append(e)
+                    return
+
+        def writer():
+            sets = ["撒贝宁\n康辉\n", "东方财富\n", "撒贝宁\n科大讯飞\n周涛\n"]
+            i = 0
+            while not stop.is_set():
+                corrector.update_hotwords(sets[i % len(sets)])
+                i += 1
+
+        threads = [threading.Thread(target=reader) for _ in range(3)]
+        threads.append(threading.Thread(target=writer))
+        for t in threads:
+            t.start()
+        time.sleep(1.5)
+        stop.set()
+        for t in threads:
+            t.join(timeout=5)
+        assert not errors, errors
+
+    def test_polling_watcher_reloads(self, tmp_path, monkeypatch):
+        """The mtime-polling watcher must hot-reload after the debounce."""
+        from fun_asr_gguf_tpu.hotword import manager as mgr_mod
+        monkeypatch.setattr(mgr_mod, "_DEBOUNCE_SECONDS", 0.3)
+        monkeypatch.setattr(mgr_mod, "_POLL_SECONDS", 0.1)
+        f = tmp_path / "hot.txt"
+        f.write_text("撒贝宁\n", encoding="utf-8")
+        mgr = mgr_mod.HotwordManager(hotword_file=f, threshold=1.0,
+                                     similar_threshold=0.6)
+        mgr.load()
+        mgr.start_file_watcher()
+        try:
+            assert "康辉" not in mgr.get_corrector().hotwords
+            time.sleep(0.2)
+            f.write_text("撒贝宁\n康辉\n", encoding="utf-8")
+            deadline = time.time() + 5.0
+            while time.time() < deadline:
+                if "康辉" in mgr.get_corrector().hotwords:
+                    break
+                time.sleep(0.1)
+            assert "康辉" in mgr.get_corrector().hotwords
+        finally:
+            mgr.stop_file_watcher()
