@@ -159,26 +159,30 @@ def main():
     _partial["prefill_ms"] = round(t_prefill * 1000, 2)
 
     def measure_generation(params, label):
-        # one compiled program (chunk buffer N_GEN); `limit` traces the
-        # actual number of generated tokens
-        def gen(limit, seed):
+        # chunked generation (host loop over one small compiled chunk
+        # program — big chunk buffers explode XLA compile time)
+        chunk = 4 if _TINY else 64
+
+        def gen_chunks(n_chunks, seed):
             st = prefill_init(params, prompt, mask, jax.random.PRNGKey(seed),
                               cfg.llm, max_len=max_len)
-            st, toks = generate_chunk(
-                params, st, cfg.llm, jnp.asarray(0.0), jnp.asarray(1.0),
-                50, chunk_len=N_GEN, stop_tokens=(),
-                fuse_enabled=False, limit=limit)
+            toks = None
+            for _ in range(n_chunks):
+                st, toks = generate_chunk(
+                    params, st, cfg.llm, jnp.asarray(0.0), jnp.asarray(1.0),
+                    50, chunk_len=chunk, stop_tokens=(),
+                    fuse_enabled=False)
             return toks
-        gen = jax.jit(gen)
-        n1, n2 = (4, N_GEN) if _TINY else (33, N_GEN)
-        t_c, _ = timed_fetch(lambda: gen(jnp.asarray(n1), 0))
+
+        n1, n2 = 1, (3 if _TINY else 4)
+        t_c, _ = timed_fetch(lambda: gen_chunks(n1, 0))
         log(f"{label}: compiled ({t_c:.1f}s)")
-        t1 = min(timed_fetch(lambda: gen(jnp.asarray(n1), 10 + i))[0]
+        t1 = min(timed_fetch(lambda: gen_chunks(n1, 10 + i))[0]
                  for i in range(2))
-        t2 = min(timed_fetch(lambda: gen(jnp.asarray(n2), 20 + i))[0]
+        t2 = min(timed_fetch(lambda: gen_chunks(n2, 20 + i))[0]
                  for i in range(2))
-        per_tok = max((t2 - t1) / (n2 - n1), 1e-9)
-        log(f"{label}: t({n1})={t1:.3f}s t({n2})={t2:.3f}s "
+        per_tok = max((t2 - t1) / ((n2 - n1) * chunk), 1e-9)
+        log(f"{label}: t({n1*chunk}tok)={t1:.3f}s t({n2*chunk}tok)={t2:.3f}s "
             f"-> {per_tok*1000:.3f} ms/token")
         return per_tok
 

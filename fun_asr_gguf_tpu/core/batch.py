@@ -123,13 +123,23 @@ class BatchStreamDecoder:
         t_inject = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        state, tokens = generate_chunk(
-            models.llm_params, state, models.hybrid_cfg.llm,
-            jnp.asarray(temperature, jnp.float32),
-            jnp.asarray(top_p, jnp.float32), top_k,
-            chunk_len=models.config.n_predict,
-            stop_tokens=models.stop_tokens)
-        tokens = np.asarray(tokens)
+        chunk_len = models._default_chunk_len()
+        token_chunks = []
+        generated = 0
+        while generated < models.config.n_predict:
+            todo = min(chunk_len, models.config.n_predict - generated)
+            state, tokens = generate_chunk(
+                models.llm_params, state, models.hybrid_cfg.llm,
+                jnp.asarray(temperature, jnp.float32),
+                jnp.asarray(top_p, jnp.float32), top_k,
+                chunk_len=chunk_len,
+                stop_tokens=models.stop_tokens,
+                limit=jnp.asarray(todo, jnp.int32))
+            token_chunks.append(np.asarray(tokens))
+            generated += todo
+            if bool(np.all(np.asarray(state.done))):
+                break
+        tokens = np.concatenate(token_chunks, axis=1)
         n_gen = np.asarray(state.n_gen)
         aborted = np.asarray(state.aborted)
         t_gen = time.perf_counter() - t0

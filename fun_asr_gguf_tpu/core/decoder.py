@@ -88,15 +88,19 @@ class LLMDecoder:
         t0 = time.perf_counter()
         text_decoder = StreamTextDecoder(
             models.tokenizer, reporter if stream_output else None)
-        chunk_len = models._default_chunk_len() if stream_output \
-            else n_predict
+        # fixed moderate chunk + host loop: keeps the while-loop program's
+        # compile time bounded (XLA compile cost grows superlinearly with
+        # the chunk buffer) and enables streaming; the carry stays on device
+        chunk_len = models._default_chunk_len()
         generated = 0
         stop_set = set(models.stop_tokens) | {models.eos_token}
         while generated < n_predict:
             todo = min(chunk_len, n_predict - generated)
+            # always dispatch the same compiled chunk program; `limit`
+            # (traced) trims the final partial chunk
             state, tokens = models.generate(
                 state, temperature=temperature, top_p=top_p, top_k=top_k,
-                chunk_len=todo)
+                chunk_len=chunk_len, limit=todo)
             toks = np.asarray(tokens)[0]
             for t in toks.tolist():
                 if t < 0 or t in stop_set:

@@ -194,12 +194,14 @@ class ModelManager:
         return state
 
     def generate(self, state, temperature: float, top_p: float, top_k: int,
-                 chunk_len: int):
+                 chunk_len: int, limit: Optional[int] = None):
         return generate_chunk(
             self.llm_params, state, self.hybrid_cfg.llm,
             jnp.asarray(temperature, jnp.float32),
             jnp.asarray(top_p, jnp.float32),
-            top_k, chunk_len=chunk_len, stop_tokens=self.stop_tokens)
+            top_k, chunk_len=chunk_len, stop_tokens=self.stop_tokens,
+            limit=jnp.asarray(limit if limit is not None else chunk_len,
+                              jnp.int32))
 
     # -- internals -----------------------------------------------------------
 
@@ -228,7 +230,9 @@ class ModelManager:
         jax.block_until_ready(state.logits)
 
     def _default_chunk_len(self) -> int:
-        return min(32, self.config.n_predict)
+        # compile cost grows superlinearly with the chunk program's buffer;
+        # 64 balances dispatch amortization vs compile time
+        return min(64, self.config.n_predict)
 
     def cleanup(self):
         if self.hotword_manager:
