@@ -5,13 +5,17 @@ through frontend + SANM encoder + adaptor + CTC, a 204-token embedding-
 injection prefill, and 253 generated tokens — reference GPU numbers are
 1.89 s E2E / 219 tok/s generation on an RTX 5050 (README.md:200,268).
 
-Timing methodology (the TPU tunnel memoizes identical dispatches and has
-high per-call latency): every stage is measured as a *two-point amortized
-difference* — one jitted program runs the stage N times over perturbed
-inputs via lax.fori_loop and reduces to a scalar that is fetched to host;
-per-iteration cost = (t(N2) − t(N1)) / (N2 − N1), which cancels dispatch,
-fetch and fixed-graph overhead. Generation cost similarly uses two chunk
-lengths of the sequential decode loop.
+Timing methodology, tuned for the remote-tunnel runtime (per-fetch
+latency, memoized identical dispatches, and XLA compile cost that explodes
+when big subprograms are fused under one outer jit):
+
+* every stage is its own jitted program (same structure the engine uses);
+* N executions are chained through a device-side scalar feedback term, so
+  dispatches overlap execution and ONE final fetch drains the chain;
+* per-call cost = (t(chain N2) − t(chain N1)) / (N2 − N1) — fetch latency
+  and fixed overhead cancel;
+* generation is measured as chunked decode (host loop over a small
+  compiled chunk program), exactly like the engine's decode path.
 
 Prints ONE JSON line:
   {"metric": "rtf_60s_e2e", "value": <rtf>, "unit": "ratio",
@@ -43,7 +47,7 @@ _partial = {"metric": "rtf_60s_e2e", "value": -1.0, "unit": "ratio",
 def _emit_and_exit(*_args):
     print(json.dumps(_partial))
     sys.stdout.flush()
-    sys.exit(0)
+    os._exit(0)
 
 
 def fetch(x) -> float:
@@ -52,7 +56,7 @@ def fetch(x) -> float:
 
 def main():
     signal.signal(signal.SIGALRM, _emit_and_exit)
-    signal.alarm(int(float(sys.argv[1]) if len(sys.argv) > 1 else 3300))
+    signal.alarm(int(float(sys.argv[1]) if len(sys.argv) > 1 else 3000))
 
     from fun_asr_gguf_tpu.frontend import FrontendConfig
     from fun_asr_gguf_tpu.models.adaptor import (ctc_head_forward,
@@ -90,78 +94,91 @@ def main():
     audio = jnp.asarray(
         np.random.default_rng(0).normal(size=(1, n)).astype(np.float32) * 0.1)
     ilens = jnp.asarray([n], jnp.int32)
+    enc_params_pair = {"encoder": audio_params["encoder"],
+                       "adaptor": audio_params["adaptor"]}
 
-    def timed_fetch(fn, *args):
-        t0 = time.perf_counter()
-        v = fetch(fn(*args))
-        return time.perf_counter() - t0, v
+    def chain_per_call(call, n1, n2, label):
+        """call(i, feed_scalar) -> array; N calls chained by a device-side
+        feedback scalar so dispatches overlap; one fetch drains the chain."""
+        def run(k):
+            feed = jnp.float32(0.0)
+            out = None
+            for i in range(k):
+                out = call(i, feed)
+                feed = jnp.sum(out.astype(jnp.float32)) * 1e-20
+            t0 = time.perf_counter()
+            v = fetch(out)
+            return time.perf_counter() - t0, v
 
-    def two_point(make_rep, n1, n2, label):
-        """per-iteration seconds from two amortized runs of ONE compiled
-        program (`iters` is traced — the tunnel compiles very slowly, so
-        each stage gets exactly one compilation)."""
-        rep = jax.jit(make_rep)
-        n1j, n2j = jnp.asarray(n1, jnp.int32), jnp.asarray(n2, jnp.int32)
-        t_c, _ = timed_fetch(lambda: rep(n1j))           # compile once
+        # compile + settle
+        t_c, _ = run(1)
         log(f"{label}: compiled ({t_c:.1f}s)")
-        t1 = min(timed_fetch(lambda: rep(n1j + i))[0] for i in range(2))
-        t2 = min(timed_fetch(lambda: rep(n2j + i))[0] for i in range(2))
+
+        def total(k):
+            t0 = time.perf_counter()
+            feed = jnp.float32(0.0)
+            out = None
+            for i in range(k):
+                out = call(i + 100, feed)
+                feed = jnp.sum(out.astype(jnp.float32)) * 1e-20
+            fetch(out)
+            return time.perf_counter() - t0
+
+        t1 = min(total(n1) for _ in range(2))
+        t2 = min(total(n2) for _ in range(2))
         per = max((t2 - t1) / (n2 - n1), 1e-9)
         log(f"{label}: t({n1})={t1:.3f}s t({n2})={t2:.3f}s "
-            f"-> {per*1000:.2f} ms/iter")
+            f"-> {per*1000:.2f} ms/call")
         return per
 
-    # NOTE: perturb inputs per iteration so nothing is CSE'd or memoized.
-    enc_params_pair = {"encoder": audio_params["encoder"],
-                      "adaptor": audio_params["adaptor"]}
+    # ---- encode (frontend + encoder + adaptor as ONE program, like the
+    # engine's encode_audio) ----
+    @jax.jit
+    def encode_fn(a, feed):
+        enc, embd, _ = audio_encoder_forward(
+            enc_params_pair, consts, a + feed, ilens, cfg=audio_cfg,
+            compute_dtype=dtype)
+        return enc.astype(dtype), embd
 
-    def encode_rep(iters):
-        def body(i, acc):
-            a = audio + (i.astype(jnp.float32) + 1.0) * 1e-6
-            enc, embd, _ = audio_encoder_forward(
-                enc_params_pair, consts, a, ilens, cfg=audio_cfg,
-                compute_dtype=dtype)
-            return acc + jnp.sum(enc.astype(jnp.float32))
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+    def encode_call(i, feed):
+        return encode_fn(audio + (i + 1) * 1e-6, feed)[0]
 
-    t_encode = two_point(encode_rep, 1, 3, "encode")
+    t_encode = chain_per_call(encode_call, 2, 6, "encode")
     _partial["encode_ms"] = round(t_encode * 1000, 2)
 
-    # representative encoder output for CTC / prompt
-    enc, embd, _ = audio_encoder_forward(enc_params_pair, consts, audio,
-                                         ilens, cfg=audio_cfg,
-                                         compute_dtype=dtype)
-    enc = enc.astype(dtype)
+    enc, embd = encode_fn(audio, jnp.float32(0.0))
 
-    def ctc_rep(iters):
-        def body(i, acc):
-            e = enc + (i.astype(dtype) + dtype(1.0)) * dtype(1e-3)
-            idx = ctc_head_forward(ctc_params, e, cfg.ctc)
-            return acc + jnp.sum(idx)
-        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+    # ---- CTC head ----
+    @jax.jit
+    def ctc_fn(e, feed):
+        return ctc_head_forward(ctc_params, e + feed.astype(dtype),
+                                cfg.ctc)
 
-    t_ctc = two_point(ctc_rep, 1, 3, "ctc")
+    t_ctc = chain_per_call(
+        lambda i, feed: ctc_fn(enc + jnp.bfloat16((i + 1) * 1e-3), feed),
+        2, 6, "ctc")
     _partial["ctc_ms"] = round(t_ctc * 1000, 2)
 
+    # ---- LLM prefill ----
     prompt = embd[:, :N_PROMPT, :].astype(dtype)
     mask = jnp.ones((1, N_PROMPT), jnp.float32)
     max_len = N_PROMPT + N_GEN + 8
 
-    def prefill_rep(iters):
-        def body(i, acc):
-            p = prompt + (i.astype(dtype) + dtype(1.0)) * dtype(1e-3)
-            state = prefill_init(llm_params, p, mask, jax.random.PRNGKey(0),
-                                 cfg.llm, max_len=max_len)
-            return acc + jnp.sum(state.logits)
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+    def prefill_call(i, feed):
+        st = prefill_init(llm_params,
+                          prompt + feed.astype(dtype)
+                          + jnp.bfloat16((i + 1) * 1e-3),
+                          mask, jax.random.PRNGKey(0), cfg.llm,
+                          max_len=max_len)
+        return st.logits
 
-    t_prefill = two_point(prefill_rep, 1, 3, "prefill")
+    t_prefill = chain_per_call(prefill_call, 2, 6, "prefill")
     _partial["prefill_ms"] = round(t_prefill * 1000, 2)
 
+    # ---- generation: chunked decode, same shape as the engine path ----
     def measure_generation(params, label):
-        # chunked generation (host loop over one small compiled chunk
-        # program — big chunk buffers explode XLA compile time)
         chunk = 4 if _TINY else 64
+        n_chunks_full = max(1, N_GEN // chunk)
 
         def gen_chunks(n_chunks, seed):
             st = prefill_init(params, prompt, mask, jax.random.PRNGKey(seed),
@@ -174,16 +191,21 @@ def main():
                     fuse_enabled=False)
             return toks
 
-        n1, n2 = 1, (3 if _TINY else 4)
-        t_c, _ = timed_fetch(lambda: gen_chunks(n1, 0))
-        log(f"{label}: compiled ({t_c:.1f}s)")
-        t1 = min(timed_fetch(lambda: gen_chunks(n1, 10 + i))[0]
-                 for i in range(2))
-        t2 = min(timed_fetch(lambda: gen_chunks(n2, 20 + i))[0]
-                 for i in range(2))
+        t_c = time.perf_counter()
+        fetch(gen_chunks(1, 0))
+        log(f"{label}: compiled ({time.perf_counter()-t_c:.1f}s)")
+
+        def total(k, seed):
+            t0 = time.perf_counter()
+            fetch(gen_chunks(k, seed))
+            return time.perf_counter() - t0
+
+        n1, n2 = 1, n_chunks_full
+        t1 = min(total(n1, 10 + i) for i in range(2))
+        t2 = min(total(n2, 20 + i) for i in range(2))
         per_tok = max((t2 - t1) / ((n2 - n1) * chunk), 1e-9)
-        log(f"{label}: t({n1*chunk}tok)={t1:.3f}s t({n2*chunk}tok)={t2:.3f}s "
-            f"-> {per_tok*1000:.3f} ms/token")
+        log(f"{label}: t({n1*chunk}tok)={t1:.3f}s t({n2*chunk}tok)={t2:.3f}s"
+            f" -> {per_tok*1000:.3f} ms/token")
         return per_tok
 
     per_tok_bf16 = measure_generation(llm_params, "generate[bf16]")
