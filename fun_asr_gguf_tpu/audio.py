@@ -1,12 +1,15 @@
 """Audio loading: file → mono 16 kHz float in [-1, 1].
 
-The reference decodes via pydub→ffmpeg (``fun_asr_gguf/nano_audio.py``);
-neither ships in this environment, so the loader tries, in order:
+The reference decodes via pydub→ffmpeg subprocess
+(``fun_asr_gguf/nano_audio.py``); here the loader tries, in order:
 
-1. stdlib WAV parsing (PCM 8/16/24/32-bit and float32) with
-   scipy polyphase resampling — zero external dependencies;
-2. pydub, if installed;
-3. an ``ffmpeg`` subprocess, if present on PATH (covers mp3/m4a/...).
+1. the native in-process decoder (``native/audio_decode.cc``, links the
+   system FFmpeg libraries directly — mp3/m4a/flac/ogg/wav/..., no
+   subprocess);
+2. stdlib WAV parsing (PCM 8/16/24/32-bit) with scipy polyphase
+   resampling — zero external dependencies (native fast path first);
+3. pydub, if installed;
+4. an ``ffmpeg`` subprocess, if present on PATH.
 
 ``start_second``/``duration`` slicing matches the reference semantics.
 """
@@ -93,6 +96,17 @@ def load_audio(audio_path: str, sample_rate: int = 16000,
                 audio = _load_wav(audio_path, sample_rate)
             except Exception as e:  # fall through to generic decoders
                 errors.append(f"wav: {e}")
+    if audio is None:
+        try:
+            from .native import audio_decoder_available, decode_audio_native
+            audio = decode_audio_native(audio_path, sample_rate)
+            if audio is None:
+                errors.append(
+                    "native-decode: could not decode file"
+                    if audio_decoder_available()
+                    else "native-decode: libfunasr_audio not built")
+        except Exception as e:
+            errors.append(f"native-decode: {e}")
     if audio is None:
         try:
             audio = _load_pydub(audio_path, sample_rate)

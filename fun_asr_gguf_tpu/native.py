@@ -25,7 +25,11 @@ _LIB_PATHS = [
                  "libfunasr_native.so"),
 ]
 
+_AUDIO_LIB_PATHS = [p.replace("libfunasr_native", "libfunasr_audio")
+                    for p in _LIB_PATHS]
+
 _lib = None
+_audio_lib = None
 
 
 def _load():
@@ -64,8 +68,39 @@ def _load():
     return _lib
 
 
+def _load_audio_lib():
+    """libfunasr_audio.so: universal decoder over system FFmpeg libs."""
+    global _audio_lib
+    if _audio_lib is not None:
+        return _audio_lib
+    for path in _AUDIO_LIB_PATHS:
+        if os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError:
+                continue
+            lib.fa_decode_audio.restype = ctypes.c_long
+            lib.fa_decode_audio.argtypes = [
+                ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float))]
+            lib.fa_free_audio.restype = None
+            lib.fa_free_audio.argtypes = [ctypes.POINTER(ctypes.c_float)]
+            lib.fa_encode_mp3.restype = ctypes.c_long
+            lib.fa_encode_mp3.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+                ctypes.c_int, ctypes.c_char_p]
+            _audio_lib = lib
+            return _audio_lib
+    _audio_lib = False
+    return _audio_lib
+
+
 def available() -> bool:
     return bool(_load())
+
+
+def audio_decoder_available() -> bool:
+    return bool(_load_audio_lib())
 
 
 def _i32ptr(a: np.ndarray):
@@ -115,6 +150,41 @@ def nw_align_native(ctc_chars: List[str], llm_chars: List[str]
     lib.nw_align_i32(_i32ptr(ctc), len(ctc), _i32ptr(llm), len(llm),
                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return [None if v < 0 else int(v) for v in out.tolist()]
+
+
+def decode_audio_native(path: str, sample_rate: int) -> Optional[np.ndarray]:
+    """Decode any container/codec to mono float64 at ``sample_rate`` via
+    the FFmpeg-library decoder. Returns None when the library is absent
+    or the file cannot be decoded (callers fall through to other paths).
+
+    Output is clipped to [-1, 1]: the reference decodes through pydub's
+    int16 samples (``nano_audio.py:14-23``), which saturates, and mp3
+    synthesis can overshoot full scale.
+    """
+    lib = _load_audio_lib()
+    if not lib:
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = lib.fa_decode_audio(path.encode(), int(sample_rate),
+                            ctypes.byref(out))
+    if n <= 0:
+        return None
+    audio = np.ctypeslib.as_array(out, shape=(int(n),)).astype(np.float64)
+    lib.fa_free_audio(out)
+    return np.clip(audio, -1.0, 1.0)
+
+
+def encode_mp3_native(audio: np.ndarray, sample_rate: int,
+                      path: str) -> bool:
+    """Encode mono float [-1,1] to MP3 via libmp3lame (test fixtures)."""
+    lib = _load_audio_lib()
+    if not lib:
+        return False
+    pcm = np.ascontiguousarray(audio, dtype=np.float32)
+    n = lib.fa_encode_mp3(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(pcm),
+        int(sample_rate), path.encode())
+    return n > 0
 
 
 def load_wav_mono_native(path: str, sample_rate: int) -> Optional[np.ndarray]:

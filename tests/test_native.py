@@ -84,3 +84,77 @@ class TestWavLoad:
 
     def test_missing_file(self):
         assert native.load_wav_mono_native("/nonexistent.wav", 16000) is None
+
+
+@pytest.mark.skipif(not native.audio_decoder_available(),
+                    reason="libfunasr_audio not built")
+class TestUniversalDecode:
+    """MP3 round-trip: lame encode → FFmpeg-lib decode → correlate."""
+
+    def _sine(self, sr, seconds=2.0, freq=440.0):
+        t = np.arange(int(sr * seconds)) / sr
+        return (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float64)
+
+    def test_mp3_roundtrip_correlation(self, tmp_path):
+        sr = 16000
+        sig = self._sine(sr)
+        path = str(tmp_path / "t.mp3")
+        assert native.encode_mp3_native(sig, sr, path)
+        out = native.decode_audio_native(path, sr)
+        assert out is not None
+        # mp3 adds codec delay; length within ±0.15 s
+        assert abs(len(out) - len(sig)) < 0.15 * sr
+        # align by cross-correlation, then demand high similarity
+        m = min(len(out), len(sig)) - 4000
+        best = max(
+            float(np.dot(out[lag:lag + m], sig[:m])
+                  / (np.linalg.norm(out[lag:lag + m])
+                     * np.linalg.norm(sig[:m]) + 1e-9))
+            for lag in range(0, 3000, 8))
+        assert best > 0.95
+
+    def test_mp3_resample_to_16k(self, tmp_path):
+        sr = 44100
+        sig = self._sine(sr, seconds=1.0)
+        path = str(tmp_path / "t44.mp3")
+        assert native.encode_mp3_native(sig, sr, path)
+        out = native.decode_audio_native(path, 16000)
+        assert out is not None
+        assert abs(len(out) - 16000) < 0.15 * 16000
+        assert float(np.abs(out).max()) <= 1.0
+
+    def test_wav_agrees_with_native_wav_loader(self, tmp_path):
+        from fun_asr_gguf_tpu.audio import write_wav
+        sig = np.random.default_rng(3).normal(size=24000) * 0.2
+        path = str(tmp_path / "x.wav")
+        write_wav(path, sig, 16000)
+        a = native.decode_audio_native(path, 16000)
+        b = native.load_wav_mono_native(path, 16000)
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+    def test_load_audio_uses_decoder_for_mp3(self, tmp_path):
+        from fun_asr_gguf_tpu.audio import load_audio
+        sr = 16000
+        sig = self._sine(sr)
+        path = str(tmp_path / "l.mp3")
+        assert native.encode_mp3_native(sig, sr, path)
+        out = load_audio(path, sample_rate=sr)
+        assert out is not None and len(out) > sr
+        # start_second/duration slicing applies post-decode
+        sliced = load_audio(path, sample_rate=sr, start_second=0.5,
+                            duration=1.0)
+        assert len(sliced) == sr
+
+    def test_reference_input_mp3(self):
+        import os
+        path = "/root/reference/input.mp3"
+        if not os.path.exists(path):
+            pytest.skip("reference input.mp3 not present")
+        out = native.decode_audio_native(path, 16000)
+        assert out is not None
+        assert abs(len(out) / 16000 - 60.0) < 0.5   # known 60 s clip
+        rms = float(np.sqrt(np.mean(out ** 2)))
+        assert 0.01 < rms < 0.9
+
+    def test_missing_file(self):
+        assert native.decode_audio_native("/nonexistent.mp3", 16000) is None
