@@ -126,36 +126,43 @@ def main():
 
         t1 = min(total(n1) for _ in range(2))
         t2 = min(total(n2) for _ in range(2))
-        per = max((t2 - t1) / (n2 - n1), 1e-9)
+        if t2 <= t1:                # timing noise swamped the measurement
+            log(f"{label}: degenerate timing t({n1})={t1:.3f} t({n2})={t2:.3f}"
+                " — falling back to single-point estimate")
+            return t2 / n2
+        per = (t2 - t1) / (n2 - n1)
         log(f"{label}: t({n1})={t1:.3f}s t({n2})={t2:.3f}s "
             f"-> {per*1000:.2f} ms/call")
         return per
 
     # ---- encode (frontend + encoder + adaptor as ONE program, like the
     # engine's encode_audio) ----
+    # NOTE: params/consts MUST be explicit jit arguments — closed-over
+    # device arrays get baked into the lowered HLO as constants, and the
+    # axon remote-compile endpoint rejects multi-hundred-MB uploads (413).
     @jax.jit
-    def encode_fn(a, feed):
+    def encode_fn(p, c, a, feed):
         enc, embd, _ = audio_encoder_forward(
-            enc_params_pair, consts, a + feed, ilens, cfg=audio_cfg,
-            compute_dtype=dtype)
+            p, c, a + feed, ilens, cfg=audio_cfg, compute_dtype=dtype)
         return enc.astype(dtype), embd
 
     def encode_call(i, feed):
-        return encode_fn(audio + (i + 1) * 1e-6, feed)[0]
+        return encode_fn(enc_params_pair, consts,
+                         audio + (i + 1) * 1e-6, feed)[0]
 
     t_encode = chain_per_call(encode_call, 2, 6, "encode")
     _partial["encode_ms"] = round(t_encode * 1000, 2)
 
-    enc, embd = encode_fn(audio, jnp.float32(0.0))
+    enc, embd = encode_fn(enc_params_pair, consts, audio, jnp.float32(0.0))
 
     # ---- CTC head ----
     @jax.jit
-    def ctc_fn(e, feed):
-        return ctc_head_forward(ctc_params, e + feed.astype(dtype),
-                                cfg.ctc)
+    def ctc_fn(p, e, feed):
+        return ctc_head_forward(p, e + feed.astype(dtype), cfg.ctc)
 
     t_ctc = chain_per_call(
-        lambda i, feed: ctc_fn(enc + jnp.bfloat16((i + 1) * 1e-3), feed),
+        lambda i, feed: ctc_fn(ctc_params,
+                               enc + jnp.bfloat16((i + 1) * 1e-3), feed),
         2, 6, "ctc")
     _partial["ctc_ms"] = round(t_ctc * 1000, 2)
 
@@ -203,7 +210,11 @@ def main():
         n1, n2 = 1, n_chunks_full
         t1 = min(total(n1, 10 + i) for i in range(2))
         t2 = min(total(n2, 20 + i) for i in range(2))
-        per_tok = max((t2 - t1) / ((n2 - n1) * chunk), 1e-9)
+        if n2 == n1 or t2 <= t1:    # timing noise swamped the measurement
+            log(f"{label}: degenerate timing t({n1})={t1:.3f} t({n2})={t2:.3f}"
+                " — falling back to single-point estimate")
+            return t2 / (n2 * chunk)
+        per_tok = (t2 - t1) / ((n2 - n1) * chunk)
         log(f"{label}: t({n1*chunk}tok)={t1:.3f}s t({n2*chunk}tok)={t2:.3f}s"
             f" -> {per_tok*1000:.3f} ms/token")
         return per_tok

@@ -93,11 +93,12 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
     ``get_token_embeddings_gguf``, reference ``llama.py:751-796``).
 
     With ``keep_quantized=True``, q8_0 matmul weights are loaded straight
-    into ``QuantTensor`` (int8 + scales) without dequantizing — the on-disk
-    block layout already matches the Pallas kernel's [out, in] layout.
+    into ``QuantTensor`` (int8 + scales) without dequantizing; the on-disk
+    [out, in] blocks get the kernel's block-transposed k ordering applied
+    (``ops.quant_matmul.block_permute``), a one-time load-time shuffle.
     """
     from ..formats.gguf import GGMLType
-    from ..ops.quant_matmul import QuantTensor
+    from ..ops.quant_matmul import QuantTensor, block_permute
 
     r = GGUFReader(path)
     cfg = qwen3_config_from_gguf(r)
@@ -109,7 +110,8 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
         info = r.tensor_info(name)
         if keep_quantized and info.ggml_type == GGMLType.Q8_0:
             q, d = r.tensor_q8_0(name)          # [out, in], [out, in/32]
-            return QuantTensor(q=jnp.asarray(q),
+            # QuantTensor stores k block-transposed (kernel layout)
+            return QuantTensor(q=block_permute(jnp.asarray(q)),
                                d=jnp.asarray(d.astype(np.float32)))
         return jnp.asarray(t(name), dtype)
 

@@ -8,7 +8,14 @@ the MXU multiply. For the bandwidth-bound single-token decode this halves
 the bytes moved per step, which is the whole game (SURVEY.md §7 risks).
 
 Weight layout: ``QuantTensor(q=[..., n_out, k] int8, d=[..., n_out, k/32]
-f32)`` — contraction dim innermost so a block's 32 quants are contiguous.
+f32)`` with the contraction dim stored **block-transposed**: natural index
+``j = b*32 + t`` (block b, offset t) lives at lane ``j' = t*(k/32) + b``.
+Under that permutation the per-lane scale vector is exactly ``d`` tiled
+32× along lanes — a Mosaic-supported concat — instead of an interleaving
+``[n, k] -> [n, k/32, 32]`` reshape, which Mosaic's vector layout
+inference rejects ("unsupported shape cast"). The activation is permuted
+the same way outside the kernel (cheap: x is a handful of rows).
+
 ``quant_matmul(x, qt)`` computes ``x @ dequant(qt).T``; a jnp reference
 path (`use_pallas=False`) backs tests and non-TPU platforms.
 """
@@ -27,12 +34,26 @@ BLOCK = 32
 
 
 class QuantTensor(NamedTuple):
-    q: jnp.ndarray   # int8  [..., n, k]
+    q: jnp.ndarray   # int8  [..., n, k]  (k block-transposed, see module doc)
     d: jnp.ndarray   # f32   [..., n, k // 32]
 
     @property
     def shape(self):
         return self.q.shape
+
+
+def block_permute(a: jnp.ndarray) -> jnp.ndarray:
+    """[..., k] natural order → block-transposed: (b*32+t) ↦ (t*(k/32)+b)."""
+    k = a.shape[-1]
+    return (a.reshape(*a.shape[:-1], k // BLOCK, BLOCK)
+            .swapaxes(-1, -2).reshape(*a.shape))
+
+
+def block_unpermute(a: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`block_permute`."""
+    k = a.shape[-1]
+    return (a.reshape(*a.shape[:-1], BLOCK, k // BLOCK)
+            .swapaxes(-1, -2).reshape(*a.shape))
 
 
 def quantize_weight(w: jnp.ndarray) -> QuantTensor:
@@ -46,15 +67,16 @@ def quantize_weight(w: jnp.ndarray) -> QuantTensor:
     d = (absmax / 127.0).astype(jnp.float16).astype(jnp.float32)
     inv = jnp.where(d == 0, 0.0, 1.0 / d)
     q = jnp.round(blocks * inv[..., None]).astype(jnp.int8)
-    return QuantTensor(q=q.reshape(wt.shape), d=d)
+    return QuantTensor(q=block_permute(q.reshape(wt.shape)), d=d)
 
 
 def dequantize_weight(qt: QuantTensor) -> jnp.ndarray:
     """QuantTensor → dense [k_in, n_out] f32."""
     n, k = qt.q.shape[-2], qt.q.shape[-1]
-    deq = (qt.q.astype(jnp.float32)
-           .reshape(*qt.q.shape[:-1], k // BLOCK, BLOCK)
-           * qt.d[..., None]).reshape(*qt.q.shape[:-2], n, k)
+    qn = block_unpermute(qt.q)
+    deq = (qn.astype(jnp.float32)
+           .reshape(*qn.shape[:-1], k // BLOCK, BLOCK)
+           * qt.d[..., None]).reshape(*qn.shape[:-2], n, k)
     return jnp.swapaxes(deq, -1, -2)
 
 
@@ -63,14 +85,17 @@ def dequantize_weight(qt: QuantTensor) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _q8_matmul_kernel(x_ref, q_ref, d_ref, o_ref):
-    """One (m, TN) output tile: dequantize the int8 tile in VMEM, matmul."""
-    q = q_ref[:]                                     # [TN, K] int8
-    d = d_ref[:]                                     # [TN, K//32] f32
-    tn, k = q.shape
-    deq = (q.astype(jnp.bfloat16)
-           .reshape(tn, k // BLOCK, BLOCK)
-           * d.astype(jnp.bfloat16)[:, :, None]).reshape(tn, k)
-    x = x_ref[:].astype(jnp.bfloat16)                # [M, K]
+    """One (m, TN) output tile: dequantize the int8 tile in VMEM, matmul.
+
+    Inputs are block-transposed along k, so the lane-j scale is
+    ``d[:, j % (k/32)]`` — i.e. ``d`` tiled 32× along lanes. Lane concat is
+    a supported Mosaic op; the interleaving reshape is not.
+    """
+    q = q_ref[:]                                     # [TN, K] int8 (permuted)
+    d = d_ref[:].astype(jnp.bfloat16)                # [TN, K//32] scales
+    dexp = jnp.concatenate([d] * BLOCK, axis=1)      # [TN, K]
+    deq = q.astype(jnp.bfloat16) * dexp
+    x = x_ref[:].astype(jnp.bfloat16)                # [M, K] (permuted)
     o_ref[:] = jax.lax.dot_general(
         x, deq, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -102,6 +127,7 @@ def quant_matmul(x: jnp.ndarray, qt: QuantTensor, tile_n: int = 512,
                        preferred_element_type=jnp.float32)
 
     grid = (n // tile_n,)
+    xp = block_permute(x)    # match the weights' block-transposed k order
     return pl.pallas_call(
         _q8_matmul_kernel,
         grid=grid,
@@ -122,7 +148,7 @@ def quant_matmul(x: jnp.ndarray, qt: QuantTensor, tile_n: int = 512,
                            + m * n * 4,
             transcendentals=0),
         interpret=interpret,
-    )(x, qt.q, qt.d)
+    )(xp, qt.q, qt.d)
 
 
 import functools as _functools

@@ -28,15 +28,25 @@ class TestQuantizeWeight:
         assert np.abs(np.asarray(back) - np.asarray(w)).max() < step * 1.1
 
     def test_matches_numpy_q8_0(self):
-        """Device quantization must agree with the numpy/ggml formula."""
+        """Device quantization must agree with the numpy/ggml formula.
+
+        ``QuantTensor.q`` is stored block-transposed along k (the Pallas
+        kernel layout); un-permuting recovers the ggml byte values."""
         from fun_asr_gguf_tpu.formats.quant_np import q8_0_quantize
+        from fun_asr_gguf_tpu.ops.quant_matmul import (block_permute,
+                                                       block_unpermute)
         rng = np.random.default_rng(1)
         w = rng.normal(size=(64, 32)).astype(np.float32)
         qt = quantize_weight(jnp.asarray(w))
         q_np, d_np = q8_0_quantize(w.T)          # numpy path on [n, k]
-        np.testing.assert_array_equal(np.asarray(qt.q), q_np)
+        np.testing.assert_array_equal(
+            np.asarray(block_unpermute(qt.q)), q_np)
         np.testing.assert_allclose(np.asarray(qt.d),
                                    d_np.astype(np.float32), rtol=1e-6)
+        # permute/unpermute are inverses
+        np.testing.assert_array_equal(
+            np.asarray(block_permute(jnp.asarray(q_np))),
+            np.asarray(qt.q))
 
 
 class TestQuantMatmul:
