@@ -67,6 +67,8 @@ def main():
     from fun_asr_gguf_tpu.models.config import HybridConfig
     from fun_asr_gguf_tpu.models.generate import generate_chunk, prefill_init
     from fun_asr_gguf_tpu.models.qwen3 import (init_qwen3_params,
+                                               pack_qwen3_params,
+                                               quantize_lm_head,
                                                quantize_qwen3_params)
 
     dev = jax.devices()[0]
@@ -170,9 +172,10 @@ def main():
     prompt = embd[:, :N_PROMPT, :].astype(dtype)
     mask = jnp.ones((1, N_PROMPT), jnp.float32)
     max_len = N_PROMPT + N_GEN + 8
+    llm_packed = pack_qwen3_params(llm_params)
 
     def prefill_call(i, feed):
-        st = prefill_init(llm_params,
+        st = prefill_init(llm_packed,
                           prompt + feed.astype(dtype)
                           + jnp.bfloat16((i + 1) * 1e-3),
                           mask, jax.random.PRNGKey(0), cfg.llm,
@@ -219,12 +222,13 @@ def main():
             f" -> {per_tok*1000:.3f} ms/token")
         return per_tok
 
-    per_tok_bf16 = measure_generation(llm_params, "generate[bf16]")
+    per_tok_bf16 = measure_generation(llm_packed, "generate[bf16]")
     _partial["generate_tokens_per_s_bf16"] = round(1.0 / per_tok_bf16, 1)
 
-    log("quantizing decoder weights to q8_0...")
-    qparams = quantize_qwen3_params(llm_params)
-    jax.block_until_ready(qparams["layers"]["q_w"].q)
+    log("quantizing decoder weights to q8_0 (incl. lm_head)...")
+    qparams = pack_qwen3_params(
+        quantize_lm_head(quantize_qwen3_params(llm_params), cfg.llm))
+    jax.block_until_ready(qparams["layers"]["qkv_w"].q)
     try:
         per_tok_q8 = measure_generation(qparams, "generate[q8_0]")
     except Exception as e:  # pallas path may be unavailable

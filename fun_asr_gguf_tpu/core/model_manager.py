@@ -95,15 +95,27 @@ class ModelManager:
             vprint("[1/6] 加载模型权重 (checkpoint)...", verbose)
             ckpt = self.config.checkpoint_dir
             fmt = self.config.llm_weight_format
-            keep_q = (fmt == "q8_0"
-                      or (fmt == "auto"
-                          and jax.default_backend() in ("tpu", "axon")))
+            # "auto" resolves to bf16: on v5e the XLA bf16 decode measures
+            # faster than the Pallas q8_0 path (521 vs 449 tok/s full-size)
+            # because XLA hides weight movement behind attention compute.
+            # q8_0 stays the low-memory mode (~0.7 GB vs ~1.3 GB decoder).
+            keep_q = (fmt == "q8_0")
             (self.hybrid_cfg, self.encoder_params, self.adaptor_params,
              self.ctc_params, self.llm_params,
              self.embedding_table) = load_checkpoint(
                 ckpt, dtype=self._compute_dtype,
                 llm_dtype=self._compute_dtype,
                 llm_keep_quantized=keep_q)
+            if keep_q:
+                # q8_0 output projection too (llama.cpp quantizes
+                # output.weight in its q8_0 files) — the tied-embedding
+                # logits matmul is a quarter of per-token HBM traffic
+                from ..models.qwen3 import quantize_lm_head
+                self.llm_params = quantize_lm_head(self.llm_params,
+                                                   self.hybrid_cfg.llm)
+            if self.config.fuse_projections:
+                from ..models.qwen3 import pack_qwen3_params
+                self.llm_params = pack_qwen3_params(self.llm_params)
             self.audio_cfg = AudioEncoderConfig(
                 encoder=self.hybrid_cfg.encoder,
                 adaptor=self.hybrid_cfg.adaptor)

@@ -112,6 +112,7 @@ class ASREngineConfig:
     llm_weight_format: str = "auto"          # auto | bf16 | q8_0
     mesh_shape: Optional[Dict[str, int]] = None   # e.g. {"dp": 1, "tp": 4}
     prefill_buckets: tuple = (256, 512)
+    fuse_projections: bool = True            # pack qkv / gate-up matmuls
 
 
 # ==================== CTC ====================

@@ -31,7 +31,12 @@ class FunASREngine:
                  compute_dtype: str = "bfloat16",
                  segment_pad_seconds: float = 60.0,
                  prefill_buckets=(256, 512),
-                 llm_weight_format: str = "auto"):
+                 llm_weight_format: str = "auto",
+                 fuse_projections: bool = True):
+        if llm_weight_format not in ("auto", "bf16", "q8_0"):
+            raise ValueError(
+                f"llm_weight_format must be auto|bf16|q8_0, got "
+                f"{llm_weight_format!r}")
         self.config = ASREngineConfig(
             checkpoint_dir=checkpoint_dir,
             tokens_path=tokens_path,
@@ -44,7 +49,8 @@ class FunASREngine:
             compute_dtype=compute_dtype,
             segment_pad_seconds=segment_pad_seconds,
             prefill_buckets=tuple(prefill_buckets),
-            llm_weight_format=llm_weight_format)
+            llm_weight_format=llm_weight_format,
+            fuse_projections=fuse_projections)
         self.models = ModelManager(self.config)
         self.orchestrator = TranscriptionOrchestrator(self.models)
         self.sample_rate = self.config.sample_rate

@@ -141,12 +141,14 @@ class _Cursor:
 
     def value(self, vtype: int):
         vtype = GGUFValueType(vtype)
+        self.last_etype = None          # element type of the last ARRAY read
         if vtype == GGUFValueType.STRING:
             return self.string()
         if vtype == GGUFValueType.ARRAY:
             etype = self.scalar("<I")
             count = self.scalar("<Q")
             etype = GGUFValueType(etype)
+            self.last_etype = etype
             if etype == GGUFValueType.STRING:
                 return [self.string() for _ in range(count)]
             if etype == GGUFValueType.ARRAY:
@@ -173,10 +175,15 @@ class GGUFReader:
         n_kv = cur.scalar("<Q")
 
         self.fields: Dict[str, Any] = {}
+        # declared value type (and array element type) per key — preserved
+        # by the metadata-edit tool so rewrites stay byte-faithful
+        self.field_types: Dict[str, Tuple[GGUFValueType,
+                                          Optional[GGUFValueType]]] = {}
         for _ in range(n_kv):
             key = cur.string()
-            vtype = cur.scalar("<I")
+            vtype = GGUFValueType(cur.scalar("<I"))
             self.fields[key] = cur.value(vtype)
+            self.field_types[key] = (vtype, cur.last_etype)
 
         self.alignment = int(self.fields.get("general.alignment", DEFAULT_ALIGNMENT))
 
@@ -238,15 +245,21 @@ class GGUFReader:
 class GGUFWriter:
     """Single-pass GGUF v3 writer."""
 
-    def __init__(self, path: str, arch: str = "qwen3"):
+    def __init__(self, path: str, arch: Optional[str] = "qwen3"):
         self.path = path
         self.kv: List[Tuple[str, Any, Optional[GGUFValueType]]] = []
         self.tensors: List[Tuple[str, np.ndarray, GGMLType, Optional[np.ndarray]]] = []
-        self.add_kv("general.architecture", arch)
+        self._raw: dict = {}
+        if arch is not None:
+            self.add_kv("general.architecture", arch)
 
     # -- KV ----------------------------------------------------------------
-    def add_kv(self, key: str, value: Any, vtype: Optional[GGUFValueType] = None):
-        self.kv.append((key, value, vtype))
+    def add_kv(self, key: str, value: Any,
+               vtype: Optional[GGUFValueType] = None,
+               etype: Optional[GGUFValueType] = None):
+        """Add a metadata pair. ``etype`` pins an ARRAY's element type
+        (otherwise inferred from the first element)."""
+        self.kv.append((key, value, vtype, etype))
 
     @staticmethod
     def _infer_type(value: Any) -> GGUFValueType:
@@ -264,21 +277,24 @@ class GGUFWriter:
         raise TypeError(f"unsupported KV value: {type(value)}")
 
     @classmethod
-    def _pack_value(cls, value: Any, vtype: Optional[GGUFValueType]) -> bytes:
+    def _pack_value(cls, value: Any, vtype: Optional[GGUFValueType],
+                    etype: Optional[GGUFValueType] = None) -> bytes:
         vtype = vtype or cls._infer_type(value)
         out = struct.pack("<I", int(vtype))
-        out += cls._pack_payload(value, vtype)
+        out += cls._pack_payload(value, vtype, etype)
         return out
 
     @classmethod
-    def _pack_payload(cls, value: Any, vtype: GGUFValueType) -> bytes:
+    def _pack_payload(cls, value: Any, vtype: GGUFValueType,
+                      etype: Optional[GGUFValueType] = None) -> bytes:
         if vtype == GGUFValueType.STRING:
             raw = value.encode("utf-8")
             return struct.pack("<Q", len(raw)) + raw
         if vtype == GGUFValueType.ARRAY:
             if not value:
-                return struct.pack("<IQ", int(GGUFValueType.INT32), 0)
-            etype = cls._infer_type(value[0])
+                return struct.pack("<IQ",
+                                   int(etype or GGUFValueType.INT32), 0)
+            etype = etype or cls._infer_type(value[0])
             out = struct.pack("<IQ", int(etype), len(value))
             for v in value:
                 out += cls._pack_payload(v, etype)
@@ -307,6 +323,13 @@ class GGUFWriter:
     def add_tensor_q8_0(self, name: str, q: np.ndarray, d: np.ndarray):
         self.tensors.append((name, q, GGMLType.Q8_0, d))
 
+    def add_tensor_raw(self, name: str, raw: bytes, shape: Tuple[int, ...],
+                       ggml_type: GGMLType):
+        """Pass stored bytes through untouched (metadata-edit copies)."""
+        holder = np.empty(shape, np.uint8)   # shape carrier only
+        self._raw[name] = bytes(raw)
+        self.tensors.append((name, holder, ggml_type, None))
+
     # -- serialize ---------------------------------------------------------
     def write(self):
         alignment = DEFAULT_ALIGNMENT
@@ -316,7 +339,9 @@ class GGUFWriter:
         infos: List[bytes] = []
         offset = 0
         for name, arr, gtype, scales in self.tensors:
-            if gtype == GGMLType.Q8_0:
+            if name in self._raw:
+                raw = self._raw[name]
+            elif gtype == GGMLType.Q8_0:
                 if scales is not None:
                     raw = q8_0_to_blocks(arr, scales).tobytes()
                 else:
@@ -343,10 +368,10 @@ class GGUFWriter:
         with open(self.path, "wb") as f:
             f.write(struct.pack("<IIQQ", GGUF_MAGIC, GGUF_VERSION,
                                 len(self.tensors), len(self.kv)))
-            for key, value, vtype in self.kv:
+            for key, value, vtype, etype in self.kv:
                 key_b = key.encode("utf-8")
                 f.write(struct.pack("<Q", len(key_b)) + key_b)
-                f.write(self._pack_value(value, vtype))
+                f.write(self._pack_value(value, vtype, etype))
             for info in infos:
                 f.write(info)
             f.write(b"\x00" * (-f.tell() % alignment))

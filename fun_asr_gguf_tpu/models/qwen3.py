@@ -25,7 +25,37 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.quant_matmul import QuantTensor, matmul_any, quantize_weight
+from ..ops.quant_matmul import (IndexedQuant, QuantTensor, matmul_any,
+                                quantize_weight)
+
+
+def _split_quant_layers(layers):
+    """Split the stacked layer dict for scanning: QuantTensor weights must
+    NOT ride scan xs (XLA copies every per-layer slice before the pallas
+    custom call — 3× HBM traffic); they stay whole and the kernel selects
+    the layer via scalar-prefetch (see ops.quant_matmul.IndexedQuant)."""
+    dense = {k: v for k, v in layers.items()
+             if not isinstance(v, QuantTensor)}
+    quant = {k: v for k, v in layers.items() if isinstance(v, QuantTensor)}
+    return dense, quant
+
+
+def _layer_params(dense_slice, quant, l):
+    lp = dict(dense_slice)
+    for key, qt in quant.items():
+        lp[key] = IndexedQuant(qt, l)
+    return lp
+
+
+def _unroll_decode() -> bool:
+    """Unroll the quantized decode over layers (static kernel indices).
+
+    Experimental: copy-free, scalar-free weight streaming at the cost of
+    compile time. Measured on v5e it still trails the scan path (XLA's
+    async scheduler hides the scan-slice copies behind attention compute
+    better than exposed kernel DMA ramps), so default off."""
+    import os
+    return os.environ.get("FUNASR_UNROLL_DECODE", "0") != "0"
 from .common import rms_norm
 from .config import Qwen3Config
 
@@ -75,18 +105,23 @@ def _proj(x, w):
     return matmul_any(x, w).astype(x.dtype)
 
 
-def quantize_qwen3_params(params, keys=("q_w", "k_w", "v_w", "o_w",
-                                        "gate_w", "up_w", "down_w")):
+_MATMUL_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w",
+                "qkv_w", "gate_up_w")
+
+
+def quantize_qwen3_params(params, keys=None):
     """Convert the per-layer matmul weights to q8_0 QuantTensors.
 
-    The embedding (and tied lm_head) stays dense for gather efficiency;
-    everything else drops to 1.06 bytes/param in HBM — the same storage
-    policy as the reference's q8_0 GGUF decode path.
+    The embedding stays dense for gather efficiency (see
+    :func:`quantize_lm_head` for the output projection); everything else
+    drops to 1.06 bytes/param in HBM — the same storage policy as the
+    reference's q8_0 GGUF decode path. Handles both the unpacked and the
+    :func:`pack_qwen3_params` fused layouts.
     """
     layers = dict(params["layers"])
-    for key in keys:
-        w = layers[key]                   # [L, k_in, n_out]
-        if isinstance(w, QuantTensor):
+    for key in (keys or _MATMUL_KEYS):
+        w = layers.get(key)               # [L, k_in, n_out]
+        if w is None or isinstance(w, QuantTensor):
             continue
         layers[key] = jax.vmap(quantize_weight)(w)
     out = dict(params)
@@ -94,12 +129,74 @@ def quantize_qwen3_params(params, keys=("q_w", "k_w", "v_w", "o_w",
     return out
 
 
+def pack_qwen3_params(params):
+    """Fuse q/k/v and gate/up into single projections (decode layout).
+
+    Cuts the per-layer matmul count 7 → 4, which matters at decode: each
+    kernel dispatch has fixed cost and batch-1 matvecs can't amortize it.
+    q8_0 rows are independent, so ``pack∘quantize == quantize∘pack``
+    bit-exactly. Training keeps the unpacked layout (per-weight grads).
+    """
+    layers = dict(params["layers"])
+    if "qkv_w" in layers:
+        return params
+
+    def cat(keys):
+        ws = [layers.pop(k) for k in keys]
+        if isinstance(ws[0], QuantTensor):
+            return QuantTensor(
+                q=jnp.concatenate([w.q for w in ws], axis=-2),
+                d=jnp.concatenate([w.d for w in ws], axis=-2))
+        return jnp.concatenate(ws, axis=-1)
+
+    layers["qkv_w"] = cat(("q_w", "k_w", "v_w"))
+    layers["gate_up_w"] = cat(("gate_w", "up_w"))
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+def quantize_lm_head(params, cfg: Qwen3Config):
+    """Quantize the output projection to q8_0 (``lm_head_q``).
+
+    The tied-embedding logits matmul reads the full [vocab, hidden] table
+    every generated token — a quarter of all decode HBM traffic in bf16.
+    llama.cpp's q8_0 files quantize ``output.weight`` the same way; the
+    dense ``embed`` stays for prompt/token gathers.
+    """
+    if "lm_head_q" in params:
+        return params
+    head = _lm_head(params, cfg)                       # [hidden, vocab]
+    # pad the vocab dim to a kernel-tile multiple: the Qwen3 vocab
+    # (151936 = 128 x 1187) otherwise forces a 128-row kernel tile — 1187
+    # grid steps whose fixed costs dominate. Padded rows are zero; _logits
+    # slices them off.
+    pad = -head.shape[-1] % 1024
+    if pad:
+        head = jnp.pad(head, ((0, 0), (0, pad)))
+    out = dict(params)
+    out["lm_head_q"] = quantize_weight(head.astype(jnp.float32))
+    return out
+
+
 def _qkv(x, lp, cfg: Qwen3Config, cos, sin):
-    """Project + qk-norm + rope. x [B, T, H] → q [B,T,qh,D], k/v [B,T,kh,D]."""
+    """Project + qk-norm + rope. x [B, T, H] → q [B,T,qh,D], k/v [B,T,kh,D].
+
+    Supports both layouts: fused ``qkv_w`` (one matmul, then split) and
+    separate ``q_w``/``k_w``/``v_w``.
+    """
     b, t, _ = x.shape
-    q = _proj(x, lp["q_w"]).reshape(b, t, cfg.q_heads, cfg.head_dim)
-    k = _proj(x, lp["k_w"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
-    v = _proj(x, lp["v_w"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    qd = cfg.q_heads * cfg.head_dim
+    kd = cfg.kv_heads * cfg.head_dim
+    if "qkv_w" in lp:
+        qkv = _proj(x, lp["qkv_w"])
+        q = qkv[..., :qd].reshape(b, t, cfg.q_heads, cfg.head_dim)
+        k = qkv[..., qd:qd + kd].reshape(b, t, cfg.kv_heads, cfg.head_dim)
+        v = qkv[..., qd + kd:].reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    else:
+        q = _proj(x, lp["q_w"]).reshape(b, t, cfg.q_heads, cfg.head_dim)
+        k = _proj(x, lp["k_w"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+        v = _proj(x, lp["v_w"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
     q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
     k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
     q = apply_rope(q, cos, sin)
@@ -115,8 +212,13 @@ def _attn_out(attn_heads, lp, cfg: Qwen3Config):
 
 
 def _mlp(x, lp):
-    gate = _proj(x, lp["gate_w"])
-    up = _proj(x, lp["up_w"])
+    if "gate_up_w" in lp:
+        gu = _proj(x, lp["gate_up_w"])
+        f = gu.shape[-1] // 2
+        gate, up = gu[..., :f], gu[..., f:]
+    else:
+        gate = _proj(x, lp["gate_w"])
+        up = _proj(x, lp["up_w"])
     return _proj(jax.nn.silu(gate) * up, lp["down_w"])
 
 
@@ -171,7 +273,11 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
     pad = attn_mask[:, None, None, :] > 0
     bias = jnp.where(causal & pad, 0.0, NEG_INF).astype(jnp.float32)
 
-    def layer(x, lp):
+    dense, quant = _split_quant_layers(params["layers"])
+
+    def layer(x, xs):
+        l, lp_dense = xs
+        lp = _layer_params(lp_dense, quant, l)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, cos, sin)
         scores = _gqa_scores(q, k, cfg) + bias
@@ -181,7 +287,8 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
         x = x + _mlp(h, lp)
         return x, (k, v)
 
-    x, (ks, vs) = jax.lax.scan(lambda c, lp: layer(c, lp), x, params["layers"])
+    x, (ks, vs) = jax.lax.scan(
+        layer, x, (jnp.arange(cfg.n_layers, dtype=jnp.int32), dense))
 
     kv_dtype = x.dtype
     pad_len = kv_max_len - p
@@ -193,9 +300,7 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
     kv = KVCache(k=ks.astype(kv_dtype), v=vs.astype(kv_dtype))
 
     x = rms_norm(x, params["final_ln"], cfg.rms_eps)
-    last = x[:, -1, :]                                            # [B, hidden]
-    logits = jnp.dot(last, _lm_head(params, cfg),
-                     preferred_element_type=jnp.float32)
+    logits = _logits(params, x[:, -1, :], cfg)                    # [B, vocab]
     return logits, kv
 
 
@@ -220,8 +325,11 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
     visible = (j >= valid_from[:, None]) & (j <= slot)
     bias = jnp.where(visible, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
 
+    dense, quant = _split_quant_layers(params["layers"])
+
     def layer(x, inputs):
-        lp, k_cache, v_cache = inputs
+        l, lp_dense, k_cache, v_cache = inputs
+        lp = _layer_params(lp_dense, quant, l)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, cos, sin)
         k_cache = jax.lax.dynamic_update_slice_in_dim(
@@ -235,10 +343,23 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         x = x + _mlp(h, lp)
         return x, (k_cache, v_cache)
 
-    x, (ks, vs) = jax.lax.scan(layer, x, (params["layers"], kv.k, kv.v))
+    if quant and _unroll_decode():
+        # static layer indices: each kernel's index_map bakes in its layer,
+        # so weights stream copy-free with no scalar-prefetch plumbing.
+        ks_list, vs_list = [], []
+        for l in range(cfg.n_layers):
+            dense_l = {key: w[l] for key, w in dense.items()}
+            x, (kc, vc) = layer(x, (l, dense_l, kv.k[l], kv.v[l]))
+            ks_list.append(kc)
+            vs_list.append(vc)
+        ks = jnp.stack(ks_list)
+        vs = jnp.stack(vs_list)
+    else:
+        x, (ks, vs) = jax.lax.scan(
+            layer, x, (jnp.arange(cfg.n_layers, dtype=jnp.int32), dense,
+                       kv.k, kv.v))
     x = rms_norm(x, params["final_ln"], cfg.rms_eps)
-    logits = jnp.dot(x[:, 0, :], _lm_head(params, cfg),
-                     preferred_element_type=jnp.float32)
+    logits = _logits(params, x[:, 0, :], cfg)
     return logits, KVCache(k=ks, v=vs)
 
 
@@ -258,7 +379,11 @@ def qwen3_forward_logits(params, embeds, attn_mask, cfg: Qwen3Config):
     bias = jnp.where((j <= i)[None, None] & (attn_mask[:, None, None, :] > 0),
                      0.0, NEG_INF).astype(jnp.float32)
 
-    def layer(x, lp):
+    dense, quant = _split_quant_layers(params["layers"])
+
+    def layer(x, xs):
+        l, lp_dense = xs
+        lp = _layer_params(lp_dense, quant, l)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, cos, sin)
         scores = _gqa_scores(q, k, cfg) + bias
@@ -268,16 +393,24 @@ def qwen3_forward_logits(params, embeds, attn_mask, cfg: Qwen3Config):
         x = x + _mlp(h, lp)
         return x, None
 
-    x, _ = jax.lax.scan(layer, x, params["layers"])
+    x, _ = jax.lax.scan(
+        layer, x, (jnp.arange(cfg.n_layers, dtype=jnp.int32), dense))
     x = rms_norm(x, params["final_ln"], cfg.rms_eps)
-    return jnp.dot(x, _lm_head(params, cfg),
-                   preferred_element_type=jnp.float32)
+    return _logits(params, x, cfg)
 
 
 def _lm_head(params, cfg: Qwen3Config):
     if cfg.tie_embeddings:
         return params["embed"].T
     return params["lm_head"]
+
+
+def _logits(params, x, cfg: Qwen3Config):
+    """x [..., hidden] → logits [..., vocab] f32 (quantized head if built)."""
+    if "lm_head_q" in params:
+        return matmul_any(x, params["lm_head_q"])[..., :cfg.vocab_size]
+    return jnp.dot(x, _lm_head(params, cfg),
+                   preferred_element_type=jnp.float32)
 
 
 def embed_tokens(params, token_ids):

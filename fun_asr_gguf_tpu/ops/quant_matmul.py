@@ -103,16 +103,22 @@ def _q8_matmul_kernel(x_ref, q_ref, d_ref, o_ref):
 
 @functools.partial(jax.jit,
                    static_argnames=("tile_n", "use_pallas", "interpret"))
-def quant_matmul(x: jnp.ndarray, qt: QuantTensor, tile_n: int = 512,
+def quant_matmul(x: jnp.ndarray, qt: QuantTensor, tile_n: int = 0,
                  use_pallas: bool = True, interpret: bool = False
                  ) -> jnp.ndarray:
     """x [m, k] × QuantTensor([n, k]) → [m, n] f32.
 
-    ``use_pallas=False`` falls back to a dequantize-then-dot jnp path
-    (reference implementation for parity tests / CPU).
+    ``tile_n=0`` picks the tile automatically: as large as VMEM allows
+    (the int8 tile plus its bf16 dequant working set must fit alongside
+    double-buffered DMA), since per-grid-step fixed costs dominate the
+    bandwidth-bound decode matvecs. ``use_pallas=False`` falls back to a
+    dequantize-then-dot jnp path (reference implementation for parity
+    tests / CPU).
     """
     m, k = x.shape
     n = qt.q.shape[0]
+    if tile_n == 0:
+        tile_n = 1024 if k <= 2048 else 512
     if not use_pallas:
         deq = dequantize_weight(qt)                  # [k, n]
         return jnp.dot(x.astype(jnp.bfloat16), deq.astype(jnp.bfloat16),
@@ -120,8 +126,12 @@ def quant_matmul(x: jnp.ndarray, qt: QuantTensor, tile_n: int = 512,
 
     tile_n = min(tile_n, n)
     if n % tile_n != 0:
-        # fall back rather than mask — weight dims here are all multiples
-        # of 256 in practice
+        # pick the largest 128-multiple tile dividing n (e.g. the Qwen3
+        # vocab 151936 = 128 x 1187 admits only 128)
+        tile_n = next((t for t in range(tile_n - tile_n % 128, 127, -128)
+                       if n % t == 0), 0)
+    if tile_n == 0:
+        # no lane-aligned tiling — fall back to the dequantize-then-dot path
         deq = dequantize_weight(qt)
         return jnp.dot(x.astype(jnp.bfloat16), deq.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
@@ -151,26 +161,183 @@ def quant_matmul(x: jnp.ndarray, qt: QuantTensor, tile_n: int = 512,
     )(xp, qt.q, qt.d)
 
 
+# ---------------------------------------------------------------------------
+# Layer-indexed kernel: stacked weights stay in HBM, scalar-prefetch selects
+# the layer
+# ---------------------------------------------------------------------------
+
+class IndexedQuant(NamedTuple):
+    """A layer slice of stacked QuantTensors, resolved inside the kernel.
+
+    Feeding per-layer QuantTensor slices through ``lax.scan`` xs makes XLA
+    materialize a copy of every layer's weights before each pallas custom
+    call (read + write + read = 3× HBM traffic — measured ~340 GB/s vs
+    ~740 for copy-free streams). Instead the scan carries only the layer
+    index; the kernel DMAs the block straight out of the stacked array via
+    a scalar-prefetch index_map.
+    """
+    qt: QuantTensor          # q [L, n, k], d [L, n, k//32]
+    idx: jnp.ndarray         # [] int32
+
+
+def _q8_matmul_idx_kernel(l_ref, x_ref, q_ref, d_ref, o_ref):
+    q = q_ref[0]                                     # [TN, K] int8 (permuted)
+    d = d_ref[0].astype(jnp.bfloat16)                # [TN, K//32]
+    dexp = jnp.concatenate([d] * BLOCK, axis=1)      # [TN, K]
+    deq = q.astype(jnp.bfloat16) * dexp
+    x = x_ref[:].astype(jnp.bfloat16)                # [M, K] (permuted)
+    o_ref[:] = jax.lax.dot_general(
+        x, deq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def quant_matmul_indexed(x: jnp.ndarray, qt: QuantTensor, layer_idx,
+                         tile_n: int = 0, use_pallas: bool = True,
+                         interpret: bool = False) -> jnp.ndarray:
+    """x [m, k] × stacked QuantTensor([L, n, k])[layer_idx] → [m, n] f32.
+
+    ``layer_idx`` may be a traced scalar (scalar-prefetch kernel) or a
+    Python int (static index baked into the block index_map — no scalar
+    plumbing; used by the unrolled decode path).
+    """
+    if isinstance(layer_idx, int):
+        return _quant_matmul_static_idx(x, qt, layer_idx, tile_n,
+                                        use_pallas, interpret)
+    return _quant_matmul_dyn_idx(x, qt, layer_idx, tile_n, use_pallas,
+                                 interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("layer_idx", "tile_n", "use_pallas",
+                                    "interpret"))
+def _quant_matmul_static_idx(x, qt, layer_idx: int, tile_n, use_pallas,
+                             interpret):
+    m, k = x.shape
+    _, n, _ = qt.q.shape
+    if not use_pallas:
+        sl = QuantTensor(q=qt.q[layer_idx], d=qt.d[layer_idx])
+        deq = dequantize_weight(sl)
+        return jnp.dot(x.astype(jnp.bfloat16), deq.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    if tile_n == 0:
+        tile_n = 1024 if k <= 2048 else 512
+    tile_n = min(tile_n, n)
+    if n % tile_n != 0:
+        tile_n = next((t for t in range(tile_n - tile_n % 128, 127, -128)
+                       if n % t == 0), 0)
+        if tile_n == 0:
+            return _quant_matmul_static_idx(x, qt, layer_idx, 0, False,
+                                            interpret)
+    xp = block_permute(x)
+    li = layer_idx
+    return pl.pallas_call(
+        _q8_matmul_idx_kernel_nos,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i: (0, 0)),
+            pl.BlockSpec((1, tile_n, k), lambda i, _l=li: (_l, i, 0)),
+            pl.BlockSpec((1, tile_n, k // BLOCK), lambda i, _l=li: (_l, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((m, tile_n), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2 + n * k + n * (k // BLOCK) * 4
+                           + m * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(xp, qt.q, qt.d)
+
+
+def _q8_matmul_idx_kernel_nos(x_ref, q_ref, d_ref, o_ref):
+    """Static-index variant: no scalar-prefetch argument."""
+    q = q_ref[0]
+    d = d_ref[0].astype(jnp.bfloat16)
+    dexp = jnp.concatenate([d] * BLOCK, axis=1)
+    deq = q.astype(jnp.bfloat16) * dexp
+    x = x_ref[:].astype(jnp.bfloat16)
+    o_ref[:] = jax.lax.dot_general(
+        x, deq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_n", "use_pallas", "interpret"))
+def _quant_matmul_dyn_idx(x: jnp.ndarray, qt: QuantTensor, layer_idx,
+                          tile_n: int = 0, use_pallas: bool = True,
+                          interpret: bool = False) -> jnp.ndarray:
+    m, k = x.shape
+    _, n, _ = qt.q.shape
+    if not use_pallas:
+        sl = QuantTensor(q=jax.lax.dynamic_index_in_dim(qt.q, layer_idx, 0,
+                                                        keepdims=False),
+                         d=jax.lax.dynamic_index_in_dim(qt.d, layer_idx, 0,
+                                                        keepdims=False))
+        deq = dequantize_weight(sl)
+        return jnp.dot(x.astype(jnp.bfloat16), deq.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+
+    if tile_n == 0:
+        tile_n = 1024 if k <= 2048 else 512
+    tile_n = min(tile_n, n)
+    if n % tile_n != 0:
+        tile_n = next((t for t in range(tile_n - tile_n % 128, 127, -128)
+                       if n % t == 0), 0)
+        if tile_n == 0:
+            return quant_matmul_indexed(x, qt, layer_idx,
+                                        use_pallas=False)
+
+    xp = block_permute(x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i, l: (0, 0)),
+            pl.BlockSpec((1, tile_n, k), lambda i, l: (l[0], i, 0)),
+            pl.BlockSpec((1, tile_n, k // BLOCK), lambda i, l: (l[0], i, 0)),
+        ],
+        out_specs=pl.BlockSpec((m, tile_n), lambda i, l: (0, i)),
+    )
+    return pl.pallas_call(
+        _q8_matmul_idx_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2 + n * k + n * (k // BLOCK) * 4
+                           + m * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), xp, qt.q, qt.d)
+
+
 import functools as _functools
 
 
 @_functools.lru_cache(maxsize=1)
 def _on_tpu() -> bool:
+    import os
+    if os.environ.get("FUNASR_Q8_PALLAS") == "0":   # debug/bench knob:
+        return False                                # force XLA dequant-dot
     return jax.default_backend() in ("tpu", "axon")
 
 
 def matmul_any(x: jnp.ndarray,
-               w: Union[jnp.ndarray, QuantTensor],
+               w: Union[jnp.ndarray, QuantTensor, IndexedQuant],
                use_pallas: bool = None) -> jnp.ndarray:
-    """Dispatch: dense ``x @ w`` or quantized kernel. Keeps callers
-    (qwen3 _proj) agnostic of the weight storage format. Supports leading
-    batch dims on x by flattening. The Pallas path engages only on TPU
-    backends unless forced."""
-    if isinstance(w, QuantTensor):
+    """Dispatch: dense ``x @ w``, quantized kernel, or layer-indexed
+    quantized kernel. Keeps callers (qwen3 _proj) agnostic of the weight
+    storage format. Supports leading batch dims on x by flattening. The
+    Pallas path engages only on TPU backends unless forced."""
+    if isinstance(w, (QuantTensor, IndexedQuant)):
         if use_pallas is None:
             use_pallas = _on_tpu()
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        out = quant_matmul(x2, w, use_pallas=use_pallas)
+        if isinstance(w, IndexedQuant):
+            out = quant_matmul_indexed(x2, w.qt, w.idx,
+                                       use_pallas=use_pallas)
+        else:
+            out = quant_matmul(x2, w, use_pallas=use_pallas)
         return out.reshape(*lead, out.shape[-1])
     return jnp.dot(x, w, preferred_element_type=jnp.float32)

@@ -13,20 +13,25 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-_COL_PARALLEL = ("q_w", "k_w", "v_w", "gate_w", "up_w")
+_COL_PARALLEL = ("q_w", "k_w", "v_w", "gate_w", "up_w",
+                 "qkv_w", "gate_up_w")
 _ROW_PARALLEL = ("o_w", "down_w")
 
 
 def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
     """PartitionSpec pytree matching the qwen3 param layout
-    (stacked layers: leading axis = layer).
+    (stacked layers: leading axis = layer), either the unpacked or the
+    ``pack_qwen3_params`` fused layout.
 
     Dense weights are [L, in, out]; QuantTensor weights are
     (q=[L, out, in], d=[L, out, in/32]) — so column-parallel shards axis 2
     for dense / axis 1 for quantized, and row-parallel the reverse. When
-    ``params`` is given, the spec mirrors its dense/quantized mix (the
-    quantized TP path runs through the jnp dequant-dot, which XLA
-    partitions; the single-chip Pallas kernel is unaffected).
+    ``params`` is given, the spec mirrors its key set and dense/quantized
+    mix (the quantized TP path runs through the jnp dequant-dot, which XLA
+    partitions; the single-chip Pallas kernel is unaffected). Note on the
+    fused qkv layout: a plain column split cuts across the q/k/v boundary,
+    so GSPMD inserts resharding around the head-split — correct, and the
+    single-chip decode path (where fusion matters) never pays it.
     """
     from ..ops.quant_matmul import QuantTensor
 
@@ -47,17 +52,24 @@ def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
                                d=P(None, None, "tp"))
         return P(None, "tp", None)
 
+    if params is not None:
+        matmul_keys = tuple(k for k in params["layers"]
+                            if k in _COL_PARALLEL + _ROW_PARALLEL)
+    else:
+        matmul_keys = ("q_w", "k_w", "v_w", "gate_w", "up_w") + _ROW_PARALLEL
     layers = {
         "input_ln": repl,
         "post_ln": repl,
         "q_norm": repl,
         "k_norm": repl,
     }
-    for key in _COL_PARALLEL + _ROW_PARALLEL:
+    for key in matmul_keys:
         layers[key] = wspec(key)
     spec = {"layers": layers, "final_ln": repl, "embed": repl}
     if params is not None and "lm_head" in params:
         spec["lm_head"] = repl
+    if params is not None and "lm_head_q" in params:
+        spec["lm_head_q"] = QuantTensor(q=P("tp", None), d=P("tp", None))
     return jax.tree_util.tree_map(
         lambda p: NamedSharding(mesh, p), spec,
         is_leaf=lambda x: isinstance(x, P))

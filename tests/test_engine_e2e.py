@@ -147,8 +147,10 @@ class TestQuantizedEngine:
             llm_weight_format="q8_0")
         try:
             from fun_asr_gguf_tpu.ops.quant_matmul import QuantTensor
+            layers = eng.models.llm_params["layers"]
             assert isinstance(
-                eng.models.llm_params["layers"]["q_w"], QuantTensor)
+                layers.get("qkv_w", layers.get("q_w")), QuantTensor)
+            assert "lm_head_q" in eng.models.llm_params
             path = make_wav(tmp_path, 1.0, "q.wav", seed=42)
             res = eng.transcribe(path, verbose=False, temperature=0.0)
             assert isinstance(res.text, str)

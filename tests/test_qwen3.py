@@ -193,3 +193,73 @@ class TestGenerate:
                                       stop_tokens=(96,))
         np.testing.assert_array_equal(np.asarray(toks)[1],
                                       np.asarray(toks_solo)[0])
+
+
+class TestPackedLayout:
+    """pack_qwen3_params fuses qkv and gate/up; outputs must match."""
+
+    def test_packed_prefill_matches_unpacked(self):
+        from fun_asr_gguf_tpu.models.qwen3 import pack_qwen3_params
+        rng = np.random.default_rng(11)
+        e, m = make_prompt(rng, 1, 10, [7])
+        ref, ref_kv = qwen3_prefill(PARAMS, e, m, CFG)
+        packed = pack_qwen3_params(PARAMS)
+        assert "qkv_w" in packed["layers"]
+        assert "q_w" not in packed["layers"]
+        out, kv = qwen3_prefill(packed, e, m, CFG)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(kv.k), np.asarray(ref_kv.k),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_packed_greedy_generation_identical(self):
+        from fun_asr_gguf_tpu.models.qwen3 import pack_qwen3_params
+        rng = np.random.default_rng(12)
+        e, m = make_prompt(rng, 1, 8, [8])
+        packed = pack_qwen3_params(PARAMS)
+        outs = []
+        for p in (PARAMS, packed):
+            st = prefill_init(p, e, m, jax.random.PRNGKey(0), CFG,
+                              max_len=8 + 16)
+            _, toks = generate_chunk(p, st, CFG, jnp.asarray(0.0),
+                                     jnp.asarray(1.0), 50, chunk_len=12,
+                                     stop_tokens=(96,))
+            outs.append(np.asarray(toks))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+    def test_pack_idempotent(self):
+        from fun_asr_gguf_tpu.models.qwen3 import pack_qwen3_params
+        packed = pack_qwen3_params(PARAMS)
+        assert pack_qwen3_params(packed) is packed
+
+    def test_quantize_pack_commutes_exactly(self):
+        """q8_0 rows are independent → quantize∘pack == pack∘quantize."""
+        from fun_asr_gguf_tpu.models.qwen3 import (pack_qwen3_params,
+                                                   quantize_qwen3_params)
+        a = pack_qwen3_params(quantize_qwen3_params(PARAMS))
+        b = quantize_qwen3_params(pack_qwen3_params(PARAMS))
+        for key in ("qkv_w", "gate_up_w", "o_w", "down_w"):
+            np.testing.assert_array_equal(
+                np.asarray(a["layers"][key].q), np.asarray(b["layers"][key].q))
+            np.testing.assert_array_equal(
+                np.asarray(a["layers"][key].d), np.asarray(b["layers"][key].d))
+
+
+class TestQuantizedLMHead:
+    def test_logits_close_to_dense(self):
+        from fun_asr_gguf_tpu.models.qwen3 import quantize_lm_head
+        rng = np.random.default_rng(13)
+        e, m = make_prompt(rng, 1, 8, [8])
+        ref, _ = qwen3_prefill(PARAMS, e, m, CFG)
+        qp = quantize_lm_head(PARAMS, CFG)
+        assert "lm_head_q" in qp
+        out, _ = qwen3_prefill(qp, e, m, CFG)
+        # q8_0 head: small quantization error, argmax should agree
+        assert np.argmax(np.asarray(out)) == np.argmax(np.asarray(ref))
+        scale = np.abs(np.asarray(ref)).max()
+        assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 0.05 * scale
+
+    def test_idempotent(self):
+        from fun_asr_gguf_tpu.models.qwen3 import quantize_lm_head
+        qp = quantize_lm_head(PARAMS, CFG)
+        assert quantize_lm_head(qp, CFG) is qp

@@ -95,3 +95,65 @@ class TestInspector:
         out = capsys.readouterr().out
         assert "token_embd.weight" in out
         assert "qwen3" in out
+
+
+class TestGGUFEdit:
+    """Metadata editor: byte-faithful tensor copy, typed KV rewrite."""
+
+    def _make(self, tmp_path):
+        import numpy as np
+        from fun_asr_gguf_tpu.formats.gguf import (GGMLType, GGUFValueType,
+                                                   GGUFWriter)
+        path = str(tmp_path / "m.gguf")
+        w = GGUFWriter(path, arch="qwen3")
+        w.add_kv("general.name", "orig")
+        w.add_kv("qwen3.block_count", 2, GGUFValueType.UINT32)
+        w.add_kv("qwen3.rope.freq_base", 1e6, GGUFValueType.FLOAT32)
+        w.add_kv("tokenizer.ggml.token_type", [1, 2, 3],
+                 GGUFValueType.ARRAY, GGUFValueType.INT32)
+        rng = np.random.default_rng(0)
+        w.add_tensor("a.weight", rng.normal(size=(8, 64)).astype(np.float32))
+        w.add_tensor("b.weight", rng.normal(size=(4, 32)).astype(np.float32),
+                     ggml_type=GGMLType.Q8_0)
+        w.write()
+        return path
+
+    def test_set_and_remove_preserves_rest(self, tmp_path):
+        import numpy as np
+        from fun_asr_gguf_tpu.formats.gguf import GGUFReader, GGUFValueType
+        from fun_asr_gguf_tpu.tools.gguf_edit import main
+        src = self._make(tmp_path)
+        out = str(tmp_path / "o.gguf")
+        rc = main(["set", src, out, "--set", "general.name=edited",
+                   "--remove", "qwen3.rope.freq_base"])
+        assert rc == 0
+        r0, r1 = GGUFReader(src), GGUFReader(out)
+        assert r1.fields["general.name"] == "edited"
+        assert "qwen3.rope.freq_base" not in r1.fields
+        # declared types preserved
+        assert r1.field_types["qwen3.block_count"][0] == GGUFValueType.UINT32
+        assert r1.field_types["tokenizer.ggml.token_type"] == (
+            GGUFValueType.ARRAY, GGUFValueType.INT32)
+        assert r1.fields["tokenizer.ggml.token_type"] == [1, 2, 3]
+        # tensor payloads byte-identical (q8_0 NOT requantized)
+        for name in r0.tensor_names():
+            np.testing.assert_array_equal(
+                np.asarray(r0.tensor_raw(name)), np.asarray(r1.tensor_raw(name)))
+            assert r0.tensor_info(name).ggml_type == \
+                r1.tensor_info(name).ggml_type
+
+    def test_unknown_key_rejected_without_add(self, tmp_path, capsys):
+        from fun_asr_gguf_tpu.tools.gguf_edit import main
+        src = self._make(tmp_path)
+        out = str(tmp_path / "o2.gguf")
+        assert main(["set", src, out, "--set", "nope.key=1"]) == 2
+        assert main(["set", src, out, "--set", "nope.key=1", "--add"]) == 0
+        from fun_asr_gguf_tpu.formats.gguf import GGUFReader
+        assert GGUFReader(out).fields["nope.key"] == 1
+
+    def test_hash_runs(self, tmp_path, capsys):
+        from fun_asr_gguf_tpu.tools.gguf_edit import main
+        src = self._make(tmp_path)
+        assert main(["hash", src, "--tensors"]) == 0
+        out = capsys.readouterr().out
+        assert "sha256" in out and "a.weight" in out
