@@ -1,0 +1,202 @@
+"""HTTP transcription server (stdlib, zero dependencies).
+
+The TPU-serving analogue of the reference's bundled ``llama-server.exe``
+(reference ``fun_asr_gguf/bin/``, unused by its Python path) reshaped for
+ASR: a small threaded HTTP front-end over ``FunASREngine`` for production
+deployment on a TPU host.
+
+Endpoints:
+  GET  /v1/health            → engine/model status JSON
+  POST /v1/transcribe        → body = audio file bytes (wav/mp3/flac/...);
+                               options via query string: language, context,
+                               temperature, top_p, top_k, segment_size,
+                               overlap, srt=1. Response JSON: text,
+                               segments, ctc_text, hotwords, timings, rtf
+                               (+ srt when requested).
+
+Device programs are single-stream; requests are serialized through a lock
+(concurrent clients queue — batched multi-stream serving can use
+``engine.decode_streams`` behind a gateway that aggregates requests).
+
+Usage:
+    python -m fun_asr_gguf_tpu.server --checkpoint model_dir --port 8090
+"""
+
+import argparse
+import json
+import logging
+import os
+import tempfile
+import threading
+import time
+from dataclasses import asdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+logger = logging.getLogger("fun_asr_gguf_tpu.server")
+
+MAX_BODY_BYTES = 512 * 1024 * 1024      # reject absurd uploads
+
+
+class ASRRequestHandler(BaseHTTPRequestHandler):
+    """One handler class per server instance (engine injected via class
+    attribute by make_server)."""
+
+    engine = None
+    engine_lock: threading.Lock = None
+    server_version = "fun-asr-gguf-tpu"
+
+    # -- helpers -------------------------------------------------------------
+    def _send_json(self, code: int, payload: dict):
+        raw = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json; charset=utf-8")
+        self.send_header("Content-Length", str(len(raw)))
+        self.end_headers()
+        self.wfile.write(raw)
+
+    def log_message(self, fmt, *args):          # route to logging, not stderr
+        logger.info("%s - %s", self.address_string(), fmt % args)
+
+    # -- routes --------------------------------------------------------------
+    def do_GET(self):
+        path = urlparse(self.path).path
+        if path in ("/v1/health", "/health"):
+            cfg = self.engine.config
+            return self._send_json(200, {
+                "status": "ok",
+                "model": os.path.basename(cfg.checkpoint_dir.rstrip("/")),
+                "sample_rate": cfg.sample_rate,
+                "llm_weight_format": cfg.llm_weight_format,
+                "compute_dtype": cfg.compute_dtype,
+            })
+        return self._send_json(404, {"error": f"unknown path {path!r}"})
+
+    def do_POST(self):
+        parsed = urlparse(self.path)
+        if parsed.path not in ("/v1/transcribe", "/transcribe"):
+            return self._send_json(404,
+                                   {"error": f"unknown path {parsed.path!r}"})
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            length = 0
+        if length <= 0:
+            return self._send_json(400, {"error": "empty body — POST the "
+                                                  "audio file bytes"})
+        if length > MAX_BODY_BYTES:
+            return self._send_json(413, {"error": "body too large"})
+        body = self.rfile.read(length)
+
+        q = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+        try:
+            opts = dict(
+                language=q.get("language"),
+                context=q.get("context"),
+                temperature=float(q.get("temperature", 0.4)),
+                top_p=float(q.get("top_p", 1.0)),
+                top_k=int(q.get("top_k", 50)),
+                segment_size=float(q.get("segment_size", 60.0)),
+                overlap=float(q.get("overlap", 2.0)),
+                start_second=(float(q["start_second"])
+                              if "start_second" in q else None),
+                duration=(float(q["duration"]) if "duration" in q else None),
+                srt=q.get("srt", "0") in ("1", "true", "yes"),
+            )
+        except ValueError as e:
+            return self._send_json(400, {"error": f"bad query param: {e}"})
+
+        suffix = {"audio/mpeg": ".mp3", "audio/wav": ".wav",
+                  "audio/x-wav": ".wav", "audio/flac": ".flac",
+                  "audio/ogg": ".ogg"}.get(
+            (self.headers.get("Content-Type") or "").split(";")[0].strip(),
+            ".bin")
+        tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+        srt_path = None
+        try:
+            tmp.write(body)
+            tmp.close()
+            t0 = time.perf_counter()
+            with self.engine_lock:
+                try:
+                    result = self.engine.transcribe(
+                        tmp.name, verbose=False, **opts)
+                except RuntimeError as e:
+                    if "could not decode" in str(e):
+                        return self._send_json(
+                            400, {"error": f"undecodable audio: {e}"})
+                    raise
+            wall = time.perf_counter() - t0
+            payload = {
+                "text": result.text,
+                "segments": result.segments,
+                "ctc_text": result.ctc_text,
+                "hotwords": result.hotwords,
+                "timings": asdict(result.timings),
+                "wall_s": round(wall, 4),
+            }
+            if result.segments:
+                audio_s = max(s.get("start", 0.0)
+                              for s in result.segments) or 0.0
+                if audio_s > 0:
+                    payload["rtf"] = round(wall / audio_s, 5)
+            if opts["srt"]:
+                srt_path = os.path.splitext(tmp.name)[0] + ".srt"
+                if os.path.exists(srt_path):
+                    with open(srt_path, encoding="utf-8") as f:
+                        payload["srt"] = f.read()
+            return self._send_json(200, payload)
+        except Exception as e:                              # noqa: BLE001
+            logger.exception("transcription failed")
+            return self._send_json(500, {"error": str(e)})
+        finally:
+            for p in (tmp.name, srt_path):
+                if p and os.path.exists(p):
+                    os.unlink(p)
+
+
+def make_server(engine, host: str = "127.0.0.1", port: int = 8090
+                ) -> ThreadingHTTPServer:
+    """Build (don't start) a threaded HTTP server bound to the engine."""
+    handler = type("BoundASRHandler", (ASRRequestHandler,), {
+        "engine": engine,
+        "engine_lock": threading.Lock(),
+    })
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv: Optional[list] = None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8090)
+    ap.add_argument("--llm-weight-format", default="auto",
+                    choices=("auto", "bf16", "q8_0"))
+    ap.add_argument("--n-predict", type=int, default=512)
+    ap.add_argument("--compute-dtype", default="bfloat16",
+                    choices=("bfloat16", "float32"))
+    ap.add_argument("--segment-pad-seconds", type=float, default=60.0,
+                    help="static audio window compiled per segment")
+    args = ap.parse_args(argv)
+
+    from . import create_asr_engine
+    engine = create_asr_engine(checkpoint_dir=args.checkpoint,
+                               llm_weight_format=args.llm_weight_format,
+                               n_predict=args.n_predict,
+                               compute_dtype=args.compute_dtype,
+                               segment_pad_seconds=args.segment_pad_seconds)
+    server = make_server(engine, args.host, args.port)
+    print(f"[server] listening on http://{args.host}:{args.port} "
+          f"(POST /v1/transcribe)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        engine.cleanup()
+
+
+if __name__ == "__main__":
+    main()

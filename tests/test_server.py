@@ -1,0 +1,125 @@
+# coding: utf-8
+"""HTTP serving layer tests: spin the threaded server on a tiny random
+checkpoint and drive it with real HTTP requests."""
+
+import base64
+import json
+import os
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from fun_asr_gguf_tpu.audio import write_wav
+from fun_asr_gguf_tpu.hotword.manager import reset_hotword_manager
+from fun_asr_gguf_tpu.models.config import HybridConfig
+from fun_asr_gguf_tpu.models.loaders import create_random_checkpoint
+
+
+@pytest.fixture(scope="module")
+def served_engine(tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("srv_ckpt") / "model")
+    cfg = create_random_checkpoint(ckpt, HybridConfig.tiny(), seed=0)
+    lines = []
+    for i in range(cfg.ctc.vocab_size):
+        ch = chr(ord("一") + i) if i < cfg.ctc.vocab_size - 1 else "<blk>"
+        lines.append(f"{base64.b64encode(ch.encode()).decode()} {i}")
+    with open(os.path.join(ckpt, "tokens.txt"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(os.path.join(ckpt, "hot.txt"), "w", encoding="utf-8") as f:
+        f.write("测试\n")
+
+    reset_hotword_manager()
+    from fun_asr_gguf_tpu import create_asr_engine
+    from fun_asr_gguf_tpu.server import make_server
+    eng = create_asr_engine(
+        checkpoint_dir=ckpt, verbose=False, compute_dtype="float32",
+        segment_pad_seconds=2.0, n_predict=8, prefill_buckets=(64,))
+    server = make_server(eng, "127.0.0.1", 0)     # ephemeral port
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base
+    server.shutdown()
+    eng.cleanup()
+    reset_hotword_manager()
+
+
+def _wav_bytes(seconds=1.0, seed=0, tmpdir="/tmp"):
+    import tempfile
+    sig = np.random.default_rng(seed).normal(size=int(16000 * seconds)) * 0.05
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        path = f.name
+    write_wav(path, sig, 16000)
+    with open(path, "rb") as f:
+        raw = f.read()
+    os.unlink(path)
+    return raw
+
+
+def _post(url, data, content_type="audio/wav"):
+    req = urllib.request.Request(url, data=data, method="POST",
+                                 headers={"Content-Type": content_type})
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        return resp.status, json.loads(resp.read().decode("utf-8"))
+
+
+class TestServer:
+    def test_health(self, served_engine):
+        with urllib.request.urlopen(served_engine + "/v1/health",
+                                    timeout=60) as resp:
+            body = json.loads(resp.read().decode())
+        assert resp.status == 200
+        assert body["status"] == "ok"
+        assert body["sample_rate"] == 16000
+
+    def test_transcribe_wav(self, served_engine):
+        status, body = _post(served_engine + "/v1/transcribe?temperature=0",
+                             _wav_bytes())
+        assert status == 200
+        assert isinstance(body["text"], str)
+        assert isinstance(body["segments"], list)
+        assert "timings" in body and body["wall_s"] > 0
+
+    def test_transcribe_deterministic_greedy(self, served_engine):
+        wav = _wav_bytes(seed=7)
+        _, a = _post(served_engine + "/v1/transcribe?temperature=0", wav)
+        _, b = _post(served_engine + "/v1/transcribe?temperature=0", wav)
+        assert a["text"] == b["text"]
+
+    def test_unknown_path_404(self, served_engine):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(served_engine + "/v1/nope", _wav_bytes())
+        assert e.value.code == 404
+
+    def test_empty_body_400(self, served_engine):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(served_engine + "/v1/transcribe", b"")
+        assert e.value.code == 400
+
+    def test_garbage_audio_400(self, served_engine):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(served_engine + "/v1/transcribe", b"\x00\x01not audio" * 50)
+        assert e.value.code in (400, 500)
+        body = json.loads(e.value.read().decode())
+        assert "error" in body
+
+    def test_bad_query_param_400(self, served_engine):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(served_engine + "/v1/transcribe?temperature=hot",
+                  _wav_bytes())
+        assert e.value.code == 400
+
+    def test_concurrent_requests_serialize(self, served_engine):
+        wav = _wav_bytes(seed=9)
+        results = [None, None]
+        def hit(i):
+            results[i] = _post(
+                served_engine + "/v1/transcribe?temperature=0", wav)
+        ts = [threading.Thread(target=hit, args=(i,)) for i in range(2)]
+        [t.start() for t in ts]
+        [t.join(timeout=300) for t in ts]
+        assert all(r is not None and r[0] == 200 for r in results)
+        assert results[0][1]["text"] == results[1][1]["text"]
