@@ -126,8 +126,8 @@ def main():
             fetch(out)
             return time.perf_counter() - t0
 
-        t1 = min(total(n1) for _ in range(2))
-        t2 = min(total(n2) for _ in range(2))
+        t1 = min(total(n1) for _ in range(3))
+        t2 = min(total(n2) for _ in range(3))
         if t2 <= t1:                # timing noise swamped the measurement
             log(f"{label}: degenerate timing t({n1})={t1:.3f} t({n2})={t2:.3f}"
                 " — falling back to single-point estimate")
@@ -152,7 +152,7 @@ def main():
         return encode_fn(enc_params_pair, consts,
                          audio + (i + 1) * 1e-6, feed)[0]
 
-    t_encode = chain_per_call(encode_call, 2, 6, "encode")
+    t_encode = chain_per_call(encode_call, 2, 10, "encode")
     _partial["encode_ms"] = round(t_encode * 1000, 2)
 
     enc, embd = encode_fn(enc_params_pair, consts, audio, jnp.float32(0.0))
@@ -165,7 +165,7 @@ def main():
     t_ctc = chain_per_call(
         lambda i, feed: ctc_fn(ctc_params,
                                enc + jnp.bfloat16((i + 1) * 1e-3), feed),
-        2, 6, "ctc")
+        2, 10, "ctc")
     _partial["ctc_ms"] = round(t_ctc * 1000, 2)
 
     # ---- LLM prefill ----
@@ -182,16 +182,19 @@ def main():
                           max_len=max_len)
         return st.logits
 
-    t_prefill = chain_per_call(prefill_call, 2, 6, "prefill")
+    t_prefill = chain_per_call(prefill_call, 2, 10, "prefill")
     _partial["prefill_ms"] = round(t_prefill * 1000, 2)
 
     # ---- generation: chunked decode, same shape as the engine path ----
-    def measure_generation(params, label):
+    def measure_generation(params, label, gen_prompt=None, gen_mask=None):
+        gen_prompt = prompt if gen_prompt is None else gen_prompt
+        gen_mask = mask if gen_mask is None else gen_mask
         chunk = 4 if _TINY else 64
         n_chunks_full = max(1, N_GEN // chunk)
 
         def gen_chunks(n_chunks, seed):
-            st = prefill_init(params, prompt, mask, jax.random.PRNGKey(seed),
+            st = prefill_init(params, gen_prompt, gen_mask,
+                              jax.random.PRNGKey(seed),
                               cfg.llm, max_len=max_len)
             toks = None
             for _ in range(n_chunks):
@@ -235,9 +238,29 @@ def main():
         log("q8_0 generation failed:", e)
         per_tok_q8 = float("inf")
 
+    # ---- batched multi-stream decode (BASELINE configs[3]): N concurrent
+    # audios sharing one device program / KV cache ----
+    B = 2 if _TINY else 4
+    promptB = jnp.concatenate(
+        [prompt + jnp.bfloat16(i * 1e-3) for i in range(B)], axis=0)
+    maskB = jnp.ones((B, N_PROMPT), jnp.float32)
+    try:
+        per_step_b = measure_generation(llm_packed, f"generate[bf16,b{B}]",
+                                        promptB, maskB)
+        _partial[f"generate_tokens_per_s_batch{B}"] = round(
+            B / per_step_b, 1)
+    except Exception as e:
+        log(f"batched generation failed: {e}")
+        per_step_b = None
+
     per_tok = min(per_tok_bf16, per_tok_q8)
     t_gen = per_tok * N_GEN
     gen_tps = 1.0 / per_tok
+
+    def tree_bytes(tree):
+        return int(sum(x.size * x.dtype.itemsize
+                       for x in jax.tree_util.tree_leaves(tree)
+                       if hasattr(x, "dtype")))
 
     total = t_encode + t_ctc + t_prefill + t_gen
     rtf = total / AUDIO_SECONDS
@@ -255,8 +278,15 @@ def main():
         "generate_tokens_per_s_bf16": round(1.0 / per_tok_bf16, 1),
         "generate_tokens_per_s_q8_0": (round(1.0 / per_tok_q8, 1)
                                        if np.isfinite(per_tok_q8) else None),
+        f"generate_tokens_per_s_batch{B}": (round(B / per_step_b, 1)
+                                            if per_step_b else None),
         "gen_vs_baseline": round(gen_tps / REF_GEN_TOKS_PER_S, 2),
         "total_s": round(total, 4),
+        # HBM footprints (reference: ~400 MB encoder + ~1.2 GB q8_0 LLM,
+        # README.md:132-141)
+        "encoder_mb": round(tree_bytes(audio_params) / 1e6, 1),
+        "llm_bf16_mb": round(tree_bytes(llm_packed) / 1e6, 1),
+        "llm_q8_0_mb": round(tree_bytes(qparams) / 1e6, 1),
         "device": str(dev),
     }
     signal.alarm(0)

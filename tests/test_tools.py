@@ -157,3 +157,50 @@ class TestGGUFEdit:
         assert main(["hash", src, "--tensors"]) == 0
         out = capsys.readouterr().out
         assert "sha256" in out and "a.weight" in out
+
+
+class TestEvalCER:
+    def test_identical_zero(self):
+        from fun_asr_gguf_tpu.tools.eval_cer import cer
+        r = cer("大家好，欢迎收看。", "大家好，欢迎收看。")
+        assert r["cer"] == 0.0
+        assert r["ref_chars"] == 7   # punctuation stripped
+
+    def test_known_ops(self):
+        from fun_asr_gguf_tpu.tools.eval_cer import cer
+        # ref 5 chars; hyp: 1 sub + 1 del
+        r = cer("一二三四五", "一二X四")
+        assert r["substitutions"] == 1
+        assert r["deletions"] == 1
+        assert r["insertions"] == 0
+        assert abs(r["cer"] - 2 / 5) < 1e-9
+
+    def test_insertion(self):
+        from fun_asr_gguf_tpu.tools.eval_cer import cer
+        r = cer("一二三", "一二三四")
+        assert r["insertions"] == 1 and r["cer"] == pytest.approx(1 / 3)
+
+    def test_punct_modes(self):
+        from fun_asr_gguf_tpu.tools.eval_cer import cer
+        assert cer("你好。", "你好", strip_punct=True)["cer"] == 0.0
+        assert cer("你好。", "你好", strip_punct=False)["cer"] > 0.0
+
+    def test_wer(self):
+        from fun_asr_gguf_tpu.tools.eval_cer import wer
+        r = wer("the cat sat", "the cat sit")
+        assert r["substitutions"] == 1 and r["wer"] == pytest.approx(1 / 3)
+
+    def test_golden_self_score(self, capsys):
+        from fun_asr_gguf_tpu.tools.eval_cer import (GOLDEN_INPUT_MP3, cer)
+        assert cer(GOLDEN_INPUT_MP3, GOLDEN_INPUT_MP3)["cer"] == 0.0
+        # golden text sanity: ~350 chars Chinese (README.md:200 "~350 字")
+        from fun_asr_gguf_tpu.tools.eval_cer import normalize
+        n = len(normalize(GOLDEN_INPUT_MP3))
+        assert 300 < n < 420
+
+    def test_cli_files(self, tmp_path, capsys):
+        from fun_asr_gguf_tpu.tools.eval_cer import main
+        ref = tmp_path / "r.txt"; ref.write_text("一二三四五", "utf-8")
+        hyp = tmp_path / "h.txt"; hyp.write_text("一二三四五", "utf-8")
+        assert main(["--ref", str(ref), "--hyp", str(hyp)]) == 0
+        assert "CER: 0.0000" in capsys.readouterr().out
