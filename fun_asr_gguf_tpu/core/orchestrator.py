@@ -50,6 +50,7 @@ class TranscriptionOrchestrator:
                 result.timings.load_audio = time.perf_counter() - t0
 
                 audio_duration = len(audio) / self.models.config.sample_rate
+                result.audio_seconds = audio_duration
                 reporter.print(f"    音频长度: {audio_duration:.2f}s")
                 if start_second:
                     reporter.print(f"    起始偏移: {start_second:.2f}s")

@@ -81,6 +81,7 @@ class TranscriptionResult:
     ctc_text: str = ""
     hotwords: List[str] = field(default_factory=list)
     timings: Timings = field(default_factory=Timings)
+    audio_seconds: float = 0.0     # decoded clip length (RTF denominator)
 
 
 # ==================== Engine configuration ====================

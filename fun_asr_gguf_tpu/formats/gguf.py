@@ -148,15 +148,19 @@ class _Cursor:
             etype = self.scalar("<I")
             count = self.scalar("<Q")
             etype = GGUFValueType(etype)
-            self.last_etype = etype
             if etype == GGUFValueType.STRING:
-                return [self.string() for _ in range(count)]
-            if etype == GGUFValueType.ARRAY:
-                return [self.value(etype) for _ in range(count)]
-            fmt = _SCALAR_FMT[etype]
-            size = struct.calcsize(fmt)
-            raw = self.read(size * count)
-            return list(struct.unpack(f"<{count}{fmt[-1]}", raw))
+                out = [self.string() for _ in range(count)]
+            elif etype == GGUFValueType.ARRAY:
+                # nested arrays: recursion clobbers last_etype — restore
+                # the OUTER element type afterwards
+                out = [self.value(etype) for _ in range(count)]
+            else:
+                fmt = _SCALAR_FMT[etype]
+                size = struct.calcsize(fmt)
+                raw = self.read(size * count)
+                out = list(struct.unpack(f"<{count}{fmt[-1]}", raw))
+            self.last_etype = etype
+            return out
         return self.scalar(_SCALAR_FMT[vtype])
 
 

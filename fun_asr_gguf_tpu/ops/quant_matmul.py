@@ -84,21 +84,37 @@ def dequantize_weight(qt: QuantTensor) -> jnp.ndarray:
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _q8_matmul_kernel(x_ref, q_ref, d_ref, o_ref):
-    """One (m, TN) output tile: dequantize the int8 tile in VMEM, matmul.
+def _dequant_dot(x, q, d, o_ref):
+    """Shared kernel body: dequantize one (TN, K) int8 tile, matmul into o.
 
     Inputs are block-transposed along k, so the lane-j scale is
     ``d[:, j % (k/32)]`` — i.e. ``d`` tiled 32× along lanes. Lane concat is
     a supported Mosaic op; the interleaving reshape is not.
     """
-    q = q_ref[:]                                     # [TN, K] int8 (permuted)
-    d = d_ref[:].astype(jnp.bfloat16)                # [TN, K//32] scales
-    dexp = jnp.concatenate([d] * BLOCK, axis=1)      # [TN, K]
+    dexp = jnp.concatenate([d.astype(jnp.bfloat16)] * BLOCK, axis=1)
     deq = q.astype(jnp.bfloat16) * dexp
-    x = x_ref[:].astype(jnp.bfloat16)                # [M, K] (permuted)
     o_ref[:] = jax.lax.dot_general(
-        x, deq, (((1,), (1,)), ((), ())),
+        x.astype(jnp.bfloat16), deq, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+
+
+def _pick_tile(n: int, k: int, tile_n: int) -> int:
+    """Tile policy: as large as the VMEM dequant working set allows
+    (per-grid-step fixed costs dominate bandwidth-bound decode matvecs);
+    must divide n on a 128-lane boundary. Returns 0 when impossible."""
+    if tile_n == 0:
+        tile_n = 1024 if k <= 2048 else 512
+    tile_n = min(tile_n, n)
+    if n % tile_n != 0:
+        # largest 128-multiple dividing n (the Qwen3 vocab 151936 =
+        # 128 x 1187 admits only 128)
+        tile_n = next((t for t in range(tile_n - tile_n % 128, 127, -128)
+                       if n % t == 0), 0)
+    return tile_n
+
+
+def _q8_matmul_kernel(x_ref, q_ref, d_ref, o_ref):
+    _dequant_dot(x_ref[:], q_ref[:], d_ref[:], o_ref)
 
 
 @functools.partial(jax.jit,
@@ -117,22 +133,10 @@ def quant_matmul(x: jnp.ndarray, qt: QuantTensor, tile_n: int = 0,
     """
     m, k = x.shape
     n = qt.q.shape[0]
+    tile_n = _pick_tile(n, k, tile_n) if use_pallas else 0
     if tile_n == 0:
-        tile_n = 1024 if k <= 2048 else 512
-    if not use_pallas:
+        # non-pallas request, or no lane-aligned tiling — dequantize-then-dot
         deq = dequantize_weight(qt)                  # [k, n]
-        return jnp.dot(x.astype(jnp.bfloat16), deq.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-
-    tile_n = min(tile_n, n)
-    if n % tile_n != 0:
-        # pick the largest 128-multiple tile dividing n (e.g. the Qwen3
-        # vocab 151936 = 128 x 1187 admits only 128)
-        tile_n = next((t for t in range(tile_n - tile_n % 128, 127, -128)
-                       if n % t == 0), 0)
-    if tile_n == 0:
-        # no lane-aligned tiling — fall back to the dequantize-then-dot path
-        deq = dequantize_weight(qt)
         return jnp.dot(x.astype(jnp.bfloat16), deq.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
 
@@ -181,14 +185,7 @@ class IndexedQuant(NamedTuple):
 
 
 def _q8_matmul_idx_kernel(l_ref, x_ref, q_ref, d_ref, o_ref):
-    q = q_ref[0]                                     # [TN, K] int8 (permuted)
-    d = d_ref[0].astype(jnp.bfloat16)                # [TN, K//32]
-    dexp = jnp.concatenate([d] * BLOCK, axis=1)      # [TN, K]
-    deq = q.astype(jnp.bfloat16) * dexp
-    x = x_ref[:].astype(jnp.bfloat16)                # [M, K] (permuted)
-    o_ref[:] = jax.lax.dot_general(
-        x, deq, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    _dequant_dot(x_ref[:], q_ref[0], d_ref[0], o_ref)
 
 
 def quant_matmul_indexed(x: jnp.ndarray, qt: QuantTensor, layer_idx,
@@ -214,20 +211,12 @@ def _quant_matmul_static_idx(x, qt, layer_idx: int, tile_n, use_pallas,
                              interpret):
     m, k = x.shape
     _, n, _ = qt.q.shape
-    if not use_pallas:
+    tile_n = _pick_tile(n, k, tile_n) if use_pallas else 0
+    if tile_n == 0:
         sl = QuantTensor(q=qt.q[layer_idx], d=qt.d[layer_idx])
         deq = dequantize_weight(sl)
         return jnp.dot(x.astype(jnp.bfloat16), deq.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-    if tile_n == 0:
-        tile_n = 1024 if k <= 2048 else 512
-    tile_n = min(tile_n, n)
-    if n % tile_n != 0:
-        tile_n = next((t for t in range(tile_n - tile_n % 128, 127, -128)
-                       if n % t == 0), 0)
-        if tile_n == 0:
-            return _quant_matmul_static_idx(x, qt, layer_idx, 0, False,
-                                            interpret)
     xp = block_permute(x)
     li = layer_idx
     return pl.pallas_call(
@@ -251,14 +240,7 @@ def _quant_matmul_static_idx(x, qt, layer_idx: int, tile_n, use_pallas,
 
 def _q8_matmul_idx_kernel_nos(x_ref, q_ref, d_ref, o_ref):
     """Static-index variant: no scalar-prefetch argument."""
-    q = q_ref[0]
-    d = d_ref[0].astype(jnp.bfloat16)
-    dexp = jnp.concatenate([d] * BLOCK, axis=1)
-    deq = q.astype(jnp.bfloat16) * dexp
-    x = x_ref[:].astype(jnp.bfloat16)
-    o_ref[:] = jax.lax.dot_general(
-        x, deq, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    _dequant_dot(x_ref[:], q_ref[0], d_ref[0], o_ref)
 
 
 @functools.partial(jax.jit,
@@ -268,7 +250,8 @@ def _quant_matmul_dyn_idx(x: jnp.ndarray, qt: QuantTensor, layer_idx,
                           interpret: bool = False) -> jnp.ndarray:
     m, k = x.shape
     _, n, _ = qt.q.shape
-    if not use_pallas:
+    tile_n = _pick_tile(n, k, tile_n) if use_pallas else 0
+    if tile_n == 0:
         sl = QuantTensor(q=jax.lax.dynamic_index_in_dim(qt.q, layer_idx, 0,
                                                         keepdims=False),
                          d=jax.lax.dynamic_index_in_dim(qt.d, layer_idx, 0,
@@ -276,16 +259,6 @@ def _quant_matmul_dyn_idx(x: jnp.ndarray, qt: QuantTensor, layer_idx,
         deq = dequantize_weight(sl)
         return jnp.dot(x.astype(jnp.bfloat16), deq.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-
-    if tile_n == 0:
-        tile_n = 1024 if k <= 2048 else 512
-    tile_n = min(tile_n, n)
-    if n % tile_n != 0:
-        tile_n = next((t for t in range(tile_n - tile_n % 128, 127, -128)
-                       if n % t == 0), 0)
-        if tile_n == 0:
-            return quant_matmul_indexed(x, qt, layer_idx,
-                                        use_pallas=False)
 
     xp = block_permute(x)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -110,8 +110,11 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
         suffix = {"audio/mpeg": ".mp3", "audio/wav": ".wav",
                   "audio/x-wav": ".wav", "audio/flac": ".flac",
                   "audio/ogg": ".ogg"}.get(
-            (self.headers.get("Content-Type") or "").split(";")[0].strip(),
-            ".bin")
+            (self.headers.get("Content-Type") or "").split(";")[0].strip())
+        if suffix is None:
+            # content-sniff: a WAV posted without a Content-Type must still
+            # reach the extension-gated stdlib WAV parser
+            suffix = ".wav" if body[:4] == b"RIFF" else ".bin"
         tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
         srt_path = None
         try:
@@ -136,11 +139,9 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
                 "timings": asdict(result.timings),
                 "wall_s": round(wall, 4),
             }
-            if result.segments:
-                audio_s = max(s.get("start", 0.0)
-                              for s in result.segments) or 0.0
-                if audio_s > 0:
-                    payload["rtf"] = round(wall / audio_s, 5)
+            if result.audio_seconds > 0:
+                payload["audio_seconds"] = round(result.audio_seconds, 3)
+                payload["rtf"] = round(wall / result.audio_seconds, 5)
             if opts["srt"]:
                 srt_path = os.path.splitext(tmp.name)[0] + ".srt"
                 if os.path.exists(srt_path):

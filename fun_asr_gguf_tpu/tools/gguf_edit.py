@@ -58,6 +58,13 @@ def cmd_set(args) -> int:
         changes[key] = val
     removals = set(args.remove or [])
 
+    if "general.alignment" in changes or "general.alignment" in removals:
+        # the writer owns alignment (it lays out tensor offsets with it);
+        # letting an edit through would leave two conflicting KV pairs
+        print("general.alignment is managed by the writer and cannot be "
+              "edited", file=sys.stderr)
+        return 2
+
     unknown = (set(changes) - set(r.fields)) | (removals - set(r.fields))
     if unknown and not args.add:
         print(f"keys not present (pass --add to create): {sorted(unknown)}",

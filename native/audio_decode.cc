@@ -55,7 +55,9 @@ struct DecodeCtx {
 int ensure_swr(DecodeCtx& c, const AVFrame* f, int dst_rate) {
   if (c.swr) return 0;
   AVChannelLayout out_layout = AV_CHANNEL_LAYOUT_MONO;
-  AVChannelLayout in_layout;
+  // zero-init: av_channel_layout_copy uninits dst first, and garbage bytes
+  // reading as AV_CHANNEL_ORDER_CUSTOM would av_freep a wild pointer
+  AVChannelLayout in_layout = {};
   if (f->ch_layout.nb_channels > 0) {
     av_channel_layout_copy(&in_layout, &f->ch_layout);
   } else {
@@ -134,17 +136,30 @@ long fa_decode_audio(const char* path, int dst_rate, float** out_samples) {
       av_packet_unref(c.pkt);
       continue;
     }
-    r = avcodec_send_packet(c.dec, eof ? nullptr : c.pkt);
-    if (!eof) av_packet_unref(c.pkt);
-    if (r < 0 && r != AVERROR(EAGAIN) && r != AVERROR_EOF) return -10;
-    while (true) {
-      r = avcodec_receive_frame(c.dec, c.frame);
-      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
-      if (r < 0) return -11;
-      if (ensure_swr(c, c.frame, dst_rate) < 0) return -12;
-      if (convert_frame(c, c.frame, dst_rate, pcm) < 0) return -13;
-      av_frame_unref(c.frame);
+    // send may return EAGAIN (decoder output queue full) — drain frames
+    // and re-send the same packet so no audio is silently dropped
+    bool sent = false;
+    while (!sent) {
+      r = avcodec_send_packet(c.dec, eof ? nullptr : c.pkt);
+      if (r == 0 || r == AVERROR_EOF) {
+        sent = true;
+      } else if (r != AVERROR(EAGAIN)) {
+        if (!eof) av_packet_unref(c.pkt);
+        return -10;
+      }
+      while (true) {
+        r = avcodec_receive_frame(c.dec, c.frame);
+        if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+        if (r < 0) {
+          if (!eof) av_packet_unref(c.pkt);
+          return -11;
+        }
+        if (ensure_swr(c, c.frame, dst_rate) < 0) return -12;
+        if (convert_frame(c, c.frame, dst_rate, pcm) < 0) return -13;
+        av_frame_unref(c.frame);
+      }
     }
+    if (!eof) av_packet_unref(c.pkt);
   }
   // Flush the resampler's buffered tail.
   if (c.swr) {

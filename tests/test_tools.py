@@ -204,3 +204,32 @@ class TestEvalCER:
         hyp = tmp_path / "h.txt"; hyp.write_text("一二三四五", "utf-8")
         assert main(["--ref", str(ref), "--hyp", str(hyp)]) == 0
         assert "CER: 0.0000" in capsys.readouterr().out
+
+
+def test_alignment_edit_rejected(tmp_path):
+    import numpy as np
+    from fun_asr_gguf_tpu.formats.gguf import GGUFWriter
+    from fun_asr_gguf_tpu.tools.gguf_edit import main
+    src = str(tmp_path / "a.gguf")
+    w = GGUFWriter(src, arch="qwen3")
+    w.add_tensor("t", np.zeros((4, 32), np.float32))
+    w.write()
+    out = str(tmp_path / "oa.gguf")
+    assert main(["set", src, out, "--set", "general.alignment=64"]) == 2
+
+
+def test_nested_array_types_preserved(tmp_path):
+    import numpy as np
+    from fun_asr_gguf_tpu.formats.gguf import (GGUFReader, GGUFValueType,
+                                               GGUFWriter)
+    path = str(tmp_path / "n.gguf")
+    w = GGUFWriter(path, arch="qwen3")
+    w.add_kv("nested", [[1, 2], [3]], GGUFValueType.ARRAY,
+             GGUFValueType.ARRAY)
+    w.add_tensor("t", np.zeros((4, 32), np.float32))
+    w.write()
+    r = GGUFReader(path)
+    assert r.fields["nested"] == [[1, 2], [3]]
+    # outer etype must be ARRAY, not the inner scalar type
+    assert r.field_types["nested"] == (GGUFValueType.ARRAY,
+                                       GGUFValueType.ARRAY)
