@@ -13,10 +13,13 @@ on top of the jitted TPU programs:
   ``core/decoder.py:201-211``).
 """
 
+import logging
 import time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger("fun_asr_gguf_tpu.core")
 
 from ..ctc import align_timestamps, decode_ctc
 from ..datatypes import (DecodeResult, LLMDecodeResult, RecognitionStream,
@@ -50,11 +53,33 @@ class CTCDecoder:
         t_stats["decode"] = time.perf_counter() - t0
         t_stats.update(ctc_details)
 
+        # prefix beam search (opt-in): a better transcript for hotword
+        # recall, with shallow-fusion bonuses toward the hotword list.
+        # Greedy stays the timestamp source (exact frame indices).
+        recall_text = ctc_text
+        if self.models.config.ctc_beam_size > 1 and ctc_text:
+            t0 = time.perf_counter()
+            try:
+                from ..ctc_beam import beam_decode
+                hw_list = (list(self.models.corrector.hotwords)
+                           if self.models.corrector
+                           and self.models.corrector.hotwords else ())
+                recall_text = beam_decode(
+                    self.models.ctc_topk(enc_output),
+                    self.models.ctc_id2token,
+                    beam_size=self.models.config.ctc_beam_size,
+                    hotwords=hw_list,
+                    char_bonus=self.models.config.hotword_beam_bonus,
+                ) or ctc_text
+            except Exception:
+                logger.exception("ctc beam search failed; using greedy")
+            t_stats["decode"] += time.perf_counter() - t0
+
         hotwords: List[str] = []
         t0 = time.perf_counter()
         if (self.models.corrector and self.models.corrector.hotwords
-                and ctc_text):
-            res = self.models.corrector.correct(ctc_text, k=max_hotwords)
+                and recall_text):
+            res = self.models.corrector.correct(recall_text, k=max_hotwords)
             candidates = set()
             for _, hw, _ in res.matchs:
                 candidates.add(hw)

@@ -65,6 +65,7 @@ class ModelManager:
         self._compute_dtype = jnp.bfloat16 \
             if config.compute_dtype == "bfloat16" else jnp.float32
         self._ctc_fn_cache = None
+        self._ctc_topk_cache = None
         self._initialized = False
 
     # -- static-shape policy -------------------------------------------------
@@ -186,6 +187,17 @@ class ModelManager:
         """enc_output [1,T,d] → argmax indices [T] (int32, host)."""
         idx = self._ctc_fn(self.ctc_params, enc_output)
         return np.asarray(idx[0])
+
+    def ctc_topk(self, enc_output):
+        """Per-frame top-k CTC log-probs for prefix beam search:
+        (vals [1,T,k], ids [1,T,k], blank_lp [1,T]) as host arrays."""
+        if self._ctc_topk_cache is None:
+            from ..models.adaptor import ctc_topk_forward
+            self._ctc_topk_cache = jax.jit(partial(
+                ctc_topk_forward, cfg=self.hybrid_cfg.ctc,
+                k=self.config.ctc_beam_topk))
+        vals, ids, blank = self._ctc_topk_cache(self.ctc_params, enc_output)
+        return (np.asarray(vals), np.asarray(ids), np.asarray(blank))
 
     def prefill(self, full_embd: np.ndarray, rng_seed: int):
         """Left-pad the prompt into its bucket and run prefill."""

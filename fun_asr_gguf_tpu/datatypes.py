@@ -114,6 +114,10 @@ class ASREngineConfig:
     mesh_shape: Optional[Dict[str, int]] = None   # e.g. {"dp": 1, "tp": 4}
     prefill_buckets: tuple = (256, 512)
     fuse_projections: bool = True            # pack qkv / gate-up matmuls
+    ctc_beam_size: int = 1                   # >1: prefix beam search for the
+                                             # hotword-recall transcript
+    ctc_beam_topk: int = 8                   # per-frame device candidates
+    hotword_beam_bonus: float = 2.0          # shallow-fusion char bonus
 
 
 # ==================== CTC ====================

@@ -32,7 +32,9 @@ class FunASREngine:
                  segment_pad_seconds: float = 60.0,
                  prefill_buckets=(256, 512),
                  llm_weight_format: str = "auto",
-                 fuse_projections: bool = True):
+                 fuse_projections: bool = True,
+                 ctc_beam_size: int = 1,
+                 hotword_beam_bonus: float = 2.0):
         if llm_weight_format not in ("auto", "bf16", "q8_0"):
             raise ValueError(
                 f"llm_weight_format must be auto|bf16|q8_0, got "
@@ -50,7 +52,9 @@ class FunASREngine:
             segment_pad_seconds=segment_pad_seconds,
             prefill_buckets=tuple(prefill_buckets),
             llm_weight_format=llm_weight_format,
-            fuse_projections=fuse_projections)
+            fuse_projections=fuse_projections,
+            ctc_beam_size=ctc_beam_size,
+            hotword_beam_bonus=hotword_beam_bonus)
         self.models = ModelManager(self.config)
         self.orchestrator = TranscriptionOrchestrator(self.models)
         self.sample_rate = self.config.sample_rate

@@ -84,6 +84,23 @@ def ctc_logits_forward(params, enc_output, cfg: CTCHeadConfig):
     return _ctc_logits(params, enc_output, cfg)
 
 
+def ctc_topk_forward(params, enc_output, cfg: CTCHeadConfig, k: int = 8):
+    """Per-frame top-k log-probs for prefix beam search.
+
+    enc_output [B, T, d] → (logprobs [B, T, k] f32, ids [B, T, k] i32,
+    blank_logprob [B, T] f32). The blank (= last vocab id,
+    reference ``nano_ctc.py:65``) is returned separately so the host
+    beam search always has it, even when it falls outside the top-k.
+    Only [B, T, k] + [B, T] leave the chip — the [B, T, 60515] logit
+    tensor never crosses the tunnel.
+    """
+    logits = _ctc_logits(params, enc_output, cfg)
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    vals, ids = jax.lax.top_k(logprobs, k)
+    blank = logprobs[..., cfg.vocab_size - 1]
+    return vals, ids.astype(jnp.int32), blank
+
+
 def quantize_ctc_params(params):
     """Quantize the vocab projection (the dominant CTC matmul) to q8_0."""
     from ..ops.quant_matmul import QuantTensor, quantize_weight

@@ -157,3 +157,25 @@ class TestQuantizedEngine:
         finally:
             eng.cleanup()
             reset_hotword_manager()
+
+
+class TestBeamSearchEngine:
+    def test_ctc_beam_engine_runs(self, checkpoint, tmp_path):
+        """ctc_beam_size > 1 routes hotword recall through prefix beam
+        search; the pipeline must stay functional end-to-end."""
+        reset_hotword_manager()
+        from fun_asr_gguf_tpu import create_asr_engine
+        ckpt, _cfg = checkpoint
+        eng = create_asr_engine(
+            checkpoint_dir=ckpt, verbose=False, compute_dtype="float32",
+            segment_pad_seconds=2.0, n_predict=8, prefill_buckets=(64,),
+            ctc_beam_size=4)
+        try:
+            assert eng.models.config.ctc_beam_size == 4
+            path = make_wav(tmp_path, 1.0, "beam.wav", seed=11)
+            res = eng.transcribe(path, verbose=False, temperature=0.0)
+            assert isinstance(res.text, str)
+            assert res.audio_seconds == pytest.approx(1.0)
+        finally:
+            eng.cleanup()
+            reset_hotword_manager()
