@@ -93,6 +93,17 @@ class ModelManager:
         try:
             t_start = time.perf_counter()
 
+            if self.config.compilation_cache_dir:
+                # persistent XLA compile cache: cold-start warm-up drops
+                # from minutes (70-layer encoder + decode programs) to
+                # seconds on every restart after the first
+                import os
+                os.makedirs(self.config.compilation_cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir",
+                                  self.config.compilation_cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.5)
+
             vprint("[1/6] 加载模型权重 (checkpoint)...", verbose)
             ckpt = self.config.checkpoint_dir
             fmt = self.config.llm_weight_format

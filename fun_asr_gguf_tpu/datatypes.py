@@ -118,6 +118,8 @@ class ASREngineConfig:
                                              # hotword-recall transcript
     ctc_beam_topk: int = 8                   # per-frame device candidates
     hotword_beam_bonus: float = 2.0          # shallow-fusion char bonus
+    compilation_cache_dir: Optional[str] = None  # persist XLA compiles
+                                             # across restarts (serving)
 
 
 # ==================== CTC ====================

@@ -34,7 +34,8 @@ class FunASREngine:
                  llm_weight_format: str = "auto",
                  fuse_projections: bool = True,
                  ctc_beam_size: int = 1,
-                 hotword_beam_bonus: float = 2.0):
+                 hotword_beam_bonus: float = 2.0,
+                 compilation_cache_dir: Optional[str] = None):
         if llm_weight_format not in ("auto", "bf16", "q8_0"):
             raise ValueError(
                 f"llm_weight_format must be auto|bf16|q8_0, got "
@@ -54,7 +55,8 @@ class FunASREngine:
             llm_weight_format=llm_weight_format,
             fuse_projections=fuse_projections,
             ctc_beam_size=ctc_beam_size,
-            hotword_beam_bonus=hotword_beam_bonus)
+            hotword_beam_bonus=hotword_beam_bonus,
+            compilation_cache_dir=compilation_cache_dir)
         self.models = ModelManager(self.config)
         self.orchestrator = TranscriptionOrchestrator(self.models)
         self.sample_rate = self.config.sample_rate

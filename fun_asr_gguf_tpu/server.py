@@ -179,6 +179,8 @@ def main(argv: Optional[list] = None):
                     choices=("bfloat16", "float32"))
     ap.add_argument("--segment-pad-seconds", type=float, default=60.0,
                     help="static audio window compiled per segment")
+    ap.add_argument("--compile-cache",
+                    help="persist XLA compiles here (fast restarts)")
     args = ap.parse_args(argv)
 
     from . import create_asr_engine
@@ -186,7 +188,8 @@ def main(argv: Optional[list] = None):
                                llm_weight_format=args.llm_weight_format,
                                n_predict=args.n_predict,
                                compute_dtype=args.compute_dtype,
-                               segment_pad_seconds=args.segment_pad_seconds)
+                               segment_pad_seconds=args.segment_pad_seconds,
+                               compilation_cache_dir=args.compile_cache)
     server = make_server(engine, args.host, args.port)
     print(f"[server] listening on http://{args.host}:{args.port} "
           f"(POST /v1/transcribe)")
