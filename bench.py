@@ -69,6 +69,7 @@ def main():
     from fun_asr_gguf_tpu.models.qwen3 import (init_qwen3_params,
                                                pack_qwen3_params,
                                                quantize_lm_head,
+                                               quantize_lm_head_per_channel,
                                                quantize_qwen3_params)
 
     dev = jax.devices()[0]
@@ -172,7 +173,9 @@ def main():
     prompt = embd[:, :N_PROMPT, :].astype(dtype)
     mask = jnp.ones((1, N_PROMPT), jnp.float32)
     max_len = N_PROMPT + N_GEN + 8
-    llm_packed = pack_qwen3_params(llm_params)
+    # the engine's bf16 default: fused projections + per-channel int8 head
+    llm_packed = quantize_lm_head_per_channel(
+        pack_qwen3_params(llm_params), cfg.llm)
 
     def prefill_call(i, feed):
         st = prefill_init(llm_packed,

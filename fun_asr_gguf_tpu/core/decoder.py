@@ -218,11 +218,15 @@ class StreamDecoder:
         full_embd = np.concatenate(
             [p_embd, audio_embd.astype(np.float32), s_embd], axis=0)
 
+        # stream pieces when printing verbosely OR when a callback is
+        # attached (the server's SSE mode runs verbose=False)
+        stream_output = verbose or (
+            reporter is not None and getattr(reporter, "on_stream", None))
         llm_res = None
         for _ in range(6):
             llm_res = self.llm_decoder.decode(
                 full_embd, full_embd.shape[0], self.models.config.n_predict,
-                stream_output=verbose, reporter=reporter,
+                stream_output=bool(stream_output), reporter=reporter,
                 temperature=temperature, top_p=top_p, top_k=top_k)
             if not llm_res.is_aborted:
                 break

@@ -35,9 +35,9 @@ class TranscriptionOrchestrator:
                    start_second: Optional[float] = None,
                    duration: Optional[float] = None, srt: bool = False,
                    temperature: float = 0.3, top_p: float = 1.0,
-                   top_k: int = 50) -> TranscriptionResult:
+                   top_k: int = 50, on_stream=None) -> TranscriptionResult:
         result = TranscriptionResult()
-        with DisplayReporter(verbose=verbose) as reporter:
+        with DisplayReporter(verbose=verbose, on_stream=on_stream) as reporter:
             try:
                 self._print_header(reporter, audio_path)
 

@@ -120,6 +120,8 @@ class ASREngineConfig:
     hotword_beam_bonus: float = 2.0          # shallow-fusion char bonus
     compilation_cache_dir: Optional[str] = None  # persist XLA compiles
                                              # across restarts (serving)
+    int8_lm_head: bool = True                # per-channel int8 logits head
+                                             # in bf16 mode (+6% decode)
 
 
 # ==================== CTC ====================

@@ -13,8 +13,9 @@ import threading
 class DisplayReporter:
     """Aggregates messages and prints them from a background thread."""
 
-    def __init__(self, verbose: bool = True):
+    def __init__(self, verbose: bool = True, on_stream=None):
         self.verbose = verbose
+        self.on_stream = on_stream      # callback(piece) for token streaming
         self.message_queue = queue.Queue()
         self.stop_event = threading.Event()
         self.thread = threading.Thread(target=self._run, daemon=True)
@@ -33,6 +34,8 @@ class DisplayReporter:
             self.message_queue.put(("print", (prefix, message)))
 
     def stream(self, chunk: str):
+        if self.on_stream is not None:
+            self.on_stream(chunk)
         if self.verbose:
             self.message_queue.put(("stream", chunk))
 

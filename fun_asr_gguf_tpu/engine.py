@@ -35,7 +35,8 @@ class FunASREngine:
                  fuse_projections: bool = True,
                  ctc_beam_size: int = 1,
                  hotword_beam_bonus: float = 2.0,
-                 compilation_cache_dir: Optional[str] = None):
+                 compilation_cache_dir: Optional[str] = None,
+                 int8_lm_head: bool = True):
         if llm_weight_format not in ("auto", "bf16", "q8_0"):
             raise ValueError(
                 f"llm_weight_format must be auto|bf16|q8_0, got "
@@ -56,7 +57,8 @@ class FunASREngine:
             fuse_projections=fuse_projections,
             ctc_beam_size=ctc_beam_size,
             hotword_beam_bonus=hotword_beam_bonus,
-            compilation_cache_dir=compilation_cache_dir)
+            compilation_cache_dir=compilation_cache_dir,
+            int8_lm_head=int8_lm_head)
         self.models = ModelManager(self.config)
         self.orchestrator = TranscriptionOrchestrator(self.models)
         self.sample_rate = self.config.sample_rate
@@ -71,12 +73,15 @@ class FunASREngine:
                    start_second: Optional[float] = None,
                    duration: Optional[float] = None, srt: bool = False,
                    temperature: float = 0.4, top_p: float = 1.0,
-                   top_k: int = 50) -> TranscriptionResult:
+                   top_k: int = 50, on_stream=None) -> TranscriptionResult:
+        """on_stream: optional callback(text_piece) invoked as the LLM
+        streams generated text (powers the server's SSE mode)."""
         return self.orchestrator.transcribe(
             audio_path=audio_path, language=language, context=context,
             verbose=verbose, segment_size=segment_size, overlap=overlap,
             start_second=start_second, duration=duration, srt=srt,
-            temperature=temperature, top_p=top_p, top_k=top_k)
+            temperature=temperature, top_p=top_p, top_k=top_k,
+            on_stream=on_stream)
 
     def create_stream(self, hotwords: Optional[str] = None
                       ) -> RecognitionStream:

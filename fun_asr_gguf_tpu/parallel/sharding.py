@@ -70,6 +70,9 @@ def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
         spec["lm_head"] = repl
     if params is not None and "lm_head_q" in params:
         spec["lm_head_q"] = QuantTensor(q=P("tp", None), d=P("tp", None))
+    if params is not None and "lm_head_i8" in params:
+        # vocab-parallel int8 head: [hidden, vocab] cols + [vocab] scales
+        spec["lm_head_i8"] = (P(None, "tp"), P("tp"))
     return jax.tree_util.tree_map(
         lambda p: NamedSharding(mesh, p), spec,
         is_leaf=lambda x: isinstance(x, P))

@@ -13,6 +13,10 @@ Endpoints:
                                overlap, srt=1. Response JSON: text,
                                segments, ctc_text, hotwords, timings, rtf
                                (+ srt when requested).
+                               With stream=1 the response is
+                               text/event-stream: one `data: {"piece": …}`
+                               event per generated text piece, then a
+                               final `data: {"done": true, …full result…}`.
 
 Device programs are single-stream; requests are serialized through a lock
 (concurrent clients queue — batched multi-stream serving can use
@@ -104,6 +108,7 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
                 duration=(float(q["duration"]) if "duration" in q else None),
                 srt=q.get("srt", "0") in ("1", "true", "yes"),
             )
+            stream_mode = q.get("stream", "0") in ("1", "true", "yes")
         except ValueError as e:
             return self._send_json(400, {"error": f"bad query param: {e}"})
 
@@ -120,6 +125,8 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
         try:
             tmp.write(body)
             tmp.close()
+            if stream_mode:
+                return self._transcribe_sse(tmp.name, opts)
             t0 = time.perf_counter()
             with self.engine_lock:
                 try:
@@ -155,6 +162,62 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
             for p in (tmp.name, srt_path):
                 if p and os.path.exists(p):
                     os.unlink(p)
+
+
+    def _transcribe_sse(self, path: str, opts: dict):
+        """Server-sent-events mode: stream generated text pieces live.
+
+        Transcription runs on a worker thread; this handler thread drains
+        a queue of pieces into `data:` events and finishes with the full
+        result payload.
+        """
+        import queue as _queue
+        pieces: "_queue.Queue" = _queue.Queue()
+        done = {}
+
+        def worker():
+            try:
+                with self.engine_lock:
+                    done["result"] = self.engine.transcribe(
+                        path, verbose=False,
+                        on_stream=lambda p: pieces.put(p), **opts)
+            except Exception as e:                      # noqa: BLE001
+                done["error"] = str(e)
+            finally:
+                pieces.put(None)                        # sentinel
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream; charset=utf-8")
+        self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+
+        def emit(obj):
+            self.wfile.write(
+                b"data: " + json.dumps(obj, ensure_ascii=False)
+                .encode("utf-8") + b"\n\n")
+            self.wfile.flush()
+
+        try:
+            while True:
+                piece = pieces.get()
+                if piece is None:
+                    break
+                if piece:
+                    emit({"piece": piece})
+            t.join()
+            if "error" in done:
+                emit({"done": True, "error": done["error"]})
+            else:
+                r = done["result"]
+                emit({"done": True, "text": r.text, "segments": r.segments,
+                      "ctc_text": r.ctc_text, "hotwords": r.hotwords,
+                      "audio_seconds": round(r.audio_seconds, 3),
+                      "timings": asdict(r.timings)})
+        except (BrokenPipeError, ConnectionResetError):
+            logger.info("SSE client disconnected mid-stream")
 
 
 def make_server(engine, host: str = "127.0.0.1", port: int = 8090

@@ -263,3 +263,36 @@ class TestQuantizedLMHead:
         from fun_asr_gguf_tpu.models.qwen3 import quantize_lm_head
         qp = quantize_lm_head(PARAMS, CFG)
         assert quantize_lm_head(qp, CFG) is qp
+
+
+class TestPerChannelLMHead:
+    def test_logits_close_and_argmax_agrees(self):
+        from fun_asr_gguf_tpu.models.qwen3 import quantize_lm_head_per_channel
+        rng = np.random.default_rng(21)
+        e, m = make_prompt(rng, 1, 8, [8])
+        ref, _ = qwen3_prefill(PARAMS, e, m, CFG)
+        qp = quantize_lm_head_per_channel(PARAMS, CFG)
+        assert "lm_head_i8" in qp
+        out, _ = qwen3_prefill(qp, e, m, CFG)
+        assert np.argmax(np.asarray(out)) == np.argmax(np.asarray(ref))
+        scale = np.abs(np.asarray(ref)).max()
+        assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 0.08 * scale
+
+    def test_idempotent_and_yields_to_q8_head(self):
+        from fun_asr_gguf_tpu.models.qwen3 import (quantize_lm_head,
+                                                   quantize_lm_head_per_channel)
+        qp = quantize_lm_head_per_channel(PARAMS, CFG)
+        assert quantize_lm_head_per_channel(qp, CFG) is qp
+        q8 = quantize_lm_head(PARAMS, CFG)
+        assert quantize_lm_head_per_channel(q8, CFG) is q8
+
+    def test_generation_runs_with_i8_head(self):
+        from fun_asr_gguf_tpu.models.qwen3 import quantize_lm_head_per_channel
+        rng = np.random.default_rng(22)
+        e, m = make_prompt(rng, 1, 8, [8])
+        qp = quantize_lm_head_per_channel(PARAMS, CFG)
+        st = prefill_init(qp, e, m, jax.random.PRNGKey(0), CFG, max_len=8 + 12)
+        _, toks = generate_chunk(qp, st, CFG, jnp.asarray(0.0),
+                                 jnp.asarray(1.0), 50, chunk_len=8,
+                                 stop_tokens=(96,))
+        assert np.asarray(toks).shape == (1, 8)

@@ -123,3 +123,26 @@ class TestServer:
         [t.join(timeout=300) for t in ts]
         assert all(r is not None and r[0] == 200 for r in results)
         assert results[0][1]["text"] == results[1][1]["text"]
+
+    def test_sse_streaming(self, served_engine):
+        req = urllib.request.Request(
+            served_engine + "/v1/transcribe?temperature=0&stream=1",
+            data=_wav_bytes(seed=13), method="POST",
+            headers={"Content-Type": "audio/wav"})
+        events = []
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            assert resp.headers["Content-Type"].startswith(
+                "text/event-stream")
+            for raw in resp:
+                line = raw.decode("utf-8").strip()
+                if line.startswith("data: "):
+                    events.append(json.loads(line[6:]))
+        assert events and events[-1].get("done") is True
+        final = events[-1]
+        assert "text" in final and "timings" in final
+        # pieces must actually stream (not only the final event), and they
+        # concatenate to the final text (retries may prepend extra pieces)
+        streamed = "".join(e["piece"] for e in events if "piece" in e)
+        if final["text"]:
+            assert streamed, "no piece events before the final event"
+            assert final["text"] in streamed or streamed in final["text"]
