@@ -70,7 +70,8 @@ def main():
                                                pack_qwen3_params,
                                                quantize_lm_head,
                                                quantize_lm_head_per_channel,
-                                               quantize_qwen3_params)
+                                               quantize_qwen3_params,
+                                               quantize_qwen3_params_int8)
 
     dev = jax.devices()[0]
     log = lambda *a: print("[bench]", *a, file=sys.stderr, flush=True)
@@ -231,6 +232,15 @@ def main():
     per_tok_bf16 = measure_generation(llm_packed, "generate[bf16]")
     _partial["generate_tokens_per_s_bf16"] = round(1.0 / per_tok_bf16, 1)
 
+    # the engine's "auto" default: per-channel int8 layers + int8 head
+    llm_int8 = quantize_qwen3_params_int8(llm_packed)
+    try:
+        per_tok_int8 = measure_generation(llm_int8, "generate[int8]")
+        _partial["generate_tokens_per_s_int8"] = round(1.0 / per_tok_int8, 1)
+    except Exception as e:
+        log("int8 generation failed:", e)
+        per_tok_int8 = float("inf")
+
     log("quantizing decoder weights to q8_0 (incl. lm_head)...")
     qparams = pack_qwen3_params(
         quantize_lm_head(quantize_qwen3_params(llm_params), cfg.llm))
@@ -248,7 +258,7 @@ def main():
         [prompt + jnp.bfloat16(i * 1e-3) for i in range(B)], axis=0)
     maskB = jnp.ones((B, N_PROMPT), jnp.float32)
     try:
-        per_step_b = measure_generation(llm_packed, f"generate[bf16,b{B}]",
+        per_step_b = measure_generation(llm_int8, f"generate[int8,b{B}]",
                                         promptB, maskB)
         _partial[f"generate_tokens_per_s_batch{B}"] = round(
             B / per_step_b, 1)
@@ -256,7 +266,7 @@ def main():
         log(f"batched generation failed: {e}")
         per_step_b = None
 
-    per_tok = min(per_tok_bf16, per_tok_q8)
+    per_tok = min(per_tok_bf16, per_tok_int8, per_tok_q8)
     t_gen = per_tok * N_GEN
     gen_tps = 1.0 / per_tok
 
@@ -279,6 +289,9 @@ def main():
         "generate_ms": round(t_gen * 1000, 2),
         "generate_tokens_per_s": round(gen_tps, 1),
         "generate_tokens_per_s_bf16": round(1.0 / per_tok_bf16, 1),
+        "generate_tokens_per_s_int8": (round(1.0 / per_tok_int8, 1)
+                                       if np.isfinite(per_tok_int8)
+                                       else None),
         "generate_tokens_per_s_q8_0": (round(1.0 / per_tok_q8, 1)
                                        if np.isfinite(per_tok_q8) else None),
         f"generate_tokens_per_s_batch{B}": (round(B / per_step_b, 1)
@@ -289,6 +302,7 @@ def main():
         # README.md:132-141)
         "encoder_mb": round(tree_bytes(audio_params) / 1e6, 1),
         "llm_bf16_mb": round(tree_bytes(llm_packed) / 1e6, 1),
+        "llm_int8_mb": round(tree_bytes(llm_int8) / 1e6, 1),
         "llm_q8_0_mb": round(tree_bytes(qparams) / 1e6, 1),
         "device": str(dev),
     }

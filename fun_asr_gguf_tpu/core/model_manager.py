@@ -107,10 +107,17 @@ class ModelManager:
             vprint("[1/6] 加载模型权重 (checkpoint)...", verbose)
             ckpt = self.config.checkpoint_dir
             fmt = self.config.llm_weight_format
-            # "auto" resolves to bf16: on v5e the XLA bf16 decode measures
-            # faster than the Pallas q8_0 path (521 vs 449 tok/s full-size)
-            # because XLA hides weight movement behind attention compute.
-            # q8_0 stays the low-memory mode (~0.7 GB vs ~1.3 GB decoder).
+            # Weight-format resolution (measured on v5e, Qwen3-0.6B):
+            #   int8  per-channel, XLA-native  852 tok/s  ~0.74 GB  <- auto
+            #   bf16  dense                     567 tok/s  ~1.35 GB
+            #   q8_0  per-block Pallas (GGUF-exact bytes) ~350-450 tok/s,
+            #         ~0.98 GB
+            # The reference's own decode runs 8-bit weights (q8_0 GGUF), so
+            # 8-bit "auto" matches its numerics class; float32 compute mode
+            # stays fully dense/exact for debugging.
+            if fmt == "auto":
+                fmt = ("int8" if self._compute_dtype == jnp.bfloat16
+                       else "bf16")
             keep_q = (fmt == "q8_0")
             (self.hybrid_cfg, self.encoder_params, self.adaptor_params,
              self.ctc_params, self.llm_params,
@@ -135,6 +142,9 @@ class ModelManager:
             if self.config.fuse_projections:
                 from ..models.qwen3 import pack_qwen3_params
                 self.llm_params = pack_qwen3_params(self.llm_params)
+            if fmt == "int8":
+                from ..models.qwen3 import quantize_qwen3_params_int8
+                self.llm_params = quantize_qwen3_params_int8(self.llm_params)
             self.audio_cfg = AudioEncoderConfig(
                 encoder=self.hybrid_cfg.encoder,
                 adaptor=self.hybrid_cfg.adaptor)

@@ -110,7 +110,7 @@ class ASREngineConfig:
     compute_dtype: str = "bfloat16"          # encoder/LLM activation dtype
     segment_pad_seconds: float = 60.0        # static shape window for jit
     max_prompt_tokens: int = 512             # static prefill length bucket
-    llm_weight_format: str = "auto"          # auto | bf16 | q8_0
+    llm_weight_format: str = "auto"          # auto | bf16 | int8 | q8_0
     mesh_shape: Optional[Dict[str, int]] = None   # e.g. {"dp": 1, "tp": 4}
     prefill_buckets: tuple = (256, 512)
     fuse_projections: bool = True            # pack qkv / gate-up matmuls

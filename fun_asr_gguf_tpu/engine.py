@@ -37,9 +37,9 @@ class FunASREngine:
                  hotword_beam_bonus: float = 2.0,
                  compilation_cache_dir: Optional[str] = None,
                  int8_lm_head: bool = True):
-        if llm_weight_format not in ("auto", "bf16", "q8_0"):
+        if llm_weight_format not in ("auto", "bf16", "int8", "q8_0"):
             raise ValueError(
-                f"llm_weight_format must be auto|bf16|q8_0, got "
+                f"llm_weight_format must be auto|bf16|int8|q8_0, got "
                 f"{llm_weight_format!r}")
         self.config = ASREngineConfig(
             checkpoint_dir=checkpoint_dir,

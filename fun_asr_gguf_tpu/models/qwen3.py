@@ -29,6 +29,22 @@ from ..ops.quant_matmul import (IndexedQuant, QuantTensor, matmul_any,
                                 quantize_weight)
 
 
+class Int8Weight(NamedTuple):
+    """Per-channel int8 weight for the XLA-native decode path.
+
+    ``w8 [..., k, n] int8`` + ``scale [..., 1, n] bf16`` (one scale per
+    output channel). Unlike the Pallas q8_0 path, these ride ``lax.scan``
+    xs as plain arrays: XLA fuses the int8→bf16 convert into its own dot
+    reads (no copy, no custom-call boundary), halving per-token weight
+    traffic — measured 852 vs 567 tok/s on v5e for Qwen3-0.6B. Same 8-bit
+    weight class the reference's q8_0 GGUF decode uses, with per-channel
+    instead of per-32-block scale granularity (the reference's own ONNX
+    INT8 quantization is per-channel too, ``02-Quantize-ONNX.py:38-45``).
+    """
+    w8: jnp.ndarray
+    scale: jnp.ndarray
+
+
 def _split_quant_layers(layers):
     """Split the stacked layer dict for scanning: QuantTensor weights must
     NOT ride scan xs (XLA copies every per-layer slice before the pallas
@@ -101,7 +117,11 @@ def apply_rope(x, cos, sin):
 # ---------------------------------------------------------------------------
 
 def _proj(x, w):
-    """Dense or q8_0-quantized projection (see ops/quant_matmul.py)."""
+    """Dense, int8-per-channel, or q8_0-quantized projection."""
+    if isinstance(w, Int8Weight):
+        out = jnp.dot(x.astype(jnp.bfloat16), w.w8.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        return (out * w.scale.astype(jnp.float32)).astype(x.dtype)
     return matmul_any(x, w).astype(x.dtype)
 
 
@@ -129,6 +149,26 @@ def quantize_qwen3_params(params, keys=None):
     return out
 
 
+def quantize_qwen3_params_int8(params, keys=None):
+    """Convert layer matmul weights to per-channel int8 (`Int8Weight`).
+
+    The fastest decode format on TPU (see Int8Weight); works on packed or
+    unpacked layouts. QuantTensor (q8_0) weights are left untouched.
+    """
+    layers = dict(params["layers"])
+    for key in (keys or _MATMUL_KEYS):
+        w = layers.get(key)
+        if w is None or isinstance(w, (QuantTensor, Int8Weight)):
+            continue
+        wf = w.astype(jnp.float32)                       # [L, k, n]
+        s = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0
+        w8 = jnp.round(wf / jnp.where(s == 0, 1.0, s)).astype(jnp.int8)
+        layers[key] = Int8Weight(w8=w8, scale=s.astype(jnp.bfloat16))
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def pack_qwen3_params(params):
     """Fuse q/k/v and gate/up into single projections (decode layout).
 
@@ -147,6 +187,10 @@ def pack_qwen3_params(params):
             return QuantTensor(
                 q=jnp.concatenate([w.q for w in ws], axis=-2),
                 d=jnp.concatenate([w.d for w in ws], axis=-2))
+        if isinstance(ws[0], Int8Weight):
+            return Int8Weight(
+                w8=jnp.concatenate([w.w8 for w in ws], axis=-1),
+                scale=jnp.concatenate([w.scale for w in ws], axis=-1))
         return jnp.concatenate(ws, axis=-1)
 
     layers["qkv_w"] = cat(("q_w", "k_w", "v_w"))

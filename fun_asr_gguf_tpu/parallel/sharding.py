@@ -38,18 +38,26 @@ def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
     repl = P()
 
     def wspec(key):
-        quantized = (params is not None and isinstance(
-            params["layers"].get(key), QuantTensor))
+        from ..models.qwen3 import Int8Weight
+        w = params["layers"].get(key) if params is not None else None
         if key in _COL_PARALLEL:
-            if quantized:
+            if isinstance(w, QuantTensor):
                 return QuantTensor(q=P(None, "tp", None),
                                    d=P(None, "tp", None))
+            if isinstance(w, Int8Weight):
+                return Int8Weight(w8=P(None, None, "tp"),
+                                  scale=P(None, None, "tp"))
             return P(None, None, "tp")
-        if quantized:
+        if isinstance(w, QuantTensor):
             # row-parallel: contraction dim sharded; q8 blocks (32 wide)
             # stay intact as long as in/tp % 32 == 0
             return QuantTensor(q=P(None, None, "tp"),
                                d=P(None, None, "tp"))
+        if isinstance(w, Int8Weight):
+            # row-parallel: contraction sharded; per-out-channel scales
+            # replicated
+            return Int8Weight(w8=P(None, "tp", None),
+                              scale=P(None, None, None))
         return P(None, "tp", None)
 
     if params is not None:

@@ -236,7 +236,7 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8090)
     ap.add_argument("--llm-weight-format", default="auto",
-                    choices=("auto", "bf16", "q8_0"))
+                    choices=("auto", "bf16", "int8", "q8_0"))
     ap.add_argument("--n-predict", type=int, default=512)
     ap.add_argument("--compute-dtype", default="bfloat16",
                     choices=("bfloat16", "float32"))

@@ -179,3 +179,24 @@ class TestBeamSearchEngine:
         finally:
             eng.cleanup()
             reset_hotword_manager()
+
+
+class TestInt8Engine:
+    def test_int8_engine_runs_and_close_to_dense(self, checkpoint, tmp_path):
+        reset_hotword_manager()
+        from fun_asr_gguf_tpu import create_asr_engine
+        from fun_asr_gguf_tpu.models.qwen3 import Int8Weight
+        ckpt, _cfg = checkpoint
+        eng = create_asr_engine(
+            checkpoint_dir=ckpt, verbose=False, compute_dtype="float32",
+            segment_pad_seconds=2.0, n_predict=8, prefill_buckets=(64,),
+            llm_weight_format="int8")
+        try:
+            assert isinstance(eng.models.llm_params["layers"]["qkv_w"],
+                              Int8Weight)
+            path = make_wav(tmp_path, 1.0, "i8.wav", seed=17)
+            res = eng.transcribe(path, verbose=False, temperature=0.0)
+            assert isinstance(res.text, str)
+        finally:
+            eng.cleanup()
+            reset_hotword_manager()

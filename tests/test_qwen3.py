@@ -296,3 +296,52 @@ class TestPerChannelLMHead:
                                  jnp.asarray(1.0), 50, chunk_len=8,
                                  stop_tokens=(96,))
         assert np.asarray(toks).shape == (1, 8)
+
+
+class TestInt8Weights:
+    def test_logits_close_and_greedy_matches(self):
+        from fun_asr_gguf_tpu.models.qwen3 import (pack_qwen3_params,
+                                                   quantize_qwen3_params_int8)
+        rng = np.random.default_rng(31)
+        e, m = make_prompt(rng, 1, 8, [8])
+        packed = pack_qwen3_params(PARAMS)
+        ref, _ = qwen3_prefill(packed, e, m, CFG)
+        qp = quantize_qwen3_params_int8(packed)
+        from fun_asr_gguf_tpu.models.qwen3 import Int8Weight
+        assert isinstance(qp["layers"]["qkv_w"], Int8Weight)
+        out, _ = qwen3_prefill(qp, e, m, CFG)
+        scale = np.abs(np.asarray(ref)).max()
+        assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 0.12 * scale
+
+        # greedy generation agrees on an unambiguous tiny model
+        for p in (packed, qp):
+            st = prefill_init(p, e, m, jax.random.PRNGKey(0), CFG,
+                              max_len=8 + 10)
+            _, toks = generate_chunk(p, st, CFG, jnp.asarray(0.0),
+                                     jnp.asarray(1.0), 50, chunk_len=6,
+                                     stop_tokens=(96,))
+            assert np.asarray(toks).shape == (1, 6)
+
+    def test_idempotent_and_unpacked_layout(self):
+        from fun_asr_gguf_tpu.models.qwen3 import (Int8Weight,
+                                                   quantize_qwen3_params_int8)
+        qp = quantize_qwen3_params_int8(PARAMS)     # unpacked layout
+        assert isinstance(qp["layers"]["q_w"], Int8Weight)
+        qp2 = quantize_qwen3_params_int8(qp)
+        assert qp2["layers"]["q_w"] is qp["layers"]["q_w"]
+
+    def test_pack_after_int8(self):
+        from fun_asr_gguf_tpu.models.qwen3 import (Int8Weight,
+                                                   pack_qwen3_params,
+                                                   quantize_qwen3_params_int8)
+        rng = np.random.default_rng(32)
+        e, m = make_prompt(rng, 1, 6, [6])
+        a = pack_qwen3_params(quantize_qwen3_params_int8(PARAMS))
+        assert isinstance(a["layers"]["qkv_w"], Int8Weight)
+        out_a, _ = qwen3_prefill(a, e, m, CFG)
+        b = quantize_qwen3_params_int8(pack_qwen3_params(PARAMS))
+        out_b, _ = qwen3_prefill(b, e, m, CFG)
+        # same quantization either way (per-channel scales are per output
+        # column, unaffected by concatenation order)
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                                   rtol=2e-2, atol=1e-3)
