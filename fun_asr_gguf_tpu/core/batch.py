@@ -73,14 +73,27 @@ class BatchStreamDecoder:
         ctc_rows = [[] for _ in range(b)]
         hotword_rows = [[] for _ in range(b)]
         if models.config.enable_ctc and models.ctc_id2token:
-            indices = np.asarray(models._ctc_fn(models.ctc_params, enc))
+            # same recall policy as the single-stream decoder: beam search
+            # (when enabled + hotwords exist) shares the batched device
+            # program with the greedy path
+            beam = models.beam_recall_enabled
+            if beam:
+                vals, ids, blank, argmax = models.ctc_topk(enc)
+                indices = argmax
+            else:
+                indices = np.asarray(models._ctc_fn(models.ctc_params, enc))
             for i in range(b):
                 text, results, _ = decode_ctc(indices[i],
                                               models.ctc_id2token)
                 ctc_rows[i] = results
-                if models.corrector and models.corrector.hotwords and text:
+                recall = text
+                if beam and text:
+                    from .decoder import beam_recall_text
+                    recall = beam_recall_text(
+                        models, (vals[i], ids[i], blank[i]), text)
+                if models.corrector and models.corrector.hotwords and recall:
                     res = models.corrector.correct(
-                        text, k=models.config.max_hotwords)
+                        recall, k=models.config.max_hotwords)
                     cand = {hw for _, hw, _ in res.matchs}
                     cand |= {hw for _, hw, _ in res.similars}
                     hotword_rows[i] = list(cand)

@@ -31,6 +31,27 @@ from .model_manager import ModelManager
 ABORT_MARKER = "====解码有误，强制熔断===="
 
 
+def beam_recall_text(models: ModelManager, topk_row, greedy_text: str
+                     ) -> str:
+    """Prefix-beam transcript for hotword recall (shared by the single-
+    stream and batched decoders). topk_row = one stream's (vals [T,k],
+    ids [T,k], blank [T]) host arrays; falls back to the greedy text."""
+    try:
+        from ..ctc_beam import beam_decode
+        vals, ids, blank = topk_row
+        return beam_decode(
+            (vals[None], ids[None], blank[None]),
+            models.ctc_id2token,
+            beam_size=models.config.ctc_beam_size,
+            hotwords=list(models.corrector.hotwords),
+            char_bonus=models.config.hotword_beam_bonus,
+            blank_id=models.hybrid_cfg.ctc.vocab_size - 1,
+        ) or greedy_text
+    except Exception:
+        logger.exception("ctc beam search failed; using greedy")
+        return greedy_text
+
+
 class CTCDecoder:
     """CTC inference + hotword recall."""
 
@@ -43,8 +64,16 @@ class CTCDecoder:
         if not enable_ctc or not self.models.ctc_id2token:
             return [], [], t_stats
 
+        # beam recall shares ONE device program with the greedy path (the
+        # [T, vocab] projection runs once); without hotwords the beam
+        # result would be discarded, so run plain argmax then
+        beam = self.models.beam_recall_enabled
         t0 = time.perf_counter()
-        indices = self.models.ctc_indices(enc_output)
+        if beam:
+            vals, ids, blank, argmax = self.models.ctc_topk(enc_output)
+            indices = argmax[0]
+        else:
+            indices = self.models.ctc_indices(enc_output)
         t_stats["infer"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -53,26 +82,14 @@ class CTCDecoder:
         t_stats["decode"] = time.perf_counter() - t0
         t_stats.update(ctc_details)
 
-        # prefix beam search (opt-in): a better transcript for hotword
-        # recall, with shallow-fusion bonuses toward the hotword list.
-        # Greedy stays the timestamp source (exact frame indices).
+        # prefix beam search: a better transcript for hotword recall, with
+        # shallow-fusion bonuses toward the hotword list. Greedy stays the
+        # timestamp source (exact frame indices).
         recall_text = ctc_text
-        if self.models.config.ctc_beam_size > 1 and ctc_text:
+        if beam and ctc_text:
             t0 = time.perf_counter()
-            try:
-                from ..ctc_beam import beam_decode
-                hw_list = (list(self.models.corrector.hotwords)
-                           if self.models.corrector
-                           and self.models.corrector.hotwords else ())
-                recall_text = beam_decode(
-                    self.models.ctc_topk(enc_output),
-                    self.models.ctc_id2token,
-                    beam_size=self.models.config.ctc_beam_size,
-                    hotwords=hw_list,
-                    char_bonus=self.models.config.hotword_beam_bonus,
-                ) or ctc_text
-            except Exception:
-                logger.exception("ctc beam search failed; using greedy")
+            recall_text = beam_recall_text(
+                self.models, (vals[0], ids[0], blank[0]), ctc_text)
             t_stats["decode"] += time.perf_counter() - t0
 
         hotwords: List[str] = []

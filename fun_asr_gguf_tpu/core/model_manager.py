@@ -217,15 +217,26 @@ class ModelManager:
         return np.asarray(idx[0])
 
     def ctc_topk(self, enc_output):
-        """Per-frame top-k CTC log-probs for prefix beam search:
-        (vals [1,T,k], ids [1,T,k], blank_lp [1,T]) as host arrays."""
+        """Per-frame top-k CTC log-probs + argmax for prefix beam search:
+        (vals [1,T,k], ids [1,T,k], blank_lp [1,T], argmax [1,T]) as host
+        arrays — one device program covers beam candidates AND the greedy
+        path (the [T, vocab] projection runs once per segment)."""
         if self._ctc_topk_cache is None:
             from ..models.adaptor import ctc_topk_forward
             self._ctc_topk_cache = jax.jit(partial(
                 ctc_topk_forward, cfg=self.hybrid_cfg.ctc,
                 k=self.config.ctc_beam_topk))
-        vals, ids, blank = self._ctc_topk_cache(self.ctc_params, enc_output)
-        return (np.asarray(vals), np.asarray(ids), np.asarray(blank))
+        vals, ids, blank, argmax = self._ctc_topk_cache(self.ctc_params,
+                                                        enc_output)
+        return (np.asarray(vals), np.asarray(ids), np.asarray(blank),
+                np.asarray(argmax))
+
+    @property
+    def beam_recall_enabled(self) -> bool:
+        """Beam search is worth running only when hotwords exist to bias
+        toward / recall from (its output feeds hotword recall only)."""
+        return (self.config.ctc_beam_size > 1 and self.corrector is not None
+                and bool(self.corrector.hotwords))
 
     def prefill(self, full_embd: np.ndarray, rng_seed: int):
         """Left-pad the prompt into its bucket and run prefill."""
@@ -272,6 +283,8 @@ class ModelManager:
         _embd, enc = self.encode_audio(dummy)
         if self.config.enable_ctc:
             self.ctc_indices(enc)
+            if self.config.ctc_beam_size > 1:
+                self.ctc_topk(enc)      # compile the beam-path program too
         bucket = sorted(self.config.prefill_buckets)[0]
         llm_dim = self.hybrid_cfg.llm.hidden
         fake = np.zeros((min(8, bucket), llm_dim), dtype=np.float32)

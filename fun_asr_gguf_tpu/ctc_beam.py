@@ -36,11 +36,15 @@ def _logsumexp2(a: float, b: float) -> float:
 # ---------------------------------------------------------------------------
 
 class HotwordTrie:
-    """Char trie for shallow-fusion bonuses.
+    """Char trie for shallow-fusion bonuses with fail retraction.
 
-    ``step(state, ch)`` → (new_state, bonus): per matched char a positive
-    bonus accrues; falling off a partial match resets to the root (and
-    retries the char from the root, so overlapping matches still engage).
+    ``step(state, ch)`` → (new_state, delta): per matched char a positive
+    bonus accrues *provisionally*; if the partial match later fails, the
+    accumulated provisional bonus is retracted (negative delta) — so
+    "北京大" under hotword "北京大学" doesn't keep a spurious +3·bonus
+    when the 4th char mismatches (standard shallow-fusion behavior).
+    Completing a word locks its bonus in. State = (trie_node, pending)
+    where pending is the retractable bonus since the last completed word.
     """
 
     def __init__(self, words: Sequence[str], char_bonus: float = 2.0):
@@ -52,14 +56,20 @@ class HotwordTrie:
                 node = node.setdefault(ch, {})
             node[None] = True          # terminal marker
 
-    def step(self, state: Optional[Dict], ch: str
-             ) -> Tuple[Optional[Dict], float]:
-        node = state if state is not None else self.root
+    def step(self, state, ch: str):
+        node, pending = state if state is not None else (self.root, 0.0)
         if ch in node:
-            return node[ch], self.char_bonus
+            nxt = node[ch]
+            pending2 = 0.0 if None in nxt else pending + self.char_bonus
+            return (nxt, pending2), self.char_bonus
+        # partial match failed: retract the provisional bonus…
+        delta = -pending
+        # …and retry this char as the start of a fresh match
         if ch in self.root:
-            return self.root[ch], self.char_bonus
-        return None, 0.0
+            nxt = self.root[ch]
+            pending2 = 0.0 if None in nxt else self.char_bonus
+            return (nxt, pending2), delta + self.char_bonus
+        return (self.root, 0.0), delta
 
 
 # ---------------------------------------------------------------------------
@@ -167,14 +177,18 @@ def _advance(beam: _Beam, token_text: str, trie: Optional[HotwordTrie]
 
 
 def beam_decode(topk, id2token: Dict[int, str], beam_size: int = 8,
-                hotwords: Sequence[str] = (), char_bonus: float = 2.0
-                ) -> str:
+                hotwords: Sequence[str] = (), char_bonus: float = 2.0,
+                blank_id: Optional[int] = None) -> str:
     """Convenience wrapper: device top-k tuple → best text.
 
-    topk = (vals [B,T,K], ids [B,T,K], blank_lp [B,T]) for B == 1.
+    topk = (vals [B,T,K], ids [B,T,K], blank_lp [B,T], ...) for B == 1.
+    ``blank_id`` should be the model's vocab_size-1 (the same constant the
+    device program used); falling back to max(id2token) is only safe when
+    tokens.txt is complete.
     """
-    vals, ids, blank = (np.asarray(x) for x in topk)
-    blank_id = max(id2token)          # blank = last vocab id
+    vals, ids, blank = (np.asarray(x) for x in topk[:3])
+    if blank_id is None:
+        blank_id = max(id2token)      # blank = last vocab id
     trie = HotwordTrie(hotwords, char_bonus) if hotwords else None
     text, _ = prefix_beam_search(vals[0], ids[0], blank[0], blank_id,
                                  id2token, beam_size=beam_size, trie=trie)

@@ -34,6 +34,7 @@ class FunASREngine:
                  llm_weight_format: str = "auto",
                  fuse_projections: bool = True,
                  ctc_beam_size: int = 1,
+                 ctc_beam_topk: int = 8,
                  hotword_beam_bonus: float = 2.0,
                  compilation_cache_dir: Optional[str] = None,
                  int8_lm_head: bool = True):
@@ -56,6 +57,7 @@ class FunASREngine:
             llm_weight_format=llm_weight_format,
             fuse_projections=fuse_projections,
             ctc_beam_size=ctc_beam_size,
+            ctc_beam_topk=ctc_beam_topk,
             hotword_beam_bonus=hotword_beam_bonus,
             compilation_cache_dir=compilation_cache_dir,
             int8_lm_head=int8_lm_head)

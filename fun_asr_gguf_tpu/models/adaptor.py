@@ -85,20 +85,22 @@ def ctc_logits_forward(params, enc_output, cfg: CTCHeadConfig):
 
 
 def ctc_topk_forward(params, enc_output, cfg: CTCHeadConfig, k: int = 8):
-    """Per-frame top-k log-probs for prefix beam search.
+    """Per-frame top-k log-probs + argmax for prefix beam search.
 
     enc_output [B, T, d] → (logprobs [B, T, k] f32, ids [B, T, k] i32,
-    blank_logprob [B, T] f32). The blank (= last vocab id,
+    blank_logprob [B, T] f32, argmax [B, T] i32). One device program
+    serves both the beam search and the greedy/timestamp path (the
+    [B, T, 60515] projection runs once); the blank (= last vocab id,
     reference ``nano_ctc.py:65``) is returned separately so the host
     beam search always has it, even when it falls outside the top-k.
-    Only [B, T, k] + [B, T] leave the chip — the [B, T, 60515] logit
-    tensor never crosses the tunnel.
+    Only the small tensors leave the chip.
     """
     logits = _ctc_logits(params, enc_output, cfg)
     logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     vals, ids = jax.lax.top_k(logprobs, k)
     blank = logprobs[..., cfg.vocab_size - 1]
-    return vals, ids.astype(jnp.int32), blank
+    argmax = ids[..., 0]        # top-1 of log-softmax == argmax of logits
+    return vals, ids.astype(jnp.int32), blank, argmax.astype(jnp.int32)
 
 
 def quantize_ctc_params(params):

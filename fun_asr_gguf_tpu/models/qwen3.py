@@ -119,7 +119,10 @@ def apply_rope(x, cos, sin):
 def _proj(x, w):
     """Dense, int8-per-channel, or q8_0-quantized projection."""
     if isinstance(w, Int8Weight):
-        out = jnp.dot(x.astype(jnp.bfloat16), w.w8.astype(jnp.bfloat16),
+        # convert weights to the ACTIVATION dtype: bf16 in the fast path,
+        # f32 when the caller runs float32 compute (don't silently
+        # round-trip f32 activations through bf16)
+        out = jnp.dot(x, w.w8.astype(x.dtype),
                       preferred_element_type=jnp.float32)
         return (out * w.scale.astype(jnp.float32)).astype(x.dtype)
     return matmul_any(x, w).astype(x.dtype)

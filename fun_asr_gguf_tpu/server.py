@@ -122,10 +122,14 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
             suffix = ".wav" if body[:4] == b"RIFF" else ".bin"
         tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
         srt_path = None
+        sse_owns_files = False
         try:
             tmp.write(body)
             tmp.close()
             if stream_mode:
+                # SSE owns and cleans the temp files (its worker may still
+                # be queued on the engine lock after we return)
+                sse_owns_files = True
                 return self._transcribe_sse(tmp.name, opts)
             t0 = time.perf_counter()
             with self.engine_lock:
@@ -159,9 +163,10 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
             logger.exception("transcription failed")
             return self._send_json(500, {"error": str(e)})
         finally:
-            for p in (tmp.name, srt_path):
-                if p and os.path.exists(p):
-                    os.unlink(p)
+            if not sse_owns_files:
+                for p in (tmp.name, srt_path):
+                    if p and os.path.exists(p):
+                        os.unlink(p)
 
 
     def _transcribe_sse(self, path: str, opts: dict):
@@ -169,11 +174,14 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
 
         Transcription runs on a worker thread; this handler thread drains
         a queue of pieces into `data:` events and finishes with the full
-        result payload.
+        result payload. The worker owns the temp files (it may still be
+        queued on the engine lock after the client disconnects) and never
+        lets an exception escape once SSE headers are on the wire.
         """
         import queue as _queue
         pieces: "_queue.Queue" = _queue.Queue()
         done = {}
+        srt_path = os.path.splitext(path)[0] + ".srt"
 
         def worker():
             try:
@@ -181,9 +189,15 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
                     done["result"] = self.engine.transcribe(
                         path, verbose=False,
                         on_stream=lambda p: pieces.put(p), **opts)
+                if opts.get("srt") and os.path.exists(srt_path):
+                    with open(srt_path, encoding="utf-8") as f:
+                        done["srt"] = f.read()
             except Exception as e:                      # noqa: BLE001
                 done["error"] = str(e)
             finally:
+                for p in (path, srt_path):              # worker owns cleanup
+                    if os.path.exists(p):
+                        os.unlink(p)
                 pieces.put(None)                        # sentinel
 
         t = threading.Thread(target=worker, daemon=True)
@@ -212,12 +226,20 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
                 emit({"done": True, "error": done["error"]})
             else:
                 r = done["result"]
-                emit({"done": True, "text": r.text, "segments": r.segments,
-                      "ctc_text": r.ctc_text, "hotwords": r.hotwords,
-                      "audio_seconds": round(r.audio_seconds, 3),
-                      "timings": asdict(r.timings)})
-        except (BrokenPipeError, ConnectionResetError):
+                payload = {"done": True, "text": r.text,
+                           "segments": r.segments, "ctc_text": r.ctc_text,
+                           "hotwords": r.hotwords,
+                           "audio_seconds": round(r.audio_seconds, 3),
+                           "timings": asdict(r.timings)}
+                if "srt" in done:
+                    payload["srt"] = done["srt"]
+                emit(payload)
+        except OSError:
             logger.info("SSE client disconnected mid-stream")
+        except Exception:                               # noqa: BLE001
+            # headers already sent — never fall back to a second HTTP
+            # response on this socket
+            logger.exception("SSE emit failed after headers")
 
 
 def make_server(engine, host: str = "127.0.0.1", port: int = 8090

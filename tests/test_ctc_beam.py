@@ -95,20 +95,35 @@ class TestPrefixBeamSearch:
 
 
 class TestHotwordTrie:
-    def test_match_reset_and_restart(self):
+    def test_match_fail_retracts_provisional_bonus(self):
+        """Partial-match bonus is given back when the match falls off."""
         trie = HotwordTrie(["abc"], char_bonus=1.0)
-        s, b = trie.step(None, "a"); assert b == 1.0
-        s, b = trie.step(s, "b"); assert b == 1.0
-        s, b = trie.step(s, "z"); assert b == 0.0 and s is None
-        # restart works mid-stream
-        s, b = trie.step(s, "a"); assert b == 1.0
+        total = 0.0
+        s = None
+        for ch in "abz":
+            s, d = trie.step(s, ch)
+            total += d
+        # a(+1) b(+1) then z retracts both → net 0
+        assert total == 0.0
+        # restart works after the failure
+        s, d = trie.step(s, "a"); assert d == 1.0
+
+    def test_completed_word_bonus_locked_in(self):
+        trie = HotwordTrie(["ab"], char_bonus=1.0)
+        total = 0.0
+        s = None
+        for ch in "abz":
+            s, d = trie.step(s, ch)
+            total += d
+        # completing "ab" locks +2; the 'z' retracts nothing
+        assert total == 2.0
 
     def test_fall_back_to_root_retry(self):
         trie = HotwordTrie(["ab"], char_bonus=1.0)
-        s, b = trie.step(None, "a"); assert b == 1.0
-        # 'a' again: fails under node 'a', but retries from root
-        s, b = trie.step(s, "a"); assert b == 1.0
-        s, b = trie.step(s, "b"); assert b == 1.0
+        s, d = trie.step(None, "a"); assert d == 1.0
+        # 'a' again: fails under node 'a' (retract -1), restarts (+1)
+        s, d = trie.step(s, "a"); assert d == 0.0
+        s, d = trie.step(s, "b"); assert d == 1.0
 
 
 class TestDeviceTopK:
@@ -123,11 +138,13 @@ class TestDeviceTopK:
         params = init_ctc_head_params(jax.random.PRNGKey(0), cfg)
         enc = jnp.asarray(
             np.random.default_rng(1).normal(size=(1, 5, 16)), jnp.float32)
-        vals, ids, blank = ctc_topk_forward(params, enc, cfg, k=4)
+        vals, ids, blank, argmax = ctc_topk_forward(params, enc, cfg, k=4)
         dense = np.asarray(jax.nn.log_softmax(
             ctc_logits_forward(params, enc, cfg).astype(jnp.float32), -1))
         np.testing.assert_allclose(np.asarray(blank), dense[..., -1],
                                    rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(argmax),
+                                      np.argmax(dense, axis=-1))
         for t in range(5):
             top = np.sort(dense[0, t])[-4:][::-1]
             np.testing.assert_allclose(np.sort(np.asarray(vals[0, t]))[::-1],
