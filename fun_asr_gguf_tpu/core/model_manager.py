@@ -144,7 +144,10 @@ class ModelManager:
                 self.llm_params = pack_qwen3_params(self.llm_params)
             if fmt == "int8":
                 from ..models.qwen3 import quantize_qwen3_params_int8
-                self.llm_params = quantize_qwen3_params_int8(self.llm_params)
+                # donate: free each bf16 source as it quantizes (multi-GB
+                # decoders would otherwise OOM holding both copies)
+                self.llm_params = quantize_qwen3_params_int8(
+                    self.llm_params, donate=True)
             self.audio_cfg = AudioEncoderConfig(
                 encoder=self.hybrid_cfg.encoder,
                 adaptor=self.hybrid_cfg.adaptor)

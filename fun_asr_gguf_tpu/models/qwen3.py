@@ -27,6 +27,8 @@ import jax.numpy as jnp
 
 from ..ops.quant_matmul import (IndexedQuant, QuantTensor, matmul_any,
                                 quantize_weight)
+from .common import rms_norm
+from .config import Qwen3Config
 
 
 class Int8Weight(NamedTuple):
@@ -72,8 +74,6 @@ def _unroll_decode() -> bool:
     better than exposed kernel DMA ramps), so default off."""
     import os
     return os.environ.get("FUNASR_UNROLL_DECODE", "0") != "0"
-from .common import rms_norm
-from .config import Qwen3Config
 
 
 class KVCache(NamedTuple):
@@ -152,21 +152,43 @@ def quantize_qwen3_params(params, keys=None):
     return out
 
 
-def quantize_qwen3_params_int8(params, keys=None):
+def quantize_qwen3_params_int8(params, keys=None, donate: bool = False):
     """Convert layer matmul weights to per-channel int8 (`Int8Weight`).
 
     The fastest decode format on TPU (see Int8Weight); works on packed or
     unpacked layouts. QuantTensor (q8_0) weights are left untouched.
+
+    ``donate=True`` MUTATES ``params['layers']``, dropping each bf16
+    source as it is consumed so its HBM frees immediately — needed to
+    quantize multi-GB decoders (4B+) on one chip. Layer-by-layer
+    quantization bounds the f32 transient to a single layer slice.
     """
-    layers = dict(params["layers"])
+    def quant_one(w):                                   # [k, n] → Int8Weight
+        wf = w.astype(jnp.float32)
+        s = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0
+        w8 = jnp.round(wf / jnp.where(s == 0, 1.0, s)).astype(jnp.int8)
+        return Int8Weight(w8=w8, scale=s.astype(jnp.bfloat16))
+
+    src = params["layers"]
+    layers = dict(src)
     for key in (keys or _MATMUL_KEYS):
         w = layers.get(key)
         if w is None or isinstance(w, (QuantTensor, Int8Weight)):
             continue
-        wf = w.astype(jnp.float32)                       # [L, k, n]
-        s = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0
-        w8 = jnp.round(wf / jnp.where(s == 0, 1.0, s)).astype(jnp.int8)
-        layers[key] = Int8Weight(w8=w8, scale=s.astype(jnp.bfloat16))
+        if donate:
+            src.pop(key, None)        # release the caller's bf16 reference
+        # quantize layer-by-layer: a whole-stack f32 transient would be
+        # 2x the bf16 weight bytes in HBM (OOMs a 4B model on one v5e);
+        # block per step so async dispatch can't pile up the transients
+        per = []
+        for i in range(w.shape[0]):
+            q = quant_one(w[i])
+            jax.block_until_ready(q.w8)
+            per.append(q)
+        del w
+        layers[key] = Int8Weight(
+            w8=jnp.stack([p.w8 for p in per]),
+            scale=jnp.stack([p.scale for p in per]))
     out = dict(params)
     out["layers"] = layers
     return out
