@@ -146,3 +146,72 @@ class TestServer:
         if final["text"]:
             assert streamed, "no piece events before the final event"
             assert final["text"] in streamed or streamed in final["text"]
+
+
+@pytest.fixture(scope="module")
+def batched_server(tmp_path_factory):
+    """Server with micro-batching enabled (50 ms window)."""
+    ckpt = str(tmp_path_factory.mktemp("srv_ckpt_b") / "model")
+    cfg = create_random_checkpoint(ckpt, HybridConfig.tiny(), seed=0)
+    lines = []
+    for i in range(cfg.ctc.vocab_size):
+        ch = chr(ord("一") + i) if i < cfg.ctc.vocab_size - 1 else "<blk>"
+        lines.append(f"{base64.b64encode(ch.encode()).decode()} {i}")
+    with open(os.path.join(ckpt, "tokens.txt"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(os.path.join(ckpt, "hot.txt"), "w", encoding="utf-8") as f:
+        f.write("测试\n")
+    reset_hotword_manager()
+    from fun_asr_gguf_tpu import create_asr_engine
+    from fun_asr_gguf_tpu.server import make_server
+    eng = create_asr_engine(
+        checkpoint_dir=ckpt, verbose=False, compute_dtype="float32",
+        segment_pad_seconds=2.0, n_predict=8, prefill_buckets=(64,))
+    server = make_server(eng, "127.0.0.1", 0, batch_window_ms=50.0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base
+    server.shutdown()
+    eng.cleanup()
+    reset_hotword_manager()
+
+
+class TestBatchedServer:
+    def test_short_clip_goes_through_batcher(self, batched_server):
+        status, body = _post(
+            batched_server + "/v1/transcribe?temperature=0", _wav_bytes())
+        assert status == 200
+        assert body.get("batched") is True
+        assert isinstance(body["text"], str)
+        assert body["audio_seconds"] == pytest.approx(1.0)
+
+    def test_concurrent_requests_share_a_batch(self, batched_server):
+        wavs = [_wav_bytes(seed=s) for s in (21, 22, 23)]
+        results = [None] * 3
+        def hit(i):
+            results[i] = _post(
+                batched_server + "/v1/transcribe?temperature=0", wavs[i])
+        ts = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
+        [t.start() for t in ts]
+        [t.join(timeout=300) for t in ts]
+        assert all(r is not None and r[0] == 200 for r in results)
+        assert all(r[1].get("batched") is True for r in results)
+        # batched result matches the single-path result for the same audio
+        solo = _post(batched_server + "/v1/transcribe?temperature=0&srt=0",
+                     wavs[0])[1]
+        assert results[0][1]["text"] == solo["text"]
+
+    def test_long_audio_falls_through_to_single_path(self, batched_server):
+        status, body = _post(
+            batched_server + "/v1/transcribe?temperature=0",
+            _wav_bytes(seconds=4.0, seed=30))
+        assert status == 200
+        assert "batched" not in body     # orchestrated single path
+
+    def test_srt_request_uses_single_path(self, batched_server):
+        status, body = _post(
+            batched_server + "/v1/transcribe?temperature=0&srt=1",
+            _wav_bytes(seed=31))
+        assert status == 200
+        assert "batched" not in body
