@@ -104,13 +104,22 @@ class BatchDispatcher:
                         s = RecognitionStream()
                         s.accept_waveform(self.engine.sample_rate, waveform)
                         streams.append(s)
+                    # pad to a power-of-2 bucket: the batch dim is a static
+                    # shape, so every distinct size would compile its own
+                    # device program otherwise
+                    n = len(streams)
+                    bucket = 1
+                    while bucket < n:
+                        bucket *= 2
+                    for _ in range(bucket - n):
+                        streams.append(streams[0])
                     with self.engine_lock:
                         results = self.engine.decode_streams(
                             streams, language=opts.get("language"),
                             context=opts.get("context"),
                             temperature=opts["temperature"],
                             top_p=opts["top_p"], top_k=opts["top_k"])
-                    for (_, _, reply), r in zip(jobs, results):
+                    for (_, _, reply), r in zip(jobs, results[:n]):
                         reply.put({"result": r})
                 except Exception as e:                  # noqa: BLE001
                     logger.exception("batched decode failed")
