@@ -35,7 +35,8 @@ class TranscriptionOrchestrator:
                    start_second: Optional[float] = None,
                    duration: Optional[float] = None, srt: bool = False,
                    temperature: float = 0.3, top_p: float = 1.0,
-                   top_k: int = 50, on_stream=None) -> TranscriptionResult:
+                   top_k: int = 50, on_stream=None,
+                   preloaded_audio=None) -> TranscriptionResult:
         result = TranscriptionResult()
         with DisplayReporter(verbose=verbose, on_stream=on_stream) as reporter:
             try:
@@ -43,10 +44,13 @@ class TranscriptionOrchestrator:
 
                 reporter.print("\n[1] 加载音频...")
                 t0 = time.perf_counter()
-                audio = load_audio(audio_path,
-                                   self.models.config.sample_rate,
-                                   start_second=start_second,
-                                   duration=duration)
+                if preloaded_audio is not None:
+                    audio = preloaded_audio   # slicing already applied
+                else:
+                    audio = load_audio(audio_path,
+                                       self.models.config.sample_rate,
+                                       start_second=start_second,
+                                       duration=duration)
                 result.timings.load_audio = time.perf_counter() - t0
 
                 audio_duration = len(audio) / self.models.config.sample_rate

@@ -84,6 +84,19 @@ class BatchDispatcher:
         from .datatypes import RecognitionStream
         while True:
             batch = [self.jobs.get()]
+            try:
+                self._serve_batch(batch, _queue, RecognitionStream)
+            except Exception as e:                      # noqa: BLE001
+                # nothing may kill the dispatcher thread: every pending
+                # submit() would hang forever otherwise
+                logger.exception("batch dispatcher failure")
+                for job in batch:
+                    try:
+                        job[2].put({"error": f"dispatcher failure: {e}"})
+                    except Exception:                   # noqa: BLE001
+                        pass
+
+    def _serve_batch(self, batch, _queue, RecognitionStream):
             deadline = time.monotonic() + self.window
             while len(batch) < self.max_batch:
                 left = deadline - time.monotonic()
@@ -106,13 +119,21 @@ class BatchDispatcher:
                         streams.append(s)
                     # pad to a power-of-2 bucket: the batch dim is a static
                     # shape, so every distinct size would compile its own
-                    # device program otherwise
+                    # device program otherwise. Pad rows are short silence
+                    # (trivial CTC/prompt work, no wasted retry decodes),
+                    # not copies of real audio.
                     n = len(streams)
                     bucket = 1
                     while bucket < n:
                         bucket *= 2
+                    import numpy as _np
                     for _ in range(bucket - n):
-                        streams.append(streams[0])
+                        s = RecognitionStream()
+                        s.accept_waveform(
+                            self.engine.sample_rate,
+                            _np.zeros(self.engine.sample_rate // 4,
+                                      _np.float32))
+                        streams.append(s)
                     with self.engine_lock:
                         results = self.engine.decode_streams(
                             streams, language=opts.get("language"),
@@ -137,13 +158,14 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
     server_version = "fun-asr-gguf-tpu"
 
     # -- helpers -------------------------------------------------------------
-    def _send_json(self, code: int, payload: dict):
+    def _send_json(self, code: int, payload: dict) -> bool:
         raw = json.dumps(payload, ensure_ascii=False).encode("utf-8")
         self.send_response(code)
         self.send_header("Content-Type", "application/json; charset=utf-8")
         self.send_header("Content-Length", str(len(raw)))
         self.end_headers()
         self.wfile.write(raw)
+        return True    # truthy sentinel: a response was written
 
     def log_message(self, fmt, *args):          # route to logging, not stderr
         logger.info("%s - %s", self.address_string(), fmt % args)
@@ -216,15 +238,17 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
                 # be queued on the engine lock after we return)
                 sse_owns_files = True
                 return self._transcribe_sse(tmp.name, opts)
+            preloaded = None
             if self.batcher is not None and not opts["srt"]:
-                handled = self._try_batched(tmp.name, opts)
-                if handled is not None:
-                    return handled
+                handled, preloaded = self._try_batched(tmp.name, opts)
+                if handled:
+                    return
             t0 = time.perf_counter()
             with self.engine_lock:
                 try:
                     result = self.engine.transcribe(
-                        tmp.name, verbose=False, **opts)
+                        tmp.name, verbose=False,
+                        preloaded_audio=preloaded, **opts)
                 except RuntimeError as e:
                     if "could not decode" in str(e):
                         return self._send_json(
@@ -259,29 +283,38 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
 
 
     def _try_batched(self, path: str, opts: dict):
-        """Short-clip micro-batching path. Returns the sent response, or
-        None to fall through to the single-request path (long audio /
-        undecodable handled there)."""
+        """Short-clip micro-batching path.
+
+        Returns (sent, preloaded_waveform): ``sent=True`` means a response
+        was written; otherwise the caller falls through to the single
+        path, reusing the already-decoded waveform when available (no
+        double audio decode for long clips)."""
         from .audio import load_audio
         try:
             waveform = load_audio(path, self.engine.sample_rate,
                                   start_second=opts.get("start_second"),
                                   duration=opts.get("duration"))
         except Exception:                               # noqa: BLE001
-            return None      # single path produces the decode error
-        window = self.engine.config.segment_pad_seconds
-        if len(waveform) > window * self.engine.sample_rate:
-            return None      # long audio: orchestrated single path
+            return False, None   # single path produces the decode error
+        sr = self.engine.sample_rate
+        # single-path semantics: clips longer than the requested
+        # segment_size (+2 s slack, orchestrator split rule) must go
+        # through windowed orchestration, not one whole-clip program
+        limit_s = min(opts["segment_size"] + 2.0,
+                      self.engine.config.segment_pad_seconds)
+        if len(waveform) > limit_s * sr:
+            return False, waveform
         t0 = time.perf_counter()
         out = self.batcher.submit(waveform, opts)
         if "error" in out:
-            return self._send_json(500, {"error": out["error"]})
+            return self._send_json(500, {"error": out["error"]}), None
         r = out["result"]
         wall = time.perf_counter() - t0
-        audio_s = len(waveform) / self.engine.sample_rate
+        audio_s = len(waveform) / sr
+        base = opts.get("start_second") or 0.0
         return self._send_json(200, {
             "text": r.text,
-            "segments": [{"char": s["char"], "start": s["start"]}
+            "segments": [{"char": s["char"], "start": s["start"] + base}
                          for s in (r.aligned or [])],
             "ctc_text": "".join(c.text for c in r.ctc_results),
             "hotwords": r.hotwords,
@@ -290,7 +323,7 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
             "audio_seconds": round(audio_s, 3),
             "rtf": round(wall / audio_s, 5) if audio_s else None,
             "batched": True,
-        })
+        }), None
 
     def _transcribe_sse(self, path: str, opts: dict):
         """Server-sent-events mode: stream generated text pieces live.

@@ -197,9 +197,11 @@ class TestBatchedServer:
         [t.join(timeout=300) for t in ts]
         assert all(r is not None and r[0] == 200 for r in results)
         assert all(r[1].get("batched") is True for r in results)
-        # batched result matches the single-path result for the same audio
-        solo = _post(batched_server + "/v1/transcribe?temperature=0&srt=0",
+        # batched result matches the GENUINE single path (srt=1 bypasses
+        # the batcher) for the same audio
+        solo = _post(batched_server + "/v1/transcribe?temperature=0&srt=1",
                      wavs[0])[1]
+        assert "batched" not in solo
         assert results[0][1]["text"] == solo["text"]
 
     def test_long_audio_falls_through_to_single_path(self, batched_server):
@@ -215,3 +217,21 @@ class TestBatchedServer:
             _wav_bytes(seed=31))
         assert status == 200
         assert "batched" not in body
+
+    def test_keepalive_no_stale_second_response(self, batched_server):
+        """The broken batched-sentinel bug wrote TWO responses per request;
+        a keep-alive client would read the stale one as the next reply."""
+        import http.client
+        host = batched_server.split("//")[1]
+        conn = http.client.HTTPConnection(host, timeout=300)
+        try:
+            for seed in (41, 42):
+                conn.request("POST", "/v1/transcribe?temperature=0",
+                             body=_wav_bytes(seed=seed),
+                             headers={"Content-Type": "audio/wav"})
+                resp = conn.getresponse()
+                body = json.loads(resp.read().decode())
+                assert resp.status == 200
+                assert body.get("batched") is True
+        finally:
+            conn.close()
