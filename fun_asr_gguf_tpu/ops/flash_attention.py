@@ -34,7 +34,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
         acc, m_prev, l_prev = carry
         k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        bias = bias_ref[0, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
+        bias = bias_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(
+            jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s + bias[None, :]                          # [bq, bk]
@@ -86,7 +87,10 @@ def flash_attention(q, k, v, key_bias, block_q: int = 256,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t), lambda b, i: (b, 0),
+            # [BH, 1, T] so the block's trailing dims (1, T) equal the
+            # array dims — Mosaic rejects a (1, T) block over a 2D [BH, T]
+            # array (second-to-last dim must be 8-divisible or full)
+            pl.BlockSpec((1, 1, t), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
@@ -97,7 +101,7 @@ def flash_attention(q, k, v, key_bias, block_q: int = 256,
             bytes_accessed=bh * t * d * 3 * 2 + bh * t * d * 2,
             transcendentals=bh * t * t),
         interpret=interpret,
-    )(q, k, v, key_bias)
+    )(q, k, v, key_bias[:, None, :])
 
 
 def attention_with_mask(q_heads, k_heads, v_heads, mask,
