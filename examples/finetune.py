@@ -1,0 +1,88 @@
+# coding: utf-8
+"""Fine-tune the hybrid model on a dp×tp mesh (demo driver).
+
+The reference is inference-only; this is the TPU-native training
+extension: joint CTC + audio-conditioned LM cross-entropy over the whole
+SenseVoice-encoder + Qwen3-decoder stack, Megatron-TP sharded parameters,
+data-parallel batch (``parallel/training.py``). Runs on a virtual CPU
+mesh for smoke-testing (the default here) or on a real TPU slice.
+
+    python examples/finetune.py --steps 5 --dp 4 --tp 2          # virtual
+    python examples/finetune.py --checkpoint model_dir --steps 100
+
+With --checkpoint the run starts from the inference weights and saves a
+sharded training checkpoint every --save-every steps (resumable).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", help="warm-start from this engine "
+                                         "checkpoint dir (else tiny random)")
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--dp", type=int, default=4)
+    ap.add_argument("--tp", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--virtual-cpu", action="store_true", default=None,
+                    help="force a virtual CPU device mesh (default when "
+                         "fewer real devices than dp*tp)")
+    ap.add_argument("--save-every", type=int, default=0)
+    ap.add_argument("--out", default="finetune_ckpt")
+    args = ap.parse_args()
+
+    n_dev = args.dp * args.tp
+    if args.virtual_cpu is None or args.virtual_cpu:
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            f"--xla_force_host_platform_device_count={n_dev}")
+    import jax
+    if args.virtual_cpu or len(jax.devices()) < n_dev:
+        jax.config.update("jax_platforms", "cpu")
+
+    from fun_asr_gguf_tpu.models.config import HybridConfig
+    from fun_asr_gguf_tpu.parallel.mesh import make_mesh
+    from fun_asr_gguf_tpu.parallel.training import (batch_shardings,
+                                                    init_train_state,
+                                                    make_dummy_batch,
+                                                    make_optimizer,
+                                                    make_train_step)
+    import jax.numpy as jnp
+
+    mesh = make_mesh(dp=args.dp, tp=args.tp,
+                     devices=jax.devices()[:n_dev])
+    cfg = HybridConfig.tiny(ctc_vocab=64, llm_vocab=128) \
+        if not args.checkpoint else HybridConfig()
+    opt = make_optimizer(args.lr)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, opt, mesh=mesh)
+    step_fn = make_train_step(cfg, opt)
+    bs = batch_shardings(mesh)
+
+    print(f"mesh dp{args.dp}×tp{args.tp} on {jax.devices()[0].platform}; "
+          f"{args.steps} steps, batch {args.batch}")
+    for step in range(args.steps):
+        # replace make_dummy_batch with your real (audio, text) pipeline
+        batch = make_dummy_batch(cfg, batch=args.batch, t=16, seed=step)
+        batch = {k: jax.device_put(jnp.asarray(v), bs[k])
+                 for k, v in batch.items()}
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, batch)
+        loss = float(jax.device_get(metrics["loss"]))
+        print(f"step {step:4d}  loss {loss:.4f}  "
+              f"({(time.perf_counter()-t0)*1000:.0f} ms)")
+        if args.save_every and (step + 1) % args.save_every == 0:
+            from fun_asr_gguf_tpu.parallel.training import save_train_state
+            save_train_state(args.out, state)
+            print(f"  saved → {args.out}")
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()
