@@ -126,6 +126,10 @@ class _Cursor:
         self.pos = 0
 
     def read(self, n: int) -> bytes:
+        if n < 0 or self.pos + n > len(self.buf):
+            raise ValueError(
+                f"corrupt GGUF: read of {n} bytes at offset {self.pos} "
+                f"exceeds file size {len(self.buf)}")
         out = self.buf[self.pos:self.pos + n].tobytes()
         self.pos += n
         return out
@@ -177,6 +181,10 @@ class GGUFReader:
         self.version = cur.scalar("<I")
         n_tensors = cur.scalar("<Q")
         n_kv = cur.scalar("<Q")
+        if n_tensors > 1_000_000 or n_kv > 1_000_000:
+            raise ValueError(
+                f"corrupt GGUF: implausible counts (tensors={n_tensors}, "
+                f"kv={n_kv})")
 
         self.fields: Dict[str, Any] = {}
         # declared value type (and array element type) per key — preserved
@@ -207,6 +215,15 @@ class GGUFReader:
         pad = -cur.pos % self.alignment
         self.data_start = cur.pos + pad
         self._by_name = {t.name: t for t in self.tensors}
+
+        # a truncated payload must fail loudly, not hand out short views
+        if self.tensors:
+            end = max(t.offset + t.nbytes for t in self.tensors)
+            if self.data_start + end > len(self.data):
+                raise ValueError(
+                    f"corrupt GGUF: tensor data extends to byte "
+                    f"{self.data_start + end} but the file is only "
+                    f"{len(self.data)} bytes (truncated?)")
 
     def tensor_names(self) -> List[str]:
         return [t.name for t in self.tensors]

@@ -286,3 +286,48 @@ class TestLegacyQuantFormats:
         np.testing.assert_allclose(got,
                                    q4_0_dequantize_blocks(
                                        np.frombuffer(raw, np.uint8), (2, 64)))
+
+
+class TestGGUFCorruption:
+    """Corrupt files must fail with typed ValueError, never short views."""
+
+    def _base(self, tmp_path):
+        import numpy as np
+        from fun_asr_gguf_tpu.formats.gguf import GGUFWriter
+        p = str(tmp_path / "ok.gguf")
+        w = GGUFWriter(p, arch="qwen3")
+        w.add_tensor("t", np.zeros((4, 32), np.float32))
+        w.write()
+        return open(p, "rb").read()
+
+    def _expect(self, tmp_path, name, data):
+        from fun_asr_gguf_tpu.formats.gguf import GGUFReader
+        p = str(tmp_path / name)
+        open(p, "wb").write(data)
+        with pytest.raises(ValueError):
+            GGUFReader(p)
+
+    def test_truncated_header(self, tmp_path):
+        self._expect(tmp_path, "t1", self._base(tmp_path)[:10])
+
+    def test_truncated_kv(self, tmp_path):
+        self._expect(tmp_path, "t2", self._base(tmp_path)[:40])
+
+    def test_implausible_counts(self, tmp_path):
+        import struct
+        base = self._base(tmp_path)
+        self._expect(tmp_path, "t3",
+                     base[:8] + struct.pack("<Q", 2 ** 40) + base[16:])
+
+    def test_huge_string_length(self, tmp_path):
+        import struct
+        base = self._base(tmp_path)
+        self._expect(tmp_path, "t4",
+                     base[:24] + struct.pack("<Q", 2 ** 50) + base[32:])
+
+    def test_truncated_tensor_payload(self, tmp_path):
+        self._expect(tmp_path, "t5", self._base(tmp_path)[:-60])
+
+    def test_bad_magic(self, tmp_path):
+        base = self._base(tmp_path)
+        self._expect(tmp_path, "t6", b"XXXX" + base[4:])

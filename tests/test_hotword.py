@@ -378,3 +378,39 @@ class TestConcurrency:
             assert "康辉" in mgr.get_corrector().hotwords
         finally:
             mgr.stop_file_watcher()
+
+
+class TestHotwordScale:
+    def test_10k_hotword_index_and_search(self):
+        """Mirror of the reference's 10,000-word self-benchmark
+        (``rag_fast.py:320-366``): index build and per-query search must
+        stay interactive at production hotword-list scale."""
+        import random
+        import time
+        from fun_asr_gguf_tpu.hotword.algo_phoneme import get_phoneme_seq
+        from fun_asr_gguf_tpu.hotword.rag_fast import FastRAG
+        rng = random.Random(0)
+        # draw from the embedded pinyin table's coverage
+        chars = "的一是在不了有和人这中大为上个国我以要他时来用们生到作地于出就分对成会可主发年动同工也能下过子说产种面而方后多定行学法所民得经十三之进着等部度家电力里如水化高自二理起小物现实加量都两体制机当使点从业本去把性好应开它合还因由其些然前外天政四日那社义事平形相全表间样与关各重新线内数正心反你明看原又么利比或但质气第向道命此变条只没结解问意建月公无系军很情者最立代想已通并提直题党程展五果料象员革位入常文总次品式活设及管特件长求老头基资边流路级少图山统接知较将组见计别她手角期根论运农指几九区强放决西被干做必战先回则任取据处队南给色光门即保治北造百规热领七海口东导器压志世金增争济阶油思术极交受联什认六共权收证改清己美再采转更单风切打白教速花带安场身车例真务具万每目至达走积示议声报斗完类八离华名确才科张信马节话米整空元况今集温传土许步群广石记需段研界拉林律叫且究观越织装影算低持音众书布复容儿须际商非验连断深难近矿千周委素技备半办青省列习响约支般史感劳便团往酸历市克何除消构府称太准精值号率族维划选标写存候毛亲快效斯院查江型眼王按格养易置派层片始却专状育厂京识适属圆包火住调满县局照参红细引听该铁价严龙飞"
+        words = ["".join(rng.choices(chars, k=rng.randint(2, 4)))
+                 for _ in range(10_000)]
+        hw_map = {}
+        t0 = time.perf_counter()
+        for w in words:
+            phons = get_phoneme_seq(w)
+            if phons:
+                hw_map[w] = phons
+        rag = FastRAG()
+        rag.add_hotwords(hw_map)
+        build_s = time.perf_counter() - t0
+        assert rag.hotword_count > 9000
+        target = words[137]
+        query = get_phoneme_seq(target + "".join(rng.choices(chars, k=6)))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            results = rag.search(query)
+        search_s = (time.perf_counter() - t0) / 5
+        assert results, "no candidates returned at 10k scale"
+        # generous CI bounds; the reference budget is ms-scale per query
+        assert build_s < 60.0, f"index build too slow: {build_s:.1f}s"
+        assert search_s < 0.5, f"search too slow: {search_s*1000:.0f}ms"
