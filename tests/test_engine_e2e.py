@@ -200,3 +200,39 @@ class TestInt8Engine:
         finally:
             eng.cleanup()
             reset_hotword_manager()
+
+
+class TestEdgeCases:
+    def test_very_short_audio(self, engine, tmp_path):
+        """One-tenth-second clip: static padding must absorb it."""
+        path = make_wav(tmp_path, 0.1, "tiny.wav", seed=50)
+        res = engine.transcribe(path, verbose=False, temperature=0.0)
+        assert isinstance(res.text, str)
+        assert res.audio_seconds == pytest.approx(0.1, abs=0.01)
+
+    def test_silent_audio(self, engine, tmp_path):
+        import numpy as np
+        from fun_asr_gguf_tpu.audio import write_wav
+        path = str(tmp_path / "silence.wav")
+        write_wav(path, np.zeros(16000), 16000)
+        res = engine.transcribe(path, verbose=False, temperature=0.0)
+        assert isinstance(res.text, str)   # no NaNs/crash on all-zero input
+
+    def test_empty_wav_handled_gracefully(self, engine, tmp_path):
+        """Zero-sample audio pads into the static window and transcribes
+        as silence (no crash) — mirrors the reference's pad-to-window
+        behavior for degenerate inputs."""
+        from fun_asr_gguf_tpu.audio import write_wav
+        import numpy as np
+        path = str(tmp_path / "empty.wav")
+        write_wav(path, np.zeros(0), 16000)
+        res = engine.transcribe(path, verbose=False, temperature=0.0)
+        assert isinstance(res.text, str)
+        assert res.audio_seconds == 0.0
+
+    def test_transcribe_batch_mixed_lengths(self, engine, tmp_path):
+        paths = [make_wav(tmp_path, s, f"mx{i}.wav", seed=60 + i)
+                 for i, s in enumerate((0.5, 1.0, 1.5))]
+        results = engine.transcribe_batch(paths, temperature=0.0)
+        assert len(results) == 3
+        assert all(isinstance(r.text, str) for r in results)
