@@ -8,10 +8,12 @@ data-parallel batch (``parallel/training.py``). Runs on a virtual CPU
 mesh for smoke-testing (the default here) or on a real TPU slice.
 
     python examples/finetune.py --steps 5 --dp 4 --tp 2          # virtual
-    python examples/finetune.py --checkpoint model_dir --steps 100
+    python examples/finetune.py --checkpoint model_dir --steps 100 \
+        --real-devices
 
-With --checkpoint the run starts from the inference weights and saves a
-sharded training checkpoint every --save-every steps (resumable).
+With --checkpoint the run warm-starts from the inference weights
+(encoder/adaptor/CTC safetensors + decoder GGUF, loaded dense f32) and
+saves a sharded training checkpoint every --save-every steps (resumable).
 """
 
 import argparse
@@ -31,20 +33,22 @@ def main():
     ap.add_argument("--tp", type=int, default=2)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--virtual-cpu", action="store_true", default=None,
-                    help="force a virtual CPU device mesh (default when "
-                         "fewer real devices than dp*tp)")
+    ap.add_argument("--real-devices", action="store_true",
+                    help="use the real accelerator devices; default is a "
+                         "virtual CPU mesh (the safe demo mode — the "
+                         "platform must be chosen BEFORE jax initializes, "
+                         "so there is no reliable auto-detect)")
     ap.add_argument("--save-every", type=int, default=0)
     ap.add_argument("--out", default="finetune_ckpt")
     args = ap.parse_args()
 
     n_dev = args.dp * args.tp
-    if args.virtual_cpu is None or args.virtual_cpu:
-        os.environ.setdefault(
-            "XLA_FLAGS",
-            f"--xla_force_host_platform_device_count={n_dev}")
+    if not args.real_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_dev}").strip()
     import jax
-    if args.virtual_cpu or len(jax.devices()) < n_dev:
+    if not args.real_devices:
         jax.config.update("jax_platforms", "cpu")
 
     from fun_asr_gguf_tpu.models.config import HybridConfig
@@ -53,15 +57,19 @@ def main():
                                                     init_train_state,
                                                     make_dummy_batch,
                                                     make_optimizer,
-                                                    make_train_step)
+                                                    make_train_step,
+                                                    warm_start_train_state)
     import jax.numpy as jnp
 
     mesh = make_mesh(dp=args.dp, tp=args.tp,
                      devices=jax.devices()[:n_dev])
-    cfg = HybridConfig.tiny(ctc_vocab=64, llm_vocab=128) \
-        if not args.checkpoint else HybridConfig()
     opt = make_optimizer(args.lr)
-    state = init_train_state(jax.random.PRNGKey(0), cfg, opt, mesh=mesh)
+    if args.checkpoint:
+        # warm-start: fine-tune the actual inference weights
+        state, cfg = warm_start_train_state(args.checkpoint, opt, mesh=mesh)
+    else:
+        cfg = HybridConfig.tiny(ctc_vocab=64, llm_vocab=128)
+        state = init_train_state(jax.random.PRNGKey(0), cfg, opt, mesh=mesh)
     step_fn = make_train_step(cfg, opt)
     bs = batch_shardings(mesh)
 

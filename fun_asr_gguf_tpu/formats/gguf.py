@@ -115,7 +115,10 @@ _BLOCK_FORMATS.update({
 
 def _type_nbytes(ggml_type: GGMLType, n_elements: int) -> int:
     if ggml_type in _BLOCK_FORMATS:
-        assert n_elements % Q8_0_BLOCK == 0
+        if n_elements % Q8_0_BLOCK != 0:
+            raise ValueError(
+                f"corrupt GGUF: {ggml_type.name} tensor with {n_elements} "
+                f"elements (not a multiple of the {Q8_0_BLOCK}-wide block)")
         return (n_elements // Q8_0_BLOCK) * _BLOCK_FORMATS[ggml_type][0]
     return n_elements * _NUMPY_FOR_TYPE[ggml_type].itemsize
 
@@ -197,7 +200,15 @@ class GGUFReader:
             self.fields[key] = cur.value(vtype)
             self.field_types[key] = (vtype, cur.last_etype)
 
-        self.alignment = int(self.fields.get("general.alignment", DEFAULT_ALIGNMENT))
+        try:
+            self.alignment = int(self.fields.get("general.alignment",
+                                                 DEFAULT_ALIGNMENT))
+        except (TypeError, ValueError):
+            raise ValueError("corrupt GGUF: non-integer general.alignment "
+                             f"{self.fields.get('general.alignment')!r}")
+        if self.alignment < 1:
+            raise ValueError(
+                f"corrupt GGUF: general.alignment={self.alignment}")
 
         self.tensors: List[GGUFTensorInfo] = []
         for _ in range(n_tensors):
@@ -207,7 +218,15 @@ class GGUFReader:
             ggml_type = GGMLType(cur.scalar("<I"))
             offset = cur.scalar("<Q")
             shape = tuple(reversed(ne))
-            n_elem = int(np.prod(ne, dtype=np.int64)) if ne else 1
+            # pure-python product: np.prod silently wraps at 2^63, letting
+            # corrupt huge dims produce nbytes=0 "short view" tensors
+            n_elem = 1
+            for dim in ne:
+                n_elem *= int(dim)
+            if n_elem > len(self.data) * Q8_0_BLOCK:   # generous upper bound
+                raise ValueError(
+                    f"corrupt GGUF: tensor {name!r} claims {n_elem} "
+                    f"elements in a {len(self.data)}-byte file")
             self.tensors.append(GGUFTensorInfo(
                 name=name, shape=shape, ggml_type=ggml_type, offset=offset,
                 nbytes=_type_nbytes(ggml_type, n_elem)))

@@ -189,3 +189,24 @@ def init_train_state(rng, cfg: HybridConfig, optimizer, mesh: Mesh = None):
     opt_state = optimizer.init(params)
     return TrainState(params=params, opt_state=opt_state,
                       step=jnp.zeros((), jnp.int32))
+
+
+def warm_start_train_state(ckpt_dir: str, optimizer, mesh: Mesh = None,
+                           dtype=jnp.float32):
+    """Build a TrainState from an inference checkpoint directory.
+
+    Loads the engine checkpoint (encoder/adaptor/ctc safetensors +
+    decoder GGUF, dense f32 — training needs full-precision masters),
+    places it on the mesh, and initializes fresh optimizer state.
+    Returns (state, HybridConfig).
+    """
+    from ..models.loaders import load_checkpoint
+    cfg, enc_p, ada_p, ctc_p, llm_p, _embed = load_checkpoint(
+        ckpt_dir, dtype=dtype, llm_dtype=dtype, llm_keep_quantized=False)
+    params = {"encoder": enc_p, "adaptor": ada_p, "ctc": ctc_p,
+              "llm": llm_p}
+    if mesh is not None:
+        params = jax.device_put(params, param_shardings(mesh, params))
+    opt_state = optimizer.init(params)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=jnp.zeros((), jnp.int32)), cfg
