@@ -249,6 +249,10 @@ class StreamDecoder:
                 break
             temperature += 0.3
             llm_res.text += ABORT_MARKER
+            if reporter is not None and hasattr(reporter, "stream_reset"):
+                # tell streaming consumers (SSE) the aborted attempt's
+                # pieces are being discarded before the retry re-emits
+                reporter.stream_reset()
             print(f"\n\n[!] 触发重试 (Temp -> {temperature:.1f})\n")
 
         text = llm_res.text.strip()

@@ -35,10 +35,11 @@ class TranscriptionOrchestrator:
                    start_second: Optional[float] = None,
                    duration: Optional[float] = None, srt: bool = False,
                    temperature: float = 0.3, top_p: float = 1.0,
-                   top_k: int = 50, on_stream=None,
+                   top_k: int = 50, on_stream=None, on_stream_reset=None,
                    preloaded_audio=None) -> TranscriptionResult:
         result = TranscriptionResult()
-        with DisplayReporter(verbose=verbose, on_stream=on_stream) as reporter:
+        with DisplayReporter(verbose=verbose, on_stream=on_stream,
+                             on_stream_reset=on_stream_reset) as reporter:
             try:
                 self._print_header(reporter, audio_path)
 

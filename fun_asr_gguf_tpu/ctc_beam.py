@@ -35,41 +35,83 @@ def _logsumexp2(a: float, b: float) -> float:
 # Hotword trie (character level, built from the decoded token strings)
 # ---------------------------------------------------------------------------
 
+class _TrieNode:
+    __slots__ = ("children", "fail", "depth", "terminal")
+
+    def __init__(self, depth: int = 0):
+        self.children: Dict[str, "_TrieNode"] = {}
+        self.fail: Optional["_TrieNode"] = None
+        self.depth = depth
+        self.terminal = False
+
+
 class HotwordTrie:
-    """Char trie for shallow-fusion bonuses with fail retraction.
+    """Aho–Corasick trie for shallow-fusion bonuses with fail retraction.
 
     ``step(state, ch)`` → (new_state, delta): per matched char a positive
-    bonus accrues *provisionally*; if the partial match later fails, the
-    accumulated provisional bonus is retracted (negative delta) — so
-    "北京大" under hotword "北京大学" doesn't keep a spurious +3·bonus
-    when the 4th char mismatches (standard shallow-fusion behavior).
-    Completing a word locks its bonus in. State = (trie_node, pending)
-    where pending is the retractable bonus since the last completed word.
+    bonus accrues *provisionally*; when a partial match fails, the walk
+    follows proper failure links (longest proper suffix that is still a
+    hotword prefix), retracting exactly the bonus of the dropped depth —
+    so "北京大" under hotword "北京大学" gives back +3·bonus on mismatch,
+    while self-overlapping prefixes (e.g. "aab" after input "aaab") keep
+    their surviving suffix match. Completing a word locks its bonus in.
+    State = (node, pending) with pending = retractable bonus since the
+    last completed word.
     """
 
     def __init__(self, words: Sequence[str], char_bonus: float = 2.0):
-        self.root: Dict = {}
+        self.root = _TrieNode()
         self.char_bonus = float(char_bonus)
         for w in words:
             node = self.root
             for ch in w:
-                node = node.setdefault(ch, {})
-            node[None] = True          # terminal marker
+                nxt = node.children.get(ch)
+                if nxt is None:
+                    nxt = _TrieNode(node.depth + 1)
+                    node.children[ch] = nxt
+                node = nxt
+            node.terminal = True
+        # BFS failure links
+        from collections import deque
+        q = deque()
+        for child in self.root.children.values():
+            child.fail = self.root
+            q.append(child)
+        while q:
+            node = q.popleft()
+            for ch, child in node.children.items():
+                f = node.fail
+                while f is not None and ch not in f.children:
+                    f = f.fail
+                child.fail = f.children[ch] if f and ch in f.children \
+                    else self.root
+                q.append(child)
+
+    def _goto(self, node: "_TrieNode", ch: str) -> "_TrieNode":
+        while node is not None and ch not in node.children:
+            node = node.fail
+        return node.children[ch] if node is not None else self.root
 
     def step(self, state, ch: str):
         node, pending = state if state is not None else (self.root, 0.0)
-        if ch in node:
-            nxt = node[ch]
-            pending2 = 0.0 if None in nxt else pending + self.char_bonus
-            return (nxt, pending2), self.char_bonus
-        # partial match failed: retract the provisional bonus…
-        delta = -pending
-        # …and retry this char as the start of a fresh match
-        if ch in self.root:
-            nxt = self.root[ch]
-            pending2 = 0.0 if None in nxt else self.char_bonus
-            return (nxt, pending2), delta + self.char_bonus
-        return (self.root, 0.0), delta
+        nxt = self._goto(node, ch)
+        advanced = nxt.depth == node.depth + 1      # direct extension
+        if nxt.depth > 0:
+            if advanced:
+                delta = self.char_bonus
+                pending2 = pending + self.char_bonus
+            else:
+                # fell back to a shorter live prefix: keep its share,
+                # retract the rest, then credit the new char
+                kept = (nxt.depth - 1) * self.char_bonus
+                kept = min(kept, pending)
+                delta = (kept - pending) + self.char_bonus
+                pending2 = kept + self.char_bonus
+            if nxt.terminal:
+                pending2 = 0.0              # completed word: lock bonus in
+            return (nxt, pending2), delta
+        # no live prefix at all: retract everything provisional
+        return (self.root, 0.0), -pending
 
 
 # ---------------------------------------------------------------------------

@@ -13,9 +13,11 @@ import threading
 class DisplayReporter:
     """Aggregates messages and prints them from a background thread."""
 
-    def __init__(self, verbose: bool = True, on_stream=None):
+    def __init__(self, verbose: bool = True, on_stream=None,
+                 on_stream_reset=None):
         self.verbose = verbose
         self.on_stream = on_stream      # callback(piece) for token streaming
+        self.on_stream_reset = on_stream_reset   # callback() on retry
         self.message_queue = queue.Queue()
         self.stop_event = threading.Event()
         self.thread = threading.Thread(target=self._run, daemon=True)
@@ -38,6 +40,13 @@ class DisplayReporter:
             self.on_stream(chunk)
         if self.verbose:
             self.message_queue.put(("stream", chunk))
+
+    def stream_reset(self):
+        """Signal that previously streamed pieces are being discarded
+        (repetition-fuse retry): SSE consumers should clear their buffer.
+        Console output already prints the retry banner."""
+        if self.on_stream_reset is not None:
+            self.on_stream_reset()
 
     def set_segment(self, current: int, total: int):
         self.current_segment = (current, total)

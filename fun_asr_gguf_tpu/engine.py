@@ -75,18 +75,21 @@ class FunASREngine:
                    start_second: Optional[float] = None,
                    duration: Optional[float] = None, srt: bool = False,
                    temperature: float = 0.4, top_p: float = 1.0,
-                   top_k: int = 50, on_stream=None,
+                   top_k: int = 50, on_stream=None, on_stream_reset=None,
                    preloaded_audio=None) -> TranscriptionResult:
         """on_stream: optional callback(text_piece) invoked as the LLM
-        streams generated text (powers the server's SSE mode).
-        preloaded_audio: already-decoded mono waveform (skips load_audio;
-        start_second/duration are assumed applied)."""
+        streams generated text (powers the server's SSE mode);
+        on_stream_reset: optional callback() when a repetition-fuse retry
+        discards the streamed pieces. preloaded_audio: already-decoded
+        mono waveform (skips load_audio; start_second/duration are
+        assumed applied)."""
         return self.orchestrator.transcribe(
             audio_path=audio_path, language=language, context=context,
             verbose=verbose, segment_size=segment_size, overlap=overlap,
             start_second=start_second, duration=duration, srt=srt,
             temperature=temperature, top_p=top_p, top_k=top_k,
-            on_stream=on_stream, preloaded_audio=preloaded_audio)
+            on_stream=on_stream, on_stream_reset=on_stream_reset,
+            preloaded_audio=preloaded_audio)
 
     def create_stream(self, hotwords: Optional[str] = None
                       ) -> RecognitionStream:

@@ -282,6 +282,15 @@ class GGUFReader:
         return q8_0_from_blocks(self.tensor_raw(name), t.shape)
 
 
+class _ShapeOnly:
+    """Zero-allocation shape carrier for raw-passthrough tensors."""
+
+    __slots__ = ("shape",)
+
+    def __init__(self, shape):
+        self.shape = tuple(shape)
+
+
 class GGUFWriter:
     """Single-pass GGUF v3 writer."""
 
@@ -306,6 +315,8 @@ class GGUFWriter:
         if isinstance(value, bool):
             return GGUFValueType.BOOL
         if isinstance(value, int):
+            if value >= 2 ** 63:
+                return GGUFValueType.UINT64
             return GGUFValueType.INT64 if (value < 0 or value >= 2 ** 32) \
                 else GGUFValueType.UINT32
         if isinstance(value, float):
@@ -363,11 +374,16 @@ class GGUFWriter:
     def add_tensor_q8_0(self, name: str, q: np.ndarray, d: np.ndarray):
         self.tensors.append((name, q, GGMLType.Q8_0, d))
 
-    def add_tensor_raw(self, name: str, raw: bytes, shape: Tuple[int, ...],
+    def add_tensor_raw(self, name: str, raw, shape: Tuple[int, ...],
                        ggml_type: GGMLType):
-        """Pass stored bytes through untouched (metadata-edit copies)."""
-        holder = np.empty(shape, np.uint8)   # shape carrier only
-        self._raw[name] = bytes(raw)
+        """Pass stored bytes through untouched (metadata-edit copies).
+
+        ``raw`` may be bytes or any buffer (e.g. the reader's memmap
+        view) — it is not copied here, keeping multi-GB edits O(1) in
+        extra RAM.
+        """
+        holder = _ShapeOnly(shape)
+        self._raw[name] = raw
         self.tensors.append((name, holder, ggml_type, None))
 
     # -- serialize ---------------------------------------------------------
@@ -402,7 +418,7 @@ class GGUFWriter:
                 info += struct.pack("<Q", n)
             info += struct.pack("<IQ", int(gtype), offset)
             infos.append(info)
-            payloads.append(raw + b"\x00" * pad)
+            payloads.append((raw, pad))   # pad written separately: no copy
             offset += len(raw) + pad
 
         with open(self.path, "wb") as f:
@@ -415,5 +431,7 @@ class GGUFWriter:
             for info in infos:
                 f.write(info)
             f.write(b"\x00" * (-f.tell() % alignment))
-            for raw in payloads:
+            for raw, pad in payloads:
                 f.write(raw)
+                if pad:
+                    f.write(b"\x00" * pad)

@@ -245,6 +245,9 @@ def quantize_lm_head(params, cfg: Qwen3Config):
         head = jnp.pad(head, ((0, 0), (0, pad)))
     out = dict(params)
     out["lm_head_q"] = quantize_weight(head.astype(jnp.float32))
+    # untied models: the dense lm_head is never read once the quantized
+    # head exists — keeping it would waste hundreds of MB of HBM
+    out.pop("lm_head", None)
     return out
 
 
@@ -492,6 +495,7 @@ def quantize_lm_head_per_channel(params, cfg: Qwen3Config):
                      ).astype(jnp.int8)
     out = dict(params)
     out["lm_head_i8"] = (w_i8, scale.astype(jnp.float32))
+    out.pop("lm_head", None)     # untied dense head is dead weight now
     return out
 
 

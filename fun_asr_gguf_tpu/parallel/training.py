@@ -107,7 +107,9 @@ def param_shardings(mesh: Mesh, params) -> Dict:
         "encoder": encoder_param_sharding(mesh, params["encoder"]),
         "adaptor": encoder_param_sharding(mesh, params["adaptor"]),
         "ctc": encoder_param_sharding(mesh, params["ctc"]),
-        "llm": llm_param_sharding(mesh),
+        # pass params so the spec mirrors the actual key set (untied
+        # decoders carry 'lm_head'; quantized layouts differ)
+        "llm": llm_param_sharding(mesh, params["llm"]),
     }
 
 

@@ -337,6 +337,7 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
         import queue as _queue
         pieces: "_queue.Queue" = _queue.Queue()
         done = {}
+        RESET = object()          # retry marker (distinct from None = EOF)
         srt_path = os.path.splitext(path)[0] + ".srt"
 
         def worker():
@@ -344,7 +345,8 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
                 with self.engine_lock:
                     done["result"] = self.engine.transcribe(
                         path, verbose=False,
-                        on_stream=lambda p: pieces.put(p), **opts)
+                        on_stream=lambda p: pieces.put(p),
+                        on_stream_reset=lambda: pieces.put(RESET), **opts)
                 if opts.get("srt") and os.path.exists(srt_path):
                     with open(srt_path, encoding="utf-8") as f:
                         done["srt"] = f.read()
@@ -375,7 +377,11 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
                 piece = pieces.get()
                 if piece is None:
                     break
-                if piece:
+                if piece is RESET:
+                    # repetition-fuse retry: client should clear buffered
+                    # pieces — the final event's text stays authoritative
+                    emit({"reset": True})
+                elif piece:
                     emit({"piece": piece})
             t.join()
             if "error" in done:

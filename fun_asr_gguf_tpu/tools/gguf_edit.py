@@ -30,7 +30,10 @@ def _parse_value(text: str, old_value, declared: GGUFValueType):
         return float(text)
     if declared == GGUFValueType.ARRAY:
         raise ValueError("array values can't be set from the CLI")
-    return int(float(text))
+    try:
+        return int(text)       # exact: 64-bit ints survive (no float64
+    except ValueError:         # round-trip that corrupts > 2^53)
+        return int(float(text))
 
 
 def cmd_hash(args) -> int:
@@ -82,7 +85,8 @@ def cmd_set(args) -> int:
     for key, text in changes.items():   # brand-new keys (--add)
         w.add_kv(key, _infer_new(text))
     for t in r.tensors:
-        w.add_tensor_raw(t.name, bytes(r.tensor_raw(t.name)), t.shape,
+        # memmap views stream straight to the output file — no host copy
+        w.add_tensor_raw(t.name, r.tensor_raw(t.name), t.shape,
                          t.ggml_type)
     w.write()
     print(f"wrote {args.out} ({len(r.tensors)} tensors copied, "

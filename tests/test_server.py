@@ -140,9 +140,14 @@ class TestServer:
         assert events and events[-1].get("done") is True
         final = events[-1]
         assert "text" in final and "timings" in final
-        # pieces must actually stream (not only the final event), and they
-        # concatenate to the final text (retries may prepend extra pieces)
-        streamed = "".join(e["piece"] for e in events if "piece" in e)
+        # pieces must actually stream (not only the final event); replay
+        # the protocol: reset events clear the client buffer
+        streamed = ""
+        for e in events:
+            if e.get("reset"):
+                streamed = ""
+            elif "piece" in e:
+                streamed += e["piece"]
         if final["text"]:
             assert streamed, "no piece events before the final event"
             assert final["text"] in streamed or streamed in final["text"]
