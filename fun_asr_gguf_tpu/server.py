@@ -312,18 +312,23 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
         wall = time.perf_counter() - t0
         audio_s = len(waveform) / sr
         base = opts.get("start_second") or 0.0
-        return self._send_json(200, {
+        timings = asdict(r.timings)
+        if not timings.get("total"):
+            timings["total"] = round(wall, 4)
+        payload = {
             "text": r.text,
             "segments": [{"char": s["char"], "start": s["start"] + base}
                          for s in (r.aligned or [])],
             "ctc_text": "".join(c.text for c in r.ctc_results),
             "hotwords": r.hotwords,
-            "timings": asdict(r.timings),
+            "timings": timings,
             "wall_s": round(wall, 4),
             "audio_seconds": round(audio_s, 3),
-            "rtf": round(wall / audio_s, 5) if audio_s else None,
             "batched": True,
-        }), None
+        }
+        if audio_s:
+            payload["rtf"] = round(wall / audio_s, 5)
+        return self._send_json(200, payload), None
 
     def _transcribe_sse(self, path: str, opts: dict):
         """Server-sent-events mode: stream generated text pieces live.
