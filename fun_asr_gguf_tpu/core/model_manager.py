@@ -288,14 +288,20 @@ class ModelManager:
             self.ctc_indices(enc)
             if self.config.ctc_beam_size > 1:
                 self.ctc_topk(enc)      # compile the beam-path program too
-        bucket = sorted(self.config.prefill_buckets)[0]
+        buckets = sorted(self.config.prefill_buckets)
+        if not self.config.warmup_all_buckets:
+            buckets = buckets[:1]     # fastest init; larger buckets
+                                      # compile on first use
         llm_dim = self.hybrid_cfg.llm.hidden
-        fake = np.zeros((min(8, bucket), llm_dim), dtype=np.float32)
-        state = self.prefill(fake, rng_seed=0)
-        state, _tokens = self.generate(state, temperature=0.0, top_p=1.0,
-                                       top_k=50,
-                                       chunk_len=self._default_chunk_len())
-        jax.block_until_ready(state.logits)
+        for bucket in buckets:
+            # a bucket-length prompt compiles that bucket's prefill AND
+            # its generate program (max_len = bucket + n_predict)
+            fake = np.zeros((bucket, llm_dim), dtype=np.float32)
+            state = self.prefill(fake, rng_seed=0)
+            state, _tokens = self.generate(
+                state, temperature=0.0, top_p=1.0, top_k=50,
+                chunk_len=self._default_chunk_len())
+            jax.block_until_ready(state.logits)
 
     def _default_chunk_len(self) -> int:
         # compile cost grows superlinearly with the chunk program's buffer;

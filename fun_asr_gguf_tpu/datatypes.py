@@ -122,6 +122,9 @@ class ASREngineConfig:
                                              # across restarts (serving)
     int8_lm_head: bool = True                # per-channel int8 logits head
                                              # in bf16 mode (+6% decode)
+    warmup_all_buckets: bool = False         # compile every prefill bucket
+                                             # at init (serving: no first-
+                                             # request compile stalls)
 
 
 # ==================== CTC ====================

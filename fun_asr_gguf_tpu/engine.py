@@ -37,7 +37,8 @@ class FunASREngine:
                  ctc_beam_topk: int = 8,
                  hotword_beam_bonus: float = 2.0,
                  compilation_cache_dir: Optional[str] = None,
-                 int8_lm_head: bool = True):
+                 int8_lm_head: bool = True,
+                 warmup_all_buckets: bool = False):
         if llm_weight_format not in ("auto", "bf16", "int8", "q8_0"):
             raise ValueError(
                 f"llm_weight_format must be auto|bf16|int8|q8_0, got "
@@ -60,7 +61,8 @@ class FunASREngine:
             ctc_beam_topk=ctc_beam_topk,
             hotword_beam_bonus=hotword_beam_bonus,
             compilation_cache_dir=compilation_cache_dir,
-            int8_lm_head=int8_lm_head)
+            int8_lm_head=int8_lm_head,
+            warmup_all_buckets=warmup_all_buckets)
         self.models = ModelManager(self.config)
         self.orchestrator = TranscriptionOrchestrator(self.models)
         self.sample_rate = self.config.sample_rate

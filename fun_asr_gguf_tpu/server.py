@@ -445,6 +445,9 @@ def main(argv: Optional[list] = None):
                     help="micro-batch concurrent short requests within "
                          "this window into one device program")
     ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--warmup-all", action="store_true",
+                    help="compile every prefill bucket at startup so no "
+                         "request pays first-use compile time")
     args = ap.parse_args(argv)
 
     from . import create_asr_engine
@@ -453,7 +456,8 @@ def main(argv: Optional[list] = None):
                                n_predict=args.n_predict,
                                compute_dtype=args.compute_dtype,
                                segment_pad_seconds=args.segment_pad_seconds,
-                               compilation_cache_dir=args.compile_cache)
+                               compilation_cache_dir=args.compile_cache,
+                               warmup_all_buckets=args.warmup_all)
     server = make_server(engine, args.host, args.port,
                          batch_window_ms=args.batch_window_ms,
                          max_batch=args.max_batch)

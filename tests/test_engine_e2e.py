@@ -236,3 +236,22 @@ class TestEdgeCases:
         results = engine.transcribe_batch(paths, temperature=0.0)
         assert len(results) == 3
         assert all(isinstance(r.text, str) for r in results)
+
+
+class TestStreamResetPlumbing:
+    def test_reporter_reset_callback(self):
+        from fun_asr_gguf_tpu.display import DisplayReporter
+        events = []
+        with DisplayReporter(verbose=False,
+                             on_stream=lambda p: events.append(p),
+                             on_stream_reset=lambda: events.append(
+                                 "<RESET>")) as rep:
+            rep.stream("ab")
+            rep.stream_reset()
+            rep.stream("cd")
+        assert events == ["ab", "<RESET>", "cd"]
+
+    def test_reporter_reset_noop_without_callback(self):
+        from fun_asr_gguf_tpu.display import DisplayReporter
+        with DisplayReporter(verbose=False) as rep:
+            rep.stream_reset()    # must not raise
