@@ -54,3 +54,25 @@ class TestPromptBytes:
         assert prefix_embd.shape == (n_p, 4)
         assert suffix_embd.shape == (n_s, 4)
         assert prefix_embd.dtype == np.float32
+
+
+class TestConfigDefaults:
+    def test_reference_behavioral_defaults(self):
+        """Behavioral defaults must match the reference's
+        (``nano_dataclass.py:145-157``) — engine behavior parity depends
+        on them, not just on the algorithms."""
+        from fun_asr_gguf_tpu.datatypes import ASREngineConfig
+        cfg = ASREngineConfig(checkpoint_dir="x")
+        assert cfg.n_predict == 512
+        assert cfg.similar_threshold == 0.6
+        assert cfg.max_hotwords == 10
+        assert cfg.sample_rate == 16000
+        assert cfg.enable_ctc is True
+
+    def test_stop_tokens_default(self):
+        # stop ids {151643, 151645} (reference core/decoder.py:53) are the
+        # ModelManager default until the tokenizer overrides them
+        from fun_asr_gguf_tpu.core.model_manager import ModelManager
+        from fun_asr_gguf_tpu.datatypes import ASREngineConfig
+        m = ModelManager(ASREngineConfig(checkpoint_dir="x"))
+        assert m.stop_tokens == (151643, 151645)
