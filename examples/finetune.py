@@ -40,6 +40,10 @@ def main():
                          "so there is no reliable auto-detect)")
     ap.add_argument("--save-every", type=int, default=0)
     ap.add_argument("--out", default="finetune_ckpt")
+    ap.add_argument("--export",
+                    help="after training, write an ENGINE checkpoint dir "
+                         "here (train → deploy: create_asr_engine can "
+                         "serve it directly)")
     args = ap.parse_args()
 
     n_dev = args.dp * args.tp
@@ -89,6 +93,20 @@ def main():
             from fun_asr_gguf_tpu.parallel.training import save_train_state
             save_train_state(args.out, state)
             print(f"  saved → {args.out}")
+    if args.export:
+        import shutil
+        from fun_asr_gguf_tpu.models.loaders import save_checkpoint
+        p = state.params
+        save_checkpoint(args.export, cfg, p["encoder"], p["adaptor"],
+                        p["ctc"], p["llm"])
+        if args.checkpoint:
+            # carry the tokenizer/vocab/hotword sidecars so the exported
+            # dir is directly servable by create_asr_engine
+            for name in ("tokenizer.json", "tokens.txt", "hot.txt"):
+                src = os.path.join(args.checkpoint, name)
+                if os.path.exists(src):
+                    shutil.copy(src, os.path.join(args.export, name))
+        print(f"exported engine checkpoint → {args.export}")
     print("done.")
 
 
