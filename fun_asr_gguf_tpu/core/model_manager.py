@@ -166,6 +166,14 @@ class ModelManager:
             tokens_path = self.config.tokens_path or str(
                 Path(ckpt) / "tokens.txt")
             self.ctc_id2token = load_ctc_tokens(tokens_path)
+            probe = self.tokenizer.encode("语音转写：<|im_end|>")
+            if probe and max(probe) >= self.embedding_table.shape[0]:
+                raise ValueError(
+                    f"tokenizer emits ids up to {max(probe)} but the "
+                    f"decoder embedding table has only "
+                    f"{self.embedding_table.shape[0]} rows — the "
+                    "checkpoint is missing a matching tokenizer.json "
+                    "(byte-tokenizer fallback needs vocab_size >= ~260)")
             self.prompt_builder = PromptBuilder(self.tokenizer,
                                                 self.embedding_table)
 
