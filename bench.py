@@ -66,6 +66,8 @@ def main():
         make_frontend_constants)
     from fun_asr_gguf_tpu.models.config import HybridConfig
     from fun_asr_gguf_tpu.models.generate import generate_chunk, prefill_init
+    from fun_asr_gguf_tpu.models.speculative import (spec_generate_chunk,
+                                                     spec_init)
     from fun_asr_gguf_tpu.models.qwen3 import (init_qwen3_params,
                                                pack_qwen3_params,
                                                quantize_lm_head,
@@ -266,7 +268,75 @@ def main():
         log(f"batched generation failed: {e}")
         per_step_b = None
 
-    per_tok = min(per_tok_bf16, per_tok_int8, per_tok_q8)
+    # ---- CTC-draft speculative decoding (the engine default when CTC is
+    # on): draft = the model's own greedy output with 15% of tokens
+    # corrupted, emulating realistic CTC↔LLM transcript disagreement ----
+    SPEC_K = 4 if _TINY else 8
+    spec_params = llm_int8 if np.isfinite(per_tok_int8) else llm_packed
+    per_tok_spec = float("inf")
+    try:
+        chunk = 4 if _TINY else 64
+        ref_toks = []
+        st = prefill_init(spec_params, prompt, mask, jax.random.PRNGKey(0),
+                          cfg.llm, max_len=max_len)
+        while len(ref_toks) < N_GEN:
+            st, toks = generate_chunk(
+                spec_params, st, cfg.llm, jnp.asarray(0.0), jnp.asarray(1.0),
+                50, chunk_len=chunk, stop_tokens=(), fuse_enabled=False)
+            ref_toks.extend(int(t) for t in np.asarray(toks)[0] if t >= 0)
+        ref_toks = ref_toks[:N_GEN]
+        draft = np.asarray(ref_toks, np.int32)
+        rng_d = np.random.default_rng(7)
+        corrupt = rng_d.random(draft.shape) < 0.15
+        draft = np.where(corrupt,
+                         rng_d.integers(0, cfg.llm.vocab_size,
+                                        size=draft.shape), draft)
+        draft_buf = np.full((1, 512), -1, np.int32)
+        draft_buf[0, :len(draft)] = draft
+        draft_ids = jnp.asarray(draft_buf)
+        spec_max_len = N_PROMPT + N_GEN + SPEC_K + 2
+
+        n_chunks_full = max(1, N_GEN // chunk)
+
+        def spec_chunks(n_chunks, seed):
+            st = spec_init(prefill_init(
+                spec_params, prompt, mask, jax.random.PRNGKey(seed),
+                cfg.llm, max_len=spec_max_len))
+            for _ in range(n_chunks):
+                st, toks = spec_generate_chunk(
+                    spec_params, st, draft_ids, cfg.llm, jnp.asarray(0.0),
+                    jnp.asarray(1.0), 50, spec_k=SPEC_K, chunk_len=chunk,
+                    stop_tokens=(), fuse_enabled=False)
+            return st.n_gen
+
+        t_c = time.perf_counter()
+        fetch(spec_chunks(1, 0))
+        log(f"generate[spec,int8]: compiled ({time.perf_counter()-t_c:.1f}s)")
+
+        def total_spec(k, seed):
+            t0 = time.perf_counter()
+            n = fetch(spec_chunks(k, seed))
+            return time.perf_counter() - t0, n
+
+        n1, n2 = 1, n_chunks_full
+        t1 = min(total_spec(n1, 30 + i)[0] for i in range(2))
+        t2, n_emitted = min(total_spec(n2, 40 + i) for i in range(2))
+        if n2 > n1 and t2 > t1:
+            per_tok_spec = (t2 - t1) / ((n2 - n1) * chunk)
+            log(f"generate[spec,int8]: t({n1*chunk}tok)={t1:.3f}s "
+                f"t({n2*chunk}tok)={t2:.3f}s -> {per_tok_spec*1000:.3f} "
+                f"ms/token (emitted {int(n_emitted)})")
+        else:
+            per_tok_spec = t2 / max(1.0, n_emitted)
+            log(f"generate[spec,int8]: degenerate timing — single-point "
+                f"{per_tok_spec*1000:.3f} ms/token")
+        _partial["generate_tokens_per_s_spec"] = round(1.0 / per_tok_spec, 1)
+    except Exception as e:
+        log("speculative generation failed:", e)
+
+    # headline generation = the engine's default decode: CTC-draft
+    # speculation over int8 weights (falls back to plain decode)
+    per_tok = min(per_tok_bf16, per_tok_int8, per_tok_q8, per_tok_spec)
     t_gen = per_tok * N_GEN
     gen_tps = 1.0 / per_tok
 
@@ -294,6 +364,9 @@ def main():
                                        else None),
         "generate_tokens_per_s_q8_0": (round(1.0 / per_tok_q8, 1)
                                        if np.isfinite(per_tok_q8) else None),
+        "generate_tokens_per_s_spec": (round(1.0 / per_tok_spec, 1)
+                                       if np.isfinite(per_tok_spec)
+                                       else None),
         f"generate_tokens_per_s_batch{B}": (round(B / per_step_b, 1)
                                             if per_step_b else None),
         "gen_vs_baseline": round(gen_tps / REF_GEN_TOKS_PER_S, 2),

@@ -117,7 +117,8 @@ class LLMDecoder:
                n_predict: int, stream_output: bool = False,
                reporter: Optional[DisplayReporter] = None,
                temperature: float = 0.3, top_p: float = 1.0,
-               top_k: int = 50) -> LLMDecodeResult:
+               top_k: int = 50,
+               draft_text: Optional[str] = None) -> LLMDecodeResult:
         res = LLMDecodeResult()
         models = self.models
 
@@ -126,6 +127,15 @@ class LLMDecoder:
         state = models.prefill(full_embd, rng_seed=seed)
         state.logits.block_until_ready()
         res.t_inject = time.perf_counter() - t0
+
+        # CTC-draft speculative decoding: the CTC transcript predicts the
+        # LLM output, so verify spec_k drafted tokens per device step
+        # (distribution-preserving — see models/speculative.py)
+        draft_ids = None
+        if models.config.speculative and draft_text:
+            draft_ids = models.make_draft_ids(draft_text)
+        if draft_ids is not None:
+            state = models.spec_prepare(state)
 
         t0 = time.perf_counter()
         text_decoder = StreamTextDecoder(
@@ -140,17 +150,30 @@ class LLMDecoder:
             todo = min(chunk_len, n_predict - generated)
             # always dispatch the same compiled chunk program; `limit`
             # (traced) trims the final partial chunk
-            state, tokens = models.generate(
-                state, temperature=temperature, top_p=top_p, top_k=top_k,
-                chunk_len=chunk_len, limit=todo)
+            if draft_ids is not None:
+                state, tokens = models.spec_generate(
+                    state, draft_ids, temperature=temperature, top_p=top_p,
+                    top_k=top_k, chunk_len=chunk_len, limit=todo)
+            else:
+                state, tokens = models.generate(
+                    state, temperature=temperature, top_p=top_p, top_k=top_k,
+                    chunk_len=chunk_len, limit=todo)
             toks = np.asarray(tokens)[0]
+            n_emitted = 0
             for t in toks.tolist():
-                if t < 0 or t in stop_set:
+                if t < 0:
+                    continue
+                n_emitted += 1
+                if t in stop_set:
                     continue
                 text_decoder.push(t)
-            generated += todo
+            # spec chunks may emit fewer than `todo` (budget-truncated
+            # acceptance at the chunk boundary); count what actually came
+            generated += n_emitted if draft_ids is not None else todo
             if bool(np.asarray(state.done)[0]):
                 break
+            if draft_ids is not None and n_emitted == 0:
+                break   # safety: no forward progress should be impossible
         res.is_aborted = bool(np.asarray(state.aborted)[0])
         text_decoder.flush()
 
@@ -239,12 +262,16 @@ class StreamDecoder:
         # attached (the server's SSE mode runs verbose=False)
         stream_output = verbose or (
             reporter is not None and getattr(reporter, "on_stream", None))
+        # the CTC transcript doubles as the speculative-decoding draft
+        draft_text = "".join(r.text for r in ctc_results) if ctc_results \
+            else None
         llm_res = None
         for _ in range(6):
             llm_res = self.llm_decoder.decode(
                 full_embd, full_embd.shape[0], self.models.config.n_predict,
                 stream_output=bool(stream_output), reporter=reporter,
-                temperature=temperature, top_p=top_p, top_k=top_k)
+                temperature=temperature, top_p=top_p, top_k=top_k,
+                draft_text=draft_text)
             if not llm_res.is_aborted:
                 break
             temperature += 0.3

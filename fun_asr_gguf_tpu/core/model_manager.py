@@ -33,6 +33,7 @@ from ..models.adaptor import ctc_head_forward
 from ..models.audio_encoder import (AudioEncoderConfig, audio_encoder_forward,
                                     make_frontend_constants)
 from ..models.generate import generate_chunk, prefill_init
+from ..models.speculative import spec_generate_chunk, spec_init
 from ..models.loaders import load_checkpoint
 from ..prompt_utils import PromptBuilder
 from ..utils import vprint
@@ -259,6 +260,10 @@ class ModelManager:
         mask = np.zeros((1, bucket), dtype=np.float32)
         mask[0, bucket - p_len:] = 1.0
         max_len = bucket + self.config.n_predict
+        if self.config.speculative:
+            # every verify round writes spec_k+1 entries starting at the
+            # next free slot; rejected entries need headroom to land in
+            max_len += self.config.spec_k + 1
         state = prefill_init(
             self.llm_params,
             jnp.asarray(buf, self._compute_dtype),
@@ -274,6 +279,33 @@ class ModelManager:
             jnp.asarray(temperature, jnp.float32),
             jnp.asarray(top_p, jnp.float32),
             top_k, chunk_len=chunk_len, stop_tokens=self.stop_tokens,
+            limit=jnp.asarray(limit if limit is not None else chunk_len,
+                              jnp.int32))
+
+    def make_draft_ids(self, draft_text: str) -> Optional[np.ndarray]:
+        """Tokenize a CTC transcript into the static [1, D] draft buffer."""
+        if not draft_text or self.tokenizer is None:
+            return None
+        ids = self.tokenizer.encode(draft_text)
+        d = self.config.spec_draft_len
+        buf = np.full((1, d), -1, dtype=np.int32)
+        buf[0, :min(len(ids), d)] = ids[:d]
+        return buf
+
+    def spec_prepare(self, state):
+        """GenState (from :meth:`prefill`) → speculative carry."""
+        return spec_init(state)
+
+    def spec_generate(self, state, draft_ids: np.ndarray, temperature: float,
+                      top_p: float, top_k: int, chunk_len: int,
+                      limit: Optional[int] = None):
+        return spec_generate_chunk(
+            self.llm_params, state, jnp.asarray(draft_ids),
+            self.hybrid_cfg.llm,
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_p, jnp.float32),
+            top_k, spec_k=self.config.spec_k, chunk_len=chunk_len,
+            stop_tokens=self.stop_tokens,
             limit=jnp.asarray(limit if limit is not None else chunk_len,
                               jnp.int32))
 
@@ -306,6 +338,15 @@ class ModelManager:
             # its generate program (max_len = bucket + n_predict)
             fake = np.zeros((bucket, llm_dim), dtype=np.float32)
             state = self.prefill(fake, rng_seed=0)
+            if self.config.speculative and self.config.enable_ctc:
+                draft = np.full((1, self.config.spec_draft_len), -1,
+                                dtype=np.int32)
+                sstate, _tokens = self.spec_generate(
+                    self.spec_prepare(state), draft, temperature=0.0,
+                    top_p=1.0, top_k=50,
+                    chunk_len=self._default_chunk_len(), limit=1)
+                jax.block_until_ready(sstate.logits)
+                state = self.prefill(fake, rng_seed=0)   # spec donated it
             state, _tokens = self.generate(
                 state, temperature=0.0, top_p=1.0, top_k=50,
                 chunk_len=self._default_chunk_len())

@@ -125,6 +125,11 @@ class ASREngineConfig:
     warmup_all_buckets: bool = False         # compile every prefill bucket
                                              # at init (serving: no first-
                                              # request compile stalls)
+    speculative: bool = True                 # CTC-draft speculative decode
+                                             # (distribution-preserving;
+                                             # needs enable_ctc)
+    spec_k: int = 8                          # drafted tokens per verify step
+    spec_draft_len: int = 512                # static draft buffer (tokens)
 
 
 # ==================== CTC ====================

@@ -38,7 +38,10 @@ class FunASREngine:
                  hotword_beam_bonus: float = 2.0,
                  compilation_cache_dir: Optional[str] = None,
                  int8_lm_head: bool = True,
-                 warmup_all_buckets: bool = False):
+                 warmup_all_buckets: bool = False,
+                 speculative: bool = True,
+                 spec_k: int = 8,
+                 spec_draft_len: int = 512):
         if llm_weight_format not in ("auto", "bf16", "int8", "q8_0"):
             raise ValueError(
                 f"llm_weight_format must be auto|bf16|int8|q8_0, got "
@@ -62,7 +65,10 @@ class FunASREngine:
             hotword_beam_bonus=hotword_beam_bonus,
             compilation_cache_dir=compilation_cache_dir,
             int8_lm_head=int8_lm_head,
-            warmup_all_buckets=warmup_all_buckets)
+            warmup_all_buckets=warmup_all_buckets,
+            speculative=speculative,
+            spec_k=spec_k,
+            spec_draft_len=spec_draft_len)
         self.models = ModelManager(self.config)
         self.orchestrator = TranscriptionOrchestrator(self.models)
         self.sample_rate = self.config.sample_rate

@@ -435,6 +435,87 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
     return logits, KVCache(k=ks, v=vs)
 
 
+def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
+                      valid_from, cfg: Qwen3Config
+                      ) -> Tuple[jnp.ndarray, KVCache]:
+    """Multi-token decode step (the speculative-decoding "verify" pass).
+
+    Processes T tokens at once against the KV cache — same weight traffic
+    as one :func:`qwen3_decode_step` (decode is weight-bandwidth-bound),
+    but T logits come back. Used to score a drafted continuation: position
+    i's logits are the model's next-token distribution after consuming
+    tokens 0..i.
+
+    token_embeds: [B, T, hidden]; slots: [B] int32 — first cache slot to
+    write (token i of row b lands at ``slots[b]+i``; per-row because rows
+    of a batch accept different draft lengths); positions: [B, T] rope
+    positions; valid_from: [B]. Returns (logits [B, T, vocab] f32, updated
+    cache).
+
+    Rewind safety: rejected drafts leave stale KV entries above the
+    accepted point, but every mask here and in the single-token step only
+    exposes slots ``<= slots[b]+i``, so stale entries are invisible until
+    overwritten by the next write at the same slot.
+    """
+    b, t, _ = token_embeds.shape
+    x = token_embeds
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, x.dtype)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+
+    s = kv.max_len
+    j = jnp.arange(s, dtype=jnp.int32)[None, None, :]             # [1,1,S]
+    i = jnp.arange(t, dtype=jnp.int32)[None, :, None]             # [1,T,1]
+    visible = ((j >= valid_from[:, None, None])
+               & (j <= slots[:, None, None] + i))                 # [B,T,S]
+    bias = jnp.where(visible, 0.0, NEG_INF).astype(
+        jnp.float32)[:, None, :, :]                               # [B,1,T,S]
+
+    rows = jnp.arange(b)[:, None]                                 # [B,1]
+    cols = slots[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # [B,T]
+    zero = jnp.asarray(0, jnp.int32)
+
+    def write_kv(cache, new):
+        if b == 1:
+            # single-stream hot path: a contiguous dynamic_update_slice is
+            # far cheaper on TPU than a general scatter
+            return jax.lax.dynamic_update_slice(
+                cache, new.astype(cache.dtype), (zero, slots[0], zero, zero))
+        return cache.at[rows, cols].set(new.astype(cache.dtype))
+
+    dense, quant = _split_quant_layers(params["layers"])
+
+    def layer(x, inputs):
+        l, lp_dense, k_cache, v_cache = inputs
+        lp = _layer_params(lp_dense, quant, l)
+        h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
+        q, k, v = _qkv(h, lp, cfg, cos, sin)
+        k_cache = write_kv(k_cache, k)
+        v_cache = write_kv(v_cache, v)
+        scores = _gqa_scores(q, k_cache, cfg) + bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        x = x + _attn_out(_gqa_mix(probs, v_cache, cfg), lp, cfg)
+        h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
+        x = x + _mlp(h, lp)
+        return x, (k_cache, v_cache)
+
+    if quant and _unroll_decode():
+        ks_list, vs_list = [], []
+        for l in range(cfg.n_layers):
+            dense_l = {key: w[l] for key, w in dense.items()}
+            x, (kc, vc) = layer(x, (l, dense_l, kv.k[l], kv.v[l]))
+            ks_list.append(kc)
+            vs_list.append(vc)
+        ks = jnp.stack(ks_list)
+        vs = jnp.stack(vs_list)
+    else:
+        x, (ks, vs) = jax.lax.scan(
+            layer, x, (jnp.arange(cfg.n_layers, dtype=jnp.int32), dense,
+                       kv.k, kv.v))
+    x = rms_norm(x, params["final_ln"], cfg.rms_eps)
+    logits = _logits(params, x, cfg)                              # [B,T,V]
+    return logits, KVCache(k=ks, v=vs)
+
+
 def qwen3_forward_logits(params, embeds, attn_mask, cfg: Qwen3Config):
     """All-position logits (training / parity tests). embeds [B,T,H] →
     logits [B,T,vocab] f32 with causal+padding masking."""

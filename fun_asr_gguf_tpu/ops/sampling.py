@@ -51,3 +51,68 @@ def sample_token(logits, rng, temperature, top_p, top_k: int = 50):
 
     token = jax.lax.cond(temperature > 0, sampled, greedy, operand=None)
     return token.astype(jnp.int32)
+
+
+def warped_candidates(logits, temperature, top_p, top_k: int):
+    """The sampling distribution :func:`sample_token` draws from.
+
+    logits [..., V] f32 → (probs [..., k], idx [..., k]): the top-k
+    candidate ids and their final probabilities after the llama.cpp chain
+    (top-k → top-p at T=1 → temperature). Probability mass outside the
+    surviving candidates is exactly 0. Used by speculative decoding to
+    score drafted tokens (acceptance probability = probs at the draft id).
+    Only meaningful for temperature > 0; the greedy path compares argmax
+    directly.
+    """
+    logits = logits.astype(jnp.float32)
+    v = logits.shape[-1]
+    k = min(top_k, v) if top_k > 0 else v
+    vals, idx = jax.lax.top_k(logits, k)
+    p1 = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(p1, axis=-1)
+    keep = (cum - p1) < top_p
+    keep = keep.at[..., 0].set(True)
+    masked = jnp.where(keep, vals, NEG_INF)
+    t = jnp.maximum(temperature, 1e-6)
+    probs = jax.nn.softmax(masked / t, axis=-1)
+    # positions masked by top-p must carry exactly zero mass (softmax of
+    # NEG_INF underflows to 0 already, but be explicit for the acceptance
+    # test's sake)
+    probs = jnp.where(keep, probs, 0.0)
+    return probs, idx
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def sample_residual(logits, rng, temperature, top_p, top_k: int, forbid):
+    """Sample like :func:`sample_token` but excluding one token id per row.
+
+    ``forbid [B] int32`` (-1 = no exclusion) is the draft token that a
+    speculative verify step just *probabilistically* rejected. Leviathan
+    et al.'s residual distribution for a deterministic (delta) draft is the
+    target distribution with the rejected id zeroed and renormalized —
+    i.e. excluded from the categorical draw. With forbid = -1 this is
+    exactly :func:`sample_token`.
+    """
+    logits = logits.astype(jnp.float32)
+    b, v = logits.shape
+    k = min(top_k, v) if top_k > 0 else v
+
+    def sampled(_):
+        vals, idx = jax.lax.top_k(logits, k)
+        p1 = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(p1, axis=-1)
+        keep = (cum - p1) < top_p
+        keep = keep.at[:, 0].set(True)
+        masked = jnp.where(keep, vals, NEG_INF)
+        masked = jnp.where(idx == forbid[:, None], NEG_INF, masked)
+        t = jnp.maximum(temperature, 1e-6)
+        choice = jax.random.categorical(rng, masked / t, axis=-1)
+        return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+
+    def greedy(_):
+        # greedy rejection only happens when the draft != argmax, so the
+        # exclusion can never remove the argmax; plain argmax is correct
+        return jnp.argmax(logits, axis=-1)
+
+    token = jax.lax.cond(temperature > 0, sampled, greedy, operand=None)
+    return token.astype(jnp.int32)
