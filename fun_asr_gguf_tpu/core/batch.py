@@ -29,6 +29,28 @@ from .decoder import ABORT_MARKER, StreamDecoder
 from .model_manager import ModelManager
 
 
+def pad_streams_to_bucket(streams: List[RecognitionStream],
+                          sample_rate: int):
+    """Pad a stream list to the next power-of-2 batch size.
+
+    The batch dimension is a static shape under jit, so every distinct
+    size would compile its own device program otherwise. Pad rows are
+    short silence (trivial CTC/prompt work, no wasted retry decodes),
+    not copies of real audio. Returns ``(padded_streams, n_real)``.
+    """
+    n = len(streams)
+    bucket = 1
+    while bucket < n:
+        bucket *= 2
+    padded = list(streams)
+    for _ in range(bucket - n):
+        s = RecognitionStream()
+        s.accept_waveform(sample_rate,
+                          np.zeros(sample_rate // 4, np.float32))
+        padded.append(s)
+    return padded, n
+
+
 class BatchStreamDecoder:
     """Decodes N recognition streams concurrently."""
 

@@ -28,6 +28,7 @@ class TranscriptionOrchestrator:
     def __init__(self, models: ModelManager):
         self.models = models
         self.decoder = StreamDecoder(models)
+        self._batch_decoder = None
 
     def transcribe(self, audio_path: str, language: Optional[str] = None,
                    context: Optional[str] = None, verbose: bool = True,
@@ -36,7 +37,8 @@ class TranscriptionOrchestrator:
                    duration: Optional[float] = None, srt: bool = False,
                    temperature: float = 0.3, top_p: float = 1.0,
                    top_k: int = 50, on_stream=None, on_stream_reset=None,
-                   preloaded_audio=None) -> TranscriptionResult:
+                   preloaded_audio=None,
+                   parallel_segments: bool = False) -> TranscriptionResult:
         result = TranscriptionResult()
         with DisplayReporter(verbose=verbose, on_stream=on_stream,
                              on_stream_reset=on_stream_reset) as reporter:
@@ -71,7 +73,8 @@ class TranscriptionOrchestrator:
                     self._transcribe_long(
                         audio, result, language, context, verbose,
                         segment_size, overlap, reporter, base_offset,
-                        temperature=temperature, top_p=top_p, top_k=top_k)
+                        temperature=temperature, top_p=top_p, top_k=top_k,
+                        parallel_segments=parallel_segments)
                 result.timings.total = time.perf_counter() - t_proc
                 self._print_stats(reporter, result)
 
@@ -122,7 +125,8 @@ class TranscriptionOrchestrator:
 
     def _transcribe_long(self, audio, result, language, context, verbose,
                          segment_size, overlap, reporter, base_offset,
-                         temperature=0.3, top_p=1.0, top_k=50):
+                         temperature=0.3, top_p=1.0, top_k=50,
+                         parallel_segments=False):
         reporter.print("    检测到长音频，开启分段识别模式...", force=True)
         reporter.skip_technical = True
 
@@ -138,18 +142,26 @@ class TranscriptionOrchestrator:
                 break
             curr += step
 
-        segment_results = []
-        for idx, (s_s, e_s) in enumerate(segments_info):
-            reporter.set_segment(idx + 1, len(segments_info))
-            reporter.print(f"\n--- 处理分段 [{s_s:.1f}s - {e_s:.1f}s] ---",
-                           force=True)
-            chunk = audio[int(s_s * sr):int(e_s * sr)]
-            stream = RecognitionStream()
-            stream.accept_waveform(sr, chunk)
-            d_res = self.decoder.decode_stream(
-                stream, language, context, True, reporter,
+        if parallel_segments and len(segments_info) > 1:
+            decoded = self._decode_segments_batched(
+                audio, segments_info, sr, language, context, reporter,
                 temperature=temperature, top_p=top_p, top_k=top_k)
+        else:
+            decoded = []
+            for idx, (s_s, e_s) in enumerate(segments_info):
+                reporter.set_segment(idx + 1, len(segments_info))
+                reporter.print(
+                    f"\n--- 处理分段 [{s_s:.1f}s - {e_s:.1f}s] ---",
+                    force=True)
+                chunk = audio[int(s_s * sr):int(e_s * sr)]
+                stream = RecognitionStream()
+                stream.accept_waveform(sr, chunk)
+                decoded.append(self.decoder.decode_stream(
+                    stream, language, context, True, reporter,
+                    temperature=temperature, top_p=top_p, top_k=top_k))
 
+        segment_results = []
+        for (s_s, e_s), d_res in zip(segments_info, decoded):
             segment_results.append({
                 "text": d_res.text,
                 "segments": d_res.aligned,
@@ -188,6 +200,47 @@ class TranscriptionOrchestrator:
                 all_ctc.append(r["ctc_text"])
         result.hotwords = list(all_h)
         result.ctc_text = "".join(all_ctc)
+
+    def _decode_segments_batched(self, audio, segments_info, sr, language,
+                                 context, reporter, temperature=0.3,
+                                 top_p=1.0, top_k=50, group_size=8):
+        """Decode all long-audio segments as batched device programs.
+
+        TPU-native extension with no reference counterpart (the reference
+        long path is strictly sequential, ``core/orchestrator.py:139-149``):
+        segments ride the batch dimension of one encoder / CTC / prefill /
+        generate program instead of N sequential pipelines. Groups are
+        capped at ``group_size`` rows (bounds KV-cache HBM) and padded to
+        power-of-2 buckets (bounds compile variants).
+        """
+        from .batch import BatchStreamDecoder, pad_streams_to_bucket
+        if self._batch_decoder is None:
+            self._batch_decoder = BatchStreamDecoder(self.models)
+
+        n_total = len(segments_info)
+        reporter.print(f"    并行模式: {n_total} 段批量解码...", force=True)
+        decoded = []
+        for g0 in range(0, n_total, group_size):
+            group = segments_info[g0:g0 + group_size]
+            streams = []
+            for (s_s, e_s) in group:
+                stream = RecognitionStream()
+                stream.accept_waveform(sr, audio[int(s_s * sr):
+                                                 int(e_s * sr)])
+                streams.append(stream)
+            padded, n_real = pad_streams_to_bucket(streams, sr)
+            results = self._batch_decoder.decode_streams(
+                padded, language, context, temperature=temperature,
+                top_p=top_p, top_k=top_k)
+            decoded.extend(results[:n_real])
+
+        for idx, ((s_s, e_s), d_res) in enumerate(zip(segments_info,
+                                                      decoded)):
+            reporter.set_segment(idx + 1, n_total)
+            reporter.print(f"\n--- 分段 [{s_s:.1f}s - {e_s:.1f}s] ---",
+                           force=True)
+            reporter.print(d_res.text, force=True)
+        return decoded
 
     def _print_header(self, reporter, audio_path):
         line = "=" * 70

@@ -84,20 +84,24 @@ class FunASREngine:
                    duration: Optional[float] = None, srt: bool = False,
                    temperature: float = 0.4, top_p: float = 1.0,
                    top_k: int = 50, on_stream=None, on_stream_reset=None,
-                   preloaded_audio=None) -> TranscriptionResult:
+                   preloaded_audio=None,
+                   parallel_segments: bool = False) -> TranscriptionResult:
         """on_stream: optional callback(text_piece) invoked as the LLM
         streams generated text (powers the server's SSE mode);
         on_stream_reset: optional callback() when a repetition-fuse retry
         discards the streamed pieces. preloaded_audio: already-decoded
         mono waveform (skips load_audio; start_second/duration are
-        assumed applied)."""
+        assumed applied). parallel_segments: decode long-audio segments
+        as batched device programs instead of sequentially (TPU-native
+        extension; token streaming is per-batch, not live per-segment)."""
         return self.orchestrator.transcribe(
             audio_path=audio_path, language=language, context=context,
             verbose=verbose, segment_size=segment_size, overlap=overlap,
             start_second=start_second, duration=duration, srt=srt,
             temperature=temperature, top_p=top_p, top_k=top_k,
             on_stream=on_stream, on_stream_reset=on_stream_reset,
-            preloaded_audio=preloaded_audio)
+            preloaded_audio=preloaded_audio,
+            parallel_segments=parallel_segments)
 
     def create_stream(self, hotwords: Optional[str] = None
                       ) -> RecognitionStream:

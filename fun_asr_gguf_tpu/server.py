@@ -112,28 +112,14 @@ class BatchDispatcher:
             for jobs in groups.values():
                 opts = jobs[0][1]
                 try:
+                    from .core.batch import pad_streams_to_bucket
                     streams = []
                     for waveform, _, _ in jobs:
                         s = RecognitionStream()
                         s.accept_waveform(self.engine.sample_rate, waveform)
                         streams.append(s)
-                    # pad to a power-of-2 bucket: the batch dim is a static
-                    # shape, so every distinct size would compile its own
-                    # device program otherwise. Pad rows are short silence
-                    # (trivial CTC/prompt work, no wasted retry decodes),
-                    # not copies of real audio.
-                    n = len(streams)
-                    bucket = 1
-                    while bucket < n:
-                        bucket *= 2
-                    import numpy as _np
-                    for _ in range(bucket - n):
-                        s = RecognitionStream()
-                        s.accept_waveform(
-                            self.engine.sample_rate,
-                            _np.zeros(self.engine.sample_rate // 4,
-                                      _np.float32))
-                        streams.append(s)
+                    streams, n = pad_streams_to_bucket(
+                        streams, self.engine.sample_rate)
                     with self.engine_lock:
                         results = self.engine.decode_streams(
                             streams, language=opts.get("language"),

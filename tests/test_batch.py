@@ -80,3 +80,45 @@ class TestBatchDecode:
         for r in results:
             assert isinstance(r.text, str)
             assert isinstance(r.segments, list)
+
+
+class TestParallelSegments:
+    """Batched long-audio mode (`transcribe(parallel_segments=True)`)."""
+
+    def _make_long_wav(self, tmp_path, seconds=2.5, seed=20):
+        sr = 16000
+        rng = np.random.default_rng(seed)
+        p = str(tmp_path / "long.wav")
+        write_wav(p, rng.normal(size=int(sr * seconds)) * 0.05, sr)
+        return p
+
+    def test_matches_sequential_greedy(self, engine, tmp_path):
+        path = self._make_long_wav(tmp_path)
+        seq = engine.transcribe(path, verbose=False, segment_size=1.0,
+                                overlap=0.2, temperature=0.0)
+        par = engine.transcribe(path, verbose=False, segment_size=1.0,
+                                overlap=0.2, temperature=0.0,
+                                parallel_segments=True)
+        assert par.text == seq.text
+        assert [s["char"] for s in par.segments] == \
+               [s["char"] for s in seq.segments]
+        starts_p = [s["start"] for s in par.segments]
+        starts_s = [s["start"] for s in seq.segments]
+        assert np.allclose(starts_p, starts_s)
+
+    def test_timings_accumulated(self, engine, tmp_path):
+        path = self._make_long_wav(tmp_path, seed=21)
+        res = engine.transcribe(path, verbose=False, segment_size=1.0,
+                                overlap=0.2, temperature=0.0,
+                                parallel_segments=True)
+        assert res.timings.encode > 0
+        assert res.timings.llm_generate > 0
+
+    def test_short_audio_ignores_flag(self, engine, tmp_path):
+        sr = 16000
+        rng = np.random.default_rng(22)
+        p = str(tmp_path / "short.wav")
+        write_wav(p, rng.normal(size=int(sr * 0.5)) * 0.05, sr)
+        res = engine.transcribe(p, verbose=False, segment_size=1.0,
+                                temperature=0.0, parallel_segments=True)
+        assert isinstance(res.text, str)
