@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--start-second", type=float, default=None)
     ap.add_argument("--duration", type=float, default=None)
     ap.add_argument("--temperature", type=float, default=0.4)
+    ap.add_argument("--parallel-segments", action="store_true",
+                    help="batch long-audio segments through one "
+                         "device program (TPU-native extension)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 
@@ -80,7 +83,8 @@ def main():
             verbose=not args.quiet, segment_size=args.segment_size,
             overlap=args.overlap, start_second=args.start_second,
             duration=args.duration, srt=args.srt,
-            temperature=args.temperature)
+            temperature=args.temperature,
+            parallel_segments=args.parallel_segments)
 
     audio_s = max(len(result.segments) and
                   result.segments[-1]["start"] or 0.0, 0.001)

@@ -10,7 +10,9 @@ Endpoints:
   POST /v1/transcribe        → body = audio file bytes (wav/mp3/flac/...);
                                options via query string: language, context,
                                temperature, top_p, top_k, segment_size,
-                               overlap, srt=1. Response JSON: text,
+                               overlap, srt=1, parallel_segments=1 (batch
+                               long-audio segments through one device
+                               program). Response JSON: text,
                                segments, ctc_text, hotwords, timings, rtf
                                (+ srt when requested).
                                With stream=1 the response is
@@ -200,6 +202,8 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
                               if "start_second" in q else None),
                 duration=(float(q["duration"]) if "duration" in q else None),
                 srt=q.get("srt", "0") in ("1", "true", "yes"),
+                parallel_segments=q.get("parallel_segments", "0")
+                                  in ("1", "true", "yes"),
             )
             stream_mode = q.get("stream", "0") in ("1", "true", "yes")
         except ValueError as e:

@@ -89,6 +89,16 @@ class TestServer:
         _, b = _post(served_engine + "/v1/transcribe?temperature=0", wav)
         assert a["text"] == b["text"]
 
+    def test_parallel_segments_long_audio(self, served_engine):
+        wav = _wav_bytes(seconds=2.5, seed=40)
+        url = (served_engine + "/v1/transcribe?temperature=0"
+               "&segment_size=1.0&overlap=0.2")
+        _, seq = _post(url, wav)
+        _, par = _post(url + "&parallel_segments=1", wav)
+        assert par["text"] == seq["text"]
+        assert [s["char"] for s in par["segments"]] == \
+               [s["char"] for s in seq["segments"]]
+
     def test_unknown_path_404(self, served_engine):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(served_engine + "/v1/nope", _wav_bytes())
