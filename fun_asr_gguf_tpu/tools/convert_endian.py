@@ -1,0 +1,212 @@
+"""GGUF endianness converter (little ↔ big).
+
+TPU-native replacement for the reference's vendored
+``gguf/scripts/gguf_convert_endian.py`` (reference
+``fun_asr_gguf/gguf/scripts``): rewrites every multi-byte field — header,
+typed KV metadata, tensor infos, and tensor payloads — in the opposite
+byte order, so a checkpoint produced on a little-endian host can be
+consumed on a big-endian one (s390x conversion hosts) and back.
+
+Quantized payloads are swapped structurally: only the fp16 scale words of
+each block are multi-byte (Q8_0: d; Q4_1/Q5_1: d and m); the packed int
+values are byte arrays and pass through untouched.
+
+Usage:
+    python -m fun_asr_gguf_tpu.tools.convert_endian src.gguf dst.gguf \
+        [--order big|little|swap]
+
+Source endianness is auto-detected from the header's version field; with
+``--order`` the tool verifies the request (converting to the order the
+file already has is an error, like the reference script's check).
+"""
+
+import argparse
+import struct
+import sys
+from typing import BinaryIO
+
+import numpy as np
+
+from ..formats.gguf import (DEFAULT_ALIGNMENT, GGUF_MAGIC, GGUF_VERSION,
+                            GGMLType, GGUFValueType, _NUMPY_FOR_TYPE,
+                            _type_nbytes)
+
+# bytes per block and offsets of the fp16 words to swap within each block
+_QUANT_SWAP = {
+    GGMLType.Q4_0: (18, (0,)),
+    GGMLType.Q4_1: (20, (0, 2)),
+    GGMLType.Q5_0: (22, (0,)),
+    GGMLType.Q5_1: (24, (0, 2)),
+    GGMLType.Q8_0: (34, (0,)),
+}
+_QUANT_BLOCK_ELEMS = 32
+
+_SCALAR_SIZE = {
+    GGUFValueType.UINT8: ("B", 1), GGUFValueType.INT8: ("b", 1),
+    GGUFValueType.UINT16: ("H", 2), GGUFValueType.INT16: ("h", 2),
+    GGUFValueType.UINT32: ("I", 4), GGUFValueType.INT32: ("i", 4),
+    GGUFValueType.FLOAT32: ("f", 4), GGUFValueType.BOOL: ("?", 1),
+    GGUFValueType.UINT64: ("Q", 8), GGUFValueType.INT64: ("q", 8),
+    GGUFValueType.FLOAT64: ("d", 8),
+}
+
+
+class _SwapCursor:
+    """Reads fields in ``src`` byte order and re-emits them in the
+    opposite order."""
+
+    def __init__(self, buf: bytes, out: BinaryIO, src_order: str):
+        self.buf = buf
+        self.out = out
+        self.pos = 0
+        self.src = "<" if src_order == "little" else ">"
+        self.dst = ">" if src_order == "little" else "<"
+
+    def raw(self, n: int, emit: bool = True) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise ValueError(
+                f"corrupt GGUF: read of {n} bytes at {self.pos} exceeds "
+                f"file size {len(self.buf)}")
+        out = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        if emit:
+            self.out.write(out)
+        return out
+
+    def scalar(self, code: str, size: int) -> int:
+        (val,) = struct.unpack(self.src + code, self.raw(size, emit=False))
+        self.out.write(struct.pack(self.dst + code, val))
+        return val
+
+    def string(self) -> str:
+        n = self.scalar("Q", 8)
+        return self.raw(n).decode("utf-8", errors="replace")
+
+    def value(self, vtype: GGUFValueType):
+        if vtype == GGUFValueType.STRING:
+            self.string()
+            return
+        if vtype == GGUFValueType.ARRAY:
+            etype = GGUFValueType(self.scalar("I", 4))
+            count = self.scalar("Q", 8)
+            for _ in range(count):
+                self.value(etype)
+            return
+        code, size = _SCALAR_SIZE[vtype]
+        self.scalar(code, size)
+
+
+def _swap_payload(raw: bytes, gtype: GGMLType) -> bytes:
+    """Byteswap one tensor payload."""
+    if gtype in _QUANT_SWAP:
+        block_bytes, fp16_offsets = _QUANT_SWAP[gtype]
+        blocks = np.frombuffer(raw, dtype=np.uint8).reshape(-1, block_bytes)
+        blocks = blocks.copy()
+        for off in fp16_offsets:
+            blocks[:, [off, off + 1]] = blocks[:, [off + 1, off]]
+        return blocks.tobytes()
+    dtype = _NUMPY_FOR_TYPE[gtype]
+    if dtype.itemsize == 1:
+        return raw
+    return np.frombuffer(raw, dtype=dtype).byteswap().tobytes()
+
+
+def detect_byteorder(path: str) -> str:
+    """'little' or 'big', from the header's version field."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+    if len(head) < 8 or struct.unpack("<I", head[:4])[0] != GGUF_MAGIC:
+        raise ValueError(f"not a GGUF file: {path}")
+    (ver_le,) = struct.unpack("<I", head[4:8])
+    (ver_be,) = struct.unpack(">I", head[4:8])
+    if ver_le in (2, GGUF_VERSION):
+        return "little"
+    if ver_be in (2, GGUF_VERSION):
+        return "big"
+    raise ValueError(f"unrecognized GGUF version field: {head[4:8]!r}")
+
+
+def convert_endian(src_path: str, dst_path: str, order: str = "swap",
+                   verbose: bool = True) -> str:
+    """Write ``dst_path`` as ``src_path`` with byte order flipped.
+
+    ``order``: 'big' / 'little' requires the source to be the other
+    endianness; 'swap' always flips. Returns the output byte order.
+    """
+    src_order = detect_byteorder(src_path)
+    dst_order = "big" if src_order == "little" else "little"
+    if order not in ("swap", dst_order):
+        raise ValueError(
+            f"{src_path} is already {src_order}-endian; converting to "
+            f"{order} is a no-op (the reference script rejects this too)")
+
+    buf = np.memmap(src_path, mode="r", dtype=np.uint8).tobytes()
+    with open(dst_path, "wb") as out:
+        cur = _SwapCursor(buf, out, src_order)
+        cur.raw(4)                                  # magic, byte string
+        version = cur.scalar("I", 4)
+        if version not in (2, GGUF_VERSION):
+            raise ValueError(f"unsupported GGUF version {version}")
+        n_tensors = cur.scalar("Q", 8)
+        n_kv = cur.scalar("Q", 8)
+
+        alignment = DEFAULT_ALIGNMENT
+        for _ in range(n_kv):
+            key = cur.string()
+            vtype = GGUFValueType(cur.scalar("I", 4))
+            mark = cur.pos
+            cur.value(vtype)
+            if key == "general.alignment":
+                (alignment,) = struct.unpack(
+                    cur.src + "I", buf[mark:mark + 4])
+
+        tensors = []
+        for _ in range(n_tensors):
+            name = cur.string()
+            n_dims = cur.scalar("I", 4)
+            n_elem = 1
+            for _ in range(n_dims):
+                n_elem *= cur.scalar("Q", 8)
+            gtype = GGMLType(cur.scalar("I", 4))
+            offset = cur.scalar("Q", 8)
+            if gtype not in _QUANT_SWAP and gtype not in _NUMPY_FOR_TYPE:
+                raise ValueError(
+                    f"tensor {name!r}: no byteswap rule for "
+                    f"{gtype.name} payloads")
+            tensors.append((name, gtype, offset,
+                            _type_nbytes(gtype, n_elem)))
+
+        pad = -cur.pos % alignment
+        cur.raw(pad)
+        data_start = cur.pos
+        for name, gtype, offset, nbytes in sorted(tensors,
+                                                  key=lambda t: t[2]):
+            gap = (data_start + offset) - cur.pos
+            if gap < 0:
+                raise ValueError(f"corrupt GGUF: tensor {name!r} overlaps "
+                                 f"the previous payload")
+            cur.raw(gap)                            # inter-tensor padding
+            raw = cur.raw(nbytes, emit=False)
+            out.write(_swap_payload(raw, gtype))
+            if verbose:
+                print(f"  {name}: {gtype.name} {nbytes} bytes")
+        cur.raw(len(buf) - cur.pos)                 # trailing padding
+    return dst_order
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("--order", choices=["big", "little", "swap"],
+                    default="swap", help="target byte order (default: flip)")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+    out_order = convert_endian(args.src, args.dst, args.order,
+                               verbose=not args.quiet)
+    print(f"wrote {args.dst} ({out_order}-endian)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

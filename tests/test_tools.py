@@ -233,3 +233,83 @@ def test_nested_array_types_preserved(tmp_path):
     # outer etype must be ARRAY, not the inner scalar type
     assert r.field_types["nested"] == (GGUFValueType.ARRAY,
                                        GGUFValueType.ARRAY)
+
+
+class TestConvertEndian:
+    """gguf endianness converter (reference gguf/scripts convert_endian)."""
+
+    def _make_gguf(self, path):
+        from fun_asr_gguf_tpu.formats.gguf import GGMLType, GGUFWriter
+        w = GGUFWriter(path, arch="qwen3")
+        w.add_kv("test.str", "hello")
+        w.add_kv("test.int", 7)
+        w.add_kv("test.float", 0.25)
+        w.add_kv("test.bool", True)
+        w.add_kv("test.arr_i", [1, 2, 3])
+        w.add_kv("test.arr_s", ["a", "bc"])
+        rng = np.random.default_rng(0)
+        w.add_tensor("t_f32", rng.normal(size=(4, 8)).astype(np.float32))
+        w.add_tensor("t_f16", rng.normal(size=(2, 8)).astype(np.float16))
+        w.add_tensor("t_i32", np.arange(12, dtype=np.int32).reshape(3, 4))
+        w.add_tensor("t_q8", rng.normal(size=(2, 64)).astype(np.float32),
+                     ggml_type=GGMLType.Q8_0)
+        w.write()
+
+    def test_roundtrip_bit_exact(self, tmp_path):
+        from fun_asr_gguf_tpu.tools.convert_endian import (convert_endian,
+                                                           detect_byteorder)
+        le = str(tmp_path / "m.gguf")
+        be = str(tmp_path / "m.be.gguf")
+        le2 = str(tmp_path / "m.rt.gguf")
+        self._make_gguf(le)
+        assert detect_byteorder(le) == "little"
+        assert convert_endian(le, be, "big", verbose=False) == "big"
+        assert detect_byteorder(be) == "big"
+        assert convert_endian(be, le2, "little", verbose=False) == "little"
+        with open(le, "rb") as a, open(le2, "rb") as b:
+            assert a.read() == b.read()
+
+    def test_big_endian_payloads_decode(self, tmp_path):
+        import struct
+        from fun_asr_gguf_tpu.formats.gguf import GGUFReader
+        from fun_asr_gguf_tpu.tools.convert_endian import convert_endian
+        le = str(tmp_path / "m.gguf")
+        be = str(tmp_path / "m.be.gguf")
+        self._make_gguf(le)
+        convert_endian(le, be, verbose=False)
+        r = GGUFReader(le)
+        raw = open(be, "rb").read()
+        # version field reads correctly big-endian
+        assert struct.unpack(">I", raw[4:8])[0] == 3
+        # f32 payload appears byteswapped at the same offsets
+        t = r.tensor_info("t_f32")
+        start = r.data_start + t.offset
+        le_vals = np.frombuffer(r.tensor_raw("t_f32"), dtype="<f4")
+        be_vals = np.frombuffer(raw[start:start + t.nbytes], dtype=">f4")
+        assert np.array_equal(le_vals, be_vals)
+        # q8_0 blocks: fp16 scale swapped, int8 values untouched
+        tq = r.tensor_info("t_q8")
+        qstart = r.data_start + tq.offset
+        le_blocks = np.frombuffer(r.tensor_raw("t_q8"),
+                                  dtype=np.uint8).reshape(-1, 34)
+        be_blocks = np.frombuffer(raw[qstart:qstart + tq.nbytes],
+                                  dtype=np.uint8).reshape(-1, 34)
+        assert np.array_equal(le_blocks[:, 0], be_blocks[:, 1])
+        assert np.array_equal(le_blocks[:, 1], be_blocks[:, 0])
+        assert np.array_equal(le_blocks[:, 2:], be_blocks[:, 2:])
+
+    def test_same_order_rejected(self, tmp_path):
+        from fun_asr_gguf_tpu.tools.convert_endian import convert_endian
+        le = str(tmp_path / "m.gguf")
+        self._make_gguf(le)
+        with pytest.raises(ValueError, match="already little"):
+            convert_endian(le, str(tmp_path / "x.gguf"), "little",
+                           verbose=False)
+
+    def test_cli(self, tmp_path, capsys):
+        from fun_asr_gguf_tpu.tools.convert_endian import main
+        le = str(tmp_path / "m.gguf")
+        be = str(tmp_path / "m.be.gguf")
+        self._make_gguf(le)
+        assert main([le, be, "--quiet"]) == 0
+        assert "big-endian" in capsys.readouterr().out
