@@ -5,8 +5,10 @@ counterpart (the reference is strictly single-sequence, ``llama.py:464``):
 the batch dimension rides through every jitted program — one encoder
 forward for all streams, one CTC forward, one batched prefill (per-row
 prompt lengths via left-padding masks) and one batched generation loop with
-per-row stop/fuse flags. Host-side stages (hotword recall, prompt build,
-alignment) loop per row.
+per-row stop/fuse flags. CTC-draft speculative decoding rides the batch
+dimension too: each row drafts from its own CTC transcript with a per-row
+token budget (``models/speculative.py``). Host-side stages (hotword
+recall, prompt build, alignment) loop per row.
 
 Aborted rows (repetition fuse) are retried individually with the
 reference's +0.3-temperature policy (``core/decoder.py:201-211``).
@@ -145,7 +147,26 @@ class BatchStreamDecoder:
             mask_buf[i, bucket - e.shape[0]:] = 1.0
         t_prepare = time.perf_counter() - t0
 
-        # 4. batched prefill + generation
+        # 4. batched prefill + generation. CTC-draft speculation rides the
+        # batch dimension too (models/speculative.py is written [B, ...]):
+        # each row drafts from its own CTC transcript; rows without one
+        # propose nothing and advance one token per verify step.
+        drafts = None
+        if models.config.speculative and models.tokenizer is not None:
+            rows_d = []
+            for i in range(b):
+                text = "".join(r.text for r in ctc_rows[i]) \
+                    if ctc_rows[i] else ""
+                row = models.make_draft_ids(text)
+                rows_d.append(row[0] if row is not None else
+                              np.full((models.config.spec_draft_len,), -1,
+                                      dtype=np.int32))
+            if any(np.any(r >= 0) for r in rows_d):
+                drafts = np.stack(rows_d, axis=0)
+
+        max_len = bucket + models.config.n_predict
+        if drafts is not None:
+            max_len += models.config.spec_k + 1   # verify-round headroom
         t0 = time.perf_counter()
         seed = int(np.random.randint(0, 2 ** 31 - 1))
         state = prefill_init(
@@ -153,27 +174,54 @@ class BatchStreamDecoder:
             jnp.asarray(prompt_buf, models._compute_dtype),
             jnp.asarray(mask_buf),
             jax.random.PRNGKey(seed), models.hybrid_cfg.llm,
-            max_len=bucket + models.config.n_predict)
+            max_len=max_len)
         state.logits.block_until_ready()
         t_inject = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         chunk_len = models._default_chunk_len()
         token_chunks = []
-        generated = 0
-        while generated < models.config.n_predict:
-            todo = min(chunk_len, models.config.n_predict - generated)
-            state, tokens = generate_chunk(
-                models.llm_params, state, models.hybrid_cfg.llm,
-                jnp.asarray(temperature, jnp.float32),
-                jnp.asarray(top_p, jnp.float32), top_k,
-                chunk_len=chunk_len,
-                stop_tokens=models.stop_tokens,
-                limit=jnp.asarray(todo, jnp.int32))
-            token_chunks.append(np.asarray(tokens))
-            generated += todo
-            if bool(np.all(np.asarray(state.done))):
-                break
+        if drafts is not None:
+            from ..models.speculative import spec_generate_chunk, spec_init
+            state = spec_init(state)
+            draft_dev = jnp.asarray(drafts)
+            emitted = np.zeros(b, dtype=np.int64)
+            while True:
+                todo = np.minimum(chunk_len,
+                                  models.config.n_predict - emitted)
+                state, tokens = spec_generate_chunk(
+                    models.llm_params, state, draft_dev,
+                    models.hybrid_cfg.llm,
+                    jnp.asarray(temperature, jnp.float32),
+                    jnp.asarray(top_p, jnp.float32), top_k,
+                    spec_k=models.config.spec_k, chunk_len=chunk_len,
+                    stop_tokens=models.stop_tokens,
+                    limit=jnp.asarray(todo, jnp.int32))
+                toks_np = np.asarray(tokens)
+                token_chunks.append(toks_np)
+                n_emit = (toks_np >= 0).sum(axis=1)
+                emitted += n_emit
+                done = np.asarray(state.done)
+                active = ~done & (emitted < models.config.n_predict)
+                if not np.any(active):
+                    break
+                if not np.any(n_emit[active] > 0):
+                    break   # safety: no forward progress should be impossible
+        else:
+            generated = 0
+            while generated < models.config.n_predict:
+                todo = min(chunk_len, models.config.n_predict - generated)
+                state, tokens = generate_chunk(
+                    models.llm_params, state, models.hybrid_cfg.llm,
+                    jnp.asarray(temperature, jnp.float32),
+                    jnp.asarray(top_p, jnp.float32), top_k,
+                    chunk_len=chunk_len,
+                    stop_tokens=models.stop_tokens,
+                    limit=jnp.asarray(todo, jnp.int32))
+                token_chunks.append(np.asarray(tokens))
+                generated += todo
+                if bool(np.all(np.asarray(state.done))):
+                    break
         tokens = np.concatenate(token_chunks, axis=1)
         n_gen = np.asarray(state.n_gen)
         aborted = np.asarray(state.aborted)

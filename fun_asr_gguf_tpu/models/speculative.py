@@ -158,7 +158,10 @@ def spec_generate_chunk(params, state: SpecState, draft_ids,
     sink = buf_len
     if limit is None:
         limit = chunk_len
-    limit = jnp.minimum(jnp.asarray(limit, jnp.int32), chunk_len)
+    # per-row budgets: scalar (same cap every row) or [B] (batched decode —
+    # rows consume the spec budget at different rates across chunks)
+    limit = jnp.broadcast_to(
+        jnp.minimum(jnp.asarray(limit, jnp.int32), chunk_len), (b,))
     rows = jnp.arange(b, dtype=jnp.int32)
 
     def cond(carry):
@@ -191,7 +194,7 @@ def spec_generate_chunk(params, state: SpecState, draft_ids,
         # budget truncation: accepting draft i would emit at t_next + i
         d_valid &= (t_next[:, None]
                     + jnp.arange(1, spec_k + 1, dtype=jnp.int32)[None, :]
-                    ) < limit
+                    ) < limit[:, None]
 
         # 3. one verify pass over [pending, d_1..d_K]
         tok_seq = jnp.concatenate([pending[:, None], d_tok], axis=1)
