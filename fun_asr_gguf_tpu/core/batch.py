@@ -64,9 +64,16 @@ class BatchStreamDecoder:
                        language: Optional[str] = None,
                        context: Optional[str] = None,
                        temperature: float = 0.3, top_p: float = 1.0,
-                       top_k: int = 50) -> List[DecodeResult]:
+                       top_k: int = 50,
+                       n_real: Optional[int] = None) -> List[DecodeResult]:
+        """``n_real``: when the caller padded the batch to a bucket
+        (:func:`pad_streams_to_bucket`), the number of leading real rows.
+        Device time is attributed to real rows only, and pad rows skip
+        the abort-retry path."""
         models = self.models
         b = len(streams)
+        if n_real is None:
+            n_real = b
         if b == 0:
             return []
         if b == 1:
@@ -229,16 +236,17 @@ class BatchStreamDecoder:
 
         # 5. assemble per-row results; retry aborted rows individually
         stop_set = set(models.stop_tokens) | {models.eos_token}
+        share = max(n_real, 1)     # pad rows don't own device time
         results: List[DecodeResult] = []
         for i in range(b):
             t = timings[i]
-            t.encode = t_encode / b
-            t.ctc = t_ctc / b
-            t.prepare = t_prepare / b
-            t.inject = t_inject / b
-            t.llm_generate = t_gen / b
+            t.encode = t_encode / share if i < n_real else 0.0
+            t.ctc = t_ctc / share if i < n_real else 0.0
+            t.prepare = t_prepare / share if i < n_real else 0.0
+            t.inject = t_inject / share if i < n_real else 0.0
+            t.llm_generate = t_gen / share if i < n_real else 0.0
 
-            if aborted[i]:
+            if aborted[i] and i < n_real:
                 retry = self._retry_row(streams[i], language, context,
                                         temperature + 0.3, top_p, top_k)
                 retry.timings.encode += t.encode

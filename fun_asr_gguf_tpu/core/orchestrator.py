@@ -231,7 +231,7 @@ class TranscriptionOrchestrator:
             padded, n_real = pad_streams_to_bucket(streams, sr)
             results = self._batch_decoder.decode_streams(
                 padded, language, context, temperature=temperature,
-                top_p=top_p, top_k=top_k)
+                top_p=top_p, top_k=top_k, n_real=n_real)
             decoded.extend(results[:n_real])
 
         for idx, ((s_s, e_s), d_res) in enumerate(zip(segments_info,

@@ -93,7 +93,8 @@ class FunASREngine:
         mono waveform (skips load_audio; start_second/duration are
         assumed applied). parallel_segments: decode long-audio segments
         as batched device programs instead of sequentially (TPU-native
-        extension; token streaming is per-batch, not live per-segment)."""
+        extension; on_stream token callbacks are NOT invoked in this mode
+        — segment texts arrive with the final result)."""
         return self.orchestrator.transcribe(
             audio_path=audio_path, language=language, context=context,
             verbose=verbose, segment_size=segment_size, overlap=overlap,
@@ -121,16 +122,17 @@ class FunASREngine:
     def decode_streams(self, streams, language: Optional[str] = None,
                        context: Optional[str] = None,
                        temperature: float = 0.3, top_p: float = 1.0,
-                       top_k: int = 50):
+                       top_k: int = 50, n_real: Optional[int] = None):
         """Decode N recognition streams concurrently in one batched device
         program (TPU-native extension; no reference counterpart — the
-        reference context is single-sequence, ``llama.py:464``)."""
+        reference context is single-sequence, ``llama.py:464``).
+        ``n_real``: see ``BatchStreamDecoder.decode_streams``."""
         from .core.batch import BatchStreamDecoder
         if self._batch_decoder is None:
             self._batch_decoder = BatchStreamDecoder(self.models)
         return self._batch_decoder.decode_streams(
             streams, language, context, temperature=temperature,
-            top_p=top_p, top_k=top_k)
+            top_p=top_p, top_k=top_k, n_real=n_real)
 
     def transcribe_batch(self, audio_paths, language: Optional[str] = None,
                          context: Optional[str] = None,

@@ -127,7 +127,8 @@ class BatchDispatcher:
                             streams, language=opts.get("language"),
                             context=opts.get("context"),
                             temperature=opts["temperature"],
-                            top_p=opts["top_p"], top_k=opts["top_k"])
+                            top_p=opts["top_p"], top_k=opts["top_k"],
+                            n_real=n)
                     for (_, _, reply), r in zip(jobs, results[:n]):
                         reply.put({"result": r})
                 except Exception as e:                  # noqa: BLE001

@@ -28,18 +28,24 @@ from typing import BinaryIO
 import numpy as np
 
 from ..formats.gguf import (DEFAULT_ALIGNMENT, GGUF_MAGIC, GGUF_VERSION,
-                            GGMLType, GGUFValueType, _NUMPY_FOR_TYPE,
-                            _type_nbytes)
+                            GGMLType, GGUFValueType, _BLOCK_FORMATS,
+                            _NUMPY_FOR_TYPE, _type_nbytes)
 
-# bytes per block and offsets of the fp16 words to swap within each block
+
+def _block_bytes(gtype: GGMLType) -> int:
+    return _BLOCK_FORMATS[gtype][0]     # single source of truth
+
+
+# per-block multi-byte words to swap: offsets of fp16 scale words and of
+# the u32 high-bit word (Q5_x qh — read native-endian by the dequantizers,
+# formats/quant_np.py q5 paths)
 _QUANT_SWAP = {
-    GGMLType.Q4_0: (18, (0,)),
-    GGMLType.Q4_1: (20, (0, 2)),
-    GGMLType.Q5_0: (22, (0,)),
-    GGMLType.Q5_1: (24, (0, 2)),
-    GGMLType.Q8_0: (34, (0,)),
+    GGMLType.Q4_0: ((0,), ()),
+    GGMLType.Q4_1: ((0, 2), ()),
+    GGMLType.Q5_0: ((0,), (2,)),
+    GGMLType.Q5_1: ((0, 2), (4,)),
+    GGMLType.Q8_0: ((0,), ()),
 }
-_QUANT_BLOCK_ELEMS = 32
 
 _SCALAR_SIZE = {
     GGUFValueType.UINT8: ("B", 1), GGUFValueType.INT8: ("b", 1),
@@ -53,16 +59,18 @@ _SCALAR_SIZE = {
 
 class _SwapCursor:
     """Reads fields in ``src`` byte order and re-emits them in the
-    opposite order."""
+    opposite order. ``buf`` is a uint8 memmap — the source file is never
+    copied into RAM wholesale; tensor payloads stream through
+    :func:`_swap_payload` one at a time."""
 
-    def __init__(self, buf: bytes, out: BinaryIO, src_order: str):
+    def __init__(self, buf: np.ndarray, out: BinaryIO, src_order: str):
         self.buf = buf
         self.out = out
         self.pos = 0
         self.src = "<" if src_order == "little" else ">"
         self.dst = ">" if src_order == "little" else "<"
 
-    def raw(self, n: int, emit: bool = True) -> bytes:
+    def raw(self, n: int, emit: bool = True) -> np.ndarray:
         if self.pos + n > len(self.buf):
             raise ValueError(
                 f"corrupt GGUF: read of {n} bytes at {self.pos} exceeds "
@@ -70,45 +78,49 @@ class _SwapCursor:
         out = self.buf[self.pos:self.pos + n]
         self.pos += n
         if emit:
-            self.out.write(out)
+            self.out.write(out.tobytes())
         return out
 
     def scalar(self, code: str, size: int) -> int:
-        (val,) = struct.unpack(self.src + code, self.raw(size, emit=False))
+        (val,) = struct.unpack(self.src + code,
+                               self.raw(size, emit=False).tobytes())
         self.out.write(struct.pack(self.dst + code, val))
         return val
 
     def string(self) -> str:
         n = self.scalar("Q", 8)
-        return self.raw(n).decode("utf-8", errors="replace")
+        return self.raw(n).tobytes().decode("utf-8", errors="replace")
 
     def value(self, vtype: GGUFValueType):
+        """Convert one KV payload; returns scalar/str values (arrays
+        return None — nothing needs their contents)."""
         if vtype == GGUFValueType.STRING:
-            self.string()
-            return
+            return self.string()
         if vtype == GGUFValueType.ARRAY:
             etype = GGUFValueType(self.scalar("I", 4))
             count = self.scalar("Q", 8)
             for _ in range(count):
                 self.value(etype)
-            return
+            return None
         code, size = _SCALAR_SIZE[vtype]
-        self.scalar(code, size)
+        return self.scalar(code, size)
 
 
-def _swap_payload(raw: bytes, gtype: GGMLType) -> bytes:
-    """Byteswap one tensor payload."""
+def _swap_payload(raw: np.ndarray, gtype: GGMLType) -> bytes:
+    """Byteswap one tensor payload (raw: uint8 view, not copied)."""
     if gtype in _QUANT_SWAP:
-        block_bytes, fp16_offsets = _QUANT_SWAP[gtype]
-        blocks = np.frombuffer(raw, dtype=np.uint8).reshape(-1, block_bytes)
-        blocks = blocks.copy()
+        fp16_offsets, u32_offsets = _QUANT_SWAP[gtype]
+        blocks = np.array(raw, dtype=np.uint8).reshape(
+            -1, _block_bytes(gtype))
         for off in fp16_offsets:
             blocks[:, [off, off + 1]] = blocks[:, [off + 1, off]]
+        for off in u32_offsets:
+            blocks[:, off:off + 4] = blocks[:, off:off + 4][:, ::-1]
         return blocks.tobytes()
     dtype = _NUMPY_FOR_TYPE[gtype]
     if dtype.itemsize == 1:
-        return raw
-    return np.frombuffer(raw, dtype=dtype).byteswap().tobytes()
+        return raw.tobytes()
+    return raw.view(dtype).byteswap().tobytes()
 
 
 def detect_byteorder(path: str) -> str:
@@ -140,7 +152,7 @@ def convert_endian(src_path: str, dst_path: str, order: str = "swap",
             f"{src_path} is already {src_order}-endian; converting to "
             f"{order} is a no-op (the reference script rejects this too)")
 
-    buf = np.memmap(src_path, mode="r", dtype=np.uint8).tobytes()
+    buf = np.memmap(src_path, mode="r", dtype=np.uint8)
     with open(dst_path, "wb") as out:
         cur = _SwapCursor(buf, out, src_order)
         cur.raw(4)                                  # magic, byte string
@@ -154,11 +166,15 @@ def convert_endian(src_path: str, dst_path: str, order: str = "swap",
         for _ in range(n_kv):
             key = cur.string()
             vtype = GGUFValueType(cur.scalar("I", 4))
-            mark = cur.pos
-            cur.value(vtype)
+            val = cur.value(vtype)
             if key == "general.alignment":
-                (alignment,) = struct.unpack(
-                    cur.src + "I", buf[mark:mark + 4])
+                # any integer KV type is legal here (GGUFReader accepts
+                # the same); reject non-int / <1 before it reaches the
+                # modulo arithmetic below
+                if not isinstance(val, int) or val < 1:
+                    raise ValueError(
+                        f"corrupt GGUF: general.alignment={val!r}")
+                alignment = val
 
         tensors = []
         for _ in range(n_tensors):

@@ -253,6 +253,7 @@ class TestConvertEndian:
         w.add_tensor("t_i32", np.arange(12, dtype=np.int32).reshape(3, 4))
         w.add_tensor("t_q8", rng.normal(size=(2, 64)).astype(np.float32),
                      ggml_type=GGMLType.Q8_0)
+        w.add_tensor_raw("t_q5", bytes(range(44)), (64,), GGMLType.Q5_0)
         w.write()
 
     def test_roundtrip_bit_exact(self, tmp_path):
@@ -297,6 +298,16 @@ class TestConvertEndian:
         assert np.array_equal(le_blocks[:, 0], be_blocks[:, 1])
         assert np.array_equal(le_blocks[:, 1], be_blocks[:, 0])
         assert np.array_equal(le_blocks[:, 2:], be_blocks[:, 2:])
+        # q5_0 blocks: fp16 d swapped, u32 qh byte-reversed, nibbles kept
+        t5 = r.tensor_info("t_q5")
+        s5 = r.data_start + t5.offset
+        le5 = np.frombuffer(r.tensor_raw("t_q5"),
+                            dtype=np.uint8).reshape(-1, 22)
+        be5 = np.frombuffer(raw[s5:s5 + t5.nbytes],
+                            dtype=np.uint8).reshape(-1, 22)
+        assert np.array_equal(le5[:, [0, 1]], be5[:, [1, 0]])
+        assert np.array_equal(le5[:, 2:6], be5[:, 2:6][:, ::-1])
+        assert np.array_equal(le5[:, 6:], be5[:, 6:])
 
     def test_same_order_rejected(self, tmp_path):
         from fun_asr_gguf_tpu.tools.convert_endian import convert_endian
