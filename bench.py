@@ -269,11 +269,23 @@ def main():
         per_step_b = None
 
     # ---- CTC-draft speculative decoding (the engine default when CTC is
-    # on): draft = the model's own greedy output with 15% of tokens
-    # corrupted, emulating realistic CTC↔LLM transcript disagreement ----
+    # on): draft = the verify path's own greedy output with 15% of tokens
+    # corrupted, emulating realistic CTC↔LLM transcript disagreement.
+    #
+    # The draft must come from the VERIFY pass, not the one-token decode
+    # pass: with random weights the logits are near-uniform, and the two
+    # kernels' bf16 reduction orders flip the argmax on near-ties (~19%
+    # token agreement measured) — zero acceptance, so the measurement
+    # degenerates to plain decode + overhead. A trained model has
+    # well-separated top-1 logits and its CTC transcript is scored by the
+    # verify pass alone, so the production path has no such coupling; the
+    # fixed point of "emit with the verify kernel, feed back as draft"
+    # reproduces the trained-model regime on random weights (one iteration
+    # converges: agreement 1.000 measured on v5e). ----
     SPEC_K = 4 if _TINY else 8
     spec_params = llm_int8 if np.isfinite(per_tok_int8) else llm_packed
     per_tok_spec = float("inf")
+    per_tok_spec_ceiling = float("inf")
     try:
         chunk = 4 if _TINY else 64
         ref_toks = []
@@ -285,52 +297,84 @@ def main():
                 50, chunk_len=chunk, stop_tokens=(), fuse_enabled=False)
             ref_toks.extend(int(t) for t in np.asarray(toks)[0] if t >= 0)
         ref_toks = ref_toks[:N_GEN]
-        draft = np.asarray(ref_toks, np.int32)
+        spec_max_len = N_PROMPT + N_GEN + SPEC_K + 2
+
+        def spec_emit(draft_arr):
+            """One spec run; returns the emitted (verify-kernel) tokens."""
+            st = spec_init(prefill_init(
+                spec_params, prompt, mask, jax.random.PRNGKey(0), cfg.llm,
+                max_len=spec_max_len))
+            emitted = []
+            while len(emitted) < N_GEN:
+                st, toks = spec_generate_chunk(
+                    spec_params, st, draft_arr, cfg.llm, jnp.asarray(0.0),
+                    jnp.asarray(1.0), 50, spec_k=SPEC_K, chunk_len=chunk,
+                    stop_tokens=(), fuse_enabled=False)
+                emitted.extend(int(t) for t in np.asarray(toks)[0]
+                               if t >= 0)
+            return emitted[:N_GEN]
+
+        def to_draft(tok_list):
+            buf = np.full((1, 512), -1, np.int32)
+            buf[0, :len(tok_list)] = np.asarray(tok_list, np.int32)
+            return jnp.asarray(buf)
+
+        fp_toks = spec_emit(to_draft(ref_toks))     # verify-kernel fixed point
+        draft = np.asarray(fp_toks, np.int32)
         rng_d = np.random.default_rng(7)
         corrupt = rng_d.random(draft.shape) < 0.15
         draft = np.where(corrupt,
                          rng_d.integers(0, cfg.llm.vocab_size,
                                         size=draft.shape), draft)
+        draft_perfect = to_draft(fp_toks)
         draft_buf = np.full((1, 512), -1, np.int32)
         draft_buf[0, :len(draft)] = draft
         draft_ids = jnp.asarray(draft_buf)
-        spec_max_len = N_PROMPT + N_GEN + SPEC_K + 2
 
         n_chunks_full = max(1, N_GEN // chunk)
 
-        def spec_chunks(n_chunks, seed):
+        def spec_chunks(n_chunks, seed, d):
             st = spec_init(prefill_init(
                 spec_params, prompt, mask, jax.random.PRNGKey(seed),
                 cfg.llm, max_len=spec_max_len))
             for _ in range(n_chunks):
                 st, toks = spec_generate_chunk(
-                    spec_params, st, draft_ids, cfg.llm, jnp.asarray(0.0),
+                    spec_params, st, d, cfg.llm, jnp.asarray(0.0),
                     jnp.asarray(1.0), 50, spec_k=SPEC_K, chunk_len=chunk,
                     stop_tokens=(), fuse_enabled=False)
             return st.n_gen
 
-        t_c = time.perf_counter()
-        fetch(spec_chunks(1, 0))
-        log(f"generate[spec,int8]: compiled ({time.perf_counter()-t_c:.1f}s)")
+        def measure_spec(label, d):
+            t_c = time.perf_counter()
+            fetch(spec_chunks(1, 0, d))
+            log(f"{label}: compiled ({time.perf_counter()-t_c:.1f}s)")
 
-        def total_spec(k, seed):
-            t0 = time.perf_counter()
-            n = fetch(spec_chunks(k, seed))
-            return time.perf_counter() - t0, n
+            def total_spec(k, seed):
+                t0 = time.perf_counter()
+                n = fetch(spec_chunks(k, seed, d))
+                return time.perf_counter() - t0, n
 
-        n1, n2 = 1, n_chunks_full
-        t1 = min(total_spec(n1, 30 + i)[0] for i in range(2))
-        t2, n_emitted = min(total_spec(n2, 40 + i) for i in range(2))
-        if n2 > n1 and t2 > t1:
-            per_tok_spec = (t2 - t1) / ((n2 - n1) * chunk)
-            log(f"generate[spec,int8]: t({n1*chunk}tok)={t1:.3f}s "
-                f"t({n2*chunk}tok)={t2:.3f}s -> {per_tok_spec*1000:.3f} "
-                f"ms/token (emitted {int(n_emitted)})")
-        else:
-            per_tok_spec = t2 / max(1.0, n_emitted)
-            log(f"generate[spec,int8]: degenerate timing — single-point "
-                f"{per_tok_spec*1000:.3f} ms/token")
+            n1, n2 = 1, n_chunks_full
+            t1 = min(total_spec(n1, 30 + i)[0] for i in range(2))
+            t2, n_emitted = min(total_spec(n2, 40 + i) for i in range(2))
+            if n2 > n1 and t2 > t1:
+                per = (t2 - t1) / ((n2 - n1) * chunk)
+                log(f"{label}: t({n1*chunk}tok)={t1:.3f}s "
+                    f"t({n2*chunk}tok)={t2:.3f}s -> {per*1000:.3f} "
+                    f"ms/token (emitted {int(n_emitted)})")
+            else:
+                per = t2 / max(1.0, n_emitted)
+                log(f"{label}: degenerate timing — single-point "
+                    f"{per*1000:.3f} ms/token")
+            return per
+
+        per_tok_spec = measure_spec("generate[spec,int8]", draft_ids)
         _partial["generate_tokens_per_s_spec"] = round(1.0 / per_tok_spec, 1)
+        # ceiling: perfect draft (CTC transcript == LLM transcript)
+        per_tok_spec_ceiling = measure_spec("generate[spec,int8,perfect]",
+                                            draft_perfect)
+        _partial["generate_tokens_per_s_spec_ceiling"] = round(
+            1.0 / per_tok_spec_ceiling, 1)
     except Exception as e:
         log("speculative generation failed:", e)
 
@@ -380,17 +424,47 @@ def main():
             per_step_b8 = measure_generation(llm_int8, "generate[int8,b8]",
                                              prompt8, mask8)
 
-            # the engine's batched default: per-row CTC-draft speculation
+            # the engine's batched default: per-row CTC-draft speculation.
+            # The b=8 verify kernel has its own bf16 reduction order, so
+            # the numerics fixed point is re-derived at b=8 (identical
+            # rows; seed variation busts dispatch memoization) — see the
+            # b=1 spec comment above for why decode-path drafts measure
+            # zero acceptance on random weights.
             per_tok_spec8 = float("inf")
             if "draft_ids" in locals() and np.isfinite(per_tok_spec):
                 try:
-                    draft8 = jnp.tile(draft_ids, (B8, 1))
+                    prompt8s = jnp.tile(prompt, (B8, 1, 1))
                     chunk = 64
                     spec8_max = N_PROMPT + N_GEN + SPEC_K + 2
 
+                    def spec8_emit(d8):
+                        st = spec_init(prefill_init(
+                            spec_params, prompt8s, mask8,
+                            jax.random.PRNGKey(0), cfg.llm,
+                            max_len=spec8_max))
+                        emitted = []
+                        while len(emitted) < N_GEN:
+                            st, toks = spec_generate_chunk(
+                                spec_params, st, d8, cfg.llm,
+                                jnp.asarray(0.0), jnp.asarray(1.0), 50,
+                                spec_k=SPEC_K, chunk_len=chunk,
+                                stop_tokens=(), fuse_enabled=False)
+                            emitted.extend(int(t) for t in
+                                           np.asarray(toks)[0] if t >= 0)
+                        return emitted[:N_GEN]
+
+                    fp8 = spec8_emit(jnp.tile(to_draft(fp_toks), (B8, 1)))
+                    d8 = np.tile(np.asarray(to_draft(fp8)), (B8, 1))
+                    rng_d8 = np.random.default_rng(11)
+                    mask_c = rng_d8.random(d8.shape) < 0.15
+                    d8 = np.where(mask_c & (d8 >= 0),
+                                  rng_d8.integers(0, cfg.llm.vocab_size,
+                                                  size=d8.shape), d8)
+                    draft8 = jnp.asarray(d8)
+
                     def spec8_chunks(n_chunks, seed):
                         st = spec_init(prefill_init(
-                            spec_params, prompt8, mask8,
+                            spec_params, prompt8s, mask8,
                             jax.random.PRNGKey(seed), cfg.llm,
                             max_len=spec8_max))
                         for _ in range(n_chunks):
@@ -466,6 +540,10 @@ def main():
         "generate_tokens_per_s_spec": (round(1.0 / per_tok_spec, 1)
                                        if np.isfinite(per_tok_spec)
                                        else None),
+        # perfect CTC draft (CTC transcript == final transcript)
+        "generate_tokens_per_s_spec_ceiling": (
+            round(1.0 / per_tok_spec_ceiling, 1)
+            if np.isfinite(per_tok_spec_ceiling) else None),
         f"generate_tokens_per_s_batch{B}": (round(B / per_step_b, 1)
                                             if per_step_b else None),
         "gen_vs_baseline": round(gen_tps / REF_GEN_TOKS_PER_S, 2),
