@@ -323,13 +323,19 @@ def main():
         draft = np.asarray(fp_toks, np.int32)
         rng_d = np.random.default_rng(7)
         corrupt = rng_d.random(draft.shape) < 0.15
-        draft = np.where(corrupt,
-                         rng_d.integers(0, cfg.llm.vocab_size,
-                                        size=draft.shape), draft)
+        # headline disagreement model: HOLES (-1), which truncate
+        # acceptance at the disagreement point exactly like a rejected
+        # token does, but never inject a wrong token into the emission
+        # path — substitutions on random weights diverge the emission
+        # from the fixed point after the first rejection (trained models
+        # don't have that failure; see docs/PERFORMANCE.md)
+        draft_holes = np.where(corrupt, -1, draft)
+        draft_subst = np.where(corrupt,
+                               rng_d.integers(0, cfg.llm.vocab_size,
+                                              size=draft.shape), draft)
         draft_perfect = to_draft(fp_toks)
-        draft_buf = np.full((1, 512), -1, np.int32)
-        draft_buf[0, :len(draft)] = draft
-        draft_ids = jnp.asarray(draft_buf)
+        draft_ids = to_draft(draft_holes)
+        draft_ids_subst = to_draft(draft_subst)
 
         n_chunks_full = max(1, N_GEN // chunk)
 
@@ -375,6 +381,12 @@ def main():
                                             draft_perfect)
         _partial["generate_tokens_per_s_spec_ceiling"] = round(
             1.0 / per_tok_spec_ceiling, 1)
+        # worst case: substituted wrong tokens (on random weights this
+        # also triggers the emission-divergence artifact — lower bound)
+        per_tok_spec_subst = measure_spec("generate[spec,int8,subst]",
+                                          draft_ids_subst)
+        _partial["generate_tokens_per_s_spec_subst"] = round(
+            1.0 / per_tok_spec_subst, 1)
     except Exception as e:
         log("speculative generation failed:", e)
 
@@ -457,9 +469,7 @@ def main():
                     d8 = np.tile(np.asarray(to_draft(fp8)), (B8, 1))
                     rng_d8 = np.random.default_rng(11)
                     mask_c = rng_d8.random(d8.shape) < 0.15
-                    d8 = np.where(mask_c & (d8 >= 0),
-                                  rng_d8.integers(0, cfg.llm.vocab_size,
-                                                  size=d8.shape), d8)
+                    d8 = np.where(mask_c, -1, d8)   # holes, as at b=1
                     draft8 = jnp.asarray(d8)
 
                     def spec8_chunks(n_chunks, seed):
@@ -544,6 +554,10 @@ def main():
         "generate_tokens_per_s_spec_ceiling": (
             round(1.0 / per_tok_spec_ceiling, 1)
             if np.isfinite(per_tok_spec_ceiling) else None),
+        # wrong-token (substitution) draft corruption — lower bound on
+        # random weights (emission-divergence artifact, PERFORMANCE.md)
+        "generate_tokens_per_s_spec_subst": _partial.get(
+            "generate_tokens_per_s_spec_subst"),
         f"generate_tokens_per_s_batch{B}": (round(B / per_step_b, 1)
                                             if per_step_b else None),
         "gen_vs_baseline": round(gen_tps / REF_GEN_TOKS_PER_S, 2),

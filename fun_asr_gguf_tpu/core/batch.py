@@ -103,6 +103,7 @@ class BatchStreamDecoder:
         t0 = time.perf_counter()
         ctc_rows = [[] for _ in range(b)]
         hotword_rows = [[] for _ in range(b)]
+        draft_rows: List[Optional[str]] = [None] * b
         if models.config.enable_ctc and models.ctc_id2token:
             # same recall policy as the single-stream decoder: beam search
             # (when enabled + hotwords exist) shares the batched device
@@ -122,12 +123,15 @@ class BatchStreamDecoder:
                     from .decoder import beam_recall_text
                     recall = beam_recall_text(
                         models, (vals[i], ids[i], blank[i]), text)
+                draft_rows[i] = recall or None
                 if models.corrector and models.corrector.hotwords and recall:
                     res = models.corrector.correct(
                         recall, k=models.config.max_hotwords)
                     cand = {hw for _, hw, _ in res.matchs}
                     cand |= {hw for _, hw, _ in res.similars}
                     hotword_rows[i] = list(cand)
+                    if res.text:    # hotword-corrected → better LLM draft
+                        draft_rows[i] = res.text
         t_ctc = time.perf_counter() - t0
 
         # 3. per-row prompts → one left-padded batch
@@ -162,8 +166,7 @@ class BatchStreamDecoder:
         if models.config.speculative and models.tokenizer is not None:
             rows_d = []
             for i in range(b):
-                text = "".join(r.text for r in ctc_rows[i]) \
-                    if ctc_rows[i] else ""
+                text = draft_rows[i] or ""
                 row = models.make_draft_ids(text)
                 rows_d.append(row[0] if row is not None else
                               np.full((models.config.spec_draft_len,), -1,

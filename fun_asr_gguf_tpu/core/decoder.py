@@ -59,10 +59,19 @@ class CTCDecoder:
         self.models = models
 
     def decode(self, enc_output, enable_ctc: bool, max_hotwords: int
-               ) -> Tuple[List, List[str], Dict[str, float]]:
+               ) -> Tuple[List, List[str], Optional[str], Dict[str, float]]:
+        """Returns (ctc_results, hotwords, draft_text, t_stats).
+
+        ``draft_text`` is the best transcript prediction available for
+        CTC-draft speculative decoding: the hotword-corrected recall text
+        when correction ran (the LLM is prompted with those hotwords, so
+        it tends to emit the corrected form), else the recall transcript
+        (beam when enabled, greedy otherwise). Greedy ``ctc_results``
+        remain the timestamp source.
+        """
         t_stats = {"infer": 0.0, "decode": 0.0, "hotword": 0.0}
         if not enable_ctc or not self.models.ctc_id2token:
-            return [], [], t_stats
+            return [], [], None, t_stats
 
         # beam recall shares ONE device program with the greedy path (the
         # [T, vocab] projection runs once); without hotwords the beam
@@ -93,6 +102,7 @@ class CTCDecoder:
             t_stats["decode"] += time.perf_counter() - t0
 
         hotwords: List[str] = []
+        draft_text = recall_text or None
         t0 = time.perf_counter()
         if (self.models.corrector and self.models.corrector.hotwords
                 and recall_text):
@@ -103,8 +113,10 @@ class CTCDecoder:
             for _, hw, _ in res.similars:
                 candidates.add(hw)
             hotwords = list(candidates)
+            if res.text:
+                draft_text = res.text
         t_stats["hotword"] = time.perf_counter() - t0
-        return ctc_results, hotwords, t_stats
+        return ctc_results, hotwords, draft_text, t_stats
 
 
 class LLMDecoder:
@@ -213,9 +225,10 @@ class StreamDecoder:
         if reporter:
             reporter.print("\n[3] CTC 解码...")
         t0 = time.perf_counter()
-        ctc_results, hotwords, ctc_times = self.ctc_decoder.decode(
-            enc_output, self.models.config.enable_ctc,
-            self.models.config.max_hotwords)
+        ctc_results, hotwords, draft_text, ctc_times = \
+            self.ctc_decoder.decode(
+                enc_output, self.models.config.enable_ctc,
+                self.models.config.max_hotwords)
         timings.ctc = time.perf_counter() - t0
         timings.ctc_infer = ctc_times["infer"]
         timings.ctc_decode = ctc_times["decode"]
@@ -262,9 +275,8 @@ class StreamDecoder:
         # attached (the server's SSE mode runs verbose=False)
         stream_output = verbose or (
             reporter is not None and getattr(reporter, "on_stream", None))
-        # the CTC transcript doubles as the speculative-decoding draft
-        draft_text = "".join(r.text for r in ctc_results) if ctc_results \
-            else None
+        # the (hotword-corrected) CTC transcript doubles as the
+        # speculative-decoding draft — set by CTCDecoder.decode above
         llm_res = None
         for _ in range(6):
             llm_res = self.llm_decoder.decode(

@@ -199,3 +199,58 @@ class TestAudioIO:
         write_wav(path, sig, sr)
         out = load_audio(path, sample_rate=sr, start_second=0.5, duration=1.0)
         assert len(out) == sr
+
+
+class TestCTCDecoderDraft:
+    """The speculative-decoding draft must be the hotword-corrected
+    transcript when correction ran (core/decoder.py CTCDecoder.decode)."""
+
+    def _models(self, corrector):
+        import types
+
+        from fun_asr_gguf_tpu.hotword.hot_phoneme import CorrectionResult
+
+        m = types.SimpleNamespace()
+        m.ctc_id2token = {0: "撒", 1: "贝", 2: "你", 9: "<blk>"}
+        m.beam_recall_enabled = False
+        m.ctc_indices = lambda enc: np.array([0, 9, 1, 9, 2])
+        m.corrector = corrector
+        return m, CorrectionResult
+
+    def test_corrected_text_becomes_draft(self):
+        from fun_asr_gguf_tpu.core.decoder import CTCDecoder
+
+        m, CorrectionResult = self._models(None)
+
+        class FakeCorrector:
+            hotwords = ["撒贝宁"]
+
+            def correct(self, text, k=10):
+                assert text == "撒贝你"
+                return CorrectionResult(
+                    text="撒贝宁", matchs=[("撒贝你", "撒贝宁", 0.9)],
+                    similars=[])
+
+        m.corrector = FakeCorrector()
+        results, hotwords, draft, _ = CTCDecoder(m).decode(
+            enc_output=None, enable_ctc=True, max_hotwords=10)
+        assert "".join(r.text for r in results) == "撒贝你"   # timestamps
+        assert draft == "撒贝宁"                               # LLM draft
+        assert hotwords == ["撒贝宁"]
+
+    def test_uncorrected_draft_is_recall_text(self):
+        from fun_asr_gguf_tpu.core.decoder import CTCDecoder
+
+        m, _ = self._models(None)
+        _, hotwords, draft, _ = CTCDecoder(m).decode(
+            enc_output=None, enable_ctc=True, max_hotwords=10)
+        assert draft == "撒贝你"
+        assert hotwords == []
+
+    def test_disabled_ctc_has_no_draft(self):
+        from fun_asr_gguf_tpu.core.decoder import CTCDecoder
+
+        m, _ = self._models(None)
+        results, hotwords, draft, _ = CTCDecoder(m).decode(
+            enc_output=None, enable_ctc=False, max_hotwords=10)
+        assert results == [] and hotwords == [] and draft is None
