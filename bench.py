@@ -297,12 +297,18 @@ def main():
                 50, chunk_len=chunk, stop_tokens=(), fuse_enabled=False)
             ref_toks.extend(int(t) for t in np.asarray(toks)[0] if t >= 0)
         ref_toks = ref_toks[:N_GEN]
-        spec_max_len = N_PROMPT + N_GEN + SPEC_K + 2
+        # KV headroom: chunks emit in chunk-sized strides (the emit loops
+        # below run ceil(N_GEN/chunk) full chunks), and every verify round
+        # writes SPEC_K+1 entries starting at the next free slot — honor
+        # spec_generate_chunk's documented contract
+        n_chunks_full = max(1, -(-N_GEN // chunk))
+        spec_max_len = N_PROMPT + n_chunks_full * chunk + SPEC_K + 1
 
-        def spec_emit(draft_arr):
-            """One spec run; returns the emitted (verify-kernel) tokens."""
+        def spec_emit(draft_arr, p, m):
+            """One spec run at prompt ``p``/mask ``m``; returns row 0's
+            emitted (verify-kernel) tokens."""
             st = spec_init(prefill_init(
-                spec_params, prompt, mask, jax.random.PRNGKey(0), cfg.llm,
+                spec_params, p, m, jax.random.PRNGKey(0), cfg.llm,
                 max_len=spec_max_len))
             emitted = []
             while len(emitted) < N_GEN:
@@ -319,7 +325,8 @@ def main():
             buf[0, :len(tok_list)] = np.asarray(tok_list, np.int32)
             return jnp.asarray(buf)
 
-        fp_toks = spec_emit(to_draft(ref_toks))     # verify-kernel fixed point
+        # verify-kernel fixed point
+        fp_toks = spec_emit(to_draft(ref_toks), prompt, mask)
         draft = np.asarray(fp_toks, np.int32)
         rng_d = np.random.default_rng(7)
         corrupt = rng_d.random(draft.shape) < 0.15
@@ -337,11 +344,9 @@ def main():
         draft_ids = to_draft(draft_holes)
         draft_ids_subst = to_draft(draft_subst)
 
-        n_chunks_full = max(1, N_GEN // chunk)
-
-        def spec_chunks(n_chunks, seed, d):
+        def spec_chunks(n_chunks, seed, d, p, m):
             st = spec_init(prefill_init(
-                spec_params, prompt, mask, jax.random.PRNGKey(seed),
+                spec_params, p, m, jax.random.PRNGKey(seed),
                 cfg.llm, max_len=spec_max_len))
             for _ in range(n_chunks):
                 st, toks = spec_generate_chunk(
@@ -350,14 +355,17 @@ def main():
                     stop_tokens=(), fuse_enabled=False)
             return st.n_gen
 
-        def measure_spec(label, d):
+        def measure_spec(label, d, p, m):
+            """Two-point chained spec timing; returns s/token *per row*
+            (sums emitted tokens over rows for the degenerate fallback)."""
+            b_rows = p.shape[0]
             t_c = time.perf_counter()
-            fetch(spec_chunks(1, 0, d))
+            fetch(spec_chunks(1, 0, d, p, m))
             log(f"{label}: compiled ({time.perf_counter()-t_c:.1f}s)")
 
             def total_spec(k, seed):
                 t0 = time.perf_counter()
-                n = fetch(spec_chunks(k, seed, d))
+                n = fetch(spec_chunks(k, seed, d, p, m))
                 return time.perf_counter() - t0, n
 
             n1, n2 = 1, n_chunks_full
@@ -367,24 +375,25 @@ def main():
                 per = (t2 - t1) / ((n2 - n1) * chunk)
                 log(f"{label}: t({n1*chunk}tok)={t1:.3f}s "
                     f"t({n2*chunk}tok)={t2:.3f}s -> {per*1000:.3f} "
-                    f"ms/token (emitted {int(n_emitted)})")
+                    f"ms/token/row (emitted {int(n_emitted)})")
             else:
-                per = t2 / max(1.0, n_emitted)
+                per = t2 / max(1.0, n_emitted / b_rows)
                 log(f"{label}: degenerate timing — single-point "
-                    f"{per*1000:.3f} ms/token")
+                    f"{per*1000:.3f} ms/token/row")
             return per
 
-        per_tok_spec = measure_spec("generate[spec,int8]", draft_ids)
+        per_tok_spec = measure_spec("generate[spec,int8]", draft_ids,
+                                    prompt, mask)
         _partial["generate_tokens_per_s_spec"] = round(1.0 / per_tok_spec, 1)
         # ceiling: perfect draft (CTC transcript == LLM transcript)
         per_tok_spec_ceiling = measure_spec("generate[spec,int8,perfect]",
-                                            draft_perfect)
+                                            draft_perfect, prompt, mask)
         _partial["generate_tokens_per_s_spec_ceiling"] = round(
             1.0 / per_tok_spec_ceiling, 1)
         # worst case: substituted wrong tokens (on random weights this
         # also triggers the emission-divergence artifact — lower bound)
         per_tok_spec_subst = measure_spec("generate[spec,int8,subst]",
-                                          draft_ids_subst)
+                                          draft_ids_subst, prompt, mask)
         _partial["generate_tokens_per_s_spec_subst"] = round(
             1.0 / per_tok_spec_subst, 1)
     except Exception as e:
@@ -445,66 +454,22 @@ def main():
             per_tok_spec8 = float("inf")
             if "draft_ids" in locals() and np.isfinite(per_tok_spec):
                 try:
+                    # reuses spec_emit / measure_spec from the b=1 block —
+                    # only the (prompt, mask, draft) arguments change
                     prompt8s = jnp.tile(prompt, (B8, 1, 1))
-                    chunk = 64
-                    spec8_max = N_PROMPT + N_GEN + SPEC_K + 2
-
-                    def spec8_emit(d8):
-                        st = spec_init(prefill_init(
-                            spec_params, prompt8s, mask8,
-                            jax.random.PRNGKey(0), cfg.llm,
-                            max_len=spec8_max))
-                        emitted = []
-                        while len(emitted) < N_GEN:
-                            st, toks = spec_generate_chunk(
-                                spec_params, st, d8, cfg.llm,
-                                jnp.asarray(0.0), jnp.asarray(1.0), 50,
-                                spec_k=SPEC_K, chunk_len=chunk,
-                                stop_tokens=(), fuse_enabled=False)
-                            emitted.extend(int(t) for t in
-                                           np.asarray(toks)[0] if t >= 0)
-                        return emitted[:N_GEN]
-
-                    fp8 = spec8_emit(jnp.tile(to_draft(fp_toks), (B8, 1)))
+                    fp8 = spec_emit(jnp.tile(to_draft(fp_toks), (B8, 1)),
+                                    prompt8s, mask8)
                     d8 = np.tile(np.asarray(to_draft(fp8)), (B8, 1))
                     rng_d8 = np.random.default_rng(11)
                     mask_c = rng_d8.random(d8.shape) < 0.15
                     d8 = np.where(mask_c, -1, d8)   # holes, as at b=1
-                    draft8 = jnp.asarray(d8)
-
-                    def spec8_chunks(n_chunks, seed):
-                        st = spec_init(prefill_init(
-                            spec_params, prompt8s, mask8,
-                            jax.random.PRNGKey(seed), cfg.llm,
-                            max_len=spec8_max))
-                        for _ in range(n_chunks):
-                            st, _t = spec_generate_chunk(
-                                spec_params, st, draft8, cfg.llm,
-                                jnp.asarray(0.0), jnp.asarray(1.0), 50,
-                                spec_k=SPEC_K, chunk_len=chunk,
-                                stop_tokens=(), fuse_enabled=False)
-                        return st.n_gen
-
-                    t_c = time.perf_counter()
-                    fetch(spec8_chunks(1, 0))
-                    log(f"generate[spec,int8,b8]: compiled "
-                        f"({time.perf_counter()-t_c:.1f}s)")
-
-                    def total8(k, seed):
-                        t0 = time.perf_counter()
-                        fetch(spec8_chunks(k, seed))
-                        return time.perf_counter() - t0
-
-                    n1, n2 = 1, max(1, N_GEN // chunk)
-                    t1 = min(total8(n1, 50 + i) for i in range(2))
-                    t2 = min(total8(n2, 60 + i) for i in range(2))
-                    if n2 > n1 and t2 > t1:
-                        per_tok_spec8 = (t2 - t1) / ((n2 - n1) * chunk)
-                        log(f"generate[spec,int8,b8]: {per_tok_spec8*1000:.3f}"
-                            f" ms/token/row "
-                            f"({B8/per_tok_spec8:.0f} tok/s aggregate)")
-                        _partial["generate_tokens_per_s_spec_b8"] = round(
-                            B8 / per_tok_spec8, 1)
+                    per_tok_spec8 = measure_spec(
+                        "generate[spec,int8,b8]", jnp.asarray(d8),
+                        prompt8s, mask8)
+                    log(f"generate[spec,int8,b8]: "
+                        f"{B8/per_tok_spec8:.0f} tok/s aggregate")
+                    _partial["generate_tokens_per_s_spec_b8"] = round(
+                        B8 / per_tok_spec8, 1)
                 except Exception as e:
                     log("batched speculative measurement failed:", e)
 

@@ -29,6 +29,10 @@ def test_bench_tiny_emits_contract_json():
     line = out.stdout.strip().splitlines()[-1]
     result = json.loads(line)
 
+    # a timed-out run emits the partial dict (status='incomplete') and
+    # exits 0 — surface that as the failure cause, not a value assert
+    assert result.get("status") != "incomplete", \
+        f"bench timed out; stderr tail: {out.stderr[-2000:]}"
     # the driver's contract: one JSON object with these fields
     assert result["metric"] == "rtf_60s_e2e"
     assert result["unit"] == "ratio"
