@@ -116,6 +116,47 @@ class TestTrainStep:
 
 
 class TestQuantizedTP:
+    def test_sharded_spec_generation_matches_single(self):
+        """CTC-draft speculative decoding under a TP mesh must emit the
+        same greedy tokens as the unsharded model — the stretch decoders
+        (BASELINE configs[4]) run spec decode sharded too."""
+        from fun_asr_gguf_tpu.models.speculative import (spec_generate_chunk,
+                                                         spec_init)
+
+        cfg = Qwen3Config.tiny(vocab_size=64)
+        params = init_qwen3_params(jax.random.PRNGKey(5), cfg)
+        rng = np.random.default_rng(5)
+        e = jnp.asarray(rng.normal(size=(1, 4, cfg.hidden)), jnp.float32) * .1
+        m = jnp.ones((1, 4), jnp.float32)
+        n = 12
+
+        def greedy(p):
+            st = prefill_init(p, e, m, jax.random.PRNGKey(7), cfg,
+                              max_len=4 + n + 6)
+            _, toks = generate_chunk(p, st, cfg, jnp.asarray(0.0),
+                                     jnp.asarray(1.0), 50, chunk_len=n,
+                                     stop_tokens=())
+            return [int(t) for t in np.asarray(toks)[0] if t >= 0]
+
+        ref_toks = greedy(params)
+        draft = np.full((1, 64), -1, np.int32)
+        draft[0, :len(ref_toks)] = ref_toks
+
+        def spec(p):
+            st = spec_init(prefill_init(p, e, m, jax.random.PRNGKey(7), cfg,
+                                        max_len=4 + n + 6))
+            st, toks = spec_generate_chunk(
+                p, st, jnp.asarray(draft), cfg, jnp.asarray(0.0),
+                jnp.asarray(1.0), 50, spec_k=4, chunk_len=n,
+                stop_tokens=())
+            return [int(t) for t in np.asarray(toks)[0] if t >= 0]
+
+        single = spec(params)
+        assert single == ref_toks[:len(single)]      # bit-exact greedy
+        mesh = make_mesh(dp=4, tp=2)
+        sharded = spec(shard_llm_params(params, mesh))
+        assert sharded == single
+
     def test_quantized_prefill_tp_parity(self):
         """int8 decoder weights + TP sharding (jnp dequant-dot path) must
         match the unsharded quantized model — the BASELINE configs[4]
