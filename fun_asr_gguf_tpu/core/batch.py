@@ -264,6 +264,8 @@ class BatchStreamDecoder:
                 dec.push(tok)
             dec.flush()
             text = dec.generated_text.strip()
+            if models.rule_corrector is not None:   # see decoder.py
+                text = models.rule_corrector.substitute(text)
 
             t0a = time.perf_counter()
             aligned, ts, toks_out = [], [], []

@@ -295,6 +295,10 @@ class StreamDecoder:
             print(f"\n\n[!] 触发重试 (Temp -> {temperature:.1f})\n")
 
         text = llm_res.text.strip()
+        # opt-in regex rule correction (config.rules_path) — applied
+        # before alignment so timestamps follow the corrected text
+        if self.models.rule_corrector is not None:
+            text = self.models.rule_corrector.substitute(text)
         timings.inject = llm_res.t_inject
         timings.llm_generate = llm_res.t_gen
         if reporter:

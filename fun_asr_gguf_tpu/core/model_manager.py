@@ -62,6 +62,8 @@ class ModelManager:
         self.prompt_builder: Optional[PromptBuilder] = None
         self.hotword_manager = None
         self.corrector = None
+        self.rule_corrector = None
+        self._rules_watcher = None
 
         self._compute_dtype = jnp.bfloat16 \
             if config.compute_dtype == "bfloat16" else jnp.float32
@@ -193,6 +195,35 @@ class ModelManager:
             self.hotword_manager.start_file_watcher()
             self.corrector = self.hotword_manager.get_corrector()
             self.corrector.correct("热个身")
+
+            # opt-in regex rule correction on the final transcript (the
+            # reference ships RuleCorrector unwired, hot_rule.py; here a
+            # rules_path wires it in with the same live-reload behavior
+            # as hot.txt)
+            if self.config.rules_path:
+                from ..hotword.hot_rule import RuleCorrector
+                from ..hotword.manager import _PollingWatcher
+                rules_file = Path(self.config.rules_path)
+                self.rule_corrector = RuleCorrector()
+
+                def _load_rules():
+                    try:
+                        if not rules_file.exists():
+                            rules_file.parent.mkdir(parents=True,
+                                                    exist_ok=True)
+                            rules_file.write_text(
+                                "# 每行一条规则: pattern = replacement\n",
+                                encoding="utf-8")
+                        n = self.rule_corrector.update_rules(
+                            rules_file.read_text(encoding="utf-8"))
+                        logger.info("rule corrections loaded: %d", n)
+                    except OSError as e:
+                        logger.error("failed reading %s: %s", rules_file, e)
+
+                _load_rules()
+                self._rules_watcher = _PollingWatcher(rules_file,
+                                                      _load_rules)
+                self._rules_watcher.start()
 
             vprint("[6/6] 完成。", verbose)
             self._initialized = True
@@ -360,6 +391,9 @@ class ModelManager:
     def cleanup(self):
         if self.hotword_manager:
             self.hotword_manager.stop_file_watcher()
+        if self._rules_watcher:
+            self._rules_watcher.stop()
+            self._rules_watcher = None
         self.encoder_params = None
         self.adaptor_params = None
         self.ctc_params = None

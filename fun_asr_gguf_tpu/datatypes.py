@@ -100,6 +100,10 @@ class ASREngineConfig:
     tokens_path: Optional[str] = None       # CTC vocab (tokens.txt); default: <ckpt>/tokens.txt
     tokenizer_path: Optional[str] = None    # Qwen tokenizer.json; default: <ckpt>/tokenizer.json
     hotwords_path: Optional[str] = None
+    rules_path: Optional[str] = None        # opt-in regex rule correction
+                                            # ("pattern = replacement" file,
+                                            # live-reloaded); the reference
+                                            # ships RuleCorrector unwired
     enable_ctc: bool = True
     n_predict: int = 512
     similar_threshold: float = 0.6

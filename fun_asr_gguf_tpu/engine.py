@@ -24,6 +24,7 @@ class FunASREngine:
                  tokens_path: Optional[str] = None,
                  tokenizer_path: Optional[str] = None,
                  hotwords_path: Optional[str] = None,
+                 rules_path: Optional[str] = None,
                  enable_ctc: bool = True,
                  n_predict: int = 512,
                  similar_threshold: float = 0.6,
@@ -51,6 +52,7 @@ class FunASREngine:
             tokens_path=tokens_path,
             tokenizer_path=tokenizer_path,
             hotwords_path=hotwords_path,
+            rules_path=rules_path,
             enable_ctc=enable_ctc,
             n_predict=n_predict,
             similar_threshold=similar_threshold,

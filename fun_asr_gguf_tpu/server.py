@@ -436,6 +436,9 @@ def main(argv: Optional[list] = None):
                     help="micro-batch concurrent short requests within "
                          "this window into one device program")
     ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--rules-path", default=None,
+                    help="regex rule-correction file "
+                         "('pattern = replacement' lines, live-reloaded)")
     ap.add_argument("--warmup-all", action="store_true",
                     help="compile every prefill bucket at startup so no "
                          "request pays first-use compile time")
@@ -448,6 +451,7 @@ def main(argv: Optional[list] = None):
                                compute_dtype=args.compute_dtype,
                                segment_pad_seconds=args.segment_pad_seconds,
                                compilation_cache_dir=args.compile_cache,
+                               rules_path=args.rules_path,
                                warmup_all_buckets=args.warmup_all)
     server = make_server(engine, args.host, args.port,
                          batch_window_ms=args.batch_window_ms,

@@ -126,6 +126,50 @@ class TestStreams:
         assert len(stream.result.tokens) == len(stream.result.timestamps)
 
 
+class TestRuleCorrection:
+    """Opt-in regex rule correction (``rules_path``): the reference ships
+    RuleCorrector unwired (hot_rule.py); here the knob applies it to the
+    final transcript before alignment."""
+
+    def test_rules_applied_to_transcript(self, checkpoint, tmp_path):
+        reset_hotword_manager()
+        from fun_asr_gguf_tpu import create_asr_engine
+        ckpt, _cfg = checkpoint
+        rules = tmp_path / "rules.txt"
+        rules.write_text("# test\n(?s)^.*$ = 规则替换\n", encoding="utf-8")
+        eng = create_asr_engine(
+            checkpoint_dir=ckpt, verbose=False, compute_dtype="float32",
+            segment_pad_seconds=2.0, n_predict=8, prefill_buckets=(64,),
+            rules_path=str(rules))
+        try:
+            assert eng.models.rule_corrector is not None
+            assert eng.models.rule_corrector.patterns
+            res = eng.transcribe(make_wav(tmp_path, 1.0, "r.wav"),
+                                 verbose=False, temperature=0.0)
+            # random weights: output may be empty; otherwise rewritten
+            assert res.text in ("", "规则替换")
+        finally:
+            eng.cleanup()
+            reset_hotword_manager()
+        assert eng.models._rules_watcher is None     # watcher stopped
+
+    def test_missing_rules_file_autocreated(self, checkpoint, tmp_path):
+        reset_hotword_manager()
+        from fun_asr_gguf_tpu import create_asr_engine
+        ckpt, _cfg = checkpoint
+        rules = tmp_path / "sub" / "rules.txt"
+        eng = create_asr_engine(
+            checkpoint_dir=ckpt, verbose=False, compute_dtype="float32",
+            segment_pad_seconds=2.0, n_predict=8, prefill_buckets=(64,),
+            rules_path=str(rules))
+        try:
+            assert rules.exists()                    # like hot.txt
+            assert eng.models.rule_corrector.patterns == {}
+        finally:
+            eng.cleanup()
+            reset_hotword_manager()
+
+
 class TestEngineInit:
     def test_bad_checkpoint_raises(self, tmp_path):
         from fun_asr_gguf_tpu import create_asr_engine
