@@ -139,8 +139,13 @@ class BatchStreamDecoder:
         full_embds = []
         n_prefix, n_suffix = [], []
         for i in range(b):
+            row_ctx = context
+            if models.rectification is not None and draft_rows[i]:
+                block = models.rectification.format_prompt(draft_rows[i])
+                if block:                               # see decoder.py
+                    row_ctx = f"{row_ctx}\n{block}" if row_ctx else block
             p_embd, s_embd, n_p, n_s, _ = models.prompt_builder.build_prompt(
-                hotword_rows[i], language, context)
+                hotword_rows[i], language, row_ctx)
             target = audio_token_length(lens[i],
                                         models.audio_cfg.frontend)
             audio_e = embd_np[i, :target]

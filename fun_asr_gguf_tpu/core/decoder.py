@@ -252,6 +252,13 @@ class StreamDecoder:
         # 3. Prompt
         if reporter:
             reporter.print("\n[4] 准备 Prompt...")
+        # opt-in correction-history RAG (config.rectify_path): retrieved
+        # "wrong => right" entries join the LLM context for this segment
+        if self.models.rectification is not None and draft_text:
+            block = self.models.rectification.format_prompt(draft_text)
+            if block:
+                context = f"{context}\n{block}" if context else block
+
         t0 = time.perf_counter()
         p_embd, s_embd, n_p, n_s, p_text = \
             self.models.prompt_builder.build_prompt(hotwords, language,

@@ -64,6 +64,8 @@ class ModelManager:
         self.corrector = None
         self.rule_corrector = None
         self._rules_watcher = None
+        self.rectification = None
+        self._rectify_watcher = None
 
         self._compute_dtype = jnp.bfloat16 \
             if config.compute_dtype == "bfloat16" else jnp.float32
@@ -224,6 +226,19 @@ class ModelManager:
                 self._rules_watcher = _PollingWatcher(rules_file,
                                                       _load_rules)
                 self._rules_watcher.start()
+
+            # opt-in correction-history RAG (reference ships it unwired,
+            # hot_rectification.py): retrieved "wrong => right" entries
+            # join the LLM context per request
+            if self.config.rectify_path:
+                from ..hotword.hot_rectification import RectificationRAG
+                from ..hotword.manager import _PollingWatcher
+                self.rectification = RectificationRAG(
+                    self.config.rectify_path)
+                self._rectify_watcher = _PollingWatcher(
+                    Path(self.config.rectify_path),
+                    self.rectification.load_history)
+                self._rectify_watcher.start()
 
             vprint("[6/6] 完成。", verbose)
             self._initialized = True
@@ -394,6 +409,9 @@ class ModelManager:
         if self._rules_watcher:
             self._rules_watcher.stop()
             self._rules_watcher = None
+        if self._rectify_watcher:
+            self._rectify_watcher.stop()
+            self._rectify_watcher = None
         self.encoder_params = None
         self.adaptor_params = None
         self.ctc_params = None

@@ -104,6 +104,12 @@ class ASREngineConfig:
                                             # ("pattern = replacement" file,
                                             # live-reloaded); the reference
                                             # ships RuleCorrector unwired
+    rectify_path: Optional[str] = None      # opt-in correction-history RAG
+                                            # ("wrong/right" blocks, ---
+                                            # separated, live-reloaded);
+                                            # retrieved entries join the LLM
+                                            # context (reference ships
+                                            # RectificationRAG unwired)
     enable_ctc: bool = True
     n_predict: int = 512
     similar_threshold: float = 0.6

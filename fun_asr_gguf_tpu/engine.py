@@ -25,6 +25,7 @@ class FunASREngine:
                  tokenizer_path: Optional[str] = None,
                  hotwords_path: Optional[str] = None,
                  rules_path: Optional[str] = None,
+                 rectify_path: Optional[str] = None,
                  enable_ctc: bool = True,
                  n_predict: int = 512,
                  similar_threshold: float = 0.6,
@@ -53,6 +54,7 @@ class FunASREngine:
             tokenizer_path=tokenizer_path,
             hotwords_path=hotwords_path,
             rules_path=rules_path,
+            rectify_path=rectify_path,
             enable_ctc=enable_ctc,
             n_predict=n_predict,
             similar_threshold=similar_threshold,

@@ -439,6 +439,10 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--rules-path", default=None,
                     help="regex rule-correction file "
                          "('pattern = replacement' lines, live-reloaded)")
+    ap.add_argument("--rectify-path", default=None,
+                    help="correction-history file ('wrong'/'right' blocks "
+                         "separated by ---, live-reloaded); retrieved "
+                         "entries are added to the LLM context")
     ap.add_argument("--warmup-all", action="store_true",
                     help="compile every prefill bucket at startup so no "
                          "request pays first-use compile time")
@@ -452,6 +456,7 @@ def main(argv: Optional[list] = None):
                                segment_pad_seconds=args.segment_pad_seconds,
                                compilation_cache_dir=args.compile_cache,
                                rules_path=args.rules_path,
+                               rectify_path=args.rectify_path,
                                warmup_all_buckets=args.warmup_all)
     server = make_server(engine, args.host, args.port,
                          batch_window_ms=args.batch_window_ms,

@@ -170,6 +170,52 @@ class TestRuleCorrection:
             reset_hotword_manager()
 
 
+class TestRectificationWiring:
+    """Opt-in correction-history RAG (``rectify_path``): retrieved
+    "wrong => right" entries join the LLM context (the reference ships
+    RectificationRAG unwired, hot_rectification.py)."""
+
+    def test_history_block_joins_llm_context(self, checkpoint, tmp_path,
+                                             monkeypatch):
+        reset_hotword_manager()
+        from fun_asr_gguf_tpu import create_asr_engine
+        ckpt, _cfg = checkpoint
+        hist = tmp_path / "hot-rectify.txt"
+        hist.write_text("撒贝你好\n撒贝宁好\n---\n", encoding="utf-8")
+        eng = create_asr_engine(
+            checkpoint_dir=ckpt, verbose=False, compute_dtype="float32",
+            segment_pad_seconds=2.0, n_predict=8, prefill_buckets=(64,),
+            rectify_path=str(hist))
+        try:
+            rag = eng.models.rectification
+            assert rag is not None and len(rag.records) == 1
+            # retrieval itself (same algorithm the hotword tests cover)
+            assert "撒贝宁好" in rag.format_prompt("今天撒贝你好吗")
+
+            # injection plumbing: the block must reach build_prompt's
+            # context (the CTC text of random weights is arbitrary, so
+            # pin format_prompt and capture the context)
+            monkeypatch.setattr(rag, "format_prompt",
+                                lambda *a, **k: "纠错历史：\n- 错 => 对")
+            seen = {}
+            orig = eng.models.prompt_builder.build_prompt
+
+            def spy(hotwords, language=None, context=None):
+                seen["context"] = context
+                return orig(hotwords, language, context)
+
+            monkeypatch.setattr(eng.models.prompt_builder, "build_prompt",
+                                spy)
+            eng.transcribe(make_wav(tmp_path, 1.0, "rc.wav"),
+                           verbose=False, temperature=0.0,
+                           context="用户给的背景")
+            assert seen["context"] == "用户给的背景\n纠错历史：\n- 错 => 对"
+        finally:
+            eng.cleanup()
+            reset_hotword_manager()
+        assert eng.models._rectify_watcher is None
+
+
 class TestEngineInit:
     def test_bad_checkpoint_raises(self, tmp_path):
         from fun_asr_gguf_tpu import create_asr_engine
