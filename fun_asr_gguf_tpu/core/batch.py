@@ -139,11 +139,7 @@ class BatchStreamDecoder:
         full_embds = []
         n_prefix, n_suffix = [], []
         for i in range(b):
-            row_ctx = context
-            if models.rectification is not None and draft_rows[i]:
-                block = models.rectification.format_prompt(draft_rows[i])
-                if block:                               # see decoder.py
-                    row_ctx = f"{row_ctx}\n{block}" if row_ctx else block
+            row_ctx = models.augment_context(context, draft_rows[i])
             p_embd, s_embd, n_p, n_s, _ = models.prompt_builder.build_prompt(
                 hotword_rows[i], language, row_ctx)
             target = audio_token_length(lens[i],
@@ -268,9 +264,7 @@ class BatchStreamDecoder:
                     continue
                 dec.push(tok)
             dec.flush()
-            text = dec.generated_text.strip()
-            if models.rule_corrector is not None:   # see decoder.py
-                text = models.rule_corrector.substitute(text)
+            text = models.apply_rules(dec.generated_text.strip())
 
             t0a = time.perf_counter()
             aligned, ts, toks_out = [], [], []

@@ -254,10 +254,7 @@ class StreamDecoder:
             reporter.print("\n[4] 准备 Prompt...")
         # opt-in correction-history RAG (config.rectify_path): retrieved
         # "wrong => right" entries join the LLM context for this segment
-        if self.models.rectification is not None and draft_text:
-            block = self.models.rectification.format_prompt(draft_text)
-            if block:
-                context = f"{context}\n{block}" if context else block
+        context = self.models.augment_context(context, draft_text)
 
         t0 = time.perf_counter()
         p_embd, s_embd, n_p, n_s, p_text = \
@@ -301,11 +298,9 @@ class StreamDecoder:
                 reporter.stream_reset()
             print(f"\n\n[!] 触发重试 (Temp -> {temperature:.1f})\n")
 
-        text = llm_res.text.strip()
         # opt-in regex rule correction (config.rules_path) — applied
         # before alignment so timestamps follow the corrected text
-        if self.models.rule_corrector is not None:
-            text = self.models.rule_corrector.substitute(text)
+        text = self.models.apply_rules(llm_res.text.strip())
         timings.inject = llm_res.t_inject
         timings.llm_generate = llm_res.t_gen
         if reporter:

@@ -204,7 +204,7 @@ class ModelManager:
             # as hot.txt)
             if self.config.rules_path:
                 from ..hotword.hot_rule import RuleCorrector
-                from ..hotword.manager import _PollingWatcher
+                from ..hotword.manager import PollingWatcher
                 rules_file = Path(self.config.rules_path)
                 self.rule_corrector = RuleCorrector()
 
@@ -216,15 +216,18 @@ class ModelManager:
                             rules_file.write_text(
                                 "# 每行一条规则: pattern = replacement\n",
                                 encoding="utf-8")
+                        # errors="replace": a stray non-UTF-8 byte in a
+                        # user-edited rules file must not take down init
                         n = self.rule_corrector.update_rules(
-                            rules_file.read_text(encoding="utf-8"))
+                            rules_file.read_text(encoding="utf-8",
+                                                 errors="replace"))
                         logger.info("rule corrections loaded: %d", n)
                     except OSError as e:
                         logger.error("failed reading %s: %s", rules_file, e)
 
                 _load_rules()
-                self._rules_watcher = _PollingWatcher(rules_file,
-                                                      _load_rules)
+                self._rules_watcher = PollingWatcher(rules_file,
+                                                     _load_rules)
                 self._rules_watcher.start()
 
             # opt-in correction-history RAG (reference ships it unwired,
@@ -232,10 +235,10 @@ class ModelManager:
             # join the LLM context per request
             if self.config.rectify_path:
                 from ..hotword.hot_rectification import RectificationRAG
-                from ..hotword.manager import _PollingWatcher
+                from ..hotword.manager import PollingWatcher
                 self.rectification = RectificationRAG(
                     self.config.rectify_path)
-                self._rectify_watcher = _PollingWatcher(
+                self._rectify_watcher = PollingWatcher(
                     Path(self.config.rectify_path),
                     self.rectification.load_history)
                 self._rectify_watcher.start()
@@ -248,6 +251,9 @@ class ModelManager:
         except Exception as e:
             logger.exception("initialization failed")
             vprint(f"✗ 初始化失败: {e}", verbose)
+            # don't leak already-started watcher threads: create_asr_engine
+            # raises without calling cleanup() on a failed init
+            self._stop_watchers()
             return False
 
     # -- compiled entry points ----------------------------------------------
@@ -403,7 +409,7 @@ class ModelManager:
         # 64 balances dispatch amortization vs compile time
         return min(64, self.config.n_predict)
 
-    def cleanup(self):
+    def _stop_watchers(self):
         if self.hotword_manager:
             self.hotword_manager.stop_file_watcher()
         if self._rules_watcher:
@@ -412,6 +418,30 @@ class ModelManager:
         if self._rectify_watcher:
             self._rectify_watcher.stop()
             self._rectify_watcher = None
+
+    # -- opt-in text-correction hooks (shared by the single-stream and
+    #    batched decoders so the two paths cannot drift) -------------------
+
+    def augment_context(self, context, draft_text):
+        """Join retrieved correction-history entries (rectify_path) to the
+        per-request LLM context; no-op when the RAG is off or finds
+        nothing."""
+        if self.rectification is None or not draft_text:
+            return context
+        block = self.rectification.format_prompt(draft_text)
+        if not block:
+            return context
+        return f"{context}\n{block}" if context else block
+
+    def apply_rules(self, text: str) -> str:
+        """Apply regex rule corrections (rules_path) to a final
+        transcript; identity when the corrector is off."""
+        if self.rule_corrector is None:
+            return text
+        return self.rule_corrector.substitute(text)
+
+    def cleanup(self):
+        self._stop_watchers()
         self.encoder_params = None
         self.adaptor_params = None
         self.ctc_params = None

@@ -36,7 +36,11 @@ _POLL_SECONDS = 1.0
 
 
 class _PollingWatcher:
-    """mtime-polling file watcher with debounce (watchdog replacement)."""
+    """mtime-polling file watcher with debounce (watchdog replacement).
+
+    Public alias: :data:`PollingWatcher` — also used by the engine's
+    rules/rectify live-reload wiring (core/model_manager.py).
+    """
 
     def __init__(self, path: Path, callback):
         self.path = path
@@ -159,3 +163,7 @@ def reset_hotword_manager() -> None:
     if _manager is not None:
         _manager.stop_file_watcher()
         _manager = None
+
+
+# public name for reuse outside the hotword package
+PollingWatcher = _PollingWatcher
