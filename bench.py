@@ -207,7 +207,7 @@ def main():
                 st, toks = generate_chunk(
                     params, st, cfg.llm, jnp.asarray(0.0), jnp.asarray(1.0),
                     50, chunk_len=chunk, stop_tokens=(),
-                    fuse_enabled=False)
+                    fuse_enabled=False, greedy=True)
             return toks
 
         t_c = time.perf_counter()
@@ -294,7 +294,8 @@ def main():
         while len(ref_toks) < N_GEN:
             st, toks = generate_chunk(
                 spec_params, st, cfg.llm, jnp.asarray(0.0), jnp.asarray(1.0),
-                50, chunk_len=chunk, stop_tokens=(), fuse_enabled=False)
+                50, chunk_len=chunk, stop_tokens=(), fuse_enabled=False,
+                greedy=True)
             ref_toks.extend(int(t) for t in np.asarray(toks)[0] if t >= 0)
         ref_toks = ref_toks[:N_GEN]
         # KV headroom: chunks emit in chunk-sized strides (the emit loops
@@ -315,7 +316,7 @@ def main():
                 st, toks = spec_generate_chunk(
                     spec_params, st, draft_arr, cfg.llm, jnp.asarray(0.0),
                     jnp.asarray(1.0), 50, spec_k=SPEC_K, chunk_len=chunk,
-                    stop_tokens=(), fuse_enabled=False)
+                    stop_tokens=(), fuse_enabled=False, greedy=True)
                 emitted.extend(int(t) for t in np.asarray(toks)[0]
                                if t >= 0)
             return emitted[:N_GEN]
@@ -352,7 +353,7 @@ def main():
                 st, toks = spec_generate_chunk(
                     spec_params, st, d, cfg.llm, jnp.asarray(0.0),
                     jnp.asarray(1.0), 50, spec_k=SPEC_K, chunk_len=chunk,
-                    stop_tokens=(), fuse_enabled=False)
+                    stop_tokens=(), fuse_enabled=False, greedy=True)
             return st.n_gen
 
         def measure_spec(label, d, p, m):

@@ -207,7 +207,8 @@ class BatchStreamDecoder:
                     jnp.asarray(top_p, jnp.float32), top_k,
                     spec_k=models.config.spec_k, chunk_len=chunk_len,
                     stop_tokens=models.stop_tokens,
-                    limit=jnp.asarray(todo, jnp.int32))
+                    limit=jnp.asarray(todo, jnp.int32),
+                    greedy=(temperature <= 0))
                 toks_np = np.asarray(tokens)
                 token_chunks.append(toks_np)
                 n_emit = (toks_np >= 0).sum(axis=1)
@@ -228,7 +229,8 @@ class BatchStreamDecoder:
                     jnp.asarray(top_p, jnp.float32), top_k,
                     chunk_len=chunk_len,
                     stop_tokens=models.stop_tokens,
-                    limit=jnp.asarray(todo, jnp.int32))
+                    limit=jnp.asarray(todo, jnp.int32),
+                    greedy=(temperature <= 0))
                 token_chunks.append(np.asarray(tokens))
                 generated += todo
                 if bool(np.all(np.asarray(state.done))):

@@ -332,7 +332,8 @@ class ModelManager:
             jnp.asarray(top_p, jnp.float32),
             top_k, chunk_len=chunk_len, stop_tokens=self.stop_tokens,
             limit=jnp.asarray(limit if limit is not None else chunk_len,
-                              jnp.int32))
+                              jnp.int32),
+            greedy=(temperature <= 0))
 
     def make_draft_ids(self, draft_text: str) -> Optional[np.ndarray]:
         """Tokenize a CTC transcript into the static [1, D] draft buffer."""
@@ -359,7 +360,8 @@ class ModelManager:
             top_k, spec_k=self.config.spec_k, chunk_len=chunk_len,
             stop_tokens=self.stop_tokens,
             limit=jnp.asarray(limit if limit is not None else chunk_len,
-                              jnp.int32))
+                              jnp.int32),
+            greedy=(temperature <= 0))
 
     # -- internals -----------------------------------------------------------
 

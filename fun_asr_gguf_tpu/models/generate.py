@@ -83,20 +83,23 @@ def _distinct_count(ring):
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk_len", "top_k",
-                                   "stop_tokens", "fuse_enabled"),
+                                   "stop_tokens", "fuse_enabled",
+                                   "greedy"),
          donate_argnames=("state",))
 def generate_chunk(params, state: GenState, cfg: Qwen3Config,
                    temperature, top_p, top_k: int = 50,
                    chunk_len: int = 64,
                    stop_tokens: Tuple[int, ...] = (151643, 151645),
                    fuse_enabled: bool = True,
-                   limit=None) -> Tuple[GenState, jnp.ndarray]:
+                   limit=None, greedy=None) -> Tuple[GenState, jnp.ndarray]:
     """Generate up to ``chunk_len`` tokens entirely on device.
 
     Returns (new_state, tokens [B, chunk_len] i32). Slots for rows that were
     already done (or positions after a stop) hold -1. ``limit`` is an
     optional *traced* cap (< chunk_len) letting one compiled program serve
     several lengths (used by bench.py on the slow-compile tunnel).
+    ``greedy`` (static True/False) specializes the sampling branch at
+    compile time — see ops/sampling.sample_token.
     """
     b = state.logits.shape[0]
     p = state.prompt_slots
@@ -111,7 +114,8 @@ def generate_chunk(params, state: GenState, cfg: Qwen3Config,
     def body(carry):
         t, state, buf = carry
         rng, sub = jax.random.split(state.rng)
-        token = sample_token(state.logits, sub, temperature, top_p, top_k)
+        token = sample_token(state.logits, sub, temperature, top_p, top_k,
+                             greedy=greedy)
 
         active = ~state.done
         is_stop = jnp.zeros((b,), bool)

@@ -129,7 +129,8 @@ def _lookup_draft(draft, last_tok, pending, cursor, spec_k: int):
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk_len", "top_k", "spec_k",
-                                   "stop_tokens", "fuse_enabled"),
+                                   "stop_tokens", "fuse_enabled",
+                                   "greedy"),
          donate_argnames=("state",))
 def spec_generate_chunk(params, state: SpecState, draft_ids,
                         cfg: Qwen3Config, temperature, top_p,
@@ -137,7 +138,8 @@ def spec_generate_chunk(params, state: SpecState, draft_ids,
                         chunk_len: int = 64,
                         stop_tokens: Tuple[int, ...] = (151643, 151645),
                         fuse_enabled: bool = True,
-                        limit=None) -> Tuple[SpecState, jnp.ndarray]:
+                        limit=None, greedy=None
+                        ) -> Tuple[SpecState, jnp.ndarray]:
     """Generate up to ``limit`` (≤ chunk_len) tokens with CTC-draft
     speculation, entirely on device.
 
@@ -176,7 +178,7 @@ def spec_generate_chunk(params, state: SpecState, draft_ids,
         # 1. pending token: the sample the standard loop would draw now
         #    (from the residual distribution if a draft was just rejected)
         pending = sample_residual(state.logits, r_pend, temperature, top_p,
-                                  top_k, state.forbid)
+                                  top_k, state.forbid, greedy=greedy)
         pend_stop = jnp.zeros((b,), bool)
         for s in stop_tokens:
             pend_stop |= pending == s
@@ -220,8 +222,12 @@ def spec_generate_chunk(params, state: SpecState, draft_ids,
         def acc_greedy(_):
             return jnp.argmax(score_logits, axis=-1) == d_tok
 
-        acc = jax.lax.cond(temperature > 0, acc_sampled, acc_greedy,
-                           operand=None)
+        if greedy is None:    # traced cond: a scheduling barrier on TPU —
+            # callers that know the mode should pass static greedy
+            acc = jax.lax.cond(temperature > 0, acc_sampled, acc_greedy,
+                               operand=None)
+        else:
+            acc = acc_greedy(None) if greedy else acc_sampled(None)
         acc &= d_valid
         acc_prefix = jnp.cumprod(acc.astype(jnp.int32), axis=1)   # [B, K]
         a = jnp.sum(acc_prefix, axis=1).astype(jnp.int32)         # [B]

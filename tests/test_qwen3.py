@@ -96,6 +96,26 @@ class TestSampling:
             seen.add(int(tok[0]))
         assert seen <= top5
 
+    def test_topk_large_exact_vs_lax(self):
+        """Two-stage pruned top-k must equal lax.top_k bit-for-bit,
+        including index tie-breaking, on long rows."""
+        from fun_asr_gguf_tpu.ops.sampling import topk_large
+        rng = np.random.default_rng(9)
+        for v in (151936, 151937, 9000, 131072):
+            x = rng.normal(size=(3, v)).astype(np.float32)
+            # adversarial ties: repeat one high value at many positions,
+            # spread over many blocks, incl. several inside one block
+            x[0, 5] = x[0, 77] = x[0, 130] = x[0, 4000] = x[0, v - 1] = 7.5
+            x[1, :200] = 9.0                      # 200-way tie at the top
+            xj = jnp.asarray(x)
+            for k in (1, 50, 63):
+                rv, ri = jax.lax.top_k(xj, k)
+                tv, ti = topk_large(xj, k)
+                np.testing.assert_array_equal(np.asarray(rv),
+                                              np.asarray(tv), err_msg=f"{v},{k}")
+                np.testing.assert_array_equal(np.asarray(ri),
+                                              np.asarray(ti), err_msg=f"{v},{k}")
+
     def test_top_p_keeps_argmax_when_tiny(self):
         logits = jnp.asarray([[0.0, 10.0, 0.0, 0.0]], dtype=jnp.float32)
         for i in range(20):
@@ -122,6 +142,21 @@ class TestGenerate:
                                jnp.asarray(1.0), 50, chunk_len=10,
                                stop_tokens=(96,))
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+    def test_static_greedy_specialization_identical(self):
+        """greedy=True/False (static branch, the engine's call shape) must
+        produce the same tokens seed-for-seed as greedy=None (traced
+        lax.cond) at the matching temperature."""
+        def run(temp, greedy):
+            rng = np.random.default_rng(7)
+            st = self._init_state(rng, seed=2)
+            _, t = generate_chunk(PARAMS, st, CFG, jnp.asarray(temp),
+                                  jnp.asarray(1.0), 50, chunk_len=10,
+                                  stop_tokens=(96,), greedy=greedy)
+            return np.asarray(t)
+
+        np.testing.assert_array_equal(run(0.0, None), run(0.0, True))
+        np.testing.assert_array_equal(run(0.7, None), run(0.7, False))
 
     def test_chunked_equals_single_shot(self):
         rng = np.random.default_rng(6)
