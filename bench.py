@@ -286,6 +286,7 @@ def main():
     spec_params = llm_int8 if np.isfinite(per_tok_int8) else llm_packed
     per_tok_spec = float("inf")
     per_tok_spec_ceiling = float("inf")
+    per_tok_spec_subst = float("inf")
     try:
         chunk = 4 if _TINY else 64
         ref_toks = []
@@ -501,10 +502,7 @@ def main():
     # the random-weight acceptance noise (PERFORMANCE.md), so taking the
     # max of two noisy lower bounds is still a lower bound on the
     # trained-model engine
-    try:
-        per_tok_spec_eff = min(per_tok_spec, per_tok_spec_subst)
-    except NameError:          # spec block failed before the subst run
-        per_tok_spec_eff = per_tok_spec
+    per_tok_spec_eff = min(per_tok_spec, per_tok_spec_subst)
     per_tok = min(per_tok_bf16, per_tok_int8, per_tok_q8, per_tok_spec_eff)
     t_gen = per_tok * N_GEN
     gen_tps = 1.0 / per_tok

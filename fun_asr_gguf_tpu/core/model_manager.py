@@ -209,21 +209,11 @@ class ModelManager:
                 self.rule_corrector = RuleCorrector()
 
                 def _load_rules():
-                    try:
-                        if not rules_file.exists():
-                            rules_file.parent.mkdir(parents=True,
-                                                    exist_ok=True)
-                            rules_file.write_text(
-                                "# 每行一条规则: pattern = replacement\n",
-                                encoding="utf-8")
-                        # errors="replace": a stray non-UTF-8 byte in a
-                        # user-edited rules file must not take down init
-                        n = self.rule_corrector.update_rules(
-                            rules_file.read_text(encoding="utf-8",
-                                                 errors="replace"))
-                        logger.info("rule corrections loaded: %d", n)
-                    except OSError as e:
-                        logger.error("failed reading %s: %s", rules_file, e)
+                    from ..hotword.manager import read_or_create_text
+                    content = read_or_create_text(
+                        rules_file, "# 每行一条规则: pattern = replacement\n")
+                    n = self.rule_corrector.update_rules(content)
+                    logger.info("rule corrections loaded: %d", n)
 
                 _load_rules()
                 self._rules_watcher = PollingWatcher(rules_file,
@@ -251,9 +241,11 @@ class ModelManager:
         except Exception as e:
             logger.exception("initialization failed")
             vprint(f"✗ 初始化失败: {e}", verbose)
-            # don't leak already-started watcher threads: create_asr_engine
-            # raises without calling cleanup() on a failed init
-            self._stop_watchers()
+            # don't leak already-started rules/rectify watcher threads:
+            # create_asr_engine raises without calling cleanup() on a
+            # failed init. The hotword watcher belongs to the process
+            # singleton and may serve other engines — leave it running.
+            self._stop_private_watchers()
             return False
 
     # -- compiled entry points ----------------------------------------------
@@ -389,37 +381,45 @@ class ModelManager:
         llm_dim = self.hybrid_cfg.llm.hidden
         for bucket in buckets:
             # a bucket-length prompt compiles that bucket's prefill AND
-            # its generate program (max_len = bucket + n_predict)
+            # its generate programs (max_len = bucket + n_predict). The
+            # greedy and sampled modes are SEPARATE static jit
+            # specializations (ops/sampling: static `greedy`), so warm
+            # both — temperature 0.0 and the sampled default 0.4 — or the
+            # first real request (default T=0.4) would pay the compile
             fake = np.zeros((bucket, llm_dim), dtype=np.float32)
-            state = self.prefill(fake, rng_seed=0)
-            if self.config.speculative and self.config.enable_ctc:
-                draft = np.full((1, self.config.spec_draft_len), -1,
-                                dtype=np.int32)
-                sstate, _tokens = self.spec_generate(
-                    self.spec_prepare(state), draft, temperature=0.0,
-                    top_p=1.0, top_k=50,
-                    chunk_len=self._default_chunk_len(), limit=1)
-                jax.block_until_ready(sstate.logits)
-                state = self.prefill(fake, rng_seed=0)   # spec donated it
-            state, _tokens = self.generate(
-                state, temperature=0.0, top_p=1.0, top_k=50,
-                chunk_len=self._default_chunk_len())
-            jax.block_until_ready(state.logits)
+            for temp in (0.0, 0.4):
+                state = self.prefill(fake, rng_seed=0)
+                if self.config.speculative and self.config.enable_ctc:
+                    draft = np.full((1, self.config.spec_draft_len), -1,
+                                    dtype=np.int32)
+                    sstate, _tokens = self.spec_generate(
+                        self.spec_prepare(state), draft, temperature=temp,
+                        top_p=1.0, top_k=50,
+                        chunk_len=self._default_chunk_len(), limit=1)
+                    jax.block_until_ready(sstate.logits)
+                    state = self.prefill(fake, rng_seed=0)  # spec donated it
+                state, _tokens = self.generate(
+                    state, temperature=temp, top_p=1.0, top_k=50,
+                    chunk_len=self._default_chunk_len())
+                jax.block_until_ready(state.logits)
 
     def _default_chunk_len(self) -> int:
         # compile cost grows superlinearly with the chunk program's buffer;
         # 64 balances dispatch amortization vs compile time
         return min(64, self.config.n_predict)
 
-    def _stop_watchers(self):
-        if self.hotword_manager:
-            self.hotword_manager.stop_file_watcher()
+    def _stop_private_watchers(self):
         if self._rules_watcher:
             self._rules_watcher.stop()
             self._rules_watcher = None
         if self._rectify_watcher:
             self._rectify_watcher.stop()
             self._rectify_watcher = None
+
+    def _stop_watchers(self):
+        if self.hotword_manager:
+            self.hotword_manager.stop_file_watcher()
+        self._stop_private_watchers()
 
     # -- opt-in text-correction hooks (shared by the single-stream and
     #    batched decoders so the two paths cannot drift) -------------------

@@ -142,24 +142,12 @@ class RectificationRAG:
         self.load_history()
 
     def load_history(self):
-        if not self.rectify_file.exists():
-            try:
-                self.rectify_file.parent.mkdir(parents=True, exist_ok=True)
-                self.rectify_file.write_text(
-                    "# 纠错历史文件\n# 格式：用 --- 分隔的多行内容\n"
-                    "# 每一段第一行是原始文本，第二行是修正文本\n",
-                    encoding="utf-8")
-            except OSError as e:
-                logger.error("failed to create %s: %s", self.rectify_file, e)
-            return
-        try:
-            # errors="replace": a stray non-UTF-8 byte in a user-edited
-            # correction file must not disable the feature (or, at init
-            # time, the whole engine)
-            content = self.rectify_file.read_text(encoding="utf-8",
-                                                  errors="replace")
-        except OSError as e:
-            logger.error("failed to read rectify history: %s", e)
+        from .manager import read_or_create_text
+        content = read_or_create_text(
+            self.rectify_file,
+            "# 纠错历史文件\n# 格式：用 --- 分隔的多行内容\n"
+            "# 每一段第一行是原始文本，第二行是修正文本\n")
+        if not content:
             return
 
         new_records = []

@@ -35,6 +35,24 @@ _DEBOUNCE_SECONDS = 3.0
 _POLL_SECONDS = 1.0
 
 
+def read_or_create_text(path, template: str) -> str:
+    """Read a user-editable text file; create it (with parents) from
+    ``template`` when missing. Fault-tolerant: IO errors log and return
+    "", stray non-UTF-8 bytes are replaced — a correction/hotword file
+    must never take down engine init or a reload (shared by hot.txt,
+    rules_path and rectify-history loading)."""
+    path = Path(path)
+    try:
+        if not path.exists():
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_text(template, encoding="utf-8")
+            return ""
+        return path.read_text(encoding="utf-8", errors="replace")
+    except OSError as e:
+        logger.error("failed reading %s: %s", path, e)
+        return ""
+
+
 class _PollingWatcher:
     """mtime-polling file watcher with debounce (watchdog replacement).
 
@@ -111,15 +129,7 @@ class HotwordManager:
         logger.info("hotword resources loaded")
 
     def _read_file(self) -> str:
-        try:
-            if not self.file.exists():
-                self.file.parent.mkdir(parents=True, exist_ok=True)
-                self.file.write_text("# 热词文件单行一个\n", encoding="utf-8")
-                return ""
-            return self.file.read_text(encoding="utf-8")
-        except OSError as e:
-            logger.error("failed reading %s: %s", self.file, e)
-            return ""
+        return read_or_create_text(self.file, "# 热词文件单行一个\n")
 
     def _load_hot(self) -> None:
         content = self._read_file()
