@@ -173,6 +173,25 @@ class TestSpecGreedyEquivalence:
         _, out = self._spec_tokens(draft, n=24)
         assert out == ref
 
+    def test_static_greedy_specialization_identical(self):
+        """greedy=True/False (the engine's static call shape) must emit
+        the same tokens seed-for-seed as the traced-cond default."""
+        rng = np.random.default_rng(2)
+        _, ref = greedy_reference(init_state(rng, seed=3), 20)
+        draft = pad_draft(ref)
+
+        def run(temp, greedy):
+            rng = np.random.default_rng(2)
+            st = spec_init(init_state(rng, seed=3))
+            st, toks = spec_generate_chunk(
+                PARAMS, st, draft, CFG, jnp.asarray(temp),
+                jnp.asarray(1.0), 50, spec_k=4, chunk_len=20,
+                stop_tokens=STOPS, greedy=greedy)
+            return [int(t) for t in np.asarray(toks)[0] if t >= 0]
+
+        assert run(0.0, True) == run(0.0, None)
+        assert run(0.6, False) == run(0.6, None)
+
     def test_garbage_draft(self):
         """A draft unrelated to the model's output must change nothing."""
         rng = np.random.default_rng(2)
