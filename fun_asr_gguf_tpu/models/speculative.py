@@ -96,6 +96,14 @@ def _lookup_draft(draft, last_tok, pending, cursor, spec_k: int):
     draft [B, D] i32 (-1 padded). Returns (d_tok [B, K] i32 safe ids,
     d_valid [B, K] bool cumulative validity, start [B] i32, has [B] bool).
     Prefers the match closest to ``cursor`` (ASR text is monotonic).
+
+    When neither the bigram nor the unigram matches (typically right
+    after a draft hole — e.g. a CTC deletion — rejected the previous
+    round), propose the monotonic continuation ``draft[cursor+1:]``
+    anyway: the verify pass computes K+1 lanes either way, so a wrong
+    proposal costs nothing, while a right one resumes acceptance one
+    round earlier. Acceptance stays distribution-preserving regardless
+    of proposal source.
     """
     b, d = draft.shape
     idx = jnp.arange(d - 1, dtype=jnp.int32)[None, :]
@@ -116,12 +124,14 @@ def _lookup_draft(draft, last_tok, pending, cursor, spec_k: int):
     best1 = jnp.argmax(score1, axis=1).astype(jnp.int32) + 1
 
     has = has2 | has1
-    start = jnp.where(has2, best2, best1)
+    # no match → monotonic-cursor continuation (start just past the
+    # position the previous round consumed up to)
+    start = jnp.where(has2, best2, jnp.where(has1, best1, cursor + 1))
 
     cols = start[:, None] + jnp.arange(spec_k, dtype=jnp.int32)[None, :]
-    in_range = cols < d
+    in_range = (cols < d) & (cols >= 0)
     gathered = jnp.take_along_axis(draft, jnp.clip(cols, 0, d - 1), axis=1)
-    valid = has[:, None] & in_range & (gathered >= 0)
+    valid = in_range & (gathered >= 0)
     # validity is a prefix property: a hole kills everything after it
     d_valid = jnp.cumprod(valid.astype(jnp.int32), axis=1).astype(bool)
     d_tok = jnp.where(d_valid, gathered, 0)
@@ -294,7 +304,9 @@ def spec_generate_chunk(params, state: SpecState, draft_ids,
             active & (n_emit > 0),
             jnp.take_along_axis(tok_seq, last_idx[:, None], axis=1)[:, 0],
             state.last_tok)
-        cursor = jnp.where(active & has, start + a, state.cursor)
+        # cursor advances for fallback proposals too (monotone position
+        # tracking past holes); match-driven rounds behave as before
+        cursor = jnp.where(active, start + a, state.cursor)
 
         new_state = SpecState(
             kv=kv, logits=new_logits, forbid=forbid,

@@ -136,11 +136,15 @@ class TestDraftLookup:
         np.testing.assert_array_equal(np.asarray(d_tok)[0], [9, 0])
         assert list(np.asarray(d_valid)[0]) == [True, False]
 
-        _, d_valid2, _, has2 = _lookup_draft(
+        # no match → monotonic-cursor fallback: propose draft[cursor+1:]
+        # (the verify lanes are free; a wrong proposal is just rejected)
+        d_tok2, d_valid2, start2, has2 = _lookup_draft(
             draft, jnp.asarray([-1], jnp.int32), jnp.asarray([55], jnp.int32),
             jnp.asarray([0], jnp.int32), 2)
         assert not bool(has2[0])
-        assert not np.asarray(d_valid2).any()
+        assert int(start2[0]) == 1
+        np.testing.assert_array_equal(np.asarray(d_tok2)[0], [8, 9])
+        assert list(np.asarray(d_valid2)[0]) == [True, True]
 
 
 class TestSpecGreedyEquivalence:
