@@ -202,14 +202,14 @@ class ModelManager:
             # reference ships RuleCorrector unwired, hot_rule.py; here a
             # rules_path wires it in with the same live-reload behavior
             # as hot.txt)
+            from ..hotword.manager import (PollingWatcher,
+                                           read_or_create_text)
             if self.config.rules_path:
                 from ..hotword.hot_rule import RuleCorrector
-                from ..hotword.manager import PollingWatcher
                 rules_file = Path(self.config.rules_path)
                 self.rule_corrector = RuleCorrector()
 
                 def _load_rules():
-                    from ..hotword.manager import read_or_create_text
                     content = read_or_create_text(
                         rules_file, "# 每行一条规则: pattern = replacement\n")
                     n = self.rule_corrector.update_rules(content)
@@ -225,7 +225,6 @@ class ModelManager:
             # join the LLM context per request
             if self.config.rectify_path:
                 from ..hotword.hot_rectification import RectificationRAG
-                from ..hotword.manager import PollingWatcher
                 self.rectification = RectificationRAG(
                     self.config.rectify_path)
                 self._rectify_watcher = PollingWatcher(
