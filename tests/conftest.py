@@ -22,5 +22,23 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked @pytest.mark.slow")
+
+
 def pytest_configure(config):
     assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+    config.addinivalue_line(
+        "markers", "slow: heavyweight case (full-size weights / long runs); "
+        "skipped unless --runslow or RUN_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow: use --runslow or RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
