@@ -21,8 +21,13 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .quant_np import (Q8_0_BLOCK, Q8_0_BLOCK_BYTES,
+from .quant_np import (Q8_0_BLOCK, Q8_0_BLOCK_BYTES, QK_K,
+                       q2_k_dequantize_blocks, q3_k_dequantize_blocks,
+                       q4_k_dequantize_blocks, q5_k_dequantize_blocks,
+                       q6_k_dequantize_blocks,
                        q4_0_dequantize_blocks, q4_1_dequantize_blocks,
+                       q4_0_quantize, q4_1_quantize, q5_0_quantize,
+                       q5_1_quantize,
                        q5_0_dequantize_blocks, q5_1_dequantize_blocks,
                        q8_0_dequantize_blocks, q8_0_from_blocks,
                        q8_0_to_blocks)
@@ -40,6 +45,11 @@ class GGMLType(IntEnum):
     Q5_0 = 6
     Q5_1 = 7
     Q8_0 = 8
+    Q2_K = 10
+    Q3_K = 11
+    Q4_K = 12
+    Q5_K = 13
+    Q6_K = 14
     I8 = 24
     I16 = 25
     I32 = 26
@@ -48,7 +58,7 @@ class GGMLType(IntEnum):
     BF16 = 30
 
 
-# (block_bytes, dequantize_fn) for 32-value block formats
+# (block_values, block_bytes, dequantize_fn) per quantized block format
 _BLOCK_FORMATS = {}
 
 
@@ -105,21 +115,35 @@ class GGUFTensorInfo:
 
 
 _BLOCK_FORMATS.update({
-    GGMLType.Q4_0: (18, q4_0_dequantize_blocks),
-    GGMLType.Q4_1: (20, q4_1_dequantize_blocks),
-    GGMLType.Q5_0: (22, q5_0_dequantize_blocks),
-    GGMLType.Q5_1: (24, q5_1_dequantize_blocks),
-    GGMLType.Q8_0: (Q8_0_BLOCK_BYTES, q8_0_dequantize_blocks),
+    GGMLType.Q4_0: (32, 18, q4_0_dequantize_blocks),
+    GGMLType.Q4_1: (32, 20, q4_1_dequantize_blocks),
+    GGMLType.Q5_0: (32, 22, q5_0_dequantize_blocks),
+    GGMLType.Q5_1: (32, 24, q5_1_dequantize_blocks),
+    GGMLType.Q8_0: (32, Q8_0_BLOCK_BYTES, q8_0_dequantize_blocks),
+    GGMLType.Q2_K: (QK_K, 84, q2_k_dequantize_blocks),
+    GGMLType.Q3_K: (QK_K, 110, q3_k_dequantize_blocks),
+    GGMLType.Q4_K: (QK_K, 144, q4_k_dequantize_blocks),
+    GGMLType.Q5_K: (QK_K, 176, q5_k_dequantize_blocks),
+    GGMLType.Q6_K: (QK_K, 210, q6_k_dequantize_blocks),
 })
+
+# float → packed-byte-stream quantizers usable from the writer
+_QUANTIZERS = {
+    GGMLType.Q4_0: q4_0_quantize,
+    GGMLType.Q4_1: q4_1_quantize,
+    GGMLType.Q5_0: q5_0_quantize,
+    GGMLType.Q5_1: q5_1_quantize,
+}
 
 
 def _type_nbytes(ggml_type: GGMLType, n_elements: int) -> int:
     if ggml_type in _BLOCK_FORMATS:
-        if n_elements % Q8_0_BLOCK != 0:
+        block_values, block_bytes, _ = _BLOCK_FORMATS[ggml_type]
+        if n_elements % block_values != 0:
             raise ValueError(
                 f"corrupt GGUF: {ggml_type.name} tensor with {n_elements} "
-                f"elements (not a multiple of the {Q8_0_BLOCK}-wide block)")
-        return (n_elements // Q8_0_BLOCK) * _BLOCK_FORMATS[ggml_type][0]
+                f"elements (not a multiple of the {block_values}-wide block)")
+        return (n_elements // block_values) * block_bytes
     return n_elements * _NUMPY_FOR_TYPE[ggml_type].itemsize
 
 
@@ -267,7 +291,7 @@ class GGUFReader:
         if t.ggml_type in _BLOCK_FORMATS:
             if not dequantize:
                 return np.frombuffer(raw, dtype=np.uint8)
-            return _BLOCK_FORMATS[t.ggml_type][1](raw, t.shape)
+            return _BLOCK_FORMATS[t.ggml_type][2](raw, t.shape)
         dtype = _NUMPY_FOR_TYPE[t.ggml_type]
         arr = np.frombuffer(raw, dtype=dtype).reshape(t.shape)
         if t.ggml_type == GGMLType.BF16:
@@ -404,6 +428,9 @@ class GGUFWriter:
                     from .quant_np import q8_0_quantize
                     q, d = q8_0_quantize(np.asarray(arr, dtype=np.float32))
                     raw = q8_0_to_blocks(q, d).tobytes()
+            elif gtype in _QUANTIZERS:
+                raw = _QUANTIZERS[gtype](
+                    np.asarray(arr, dtype=np.float32)).tobytes()
             elif gtype == GGMLType.BF16:
                 a32 = np.asarray(arr, dtype=np.float32)
                 raw = ((a32.view(np.uint32) + 0x8000) >> 16).astype(np.uint16).tobytes()

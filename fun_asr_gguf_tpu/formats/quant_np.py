@@ -37,14 +37,14 @@ def q8_0_quantize(x: np.ndarray):
         raise ValueError(f"last dim {k} not a multiple of {Q8_0_BLOCK}")
     blocks = x.reshape(*x.shape[:-1], k // Q8_0_BLOCK, Q8_0_BLOCK)
     d = np.abs(blocks).max(axis=-1, keepdims=True) / 127.0
-    # ggml stores d as fp16; quantize against the fp16-rounded scale so that
-    # dequantization with the stored scale is exact.
-    d16 = d.astype(np.float16)
+    # ggml quantizes against the UNROUNDED f32 scale and only then stores d
+    # as fp16 (quantize_row_q8_0_ref); matching that keeps our bytes
+    # bit-identical to ggml/gguf-py for every input.
     with np.errstate(divide="ignore", invalid="ignore"):
-        inv = np.where(d16 == 0, 0.0, 1.0 / d16.astype(np.float32))
+        inv = np.where(d == 0, 0.0, 1.0 / d)
     q = _round_half_away(blocks * inv)
     q = np.clip(q, -127, 127).astype(np.int8)
-    return q.reshape(x.shape), d16.squeeze(-1)
+    return q.reshape(x.shape), d.astype(np.float16).squeeze(-1)
 
 
 def q8_0_dequantize(q: np.ndarray, d: np.ndarray) -> np.ndarray:
@@ -147,19 +147,225 @@ def q5_1_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
     return (q * d + m).astype(np.float32).reshape(shape)
 
 
-def q4_0_quantize(x: np.ndarray):
-    """Quantize to the q4_0 byte stream (ggml scaling: d = signed-absmax/-8).
+def _signed_absmax(x: np.ndarray) -> np.ndarray:
+    """Per-row value with the largest magnitude, sign preserved ([nb, 1])."""
+    idx = np.argmax(np.abs(x), axis=1)
+    return x[np.arange(x.shape[0]), idx][:, None]
 
-    Returns the packed uint8 stream; mainly for tests/export completeness.
+
+def _pack_nibbles(q: np.ndarray) -> np.ndarray:
+    """[nb, 32] values (low 4 bits used) → [nb, 16] packed bytes."""
+    return ((q[:, :16] & 0x0F) | (q[:, 16:] << 4)).astype(np.uint8)
+
+
+def _pack_high_bits(q: np.ndarray) -> np.ndarray:
+    """[nb, 32] 5-bit values → [nb, 4] bytes of bit-4s (little-endian)."""
+    bits = ((q >> 4) & 1).astype(np.uint8)
+    shifts = np.arange(32, dtype=np.uint32) % 8
+    packed = (bits.astype(np.uint32) << shifts[None, :]).reshape(-1, 4, 8)
+    return packed.sum(axis=-1).astype(np.uint8)
+
+
+def _f16_bytes(v: np.ndarray) -> np.ndarray:
+    return v.astype(np.float16).view(np.uint8).reshape(-1, 2)
+
+
+def q4_0_quantize(x: np.ndarray) -> np.ndarray:
+    """Quantize to the q4_0 byte stream, bit-exact with ggml.
+
+    d = signed-absmax / -8; q = trunc(x/d + 8.5) clipped to [0, 15]
+    (ggml's quantize_row_q4_0_ref rounding), quantized against the
+    unrounded f32 scale.
     """
     x = np.asarray(x, dtype=np.float32).reshape(-1, Q8_0_BLOCK)
-    idx = np.argmax(np.abs(x), axis=1)
-    maxv = x[np.arange(x.shape[0]), idx]
-    d = (maxv / -8.0).astype(np.float16)
+    d = _signed_absmax(x) / -8.0
     with np.errstate(divide="ignore", invalid="ignore"):
-        inv = np.where(d == 0, 0.0, 1.0 / d.astype(np.float32))
-    q = np.clip(_round_half_away(x * inv[:, None]) + 8, 0, 15).astype(np.uint8)
-    lo, hi = q[:, :16], q[:, 16:]
-    packed = (lo | (hi << 4)).astype(np.uint8)
-    return np.concatenate([d[:, None].view(np.uint8), packed],
+        inv = np.where(d == 0, 0.0, 1.0 / d)
+    q = np.clip(np.trunc(x * inv + np.float32(8.5)), 0, 15).astype(np.uint8)
+    return np.concatenate([_f16_bytes(d), _pack_nibbles(q)],
                           axis=1).reshape(-1)
+
+
+def q4_1_quantize(x: np.ndarray) -> np.ndarray:
+    """q4_1 byte stream: d = (max-min)/15, m = min; q = trunc((x-m)/d + .5)."""
+    x = np.asarray(x, dtype=np.float32).reshape(-1, Q8_0_BLOCK)
+    mx = x.max(axis=1, keepdims=True)
+    mn = x.min(axis=1, keepdims=True)
+    d = (mx - mn) / 15.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = np.where(d == 0, 0.0, 1.0 / d)
+    q = np.clip(np.trunc((x - mn) * inv + np.float32(0.5)), 0,
+                15).astype(np.uint8)
+    return np.concatenate([_f16_bytes(d), _f16_bytes(mn), _pack_nibbles(q)],
+                          axis=1).reshape(-1)
+
+
+def q5_0_quantize(x: np.ndarray) -> np.ndarray:
+    """q5_0 byte stream: d = signed-absmax / -16; 5-bit values, bit 4 in qh."""
+    x = np.asarray(x, dtype=np.float32).reshape(-1, Q8_0_BLOCK)
+    d = _signed_absmax(x) / -16.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = np.where(d == 0, 0.0, 1.0 / d)
+    q = np.clip(np.trunc(x * inv + np.float32(16.5)), 0, 31).astype(np.uint8)
+    return np.concatenate(
+        [_f16_bytes(d), _pack_high_bits(q), _pack_nibbles(q)],
+        axis=1).reshape(-1)
+
+
+def q5_1_quantize(x: np.ndarray) -> np.ndarray:
+    """q5_1 byte stream: d = (max-min)/31, m = min; bit 4 in qh."""
+    x = np.asarray(x, dtype=np.float32).reshape(-1, Q8_0_BLOCK)
+    mx = x.max(axis=1, keepdims=True)
+    mn = x.min(axis=1, keepdims=True)
+    d = (mx - mn) / 31.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = np.where(d == 0, 0.0, 1.0 / d)
+    q = np.clip(np.trunc((x - mn) * inv + np.float32(0.5)), 0,
+                31).astype(np.uint8)
+    return np.concatenate(
+        [_f16_bytes(d), _f16_bytes(mn), _pack_high_bits(q),
+         _pack_nibbles(q)], axis=1).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# K-quants (256-value superblocks) — read support for llama.cpp exports like
+# q4_K_M, the most common GGUF quantization in the wild. Layouts per the
+# GGUF/ggml spec; parity target is the reference's vendored
+# ``gguf/quants.py:404-572`` (tested bit-exactly in test_gguf_interop.py).
+# ---------------------------------------------------------------------------
+
+QK_K = 256
+
+
+def _kquant_scale_min(scales: np.ndarray):
+    """Unpack the 12-byte 6-bit scale/min table of Q4_K/Q5_K.
+
+    Bytes 0-3 carry the low 6 bits of scales 0-3 (top 2 bits: high bits of
+    scales 4-7); bytes 4-7 the same for mins; bytes 8-11 the low nibbles of
+    scales/mins 4-7. Returns (sc [nb, 8], mn [nb, 8]) uint8.
+    """
+    a = scales[:, 0:4]
+    b = scales[:, 4:8]
+    c = scales[:, 8:12]
+    sc = np.concatenate([a & 0x3F, (c & 0x0F) | ((a >> 2) & 0x30)], axis=1)
+    mn = np.concatenate([b & 0x3F, (c >> 4) | ((b >> 2) & 0x30)], axis=1)
+    return sc, mn
+
+
+def _nibble_rows(qs: np.ndarray, group: int) -> np.ndarray:
+    """[nb, n_bytes] packed nibbles → [nb, 2*n_bytes//group, group] values,
+    sub-block order (chunk-lo, chunk-hi, ...) as ggml stores them."""
+    nb = qs.shape[0]
+    chunks = qs.reshape(nb, -1, group)            # [nb, C, group]
+    lo = chunks & 0x0F
+    hi = chunks >> 4
+    return np.stack([lo, hi], axis=2).reshape(nb, -1, group)
+
+
+def q2_k_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """Q2_K: 84-byte superblock = 16 scale bytes (lo nibble: scale, hi:
+    min) + 64 2-bit quant bytes + f16 d + f16 dmin."""
+    b = _blocks(raw, 84)
+    scales = b[:, :16]
+    qs = b[:, 16:80]
+    d = b[:, 80:82].copy().view(np.float16).astype(np.float32)
+    dmin = b[:, 82:84].copy().view(np.float16).astype(np.float32)
+    nb = b.shape[0]
+    dl = d * (scales & 0x0F).astype(np.float32)            # [nb, 16]
+    ml = dmin * (scales >> 4).astype(np.float32)
+    chunks = qs.reshape(nb, 2, 32)
+    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+    q = ((chunks[:, :, None, :] >> shifts[None, None, :, None]) & 3)
+    q = q.reshape(nb, 16, 16).astype(np.float32)
+    out = dl[:, :, None] * q - ml[:, :, None]
+    return out.reshape(shape).astype(np.float32)
+
+
+def q3_k_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """Q3_K: 110-byte superblock = 32 high-bit-mask bytes + 64 2-bit quant
+    bytes + 12 packed 6-bit scale bytes + f16 d. Values are
+    (q2 | high<<2 as sign offset) scaled by per-16 6-bit scales - 32."""
+    b = _blocks(raw, 110)
+    hmask = b[:, :32]
+    qs = b[:, 32:96]
+    scales = b[:, 96:108]
+    d = b[:, 108:110].copy().view(np.float16).astype(np.float32)
+    nb = b.shape[0]
+
+    # 6-bit scales: 8 bytes of low nibble pairs + 4 bytes of 2-bit highs
+    ls = scales[:, :8]
+    hs = scales[:, 8:12]
+    lo = np.concatenate([ls & 0x0F, ls >> 4], axis=1)       # [nb, 16]
+    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+    hi = ((hs[:, None, :] >> shifts[None, :, None]) & 3).reshape(nb, 16)
+    sc = ((lo | (hi << 4)).astype(np.int8).astype(np.int32) - 32
+          ).astype(np.float32)
+    dl = d * sc                                             # [nb, 16]
+
+    chunks = qs.reshape(nb, 2, 32)
+    ql = ((chunks[:, :, None, :] >> shifts[None, None, :, None]) & 3)
+    ql = ql.reshape(nb, 16, 16).astype(np.int32)
+    bit_shifts = np.arange(8, dtype=np.uint8)
+    qh = ((hmask[:, None, :] >> bit_shifts[None, :, None]) & 1)
+    qh = qh.reshape(nb, 16, 16).astype(np.int32)
+    q = (ql - ((qh ^ 1) << 2)).astype(np.float32)   # offset 0 when bit set
+    out = dl[:, :, None] * q
+    return out.reshape(shape).astype(np.float32)
+
+
+def q4_k_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """Q4_K: 144-byte superblock = f16 d + f16 dmin + 12 scale bytes + 128
+    nibble bytes; v = d·sc·q − dmin·mn per 32-value sub-block."""
+    b = _blocks(raw, 144)
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+    dmin = b[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc, mn = _kquant_scale_min(b[:, 4:16])
+    q = _nibble_rows(b[:, 16:144], 32).astype(np.float32)   # [nb, 8, 32]
+    dl = d * sc.astype(np.float32)                          # [nb, 8]
+    ml = dmin * mn.astype(np.float32)
+    out = dl[:, :, None] * q - ml[:, :, None]
+    return out.reshape(shape).astype(np.float32)
+
+
+def q5_k_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """Q5_K: 176-byte superblock = Q4_K header + 32 high-bit bytes + 128
+    nibble bytes; q = nibble | (bit<<4)."""
+    b = _blocks(raw, 176)
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+    dmin = b[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc, mn = _kquant_scale_min(b[:, 4:16])
+    qh = b[:, 16:48]
+    ql = _nibble_rows(b[:, 48:176], 32)                     # [nb, 8, 32]
+    nb = b.shape[0]
+    bit_shifts = np.arange(8, dtype=np.uint8)
+    hb = ((qh[:, None, :] >> bit_shifts[None, :, None]) & 1)  # [nb, 8, 32]
+    q = (ql | (hb << 4)).astype(np.float32)
+    dl = d * sc.astype(np.float32)
+    ml = dmin * mn.astype(np.float32)
+    out = dl[:, :, None] * q - ml[:, :, None]
+    return out.reshape(shape).astype(np.float32)
+
+
+def q6_k_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """Q6_K: 210-byte superblock = 128 low-nibble bytes + 64 2-bit-high
+    bytes + 16 int8 scales + f16 d; v = d·scale[i/16]·(q − 32)."""
+    b = _blocks(raw, 210)
+    ql = b[:, :128]
+    qh = b[:, 128:192]
+    scales = b[:, 192:208].copy().view(np.int8).astype(np.float32)
+    d = b[:, 208:210].copy().view(np.float16).astype(np.float32)
+    nb = b.shape[0]
+    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+    chunks = qh.reshape(nb, 2, 32)
+    high = ((chunks[:, :, None, :] >> shifts[None, None, :, None]) & 3)
+    high = high.reshape(nb, -1, 32).astype(np.int32)
+    # low nibbles come in 64-wide chunks (lo then hi per chunk), pairing
+    # with the 2-bit highs in stored shift order per chunk
+    lo2 = ql.reshape(nb, 2, 64)
+    lo_vals = np.stack([lo2 & 0x0F, lo2 >> 4], axis=2)      # [nb, 2, 2, 64]
+    q = (lo_vals.reshape(nb, -1, 32).astype(np.int32)
+         | (high << 4)) - 32
+    q = q.reshape(nb, 16, 16).astype(np.float32)
+    dl = d * scales                                         # [nb, 16]
+    out = dl[:, :, None] * q
+    return out.reshape(shape).astype(np.float32)

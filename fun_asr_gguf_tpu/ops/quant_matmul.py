@@ -57,17 +57,25 @@ def block_unpermute(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def quantize_weight(w: jnp.ndarray) -> QuantTensor:
-    """w [k_in, n_out] (x @ w convention) → QuantTensor([n, k])."""
+    """w [k_in, n_out] (x @ w convention) → QuantTensor([n, k]).
+
+    Bit-exact with ggml's quantize_row_q8_0_ref (and our numpy
+    ``q8_0_quantize``): quantize against the UNROUNDED f32 scale with
+    ties-away-from-zero rounding, then store the f16-rounded scale.
+    """
     wt = jnp.swapaxes(w, -1, -2).astype(jnp.float32)      # [n, k]
     k = wt.shape[-1]
     if k % BLOCK != 0:
         raise ValueError(f"contraction dim {k} not divisible by {BLOCK}")
     blocks = wt.reshape(*wt.shape[:-1], k // BLOCK, BLOCK)
     absmax = jnp.max(jnp.abs(blocks), axis=-1)
-    d = (absmax / 127.0).astype(jnp.float16).astype(jnp.float32)
+    d = absmax / 127.0
     inv = jnp.where(d == 0, 0.0, 1.0 / d)
-    q = jnp.round(blocks * inv[..., None]).astype(jnp.int8)
-    return QuantTensor(q=block_permute(q.reshape(wt.shape)), d=d)
+    scaled = blocks * inv[..., None]
+    q = (jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
+         ).astype(jnp.int8)
+    d16 = d.astype(jnp.float16).astype(jnp.float32)
+    return QuantTensor(q=block_permute(q.reshape(wt.shape)), d=d16)
 
 
 def dequantize_weight(qt: QuantTensor) -> jnp.ndarray:

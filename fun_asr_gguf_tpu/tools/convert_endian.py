@@ -33,18 +33,24 @@ from ..formats.gguf import (DEFAULT_ALIGNMENT, GGUF_MAGIC, GGUF_VERSION,
 
 
 def _block_bytes(gtype: GGMLType) -> int:
-    return _BLOCK_FORMATS[gtype][0]     # single source of truth
+    return _BLOCK_FORMATS[gtype][1]     # single source of truth
 
 
 # per-block multi-byte words to swap: offsets of fp16 scale words and of
 # the u32 high-bit word (Q5_x qh — read native-endian by the dequantizers,
-# formats/quant_np.py q5 paths)
+# formats/quant_np.py q5 paths). K-quant scale tables / packed quants are
+# plain byte arrays; only the fp16 d/dmin words swap.
 _QUANT_SWAP = {
     GGMLType.Q4_0: ((0,), ()),
     GGMLType.Q4_1: ((0, 2), ()),
     GGMLType.Q5_0: ((0,), (2,)),
     GGMLType.Q5_1: ((0, 2), (4,)),
     GGMLType.Q8_0: ((0,), ()),
+    GGMLType.Q2_K: ((80, 82), ()),
+    GGMLType.Q3_K: ((108,), ()),
+    GGMLType.Q4_K: ((0, 2), ()),
+    GGMLType.Q5_K: ((0, 2), ()),
+    GGMLType.Q6_K: ((208,), ()),
 }
 
 _SCALAR_SIZE = {

@@ -25,10 +25,12 @@ class TestQ8_0:
         x = rng.normal(size=(16, 128)).astype(np.float32) * 3.0
         q, d = q8_0_quantize(x)
         y = q8_0_dequantize(q, d)
-        # max error is half a quantization step per block
+        # ggml semantics: quantize against the unrounded f32 scale, store
+        # the f16-rounded scale — so the bound is half a step plus the f16
+        # rounding of d amplified by |q| <= 127 (127 * 2^-11 per step)
         step = np.abs(x).reshape(16, 4, 32).max(-1) / 127.0
         err = np.abs(x - y).reshape(16, 4, 32).max(-1)
-        assert np.all(err <= step * 0.5 + 1e-6)
+        assert np.all(err <= step * (0.5 + 127 * 2.0 ** -11) + 1e-6)
 
     def test_reference_block_layout(self):
         """34-byte blocks: fp16 scale then 32 int8 quants (llama.py:779-784)."""

@@ -111,3 +111,143 @@ def test_our_writer_to_reference_reader(tmp_path):
         refgguf.GGMLQuantizationType.Q8_0)
     np.testing.assert_array_equal(theirs.astype(np.float32),
                                   ref_roundtrip.astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Quantizer bit-exactness + K-quant read support (round-2 additions)
+# ---------------------------------------------------------------------------
+
+LEGACY_QUANT = ["Q4_0", "Q4_1", "Q5_0", "Q5_1", "Q8_0"]
+K_QUANT_BLOCK_BYTES = {"Q2_K": 84, "Q3_K": 110, "Q4_K": 144,
+                       "Q5_K": 176, "Q6_K": 210}
+
+
+@pytest.mark.parametrize("tname", LEGACY_QUANT)
+def test_legacy_quantizers_bit_exact(tname):
+    """Our float→bytes quantizers emit byte-identical streams to the
+    reference's vendored gguf-py (which is itself bit-exact with ggml's C
+    quantizers) — incl. the trunc(+0.5/8.5/16.5) rounding and the
+    unrounded-f32-scale semantics."""
+    refgguf = _ref_gguf()
+    from fun_asr_gguf_tpu.formats import quant_np as qn
+    rt = getattr(refgguf.GGMLQuantizationType, tname)
+    rng = np.random.default_rng(hash(tname) % 2**31)
+    x = rng.normal(size=(16, 256)).astype(np.float32) * 3
+    # exercise ties and zero blocks too
+    x[0] = 0.0
+    x[1, ::2] = np.float32(0.5) * np.sign(x[1, ::2])
+    ref = refgguf.quants.quantize(x, rt).reshape(-1).view(np.uint8)
+    if tname == "Q8_0":
+        q, d = qn.q8_0_quantize(x)
+        mine = qn.q8_0_to_blocks(q, d)
+    else:
+        mine = getattr(qn, f"{tname.lower()}_quantize")(x)
+    np.testing.assert_array_equal(mine, ref)
+
+
+@pytest.mark.parametrize("tname", sorted(K_QUANT_BLOCK_BYTES))
+def test_kquant_dequant_bit_exact(tname):
+    """K-quant (256-value superblock) dequantizers agree bit-for-bit with
+    the reference's on arbitrary encoded blocks (any byte pattern is a
+    valid encoding; gguf-py has no K-quant quantizer to generate 'real'
+    ones)."""
+    refgguf = _ref_gguf()
+    from fun_asr_gguf_tpu.formats import quant_np as qn
+    rt = getattr(refgguf.GGMLQuantizationType, tname)
+    bb = K_QUANT_BLOCK_BYTES[tname]
+    rng = np.random.default_rng(hash(tname) % 2**31)
+    nb = 12
+    raw = rng.integers(0, 256, size=nb * bb, dtype=np.uint8)
+    with np.errstate(invalid="ignore"):
+        theirs = refgguf.quants.dequantize(raw.reshape(nb, bb),
+                                           rt).astype(np.float32)
+        ours = getattr(qn, f"{tname.lower()}_dequantize_blocks")(
+            raw, (nb, 256))
+    np.testing.assert_array_equal(
+        np.where(np.isnan(ours), 0, ours), np.where(np.isnan(theirs), 0,
+                                                    theirs))
+    np.testing.assert_array_equal(np.isnan(ours), np.isnan(theirs))
+
+
+def test_reader_dequantizes_kquant_tensor(tmp_path):
+    """A GGUF carrying a Q4_K tensor (e.g. a q4_K_M llama.cpp export)
+    loads through GGUFReader.tensor() with reference-identical values."""
+    refgguf = _ref_gguf()
+    from fun_asr_gguf_tpu.formats.gguf import (GGMLType, GGUFReader,
+                                               GGUFWriter)
+    rng = np.random.default_rng(7)
+    nb = 8
+    raw = rng.integers(0, 128, size=nb * 144, dtype=np.uint8)  # finite f16s
+    path = str(tmp_path / "kq.gguf")
+    w = GGUFWriter(path, "qwen3")
+    w.add_tensor_raw("w_q4k", raw.tobytes(), (nb, 256), GGMLType.Q4_K)
+    w.write()
+    r = GGUFReader(path)
+    info = r.tensor_info("w_q4k")
+    assert info.ggml_type == GGMLType.Q4_K
+    assert info.nbytes == nb * 144
+    ours = r.tensor("w_q4k")
+    theirs = refgguf.quants.dequantize(
+        raw.reshape(nb, 144), refgguf.GGMLQuantizationType.Q4_K)
+    np.testing.assert_array_equal(ours, theirs.astype(np.float32))
+
+
+def test_qwen3_loader_reads_kquant_gguf(tmp_path):
+    """load_qwen3_from_gguf on a decoder whose matmul weights are Q4_K /
+    Q6_K (the llama.cpp q4_K_M recipe: most mats q4_K, some q6_K) — the
+    engine's load path dequantizes them transparently."""
+    import jax.numpy as jnp
+    from fun_asr_gguf_tpu.formats.gguf import GGMLType, GGUFWriter
+    from fun_asr_gguf_tpu.models.config import Qwen3Config
+    from fun_asr_gguf_tpu.models.loaders import (load_qwen3_from_gguf,
+                                                 save_qwen3_to_gguf)
+    from fun_asr_gguf_tpu.models.qwen3 import init_qwen3_params
+    import jax
+
+    cfg = Qwen3Config(hidden=256, n_layers=2, q_heads=4, kv_heads=2,
+                      head_dim=64, ffn_dim=256, vocab_size=512,
+                      rope_theta=1e4)
+    params = init_qwen3_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "dec.gguf")
+    save_qwen3_to_gguf(path, params, cfg, quantize_q8_0=False)
+
+    # rewrite with q/k mats as synthetic K-quant payloads
+    from fun_asr_gguf_tpu.formats.gguf import GGUFReader
+    r = GGUFReader(path)
+    w = GGUFWriter(str(tmp_path / "dec_kq.gguf"), None)
+    for k, v in r.fields.items():
+        if k != "general.alignment":
+            w.add_kv(k, v, *r.field_types[k])
+    rng = np.random.default_rng(3)
+
+    def finite_blocks(n_el, block_bytes, f16_offsets):
+        raw = rng.integers(0, 256, size=(n_el // 256, block_bytes),
+                           dtype=np.uint8)
+        for off in f16_offsets:       # clamp f16 exponents: no inf/nan
+            raw[:, off + 1] &= 0x3F
+        return raw.reshape(-1)
+
+    for name in r.tensor_names():
+        info = r.tensor_info(name)
+        if name.endswith("attn_q.weight"):
+            n_el = int(np.prod(info.shape))
+            raw = finite_blocks(n_el, 144, (0, 2))
+            w.add_tensor_raw(name, raw.tobytes(), info.shape, GGMLType.Q4_K)
+        elif name.endswith("ffn_down.weight"):
+            n_el = int(np.prod(info.shape))
+            raw = finite_blocks(n_el, 210, (208,))
+            w.add_tensor_raw(name, raw.tobytes(), info.shape, GGMLType.Q6_K)
+        else:
+            w.add_tensor_raw(name, r.tensor_raw(name).tobytes(), info.shape,
+                             info.ggml_type)
+    w.write()
+
+    loaded, lcfg, embed = load_qwen3_from_gguf(
+        str(tmp_path / "dec_kq.gguf"), dtype=jnp.float32)
+    assert lcfg.n_layers == cfg.n_layers
+    # the K-quant mats decoded to finite floats with the right shapes
+    qw = np.asarray(loaded["layers"]["q_w"])
+    assert qw.shape == (2, cfg.hidden, cfg.q_heads * cfg.head_dim)
+    assert np.isfinite(qw).all()
+    dw = np.asarray(loaded["layers"]["down_w"])
+    assert np.isfinite(dw).all()
