@@ -70,17 +70,20 @@ class QwenTokenizer(BaseTokenizer):
         from tokenizers import Tokenizer
         self._tok = Tokenizer.from_file(tokenizer_json_path)
         self.vocab_size = self._tok.get_vocab_size(with_added_tokens=True)
-        self._special = {}
-        with open(tokenizer_json_path, "r", encoding="utf-8") as f:
-            spec = json.load(f)
-        for added in spec.get("added_tokens", []):
-            self._special[added["id"]] = added["content"]
-        eos = None
-        for tid, content in self._special.items():
-            if content == "<|im_end|>":
-                eos = tid
-        self.eos_token = eos if eos is not None else 151645
-        self.stop_tokens = (151643, 151645)
+        # special ids from the RUNTIME, not the file's declared ids: the
+        # tokenizers library assigns added-token ids as base-vocab-size +
+        # insertion order, silently ignoring the JSON "id" field (they
+        # coincide for the real Qwen file, whose base vocab is exactly
+        # 151643 entries — but keying off the file would break decode on
+        # any file where they diverge)
+        self._special = {
+            tid: tok.content
+            for tid, tok in self._tok.get_added_tokens_decoder().items()}
+        by_content = {c: t for t, c in self._special.items()}
+        self.eos_token = by_content.get("<|im_end|>", 151645)
+        # reference stop set {<|endoftext|>, <|im_end|>}, core/decoder.py:53
+        self.stop_tokens = tuple(sorted(
+            {by_content.get("<|endoftext|>", 151643), self.eos_token}))
         self._u2b = _unicode_to_bytes()
 
     def encode(self, text: str) -> List[int]:

@@ -333,3 +333,127 @@ class TestGGUFCorruption:
     def test_bad_magic(self, tmp_path):
         base = self._base(tmp_path)
         self._expect(tmp_path, "t6", b"XXXX" + base[4:])
+
+
+class TestQwenSchemaGoldens:
+    """Golden token-id pins under a tokenizer.json with the REAL Qwen3
+    schema: base vocab of exactly 151643 entries (so the runtime assigns
+    the added specials their production ids 151643/151644/151645 — the
+    tokenizers library ignores the file's declared ids and numbers added
+    tokens from base-vocab-size), the real Qwen split regex, byte-level
+    BPE with merges. Pins the exact id sequences for the ChatML prompt
+    strings (``prompt_utils.py``), so a tokenizers-lib behavior change or
+    a special-token parse difference fails here without needing the real
+    vocab blob (absent in this environment). parse_special semantics per
+    reference ``llama.py:738-748``."""
+
+    PREFIX = ("<|im_start|>system\nYou are a helpful assistant."
+              "<|im_end|>\n<|im_start|>user\n语音转写：")
+    SUFFIX = "<|im_end|>\n<|im_start|>assistant\n"
+
+    GOLD_PREFIX = [151644, 115, 121, 115, 116, 101, 109, 10, 256, 262, 114,
+                   101, 262, 32, 265, 102, 117, 108, 32, 259, 105, 115, 260,
+                   116, 46, 151645, 10, 151644, 117, 115, 101, 114, 10, 232,
+                   175, 173, 233, 159, 179, 232, 189, 172, 229, 134, 153,
+                   239, 188, 154]
+    GOLD_SUFFIX = [151645, 10, 151644, 259, 105, 115, 260, 116, 10]
+    GOLD_LANG = [232, 175, 173, 233, 159, 179, 232, 189, 172, 229, 134, 153,
+                 230, 136, 144, 228, 184, 173, 230, 150, 135, 239, 188, 154]
+
+    @pytest.fixture(scope="class")
+    def tok_path(self, tmp_path_factory):
+        import json as _json
+        from fun_asr_gguf_tpu.formats.tokenizer import _bytes_to_unicode
+        b2u = _bytes_to_unicode()
+        vocab = {ch: b for b, ch in b2u.items()}          # ids 0..255
+        merges = [["Y", "ou"], ["o", "u"], ["a", "s"], ["as", "s"],
+                  ["t", "an"], ["a", "n"], ["Ġ", "a"], ["h", "e"],
+                  ["l", "p"], ["he", "lp"]]
+        nid = 256
+        for a, b in merges:
+            m = a + b
+            if m not in vocab:
+                vocab[m] = nid
+                nid += 1
+        for i in range(nid, 151643):                      # real base size
+            vocab[f"<|unused:{i}|>"] = i
+        added = [
+            {"id": 151643 + j, "content": c, "single_word": False,
+             "lstrip": False, "rstrip": False, "normalized": False,
+             "special": True}
+            for j, c in enumerate(["<|endoftext|>", "<|im_start|>",
+                                   "<|im_end|>"])]
+        qwen_regex = (r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|"
+                      r"[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}|"
+                      r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|"
+                      r"\s+(?!\S)|\s+")
+        spec = {
+            "version": "1.0", "truncation": None, "padding": None,
+            "added_tokens": added, "normalizer": None,
+            "pre_tokenizer": {"type": "Sequence", "pretokenizers": [
+                {"type": "Split", "pattern": {"Regex": qwen_regex},
+                 "behavior": "Isolated", "invert": False},
+                {"type": "ByteLevel", "add_prefix_space": False,
+                 "trim_offsets": False, "use_regex": False}]},
+            "post_processor": None,
+            "decoder": {"type": "ByteLevel", "add_prefix_space": True,
+                        "trim_offsets": True, "use_regex": True},
+            "model": {"type": "BPE", "dropout": None, "unk_token": None,
+                      "continuing_subword_prefix": "",
+                      "end_of_word_suffix": "", "fuse_unk": False,
+                      "byte_fallback": False, "vocab": vocab,
+                      "merges": [f"{a} {b}" for a, b in merges]},
+        }
+        path = str(tmp_path_factory.mktemp("qwen_schema") / "tokenizer.json")
+        with open(path, "w", encoding="utf-8") as f:
+            _json.dump(spec, f, ensure_ascii=False)
+        return path
+
+    def test_special_ids_are_production_ids(self, tok_path):
+        from fun_asr_gguf_tpu.formats.tokenizer import QwenTokenizer
+        qt = QwenTokenizer(tok_path)
+        assert qt.vocab_size == 151646                  # 151643 + 3 specials
+        assert qt.eos_token == 151645
+        assert qt.stop_tokens == (151643, 151645)
+        assert qt.encode("<|im_end|>") == [151645]
+        assert qt.encode("<|im_start|>") == [151644]
+        assert qt.encode("<|endoftext|>") == [151643]
+
+    def test_chatml_prompt_goldens(self, tok_path):
+        from fun_asr_gguf_tpu.formats.tokenizer import QwenTokenizer
+        qt = QwenTokenizer(tok_path)
+        assert qt.encode(self.PREFIX) == self.GOLD_PREFIX
+        assert qt.encode(self.SUFFIX) == self.GOLD_SUFFIX
+        assert qt.encode("语音转写成中文：") == self.GOLD_LANG
+        assert qt.decode(self.GOLD_PREFIX) == self.PREFIX
+        assert qt.decode(self.GOLD_SUFFIX) == self.SUFFIX
+
+    def test_parse_special_semantics(self, tok_path):
+        """parse_special=True (reference llama.py:738-748): special strings
+        anywhere in the text become single ids; near-misses never do."""
+        from fun_asr_gguf_tpu.formats.tokenizer import QwenTokenizer
+        qt = QwenTokenizer(tok_path)
+        assert qt.encode("a<|endoftext|>b") == [97, 151643, 98]
+        assert 151645 not in qt.encode("<|im_end|")      # truncated
+        assert 151645 not in qt.encode("<|im_end |>")    # inner space
+        # decode of specials yields their literal text
+        assert qt.decode([151644, 151645]) == "<|im_start|><|im_end|>"
+
+    def test_prompt_builder_uses_golden_ids(self, tok_path):
+        """End-to-end: PromptBuilder gathers exactly the golden rows."""
+        import numpy as np
+        from fun_asr_gguf_tpu.formats.tokenizer import QwenTokenizer
+        from fun_asr_gguf_tpu.prompt_utils import PromptBuilder
+        qt = QwenTokenizer(tok_path)
+        table = np.arange(151646, dtype=np.float32)[:, None] * np.ones(
+            (1, 4), np.float32)
+        pb = PromptBuilder(qt, table)
+        p_embd, s_embd, n_p, n_s, p_text = pb.build_prompt([], None, None)
+        assert n_p == len(self.GOLD_PREFIX)
+        assert n_s == len(self.GOLD_SUFFIX)
+        np.testing.assert_array_equal(p_embd[:, 0],
+                                      np.asarray(self.GOLD_PREFIX,
+                                                 np.float32))
+        np.testing.assert_array_equal(s_embd[:, 0],
+                                      np.asarray(self.GOLD_SUFFIX,
+                                                 np.float32))
