@@ -196,10 +196,13 @@ class BatchStreamDecoder:
             from ..models.speculative import spec_generate_chunk, spec_init
             state = spec_init(state)
             draft_dev = jnp.asarray(drafts)
-            emitted = np.zeros(b, dtype=np.int64)
             while True:
+                # budget by state.n_gen (stop tokens are NOT counted, the
+                # reference single-stream semantics) — raw emitted-token
+                # counts would charge a stopping row one extra slot
+                n_gen = np.asarray(state.n_gen).astype(np.int64)
                 todo = np.minimum(chunk_len,
-                                  models.config.n_predict - emitted)
+                                  models.config.n_predict - n_gen)
                 state, tokens = spec_generate_chunk(
                     models.llm_params, state, draft_dev,
                     models.hybrid_cfg.llm,
@@ -212,9 +215,9 @@ class BatchStreamDecoder:
                 toks_np = np.asarray(tokens)
                 token_chunks.append(toks_np)
                 n_emit = (toks_np >= 0).sum(axis=1)
-                emitted += n_emit
                 done = np.asarray(state.done)
-                active = ~done & (emitted < models.config.n_predict)
+                active = ~done & (np.asarray(state.n_gen)
+                                  < models.config.n_predict)
                 if not np.any(active):
                     break
                 if not np.any(n_emit[active] > 0):

@@ -212,6 +212,10 @@ class ModelManager:
                 def _load_rules():
                     content = read_or_create_text(
                         rules_file, "# 每行一条规则: pattern = replacement\n")
+                    if content is None:
+                        # transient read error: keep current rules (same
+                        # retention policy as the rectify-history reload)
+                        return
                     n = self.rule_corrector.update_rules(content)
                     logger.info("rule corrections loaded: %d", n)
 

@@ -147,7 +147,11 @@ class RectificationRAG:
             self.rectify_file,
             "# 纠错历史文件\n# 格式：用 --- 分隔的多行内容\n"
             "# 每一段第一行是原始文本，第二行是修正文本\n")
-        if not content:
+        if content is None:
+            # transient read error (e.g. atomic-save window): retain the
+            # current records; a genuinely EMPTY file falls through and
+            # clears them — emptying the file is how a user disables
+            # corrections
             return
 
         new_records = []

@@ -35,12 +35,15 @@ _DEBOUNCE_SECONDS = 3.0
 _POLL_SECONDS = 1.0
 
 
-def read_or_create_text(path, template: str) -> str:
+def read_or_create_text(path, template: str):
     """Read a user-editable text file; create it (with parents) from
     ``template`` when missing. Fault-tolerant: IO errors log and return
-    "", stray non-UTF-8 bytes are replaced — a correction/hotword file
-    must never take down engine init or a reload (shared by hot.txt,
-    rules_path and rectify-history loading)."""
+    ``None`` (distinguishable from a genuinely empty file's ``""`` — a
+    transient error, e.g. an editor's atomic-save window, must NOT be
+    treated as "the user emptied the file"), stray non-UTF-8 bytes are
+    replaced — a correction/hotword file must never take down engine init
+    or a reload (shared by hot.txt, rules_path and rectify-history
+    loading)."""
     path = Path(path)
     try:
         if not path.exists():
@@ -50,7 +53,7 @@ def read_or_create_text(path, template: str) -> str:
         return path.read_text(encoding="utf-8", errors="replace")
     except OSError as e:
         logger.error("failed reading %s: %s", path, e)
-        return ""
+        return None
 
 
 class _PollingWatcher:
@@ -133,6 +136,8 @@ class HotwordManager:
 
     def _load_hot(self) -> None:
         content = self._read_file()
+        if content is None:     # transient read error: keep current words
+            return
         num = self.phoneme_corrector.update_hotwords(content)
         _status(self._format_msg("热词库", self.file.name, num))
 

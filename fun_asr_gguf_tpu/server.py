@@ -209,6 +209,12 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
             stream_mode = q.get("stream", "0") in ("1", "true", "yes")
         except ValueError as e:
             return self._send_json(400, {"error": f"bad query param: {e}"})
+        if stream_mode and opts["parallel_segments"]:
+            # the batched long-audio path never invokes on_stream (segment
+            # texts arrive with the final result — engine.transcribe docs),
+            # so an SSE client would see nothing until the end; keep SSE
+            # semantics consistent by decoding sequentially instead
+            opts["parallel_segments"] = False
 
         suffix = {"audio/mpeg": ".mp3", "audio/wav": ".wav",
                   "audio/x-wav": ".wav", "audio/flac": ".flac",
