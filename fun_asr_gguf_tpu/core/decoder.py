@@ -186,6 +186,25 @@ class LLMDecoder:
                 break
             if draft_ids is not None and n_emitted == 0:
                 break   # safety: no forward progress should be impossible
+
+            # acceptance-rate guardrail: a verify round costs about one
+            # decode step (plus K-lane sampling when T > 0), so drafting
+            # below ~spec_min_accept emitted tokens/round is slower than
+            # plain decode — abandon the draft and continue un-drafted.
+            # Deferred while `forbid` is pending (a probabilistic
+            # rejection's residual exclusion must be honored first).
+            if draft_ids is not None:
+                rounds = int(np.asarray(state.rounds)[0])
+                min_acc = getattr(models.config, "spec_min_accept", 1.35)
+                if (rounds >= 8 and min_acc > 0
+                        and generated / rounds < min_acc
+                        and int(np.asarray(state.forbid)[0]) < 0):
+                    from ..models.speculative import spec_to_gen
+                    logger.info(
+                        "speculation off: %.2f tokens/round < %.2f "
+                        "(%d rounds)", generated / rounds, min_acc, rounds)
+                    state = spec_to_gen(state)
+                    draft_ids = None
         res.is_aborted = bool(np.asarray(state.aborted)[0])
         text_decoder.flush()
 

@@ -400,6 +400,15 @@ class ModelManager:
                         top_p=1.0, top_k=50,
                         chunk_len=self._default_chunk_len(), limit=1)
                     jax.block_until_ready(sstate.logits)
+                    # the acceptance guardrail continues a spec state with
+                    # the PLAIN chunk program (bigger KV buffer than the
+                    # plain prefill below) — warm that specialization too
+                    from ..models.speculative import spec_to_gen
+                    gstate, _tokens = self.generate(
+                        spec_to_gen(sstate), temperature=temp, top_p=1.0,
+                        top_k=50, chunk_len=self._default_chunk_len(),
+                        limit=1)
+                    jax.block_until_ready(gstate.logits)
                     state = self.prefill(fake, rng_seed=0)  # spec donated it
                 state, _tokens = self.generate(
                     state, temperature=temp, top_p=1.0, top_k=50,

@@ -140,6 +140,11 @@ class ASREngineConfig:
                                              # needs enable_ctc)
     spec_k: int = 8                          # drafted tokens per verify step
     spec_draft_len: int = 512                # static draft buffer (tokens)
+    spec_min_accept: float = 1.35            # auto-off: abandon drafting
+                                             # below this emitted-tokens-
+                                             # per-verify-round rate (a
+                                             # round costs ~1 decode step);
+                                             # 0 disables the guardrail
 
 
 # ==================== CTC ====================

@@ -43,7 +43,8 @@ class FunASREngine:
                  warmup_all_buckets: bool = False,
                  speculative: bool = True,
                  spec_k: int = 8,
-                 spec_draft_len: int = 512):
+                 spec_draft_len: int = 512,
+                 spec_min_accept: float = 1.35):
         if llm_weight_format not in ("auto", "bf16", "int8", "q8_0"):
             raise ValueError(
                 f"llm_weight_format must be auto|bf16|int8|q8_0, got "
@@ -72,7 +73,8 @@ class FunASREngine:
             warmup_all_buckets=warmup_all_buckets,
             speculative=speculative,
             spec_k=spec_k,
-            spec_draft_len=spec_draft_len)
+            spec_draft_len=spec_draft_len,
+            spec_min_accept=spec_min_accept)
         self.models = ModelManager(self.config)
         self.orchestrator = TranscriptionOrchestrator(self.models)
         self.sample_rate = self.config.sample_rate

@@ -63,6 +63,8 @@ class SpecState(NamedTuple):
     aborted: jnp.ndarray       # [B] bool
     last_tok: jnp.ndarray      # [B] i32 — last emitted token (-1 at start)
     cursor: jnp.ndarray        # [B] i32 — draft cursor (match tie-breaker)
+    rounds: jnp.ndarray        # [B] i32 — verify rounds run (acceptance
+                               # telemetry: emitted/rounds = 1 + avg accept)
     prompt_slots: int          # static: P
 
 
@@ -86,6 +88,37 @@ def spec_init(state: GenState) -> SpecState:
         aborted=state.aborted,
         last_tok=jnp.full((b,), -1, jnp.int32),
         cursor=jnp.zeros((b,), jnp.int32),
+        rounds=jnp.zeros((b,), jnp.int32),
+        prompt_slots=state.prompt_slots,
+    )
+
+
+def spec_to_gen(state: SpecState) -> GenState:
+    """Convert a speculative carry back to the plain-decode carry.
+
+    Used by the acceptance-rate guardrail: when drafting stops paying for
+    its verify overhead, the engine abandons speculation mid-utterance and
+    continues with :func:`generate.generate_chunk` from the same KV state.
+    GenState tracks one global ``step`` scalar, so all rows must sit at
+    the same slot — true for the single-stream decoder (B == 1), which is
+    the only caller.
+    """
+    import numpy as np
+    slot = np.asarray(state.slot_next)
+    if not (slot == slot[0]).all():
+        raise ValueError("spec_to_gen requires uniform row slots "
+                         f"(got {slot.tolist()})")
+    return GenState(
+        kv=state.kv,
+        logits=state.logits,
+        prompt_len=state.prompt_len,
+        valid_from=state.valid_from,
+        step=jnp.asarray(int(slot[0]) - state.prompt_slots, jnp.int32),
+        rng=state.rng,
+        ring=state.ring,
+        n_gen=state.n_gen,
+        done=state.done,
+        aborted=state.aborted,
         prompt_slots=state.prompt_slots,
     )
 
@@ -313,7 +346,8 @@ def spec_generate_chunk(params, state: SpecState, draft_ids,
             prompt_len=state.prompt_len, valid_from=state.valid_from,
             slot_next=slot_next, pos_next=pos_next, rng=rng, ring=ring,
             n_gen=n_gen, done=done, aborted=aborted, last_tok=last_tok,
-            cursor=cursor, prompt_slots=state.prompt_slots)
+            cursor=cursor, rounds=state.rounds + active.astype(jnp.int32),
+            prompt_slots=state.prompt_slots)
         return t_new, new_state, buf
 
     t0 = jnp.zeros((b,), jnp.int32)

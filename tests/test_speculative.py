@@ -368,3 +368,96 @@ class TestSpecBatchRows:
             got = [int(t) for t in toks[row] if t >= 0]
             assert got == refs[row][:len(got)]
             assert len(got) == len(refs[row])
+
+
+class TestSpecToGen:
+    """Acceptance-rate guardrail plumbing: converting a speculative carry
+    back to the plain-decode carry must continue the exact same greedy
+    sequence (the engine abandons drafting mid-utterance when the
+    emitted-tokens-per-round rate drops below break-even)."""
+
+    def test_mid_stream_conversion_matches_pure_greedy(self):
+        from fun_asr_gguf_tpu.models.speculative import spec_to_gen
+        rng = np.random.default_rng(11)
+        n_total = 24
+
+        # pure greedy reference from an identical prefill
+        st_ref = init_state(rng, seed=3, max_extra=n_total + 16)
+        _, ref = greedy_reference(st_ref, n_total)
+
+        # spec with a garbage draft for a few rounds, then convert
+        rng = np.random.default_rng(11)
+        st = init_state(rng, seed=3, max_extra=n_total + 16)
+        sst = spec_init(st)
+        draft = pad_draft([5, 7, 11, 13, 17, 19, 23, 29])
+        sst, toks = spec_generate_chunk(
+            PARAMS, sst, draft, CFG, jnp.asarray(0.0), jnp.asarray(1.0),
+            50, spec_k=4, chunk_len=8, stop_tokens=STOPS, greedy=True)
+        got = [int(t) for t in np.asarray(toks)[0] if t >= 0]
+        assert int(np.asarray(sst.rounds)[0]) >= 1
+
+        gst = spec_to_gen(sst)
+        assert int(np.asarray(gst.step)) == len(got)
+        while len(got) < n_total and not bool(np.asarray(gst.done)[0]):
+            gst, toks = generate_chunk(
+                PARAMS, gst, CFG, jnp.asarray(0.0), jnp.asarray(1.0), 50,
+                chunk_len=8, stop_tokens=STOPS,
+                limit=jnp.asarray(min(8, n_total - len(got)), jnp.int32))
+            got.extend(int(t) for t in np.asarray(toks)[0] if t >= 0)
+        assert got == ref[:len(got)] and len(got) >= n_total - 1
+
+    def test_rounds_counter_tracks_verify_rounds(self):
+        rng = np.random.default_rng(12)
+        st = init_state(rng, seed=5, max_extra=40)
+        sst = spec_init(st)
+        # empty draft: every round emits exactly 1 token
+        sst, toks = spec_generate_chunk(
+            PARAMS, sst, pad_draft([]), CFG, jnp.asarray(0.0),
+            jnp.asarray(1.0), 50, spec_k=4, chunk_len=6, stop_tokens=STOPS,
+            greedy=True)
+        n = len([t for t in np.asarray(toks)[0] if t >= 0])
+        assert int(np.asarray(sst.rounds)[0]) == n
+
+
+class TestGuardrailEngine:
+    def test_forced_guardrail_keeps_greedy_transcript(self, tmp_path):
+        """spec_min_accept set impossibly high forces the auto-off after 8
+        rounds; the greedy transcript must equal the plain engine's."""
+        import base64
+        import os
+        from fun_asr_gguf_tpu.hotword.manager import reset_hotword_manager
+        from fun_asr_gguf_tpu.models.config import HybridConfig
+        from fun_asr_gguf_tpu.models.loaders import create_random_checkpoint
+        from fun_asr_gguf_tpu.audio import write_wav
+
+        ckpt = str(tmp_path / "ckpt")
+        cfg = create_random_checkpoint(ckpt, HybridConfig.tiny(), seed=0)
+        lines = []
+        for i in range(cfg.ctc.vocab_size):
+            ch = chr(ord("一") + i) if i < cfg.ctc.vocab_size - 1 else "<blk>"
+            lines.append(f"{base64.b64encode(ch.encode()).decode()} {i}")
+        with open(os.path.join(ckpt, "tokens.txt"), "w",
+                  encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        wav = str(tmp_path / "g.wav")
+        write_wav(wav, np.random.default_rng(0).normal(size=24000) * 0.05,
+                  16000)
+
+        from fun_asr_gguf_tpu import create_asr_engine
+        texts = {}
+        for name, kwargs in [
+                ("forced_off", dict(speculative=True,
+                                    spec_min_accept=99.0)),
+                ("plain", dict(speculative=False))]:
+            reset_hotword_manager()
+            eng = create_asr_engine(
+                checkpoint_dir=ckpt, verbose=False, compute_dtype="float32",
+                segment_pad_seconds=2.0, n_predict=24, prefill_buckets=(64,),
+                **kwargs)
+            try:
+                texts[name] = eng.transcribe(
+                    wav, verbose=False, temperature=0.0).text
+            finally:
+                eng.cleanup()
+                reset_hotword_manager()
+        assert texts["forced_off"] == texts["plain"]
