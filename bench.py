@@ -385,12 +385,29 @@ def main():
                     f"{per*1000:.3f} ms/token/row")
             return per
 
-        per_tok_spec = measure_spec("generate[spec,int8]", draft_ids,
-                                    prompt, mask)
+        # draft-agreement sweep (holes model): CTC↔LLM transcript
+        # disagreement from 0% to 50%. The headline spec number is the
+        # 15%-disagreement point; the sweep shows how throughput degrades
+        # as the draft quality drops (the acceptance-rate guardrail floors
+        # the engine at plain-decode speed below break-even).
+        sweep = {}
+        for agree_pct, d_arr in [(100, draft_perfect), (85, draft_ids)]:
+            per = measure_spec(f"generate[spec,int8,{agree_pct}%]",
+                               d_arr, prompt, mask)
+            sweep[str(agree_pct)] = round(1.0 / per, 1)
+            if agree_pct == 100:
+                per_tok_spec_ceiling = per
+            else:
+                per_tok_spec = per
+        rng_s = np.random.default_rng(13)
+        for agree_pct in (() if _TINY else (70, 50)):
+            holes = rng_s.random(draft.shape) < (1 - agree_pct / 100.0)
+            d_arr = to_draft(np.where(holes, -1, draft).tolist())
+            per = measure_spec(f"generate[spec,int8,{agree_pct}%]",
+                               d_arr, prompt, mask)
+            sweep[str(agree_pct)] = round(1.0 / per, 1)
+        _partial["spec_sweep_tok_per_s"] = sweep
         _partial["generate_tokens_per_s_spec"] = round(1.0 / per_tok_spec, 1)
-        # ceiling: perfect draft (CTC transcript == LLM transcript)
-        per_tok_spec_ceiling = measure_spec("generate[spec,int8,perfect]",
-                                            draft_perfect, prompt, mask)
         _partial["generate_tokens_per_s_spec_ceiling"] = round(
             1.0 / per_tok_spec_ceiling, 1)
         # worst case: substituted wrong tokens (on random weights this
@@ -399,13 +416,54 @@ def main():
                                           draft_ids_subst, prompt, mask)
         _partial["generate_tokens_per_s_spec_subst"] = round(
             1.0 / per_tok_spec_subst, 1)
-        # the engine default: sampled acceptance (temperature 0.4). On
-        # random weights p(draft) is tiny, so this measures the sampled
-        # PASS cost, not realistic acceptance — it should track the
-        # greedy pass cost (ops/sampling.topk_large)
-        per_tok_spec_t04 = measure_spec("generate[spec,int8,T=0.4]",
-                                        draft_perfect, prompt, mask,
-                                        temp=0.4)
+
+        # engine-default sampled mode (temperature 0.4) WITH the
+        # acceptance-rate guardrail, exactly as core/decoder.py runs it:
+        # spec chunks until emitted/rounds drops below spec_min_accept,
+        # then convert (spec_to_gen) and continue with plain chunks. On
+        # random weights sampled acceptance is near zero, so this measures
+        # the auto-off path an engine user actually gets.
+        from fun_asr_gguf_tpu.models.speculative import spec_to_gen
+        MIN_ACCEPT = 1.35
+
+        def sampled_engine_emission(seed):
+            st = spec_init(prefill_init(
+                spec_params, prompt, mask, jax.random.PRNGKey(seed),
+                cfg.llm, max_len=spec_max_len))
+            d = draft_perfect
+            emitted, spec_on = 0, True
+            while emitted < N_GEN:
+                if spec_on:
+                    st, toks = spec_generate_chunk(
+                        spec_params, st, d, cfg.llm, jnp.asarray(0.4),
+                        jnp.asarray(1.0), 50, spec_k=SPEC_K,
+                        chunk_len=chunk, stop_tokens=(),
+                        fuse_enabled=False, greedy=False)
+                    emitted += int((np.asarray(toks) >= 0).sum())
+                    rounds = int(np.asarray(st.rounds)[0])
+                    if (rounds >= 8 and emitted / rounds < MIN_ACCEPT
+                            and int(np.asarray(st.forbid)[0]) < 0):
+                        st = spec_to_gen(st)
+                        spec_on = False
+                else:
+                    st, toks = generate_chunk(
+                        spec_params, st, cfg.llm, jnp.asarray(0.4),
+                        jnp.asarray(1.0), 50, chunk_len=chunk,
+                        stop_tokens=(), fuse_enabled=False, greedy=False)
+                    emitted += chunk
+            return emitted
+
+        sampled_engine_emission(0)      # compile both phases
+        t_best = float("inf")
+        for i in range(1 if _TINY else 3):
+            t0 = time.perf_counter()
+            n_em = sampled_engine_emission(50 + i)
+            t_best = min(t_best, time.perf_counter() - t0)
+        # subtract the separately-measured prefill so the number is
+        # generation-only like the other spec metrics
+        per_tok_spec_t04 = max(t_best - t_prefill, 1e-9) / n_em
+        log(f"generate[spec,int8,T=0.4,guardrail]: {t_best:.3f}s for "
+            f"{n_em} tok -> {per_tok_spec_t04*1000:.3f} ms/token")
         _partial["generate_tokens_per_s_spec_sampled"] = round(
             1.0 / per_tok_spec_t04, 1)
     except Exception as e:
@@ -542,7 +600,9 @@ def main():
         # random weights (emission-divergence artifact, PERFORMANCE.md)
         "generate_tokens_per_s_spec_subst": _partial.get(
             "generate_tokens_per_s_spec_subst"),
-        # engine-default sampled mode (pass-cost measurement)
+        # draft-agreement sweep (holes model, 100/85/70/50 % agreement)
+        "spec_sweep_tok_per_s": _partial.get("spec_sweep_tok_per_s"),
+        # engine-default sampled mode incl. the acceptance guardrail
         "generate_tokens_per_s_spec_sampled": _partial.get(
             "generate_tokens_per_s_spec_sampled"),
         f"generate_tokens_per_s_batch{B}": (round(B / per_step_b, 1)
