@@ -1,84 +1,131 @@
-"""Async console display (reference ``fun_asr_gguf/display.py``).
+"""Async console display.
 
-A background printer thread fed by a queue decouples transcription from
-terminal IO. Supports streamed token output, ``[i/N]`` segment prefixes and
-a ``skip_technical`` filter used by the long-audio path.
+Role parity with the reference's background console printer
+(``fun_asr_gguf/display.py``): terminal IO must never stall the decode
+path, streamed token chunks print inline, long-audio segments get an
+``[i/N]`` prefix, and a ``skip_technical`` switch silences per-stage
+chatter.
+
+Design: instead of a message-type queue loop, writes are *closures*
+serialized through a single daemon worker draining a deque under a
+condition variable. The worker owns all stdout state (including the
+"was mid-stream, need a newline" bit), so callers never synchronize on
+anything but the deque append.
 """
 
-import queue
 import sys
 import threading
+from collections import deque
+
+_STOP = object()
+
+
+class _SerialWriter:
+    """Runs queued zero-arg callables in order on one daemon thread."""
+
+    def __init__(self):
+        self._work = deque()
+        self._cv = threading.Condition()
+        self._thread = threading.Thread(target=self._drain, daemon=True,
+                                        name="display-writer")
+        self._thread.start()
+
+    def post(self, fn):
+        with self._cv:
+            self._work.append(fn)
+            self._cv.notify()
+
+    def close(self, timeout: float = 1.0):
+        if not self._thread.is_alive():
+            return
+        self.post(_STOP)
+        self._thread.join(timeout=timeout)
+
+    def _drain(self):
+        while True:
+            with self._cv:
+                while not self._work:
+                    self._cv.wait()
+                fn = self._work.popleft()
+            if fn is _STOP:
+                return
+            try:
+                fn()
+            except Exception:
+                pass            # console IO must never kill the pipeline
 
 
 class DisplayReporter:
-    """Aggregates messages and prints them from a background thread."""
+    """Non-blocking console reporter with streaming-token support.
+
+    ``on_stream(piece)`` / ``on_stream_reset()`` are optional callbacks
+    powering the server's SSE mode; they fire on the *caller's* thread so
+    network consumers see pieces in submission order.
+    """
 
     def __init__(self, verbose: bool = True, on_stream=None,
                  on_stream_reset=None):
         self.verbose = verbose
-        self.on_stream = on_stream      # callback(piece) for token streaming
-        self.on_stream_reset = on_stream_reset   # callback() on retry
-        self.message_queue = queue.Queue()
-        self.stop_event = threading.Event()
-        self.thread = threading.Thread(target=self._run, daemon=True)
-        self.current_segment = (0, 0)   # (idx, total)
+        self.on_stream = on_stream
+        self.on_stream_reset = on_stream_reset
         self.skip_technical = False
-        self.thread.start()
+        self._segment = (0, 0)          # (index, total) for [i/N] prefixes
+        self._writer = _SerialWriter()
+        self._mid_stream = False        # owned by the writer thread
+
+    # -- caller-side API ----------------------------------------------------
 
     def print(self, message: str, force: bool = False):
-        if not self.verbose:
+        if not self.verbose or (self.skip_technical and not force):
             return
-        # Capture the segment prefix at call time so async printing can't lag it.
-        prefix = ""
-        if self.current_segment[1] > 1 and self.current_segment[0] > 0:
-            prefix = f"[{self.current_segment[0]}/{self.current_segment[1]}] "
-        if force or not self.skip_technical:
-            self.message_queue.put(("print", (prefix, message)))
+        idx, total = self._segment     # snapshot now: async print must not
+        prefix = f"[{idx}/{total}] " if total > 1 and idx > 0 else ""
+        self._writer.post(lambda: self._emit_line(prefix + message))
 
     def stream(self, chunk: str):
         if self.on_stream is not None:
             self.on_stream(chunk)
         if self.verbose:
-            self.message_queue.put(("stream", chunk))
+            self._writer.post(lambda: self._emit_chunk(chunk))
 
     def stream_reset(self):
-        """Signal that previously streamed pieces are being discarded
-        (repetition-fuse retry): SSE consumers should clear their buffer.
-        Console output already prints the retry banner."""
+        """Previously streamed pieces are being discarded (repetition-fuse
+        retry): SSE consumers should clear their buffer. The console keeps
+        what it printed — the retry banner marks it."""
         if self.on_stream_reset is not None:
             self.on_stream_reset()
 
     def set_segment(self, current: int, total: int):
-        self.current_segment = (current, total)
+        self._segment = (current, total)
 
-    def _run(self):
-        last_was_stream = False
-        while not (self.stop_event.is_set() and self.message_queue.empty()):
-            try:
-                msg_type, content = self.message_queue.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            if msg_type == "print":
-                if last_was_stream:
-                    sys.stdout.write("\n")
-                    last_was_stream = False
-                prefix, message = content
-                sys.stdout.write(f"{prefix}{message}\n")
-            else:  # stream
-                sys.stdout.write(content)
-                last_was_stream = True
-            sys.stdout.flush()
-            self.message_queue.task_done()
+    @property
+    def current_segment(self):
+        return self._segment
 
     def stop(self):
-        if self.thread.is_alive():
-            self.stop_event.set()
-            self.thread.join(timeout=1.0)
-            sys.stdout.write("\n")
-            sys.stdout.flush()
+        self._writer.post(self._finish_stream_line)
+        self._writer.close()
 
     def __enter__(self):
         return self
 
     def __exit__(self, exc_type, exc_val, exc_tb):
         self.stop()
+
+    # -- writer-thread side ---------------------------------------------------
+
+    def _emit_line(self, text: str):
+        self._finish_stream_line()
+        sys.stdout.write(text + "\n")
+        sys.stdout.flush()
+
+    def _emit_chunk(self, chunk: str):
+        sys.stdout.write(chunk)
+        sys.stdout.flush()
+        self._mid_stream = True
+
+    def _finish_stream_line(self):
+        if self._mid_stream:
+            sys.stdout.write("\n")
+            sys.stdout.flush()
+            self._mid_stream = False
