@@ -271,6 +271,7 @@ class TestBeamSearchEngine:
             reset_hotword_manager()
 
 
+@pytest.mark.slow  # 21s engine init; int8 numerics covered by test_qwen3 TestInt8Weights
 class TestInt8Engine:
     def test_int8_engine_runs_and_close_to_dense(self, checkpoint, tmp_path):
         reset_hotword_manager()

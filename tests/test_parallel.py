@@ -78,6 +78,7 @@ class TestTPDecodeParity:
 
 
 class TestTrainStep:
+    @pytest.mark.slow  # 49s; the driver's dryrun_multichip gate runs this path every round
     def test_full_model_train_step_dp_tp(self):
         cfg = HybridConfig.tiny(ctc_vocab=33, llm_vocab=64)
         mesh = make_mesh(dp=4, tp=2)
@@ -103,6 +104,7 @@ class TestTrainStep:
         assert "tp" in str(qw.sharding.spec) or qw.sharding.spec == P(
             None, None, "tp")
 
+    @pytest.mark.slow  # 34s; structure covered by the dp_tp variant + dryrun gate
     def test_train_step_single_device_matches_structure(self):
         cfg = HybridConfig.tiny(ctc_vocab=17, llm_vocab=32)
         opt = make_optimizer(1e-3)
@@ -198,6 +200,7 @@ class TestStretchConfigs:
 
 
 class TestTrainCheckpoint:
+    @pytest.mark.slow  # 74s; sharded checkpoint IO, exercised by the slow suite
     def test_save_load_roundtrip(self, tmp_path):
         from fun_asr_gguf_tpu.parallel.training import (load_train_state,
                                                         save_train_state)

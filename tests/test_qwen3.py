@@ -210,6 +210,7 @@ class TestGenerate:
             # model didn't degenerate — fuse must not have fired spuriously
             assert len(gen) == 80
 
+    @pytest.mark.slow  # 16s; batched-row isolation also covered by test_batch + spec batch rows
     def test_batched_generation_rows_independent(self):
         rng = np.random.default_rng(9)
         st = self._init_state(rng, p=8, lengths=(8, 5), seed=4)
