@@ -109,9 +109,12 @@ def _dequant_dot(x, q, d, o_ref):
 def _pick_tile(n: int, k: int, tile_n: int) -> int:
     """Tile policy: as large as the VMEM dequant working set allows
     (per-grid-step fixed costs dominate bandwidth-bound decode matvecs);
-    must divide n on a 128-lane boundary. Returns 0 when impossible."""
+    must divide n on a 128-lane boundary. Returns 0 when impossible.
+    ``FUNASR_Q8_TILE`` overrides the automatic choice (tuning knob)."""
     if tile_n == 0:
-        tile_n = 1024 if k <= 2048 else 512
+        import os
+        tile_n = int(os.environ.get("FUNASR_Q8_TILE", 0)) or \
+            (1024 if k <= 2048 else 512)
     tile_n = min(tile_n, n)
     if n % tile_n != 0:
         # largest 128-multiple dividing n (the Qwen3 vocab 151936 =

@@ -254,6 +254,12 @@ class TestConvertEndian:
         w.add_tensor("t_q8", rng.normal(size=(2, 64)).astype(np.float32),
                      ggml_type=GGMLType.Q8_0)
         w.add_tensor_raw("t_q5", bytes(range(44)), (64,), GGMLType.Q5_0)
+        # K-quant superblocks: only the f16 d/dmin words swap (Q4_K at
+        # offsets 0/2, Q6_K at 208)
+        w.add_tensor_raw("t_q4k", bytes(i % 251 for i in range(2 * 144)),
+                         (2, 256), GGMLType.Q4_K)
+        w.add_tensor_raw("t_q6k", bytes(i % 247 for i in range(210)),
+                         (256,), GGMLType.Q6_K)
         w.write()
 
     def test_roundtrip_bit_exact(self, tmp_path):
@@ -288,6 +294,18 @@ class TestConvertEndian:
         le_vals = np.frombuffer(r.tensor_raw("t_f32"), dtype="<f4")
         be_vals = np.frombuffer(raw[start:start + t.nbytes], dtype=">f4")
         assert np.array_equal(le_vals, be_vals)
+        # Q4_K blocks: d (bytes 0-1) and dmin (2-3) swapped, the 12-byte
+        # scale table and nibble payload untouched
+        tk = r.tensor_info("t_q4k")
+        le_blk = np.frombuffer(r.tensor_raw("t_q4k"),
+                               np.uint8).reshape(-1, 144)
+        sk = r.data_start + tk.offset
+        be_blk = np.frombuffer(raw[sk:sk + tk.nbytes],
+                               np.uint8).reshape(-1, 144)
+        assert np.array_equal(be_blk[:, 0], le_blk[:, 1])
+        assert np.array_equal(be_blk[:, 1], le_blk[:, 0])
+        assert np.array_equal(be_blk[:, 2], le_blk[:, 3])
+        assert np.array_equal(be_blk[:, 4:], le_blk[:, 4:])
         # q8_0 blocks: fp16 scale swapped, int8 values untouched
         tq = r.tensor_info("t_q8")
         qstart = r.data_start + tq.offset
