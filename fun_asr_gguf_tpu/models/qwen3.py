@@ -25,7 +25,10 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.quant_matmul import (IndexedQuant, QuantTensor, matmul_any,
+from ..ops.quant_matmul import (BlockQuant, IndexedQuant, QuantTensor,
+                                block_permute, block_quantize_weight,
+                                block_unpermute, matmul_any,
+                                permute_out_channels, q8_mlp_fused,
                                 quantize_weight)
 from .common import rms_norm
 from .config import Qwen3Config
@@ -116,8 +119,10 @@ def apply_rope(x, cos, sin):
 # Transformer block primitives
 # ---------------------------------------------------------------------------
 
-def _proj(x, w):
-    """Dense, int8-per-channel, or q8_0-quantized projection."""
+def _proj(x, w, pre: bool = False):
+    """Dense, int8-per-channel, or q8_0-quantized projection. ``pre``
+    declares x already block-permuted (fused q8 convention; quantized
+    weights only)."""
     if isinstance(w, Int8Weight):
         # convert weights to the ACTIVATION dtype: bf16 in the fast path,
         # f32 when the caller runs float32 compute (don't silently
@@ -125,15 +130,25 @@ def _proj(x, w):
         out = jnp.dot(x, w.w8.astype(x.dtype),
                       preferred_element_type=jnp.float32)
         return (out * w.scale.astype(jnp.float32)).astype(x.dtype)
-    return matmul_any(x, w).astype(x.dtype)
+    return matmul_any(x, w, x_preblocked=pre).astype(x.dtype)
 
 
 _MATMUL_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w",
                 "qkv_w", "gate_up_w")
 
 
-def quantize_qwen3_params(params, keys=None):
-    """Convert the per-layer matmul weights to q8_0 QuantTensors.
+def _q8_mode() -> str:
+    """q8_0 on-device representation: 'xla' (BlockQuant — dense-layout int8
+    + per-block scales, batched-block dot, rides scan xs) or 'pallas'
+    (QuantTensor — kernel layout, scalar-prefetch Pallas dequant-matmul).
+    Same stored numbers either way."""
+    import os
+    return os.environ.get("FUNASR_Q8_MODE", "pallas")
+
+
+def quantize_qwen3_params(params, keys=None, mode=None):
+    """Convert the per-layer matmul weights to q8_0 (QuantTensor or
+    BlockQuant per ``mode``, default ``FUNASR_Q8_MODE``).
 
     The embedding stays dense for gather efficiency (see
     :func:`quantize_lm_head` for the output projection); everything else
@@ -141,12 +156,14 @@ def quantize_qwen3_params(params, keys=None):
     reference's q8_0 GGUF decode path. Handles both the unpacked and the
     :func:`pack_qwen3_params` fused layouts.
     """
+    mode = mode or _q8_mode()
+    quant_fn = block_quantize_weight if mode == "xla" else quantize_weight
     layers = dict(params["layers"])
     for key in (keys or _MATMUL_KEYS):
         w = layers.get(key)               # [L, k_in, n_out]
-        if w is None or isinstance(w, QuantTensor):
+        if w is None or isinstance(w, (QuantTensor, BlockQuant)):
             continue
-        layers[key] = jax.vmap(quantize_weight)(w)
+        layers[key] = jax.vmap(quant_fn)(w)
     out = dict(params)
     out["layers"] = layers
     return out
@@ -173,7 +190,7 @@ def quantize_qwen3_params_int8(params, keys=None, donate: bool = False):
     layers = dict(src)
     for key in (keys or _MATMUL_KEYS):
         w = layers.get(key)
-        if w is None or isinstance(w, (QuantTensor, Int8Weight)):
+        if w is None or isinstance(w, (QuantTensor, BlockQuant, Int8Weight)):
             continue
         if donate:
             src.pop(key, None)        # release the caller's bf16 reference
@@ -216,6 +233,10 @@ def pack_qwen3_params(params):
             return Int8Weight(
                 w8=jnp.concatenate([w.w8 for w in ws], axis=-1),
                 scale=jnp.concatenate([w.scale for w in ws], axis=-1))
+        if isinstance(ws[0], BlockQuant):
+            return BlockQuant(
+                q=jnp.concatenate([w.q for w in ws], axis=-1),
+                d=jnp.concatenate([w.d for w in ws], axis=-1))
         return jnp.concatenate(ws, axis=-1)
 
     layers["qkv_w"] = cat(("q_w", "k_w", "v_w"))
@@ -225,7 +246,7 @@ def pack_qwen3_params(params):
     return out
 
 
-def quantize_lm_head(params, cfg: Qwen3Config):
+def quantize_lm_head(params, cfg: Qwen3Config, mode=None):
     """Quantize the output projection to q8_0 (``lm_head_q``).
 
     The tied-embedding logits matmul reads the full [vocab, hidden] table
@@ -235,6 +256,7 @@ def quantize_lm_head(params, cfg: Qwen3Config):
     """
     if "lm_head_q" in params:
         return params
+    mode = mode or _q8_mode()
     head = _lm_head(params, cfg)                       # [hidden, vocab]
     # pad the vocab dim to a kernel-tile multiple: the Qwen3 vocab
     # (151936 = 128 x 1187) otherwise forces a 128-row kernel tile — 1187
@@ -244,31 +266,62 @@ def quantize_lm_head(params, cfg: Qwen3Config):
     if pad:
         head = jnp.pad(head, ((0, 0), (0, pad)))
     out = dict(params)
-    out["lm_head_q"] = quantize_weight(head.astype(jnp.float32))
+    quant_fn = block_quantize_weight if mode == "xla" else quantize_weight
+    out["lm_head_q"] = quant_fn(head.astype(jnp.float32))
     # untied models: the dense lm_head is never read once the quantized
     # head exists — keeping it would waste hundreds of MB of HBM
     out.pop("lm_head", None)
     return out
 
 
-def _qkv(x, lp, cfg: Qwen3Config, cos, sin):
+def fuse_qwen3_params_q8(params):
+    """Adopt the fused-q8 "perm space" convention (megacall decode).
+
+    Requires packed (:func:`pack_qwen3_params`) q8_0 (QuantTensor) params.
+    Reorders — never recomputes — the stored q8_0 bytes: o/gate_up/down
+    output channels go block-permuted (gate_up per half), and the
+    elementwise norm weights are permuted to match, so the residual stream
+    can live permanently in block-permuted lane order. Graph builders
+    switch on the ``q8_fused`` marker key (static: dict structure).
+    See ops.quant_matmul.q8_mlp_fused for why.
+    """
+    if "q8_fused" in params:
+        return params
+    layers = dict(params["layers"])
+    for key in ("qkv_w", "o_w", "gate_up_w", "down_w"):
+        if not isinstance(layers.get(key), QuantTensor):
+            raise ValueError(
+                f"fuse_qwen3_params_q8 needs packed q8_0 params ({key})")
+    layers["o_w"] = permute_out_channels(layers["o_w"])
+    layers["gate_up_w"] = permute_out_channels(layers["gate_up_w"], halves=2)
+    layers["down_w"] = permute_out_channels(layers["down_w"])
+    layers["input_ln"] = block_permute(layers["input_ln"])
+    layers["post_ln"] = block_permute(layers["post_ln"])
+    out = dict(params)
+    out["layers"] = layers
+    out["final_ln"] = block_permute(params["final_ln"])
+    out["q8_fused"] = jnp.zeros((0,), jnp.int8)      # static marker
+    return out
+
+
+def _qkv(x, lp, cfg: Qwen3Config, cos, sin, pre: bool = False):
     """Project + qk-norm + rope. x [B, T, H] → q [B,T,qh,D], k/v [B,T,kh,D].
 
     Supports both layouts: fused ``qkv_w`` (one matmul, then split) and
-    separate ``q_w``/``k_w``/``v_w``.
+    separate ``q_w``/``k_w``/``v_w``. ``pre``: x arrives block-permuted.
     """
     b, t, _ = x.shape
     qd = cfg.q_heads * cfg.head_dim
     kd = cfg.kv_heads * cfg.head_dim
     if "qkv_w" in lp:
-        qkv = _proj(x, lp["qkv_w"])
+        qkv = _proj(x, lp["qkv_w"], pre)
         q = qkv[..., :qd].reshape(b, t, cfg.q_heads, cfg.head_dim)
         k = qkv[..., qd:qd + kd].reshape(b, t, cfg.kv_heads, cfg.head_dim)
         v = qkv[..., qd + kd:].reshape(b, t, cfg.kv_heads, cfg.head_dim)
     else:
-        q = _proj(x, lp["q_w"]).reshape(b, t, cfg.q_heads, cfg.head_dim)
-        k = _proj(x, lp["k_w"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
-        v = _proj(x, lp["v_w"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+        q = _proj(x, lp["q_w"], pre).reshape(b, t, cfg.q_heads, cfg.head_dim)
+        k = _proj(x, lp["k_w"], pre).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+        v = _proj(x, lp["v_w"], pre).reshape(b, t, cfg.kv_heads, cfg.head_dim)
     q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
     k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
     q = apply_rope(q, cos, sin)
@@ -276,22 +329,47 @@ def _qkv(x, lp, cfg: Qwen3Config, cos, sin):
     return q, k, v
 
 
-def _attn_out(attn_heads, lp, cfg: Qwen3Config):
+def _merge_heads(attn_heads, cfg: Qwen3Config):
     b, t = attn_heads.shape[0], attn_heads.shape[2]
-    merged = attn_heads.transpose(0, 2, 1, 3).reshape(
+    return attn_heads.transpose(0, 2, 1, 3).reshape(
         b, t, cfg.q_heads * cfg.head_dim)
-    return _proj(merged, lp["o_w"])
 
 
-def _mlp(x, lp):
+def _attn_out(attn_heads, lp, cfg: Qwen3Config, pre: bool = False):
+    merged = _merge_heads(attn_heads, cfg)
+    if pre:
+        # fused-q8 convention: o_w contracts block-permuted lanes and its
+        # output channels are pre-permuted, so the result stays in perm
+        # space (matches the residual stream)
+        merged = block_permute(merged)
+    return _proj(merged, lp["o_w"], pre)
+
+
+def _mlp(x, lp, pre: bool = False):
     if "gate_up_w" in lp:
-        gu = _proj(x, lp["gate_up_w"])
+        gu = _proj(x, lp["gate_up_w"], pre)
         f = gu.shape[-1] // 2
         gate, up = gu[..., :f], gu[..., f:]
     else:
-        gate = _proj(x, lp["gate_w"])
-        up = _proj(x, lp["up_w"])
-    return _proj(jax.nn.silu(gate) * up, lp["down_w"])
+        gate = _proj(x, lp["gate_w"], pre)
+        up = _proj(x, lp["up_w"], pre)
+    # pre: gate/up channel orders are half-permuted identically, so the
+    # elementwise pairing is aligned and the product lands in down_w's
+    # expected (permuted) contraction order
+    return _proj(jax.nn.silu(gate) * up, lp["down_w"], pre)
+
+
+def _fused_mlp_call(attn_heads, x, lp, cfg: Qwen3Config, eps):
+    """Megacall path (decode/verify: small token counts): one Pallas call
+    for o_proj + residual + post-norm + gate_up + swiglu + down +
+    residual. x and the result ride in perm space."""
+    b, t, h = x.shape
+    merged = block_permute(_merge_heads(attn_heads, cfg))
+    out = q8_mlp_fused(
+        merged.reshape(b * t, -1).astype(jnp.bfloat16),
+        x.reshape(b * t, h), lp["post_ln"],
+        lp["o_w"], lp["gate_up_w"], lp["down_w"], eps)
+    return out.reshape(b, t, h).astype(x.dtype)
 
 
 def _gqa_scores(q, k, cfg: Qwen3Config):
@@ -330,7 +408,8 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
     """
     b, p, _ = embeds.shape
     kv_max_len = kv_max_len or p
-    x = embeds
+    fused = "q8_fused" in params
+    x = block_permute(embeds) if fused else embeds
     prompt_len = jnp.sum(attn_mask, axis=1).astype(jnp.int32)     # [B]
     shift = p - prompt_len                                        # [B]
     positions = (jnp.arange(p, dtype=jnp.int32)[None, :] - shift[:, None])
@@ -351,12 +430,12 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
         l, lp_dense = xs
         lp = _layer_params(lp_dense, quant, l)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
-        q, k, v = _qkv(h, lp, cfg, cos, sin)
+        q, k, v = _qkv(h, lp, cfg, cos, sin, fused)
         scores = _gqa_scores(q, k, cfg) + bias
         probs = jax.nn.softmax(scores, axis=-1)
-        x = x + _attn_out(_gqa_mix(probs, v, cfg), lp, cfg)
+        x = x + _attn_out(_gqa_mix(probs, v, cfg), lp, cfg, fused)
         h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
-        x = x + _mlp(h, lp)
+        x = x + _mlp(h, lp, fused)
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(
@@ -387,6 +466,9 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
     f32, updated cache).
     """
     b = token_embed.shape[0]
+    fused = "q8_fused" in params
+    if fused:
+        token_embed = block_permute(token_embed)
     x = token_embed[:, None, :]                                   # [B,1,H]
     cos, sin = rope_cos_sin(position[:, None], cfg.head_dim,
                             cfg.rope_theta, x.dtype)
@@ -411,7 +493,7 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         l, lp_dense = inputs
         lp = _layer_params(lp_dense, quant, l)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
-        q, k, v = _qkv(h, lp, cfg, cos, sin)
+        q, k, v = _qkv(h, lp, cfg, cos, sin, fused)
         K = jax.lax.dynamic_update_slice(
             K, k[None].astype(K.dtype), (l, zero, slot, zero, zero))
         V = jax.lax.dynamic_update_slice(
@@ -420,9 +502,13 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         v_cache = jax.lax.dynamic_index_in_dim(V, l, 0, keepdims=False)
         scores = _gqa_scores(q, k_cache, cfg) + bias
         probs = jax.nn.softmax(scores, axis=-1)
-        x = x + _attn_out(_gqa_mix(probs, v_cache, cfg), lp, cfg)
-        h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
-        x = x + _mlp(h, lp)
+        heads = _gqa_mix(probs, v_cache, cfg)
+        if fused:
+            x = _fused_mlp_call(heads, x, lp, cfg, cfg.rms_eps)
+        else:
+            x = x + _attn_out(heads, lp, cfg)
+            h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
+            x = x + _mlp(h, lp)
         return (x, K, V), jnp.int32(0)
 
     if quant and _unroll_decode():
@@ -465,7 +551,8 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
     overwritten by the next write at the same slot.
     """
     b, t, _ = token_embeds.shape
-    x = token_embeds
+    fused = "q8_fused" in params
+    x = block_permute(token_embeds) if fused else token_embeds
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, x.dtype)
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
 
@@ -500,16 +587,20 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
         l, lp_dense = inputs
         lp = _layer_params(lp_dense, quant, l)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
-        q, k, v = _qkv(h, lp, cfg, cos, sin)
+        q, k, v = _qkv(h, lp, cfg, cos, sin, fused)
         K = write_kv(K, k, l)
         V = write_kv(V, v, l)
         k_cache = jax.lax.dynamic_index_in_dim(K, l, 0, keepdims=False)
         v_cache = jax.lax.dynamic_index_in_dim(V, l, 0, keepdims=False)
         scores = _gqa_scores(q, k_cache, cfg) + bias
         probs = jax.nn.softmax(scores, axis=-1)
-        x = x + _attn_out(_gqa_mix(probs, v_cache, cfg), lp, cfg)
-        h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
-        x = x + _mlp(h, lp)
+        heads = _gqa_mix(probs, v_cache, cfg)
+        if fused:
+            x = _fused_mlp_call(heads, x, lp, cfg, cfg.rms_eps)
+        else:
+            x = x + _attn_out(heads, lp, cfg)
+            h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
+            x = x + _mlp(h, lp)
         return (x, K, V), jnp.int32(0)
 
     if quant and _unroll_decode():
@@ -531,7 +622,8 @@ def qwen3_forward_logits(params, embeds, attn_mask, cfg: Qwen3Config):
     """All-position logits (training / parity tests). embeds [B,T,H] →
     logits [B,T,vocab] f32 with causal+padding masking."""
     b, p, _ = embeds.shape
-    x = embeds
+    fused = "q8_fused" in params
+    x = block_permute(embeds) if fused else embeds
     prompt_len = jnp.sum(attn_mask, axis=1).astype(jnp.int32)
     shift = p - prompt_len
     positions = jnp.maximum(
@@ -549,12 +641,12 @@ def qwen3_forward_logits(params, embeds, attn_mask, cfg: Qwen3Config):
         l, lp_dense = xs
         lp = _layer_params(lp_dense, quant, l)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
-        q, k, v = _qkv(h, lp, cfg, cos, sin)
+        q, k, v = _qkv(h, lp, cfg, cos, sin, fused)
         scores = _gqa_scores(q, k, cfg) + bias
         probs = jax.nn.softmax(scores, axis=-1)
-        x = x + _attn_out(_gqa_mix(probs, v, cfg), lp, cfg)
+        x = x + _attn_out(_gqa_mix(probs, v, cfg), lp, cfg, fused)
         h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
-        x = x + _mlp(h, lp)
+        x = x + _mlp(h, lp, fused)
         return x, None
 
     x, _ = jax.lax.scan(
@@ -592,14 +684,22 @@ def quantize_lm_head_per_channel(params, cfg: Qwen3Config):
 
 
 def _logits(params, x, cfg: Qwen3Config):
-    """x [..., hidden] → logits [..., vocab] f32 (quantized head if built)."""
+    """x [..., hidden] → logits [..., vocab] f32 (quantized head if built).
+    In fused-q8 mode x arrives in perm space; the q8 head contracts it
+    directly, other heads get it unpermuted first."""
+    fused = "q8_fused" in params
     if "lm_head_i8" in params:
+        if fused:
+            x = block_unpermute(x)
         w, s = params["lm_head_i8"]
         out = jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
         return out * s
     if "lm_head_q" in params:
-        return matmul_any(x, params["lm_head_q"])[..., :cfg.vocab_size]
+        return matmul_any(x, params["lm_head_q"],
+                          x_preblocked=fused)[..., :cfg.vocab_size]
+    if fused:
+        x = block_unpermute(x)
     return jnp.dot(x, _lm_head(params, cfg),
                    preferred_element_type=jnp.float32)
 

@@ -128,12 +128,52 @@ def _q8_matmul_kernel(x_ref, q_ref, d_ref, o_ref):
     _dequant_dot(x_ref[:], q_ref[:], d_ref[:], o_ref)
 
 
+def _ksplit(k: int) -> int:
+    """Number of k-chunks for the streaming (2-D grid) kernel variant.
+
+    Splitting the contraction dim gives every call a multi-step grid so
+    the next chunk's DMA overlaps the current chunk's dequant+dot — the
+    1-2-step grids of the small decode matmuls (o_proj, down_proj) have
+    no such overlap and stall on the initial weight DMA. The chunk count
+    must divide 32 so each chunk covers whole block-transpose periods
+    (chunk lanes then map onto ``d`` tiled ``reps`` times, same trick as
+    the full-k kernel). 0/1 disables (the round-1 single-step layout)."""
+    import os
+    s = int(os.environ.get("FUNASR_Q8_KSPLIT", 0))
+    return s if s > 1 and 32 % s == 0 else 1
+
+
+def _dequant_dot_acc(x, q, d, o_ref, c):
+    """k-chunk variant of :func:`_dequant_dot`: q is a [TN, tile_k] chunk
+    of the block-transposed weight (tile_k = reps * k/32 whole periods),
+    d the full [TN, k/32] scale row; accumulate into o_ref across c."""
+    reps = q.shape[-1] // d.shape[-1]
+    dexp = jnp.concatenate([d.astype(jnp.bfloat16)] * reps, axis=1)
+    deq = q.astype(jnp.bfloat16) * dexp
+    acc = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), deq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(c == 0)
+    def _init():
+        o_ref[:] = acc
+
+    @pl.when(c != 0)
+    def _acc():
+        o_ref[:] += acc
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("tile_n", "use_pallas", "interpret"))
+                   static_argnames=("tile_n", "use_pallas", "interpret",
+                                    "x_preblocked"))
 def quant_matmul(x: jnp.ndarray, qt: QuantTensor, tile_n: int = 0,
-                 use_pallas: bool = True, interpret: bool = False
-                 ) -> jnp.ndarray:
+                 use_pallas: bool = True, interpret: bool = False,
+                 x_preblocked: bool = False) -> jnp.ndarray:
     """x [m, k] × QuantTensor([n, k]) → [m, n] f32.
+
+    ``x_preblocked=True`` declares that ``x`` is already in block-permuted
+    lane order (the fused-decode "perm space" convention) and skips the
+    internal :func:`block_permute`.
 
     ``tile_n=0`` picks the tile automatically: as large as VMEM allows
     (the int8 tile plus its bf16 dequant working set must fit alongside
@@ -147,15 +187,39 @@ def quant_matmul(x: jnp.ndarray, qt: QuantTensor, tile_n: int = 0,
     tile_n = _pick_tile(n, k, tile_n) if use_pallas else 0
     if tile_n == 0:
         # non-pallas request, or no lane-aligned tiling — dequantize-then-dot
+        if x_preblocked:
+            x = block_unpermute(x)
         deq = dequantize_weight(qt)                  # [k, n]
         return jnp.dot(x.astype(jnp.bfloat16), deq.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
 
-    grid = (n // tile_n,)
-    xp = block_permute(x)    # match the weights' block-transposed k order
+    # match the weights' block-transposed k order
+    xp = x if x_preblocked else block_permute(x)
+    ks = _ksplit(k)
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k,
+        bytes_accessed=m * k * 2 + n * k + n * (k // BLOCK) * 4 + m * n * 4,
+        transcendentals=0)
+    if ks > 1:
+        tile_k = k // ks
+        return pl.pallas_call(
+            _q8_matmul_kernel_2d,
+            grid=(n // tile_n, ks),
+            in_specs=[
+                pl.BlockSpec((m, tile_k), lambda i, c: (0, c)),
+                pl.BlockSpec((tile_n, tile_k), lambda i, c: (i, c)),
+                pl.BlockSpec((tile_n, k // BLOCK), lambda i, c: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((m, tile_n), lambda i, c: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(xp, qt.q, qt.d)
     return pl.pallas_call(
         _q8_matmul_kernel,
-        grid=grid,
+        grid=(n // tile_n,),
         in_specs=[
             pl.BlockSpec((m, k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -167,13 +231,17 @@ def quant_matmul(x: jnp.ndarray, qt: QuantTensor, tile_n: int = 0,
         out_specs=pl.BlockSpec((m, tile_n), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m * n * k,
-            bytes_accessed=m * k * 2 + n * k + n * (k // BLOCK) * 4
-                           + m * n * 4,
-            transcendentals=0),
+        cost_estimate=cost,
         interpret=interpret,
     )(xp, qt.q, qt.d)
+
+
+def _q8_matmul_kernel_2d(x_ref, q_ref, d_ref, o_ref):
+    _dequant_dot_acc(x_ref[:], q_ref[:], d_ref[:], o_ref, pl.program_id(1))
+
+
+def _q8_matmul_idx_kernel_2d(l_ref, x_ref, q_ref, d_ref, o_ref):
+    _dequant_dot_acc(x_ref[:], q_ref[0], d_ref[0], o_ref, pl.program_id(1))
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +269,8 @@ def _q8_matmul_idx_kernel(l_ref, x_ref, q_ref, d_ref, o_ref):
 
 def quant_matmul_indexed(x: jnp.ndarray, qt: QuantTensor, layer_idx,
                          tile_n: int = 0, use_pallas: bool = True,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         x_preblocked: bool = False) -> jnp.ndarray:
     """x [m, k] × stacked QuantTensor([L, n, k])[layer_idx] → [m, n] f32.
 
     ``layer_idx`` may be a traced scalar (scalar-prefetch kernel) or a
@@ -210,25 +279,27 @@ def quant_matmul_indexed(x: jnp.ndarray, qt: QuantTensor, layer_idx,
     """
     if isinstance(layer_idx, int):
         return _quant_matmul_static_idx(x, qt, layer_idx, tile_n,
-                                        use_pallas, interpret)
+                                        use_pallas, interpret, x_preblocked)
     return _quant_matmul_dyn_idx(x, qt, layer_idx, tile_n, use_pallas,
-                                 interpret)
+                                 interpret, x_preblocked)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("layer_idx", "tile_n", "use_pallas",
-                                    "interpret"))
+                                    "interpret", "x_preblocked"))
 def _quant_matmul_static_idx(x, qt, layer_idx: int, tile_n, use_pallas,
-                             interpret):
+                             interpret, x_preblocked: bool = False):
     m, k = x.shape
     _, n, _ = qt.q.shape
     tile_n = _pick_tile(n, k, tile_n) if use_pallas else 0
     if tile_n == 0:
+        if x_preblocked:
+            x = block_unpermute(x)
         sl = QuantTensor(q=qt.q[layer_idx], d=qt.d[layer_idx])
         deq = dequantize_weight(sl)
         return jnp.dot(x.astype(jnp.bfloat16), deq.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-    xp = block_permute(x)
+    xp = x if x_preblocked else block_permute(x)
     li = layer_idx
     return pl.pallas_call(
         _q8_matmul_idx_kernel_nos,
@@ -255,14 +326,18 @@ def _q8_matmul_idx_kernel_nos(x_ref, q_ref, d_ref, o_ref):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile_n", "use_pallas", "interpret"))
+                   static_argnames=("tile_n", "use_pallas", "interpret",
+                                    "x_preblocked"))
 def _quant_matmul_dyn_idx(x: jnp.ndarray, qt: QuantTensor, layer_idx,
                           tile_n: int = 0, use_pallas: bool = True,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False,
+                          x_preblocked: bool = False) -> jnp.ndarray:
     m, k = x.shape
     _, n, _ = qt.q.shape
     tile_n = _pick_tile(n, k, tile_n) if use_pallas else 0
     if tile_n == 0:
+        if x_preblocked:
+            x = block_unpermute(x)
         sl = QuantTensor(q=jax.lax.dynamic_index_in_dim(qt.q, layer_idx, 0,
                                                         keepdims=False),
                          d=jax.lax.dynamic_index_in_dim(qt.d, layer_idx, 0,
@@ -271,7 +346,35 @@ def _quant_matmul_dyn_idx(x: jnp.ndarray, qt: QuantTensor, layer_idx,
         return jnp.dot(x.astype(jnp.bfloat16), deq.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
 
-    xp = block_permute(x)
+    xp = x if x_preblocked else block_permute(x)
+    ks = _ksplit(k)
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k,
+        bytes_accessed=m * k * 2 + n * k + n * (k // BLOCK) * 4 + m * n * 4,
+        transcendentals=0)
+    if ks > 1:
+        tile_k = k // ks
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // tile_n, ks),
+            in_specs=[
+                pl.BlockSpec((m, tile_k), lambda i, c, l: (0, c)),
+                pl.BlockSpec((1, tile_n, tile_k),
+                             lambda i, c, l: (l[0], i, c)),
+                pl.BlockSpec((1, tile_n, k // BLOCK),
+                             lambda i, c, l: (l[0], i, 0)),
+            ],
+            out_specs=pl.BlockSpec((m, tile_n), lambda i, c, l: (0, i)),
+        )
+        return pl.pallas_call(
+            _q8_matmul_idx_kernel_2d,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(jnp.asarray(layer_idx, jnp.int32).reshape(1), xp, qt.q, qt.d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // tile_n,),
@@ -286,13 +389,285 @@ def _quant_matmul_dyn_idx(x: jnp.ndarray, qt: QuantTensor, layer_idx,
         _q8_matmul_idx_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m * n * k,
-            bytes_accessed=m * k * 2 + n * k + n * (k // BLOCK) * 4
-                           + m * n * 4,
-            transcendentals=0),
+        cost_estimate=cost,
         interpret=interpret,
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), xp, qt.q, qt.d)
+
+
+# ---------------------------------------------------------------------------
+# XLA-native block-quant path: q8_0 data in the dense weight's own layout
+# ---------------------------------------------------------------------------
+
+class BlockQuant(NamedTuple):
+    """q8_0 weights in XLA-fusable form (same numbers as QuantTensor).
+
+    ``q [..., k, n] int8`` — the dense weight's exact layout; ``d
+    [..., k//32, n] f32`` — ggml's per-(32-k-block, out-channel) scale.
+    Unlike the Pallas ``QuantTensor`` path these ride ``lax.scan`` xs as
+    plain arrays and the matmul is pure XLA (a k-block-batched dot + a
+    scale contraction), so the scheduler overlaps weight streaming with
+    attention compute exactly as it does for ``Int8Weight`` — no
+    custom-call boundary, no scan-slice copies (docs/PERFORMANCE.md "Why
+    XLA beats the custom Pallas path").
+    """
+    q: jnp.ndarray
+    d: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+
+def block_quantize_weight(w: jnp.ndarray) -> BlockQuant:
+    """w [k_in, n_out] → BlockQuant; same ggml q8_0 numbers as
+    :func:`quantize_weight` (unrounded-f32-scale, ties-away rounding,
+    f16-rounded stored scale), different on-device layout."""
+    wf = w.astype(jnp.float32)
+    k = wf.shape[-2]
+    if k % BLOCK != 0:
+        raise ValueError(f"contraction dim {k} not divisible by {BLOCK}")
+    blocks = wf.reshape(*wf.shape[:-2], k // BLOCK, BLOCK, wf.shape[-1])
+    absmax = jnp.max(jnp.abs(blocks), axis=-2)            # [..., k/32, n]
+    d = absmax / 127.0
+    inv = jnp.where(d == 0, 0.0, 1.0 / d)
+    scaled = blocks * inv[..., None, :]
+    q = (jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
+         ).astype(jnp.int8)
+    return BlockQuant(q=q.reshape(wf.shape),
+                      d=d.astype(jnp.float16).astype(jnp.float32))
+
+
+def blockquant_from_qt(qt: QuantTensor) -> BlockQuant:
+    """Kernel-layout QuantTensor([n, k]) → BlockQuant([k, n]) (one-time
+    load-side shuffle; exact same stored numbers)."""
+    qn = block_unpermute(qt.q)                            # [..., n, k]
+    return BlockQuant(q=jnp.swapaxes(qn, -1, -2),
+                      d=jnp.swapaxes(qt.d, -1, -2))
+
+
+def blockquant_dequantize(bq: BlockQuant) -> jnp.ndarray:
+    """BlockQuant → dense [k_in, n_out] f32."""
+    k, n = bq.q.shape[-2], bq.q.shape[-1]
+    blocks = bq.q.astype(jnp.float32).reshape(
+        *bq.q.shape[:-2], k // BLOCK, BLOCK, n)
+    return (blocks * bq.d[..., None, :]).reshape(*bq.q.shape[:-2], k, n)
+
+
+def blockquant_matmul(x: jnp.ndarray, bq: BlockQuant) -> jnp.ndarray:
+    """x [m, k] × BlockQuant([k, n]) → [m, n] f32, pure XLA.
+
+    Split the contraction at ggml's 32-block boundary: within a block the
+    scale is constant per output channel, so
+    ``out[m,n] = Σ_b d[b,n] · (x[m, b·32:b·32+32] @ q[b·32:b·32+32, n])``
+    — a k/32-batched (m,32)×(32,n) int8 dot (weights read once, converted
+    to bf16 in XLA's fused operand read) followed by an f32 contraction
+    with the scales. The [b, m, n] partial-sum intermediate is tiny next
+    to the weight bytes (m is 1..spec_k+1 in decode).
+    """
+    m, k = x.shape
+    n = bq.q.shape[-1]
+    xb = jnp.swapaxes(x.reshape(m, k // BLOCK, BLOCK), 0, 1)  # [b, m, 32]
+    qb = bq.q.reshape(k // BLOCK, BLOCK, n)                   # [b, 32, n]
+    s = jax.lax.dot_general(
+        xb.astype(jnp.bfloat16), qb.astype(jnp.bfloat16),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                   # [b, m, n]
+    return jnp.einsum("bmn,bn->mn", s, bq.d)
+
+
+# ---------------------------------------------------------------------------
+# Fused residual-MLP megacall (o_proj + residual + rmsnorm + gate_up +
+# swiglu + down + residual in ONE Pallas call)
+# ---------------------------------------------------------------------------
+#
+# Decode throughput on the quantized path is limited by per-Pallas-call
+# fixed costs (semaphore setup, DMA ramp): 4 calls/layer x 28 layers ≈
+# 112 calls/token. This megacall collapses the 3 post-attention matmuls
+# (o, gate_up, down) plus their elementwise glue into one call → 2
+# calls/layer.
+#
+# In-kernel chaining requires each matmul's OUTPUT to be in the next
+# matmul's expected (block-transposed) activation order. Mosaic cannot do
+# the interleaving [m, k] -> [m, k/32, 32] relayout in-kernel, so instead
+# the weights' OUTPUT channels are pre-permuted at load time
+# (:func:`permute_out_channels`): the residual stream then lives
+# permanently in block-permuted order ("perm space") and no runtime
+# permutes are needed anywhere in the chain. Permutation is a bit-exact
+# relabeling: rmsnorm is permutation-invariant (its elementwise weight is
+# stored permuted too), and q8_0 rows are independent, so quantized bytes
+# are merely reordered, never recomputed.
+
+
+def nperm_axis(a: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """:func:`block_permute` applied along an arbitrary axis."""
+    a = jnp.moveaxis(a, axis, -1)
+    return jnp.moveaxis(block_permute(a), -1, axis)
+
+
+def permute_out_channels(qt: QuantTensor, halves: int = 1) -> QuantTensor:
+    """Reorder a QuantTensor's output channels (the n axis) into
+    block-transposed order, so ``quant_matmul`` emits results directly in
+    the permuted activation basis of a following quantized contraction.
+    ``halves=2`` permutes each half independently (fused gate_up: the
+    silu(gate)*up elementwise pairing must stay aligned)."""
+    def perm(arr):
+        if halves > 1:
+            parts = jnp.split(arr, halves, axis=-2)
+            return jnp.concatenate([nperm_axis(p, -2) for p in parts],
+                                   axis=-2)
+        return nperm_axis(arr, -2)
+    return QuantTensor(q=perm(qt.q), d=perm(qt.d))
+
+
+def _deq_dot_rows(x, q, d, lo: int, hi: int):
+    """dot(x, dequant(q[lo:hi]).T) for a static row range — bounds the
+    VMEM footprint of the dequantized tile (q rows are output channels)."""
+    qs = q[lo:hi]
+    ds = d[lo:hi]
+    dexp = jnp.concatenate([ds.astype(jnp.bfloat16)] * BLOCK, axis=1)
+    deq = qs.astype(jnp.bfloat16) * dexp
+    return jax.lax.dot_general(
+        x, deq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _q8_mlp_fused_body(xm, res, pw, oq, od, gq, gd, dq, dd, o_ref, eps):
+    h_dim = oq.shape[0]
+    ffn = gq.shape[0] // 2
+    attn = _deq_dot_rows(xm, oq, od, 0, h_dim)            # [m, h] f32
+    h = attn + res.astype(jnp.float32)
+    var = jnp.mean(h * h, axis=-1, keepdims=True)
+    nh = (h * jax.lax.rsqrt(var + eps)
+          ) * pw[0].astype(jnp.float32)                   # perm space
+    nhb = nh.astype(jnp.bfloat16)
+    g = _deq_dot_rows(nhb, gq, gd, 0, ffn)                # [m, ffn]
+    u = _deq_dot_rows(nhb, gq, gd, ffn, 2 * ffn)
+    act = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
+    out = _deq_dot_rows(act, dq, dd, 0, h_dim)
+    o_ref[:] = out + h
+
+
+def _q8_mlp_fused_kernel(xm_ref, res_ref, pw_ref, oq_ref, od_ref,
+                         gq_ref, gd_ref, dq_ref, dd_ref, o_ref, *, eps):
+    _q8_mlp_fused_body(xm_ref[:], res_ref[:], pw_ref[:], oq_ref[0],
+                       od_ref[0], gq_ref[0], gd_ref[0], dq_ref[0],
+                       dd_ref[0], o_ref, eps)
+
+
+def _q8_mlp_fused_kernel_dyn(l_ref, xm_ref, res_ref, pw_ref, oq_ref,
+                             od_ref, gq_ref, gd_ref, dq_ref, dd_ref,
+                             o_ref, *, eps):
+    _q8_mlp_fused_body(xm_ref[:], res_ref[:], pw_ref[:], oq_ref[0],
+                       od_ref[0], gq_ref[0], gd_ref[0], dq_ref[0],
+                       dd_ref[0], o_ref, eps)
+
+
+def _q8_mlp_fused_ref(xm, res, pw, oq, oi, gq, gi, dq, di, eps):
+    """jnp reference for the megacall (CPU tests / non-TPU): same perm-space
+    convention — inputs arrive permuted, weight rows are channel-permuted."""
+    def mm(xp, qt, idx):
+        sl = QuantTensor(
+            q=jax.lax.dynamic_index_in_dim(qt.q, idx, 0, keepdims=False),
+            d=jax.lax.dynamic_index_in_dim(qt.d, idx, 0, keepdims=False))
+        deq = dequantize_weight(sl).astype(jnp.bfloat16)  # [k(nat), n]
+        return jnp.dot(block_unpermute(xp).astype(jnp.bfloat16), deq,
+                       preferred_element_type=jnp.float32)
+    attn = mm(xm, oq, oi)
+    h = attn + res.astype(jnp.float32)
+    var = jnp.mean(h * h, axis=-1, keepdims=True)
+    nh = (h * jax.lax.rsqrt(var + eps)) * pw.astype(jnp.float32)
+    gu = mm(nh.astype(jnp.bfloat16), gq, gi)
+    ffn = gu.shape[-1] // 2
+    act = (jax.nn.silu(gu[:, :ffn]) * gu[:, ffn:]).astype(jnp.bfloat16)
+    return mm(act, dq, di) + h
+
+
+def q8_mlp_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
+                 post_w: jnp.ndarray, o_w, gu_w, down_w, eps: float,
+                 use_pallas: bool = None,
+                 interpret: bool = False) -> jnp.ndarray:
+    """One transformer layer's post-attention half in a single Pallas call.
+
+    ``merged_perm [m, q_heads*head_dim]``: attention output, block-permuted;
+    ``resid [m, hidden]``: the layer-input residual in perm space;
+    ``post_w [hidden]``: the post-attention rmsnorm weight, permuted.
+    ``o_w/gu_w/down_w``: QuantTensor or IndexedQuant whose output channels
+    were pre-permuted by :func:`permute_out_channels`. Returns the new
+    residual [m, hidden] f32, in perm space.
+    """
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+
+    def norm_w(w):
+        if isinstance(w, IndexedQuant):
+            return w.qt, w.idx
+        return QuantTensor(q=w.q[None], d=w.d[None]), 0
+
+    (oq, oi), (gq, gi), (dq, di) = norm_w(o_w), norm_w(gu_w), norm_w(down_w)
+    m, qd = merged_perm.shape
+    h = oq.q.shape[1]
+    f2 = gq.q.shape[1]
+    ffn = dq.q.shape[2]
+    if not use_pallas:
+        return _q8_mlp_fused_ref(merged_perm, resid, post_w, oq, oi,
+                                 gq, gi, dq, di, eps)
+
+    xm = merged_perm.astype(jnp.bfloat16)
+    pw = post_w.reshape(1, h)
+    cost = pl.CostEstimate(
+        flops=2 * m * (h * qd + f2 * h + h * ffn),
+        bytes_accessed=(h * qd + f2 * h + h * ffn)          # int8 weights
+        + (h * qd // BLOCK + f2 * h // BLOCK + h * ffn // BLOCK) * 4
+        + m * (qd + h) * 2 + m * h * 4,
+        transcendentals=m * ffn)
+    kern = functools.partial(_q8_mlp_fused_kernel, eps=eps)
+    kern_dyn = functools.partial(_q8_mlp_fused_kernel_dyn, eps=eps)
+    if isinstance(oi, int):
+        _o, _g, _d = oi, gi, di
+        return pl.pallas_call(
+            kern,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((m, qd), lambda i: (0, 0)),
+                pl.BlockSpec((m, h), lambda i: (0, 0)),
+                pl.BlockSpec((1, h), lambda i: (0, 0)),
+                pl.BlockSpec((1, h, qd), lambda i, _l=_o: (_l, 0, 0)),
+                pl.BlockSpec((1, h, qd // BLOCK), lambda i, _l=_o: (_l, 0, 0)),
+                pl.BlockSpec((1, f2, h), lambda i, _l=_g: (_l, 0, 0)),
+                pl.BlockSpec((1, f2, h // BLOCK), lambda i, _l=_g: (_l, 0, 0)),
+                pl.BlockSpec((1, h, ffn), lambda i, _l=_d: (_l, 0, 0)),
+                pl.BlockSpec((1, h, ffn // BLOCK), lambda i, _l=_d: (_l, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((m, h), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((m, h), jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(xm, resid, pw, oq.q, oq.d, gq.q, gq.d, dq.q, dq.d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((m, qd), lambda i, l: (0, 0)),
+            pl.BlockSpec((m, h), lambda i, l: (0, 0)),
+            pl.BlockSpec((1, h), lambda i, l: (0, 0)),
+            pl.BlockSpec((1, h, qd), lambda i, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, h, qd // BLOCK), lambda i, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, f2, h), lambda i, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, f2, h // BLOCK), lambda i, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, h, ffn), lambda i, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, h, ffn // BLOCK), lambda i, l: (l[0], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((m, h), lambda i, l: (0, 0)),
+    )
+    return pl.pallas_call(
+        kern_dyn,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, h), jnp.float32),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(jnp.asarray(oi, jnp.int32).reshape(1), xm, resid, pw,
+      oq.q, oq.d, gq.q, gq.d, dq.q, dq.d)
 
 
 import functools as _functools
@@ -307,12 +682,19 @@ def _on_tpu() -> bool:
 
 
 def matmul_any(x: jnp.ndarray,
-               w: Union[jnp.ndarray, QuantTensor, IndexedQuant],
-               use_pallas: bool = None) -> jnp.ndarray:
+               w: Union[jnp.ndarray, QuantTensor, IndexedQuant, "BlockQuant"],
+               use_pallas: bool = None,
+               x_preblocked: bool = False) -> jnp.ndarray:
     """Dispatch: dense ``x @ w``, quantized kernel, or layer-indexed
     quantized kernel. Keeps callers (qwen3 _proj) agnostic of the weight
     storage format. Supports leading batch dims on x by flattening. The
-    Pallas path engages only on TPU backends unless forced."""
+    Pallas path engages only on TPU backends unless forced.
+    ``x_preblocked`` declares x already block-permuted (quantized paths
+    only)."""
+    if isinstance(w, BlockQuant):
+        lead = x.shape[:-1]
+        out = blockquant_matmul(x.reshape(-1, x.shape[-1]), w)
+        return out.reshape(*lead, out.shape[-1])
     if isinstance(w, (QuantTensor, IndexedQuant)):
         if use_pallas is None:
             use_pallas = _on_tpu()
@@ -320,8 +702,10 @@ def matmul_any(x: jnp.ndarray,
         x2 = x.reshape(-1, x.shape[-1])
         if isinstance(w, IndexedQuant):
             out = quant_matmul_indexed(x2, w.qt, w.idx,
-                                       use_pallas=use_pallas)
+                                       use_pallas=use_pallas,
+                                       x_preblocked=x_preblocked)
         else:
-            out = quant_matmul(x2, w, use_pallas=use_pallas)
+            out = quant_matmul(x2, w, use_pallas=use_pallas,
+                               x_preblocked=x_preblocked)
         return out.reshape(*lead, out.shape[-1])
     return jnp.dot(x, w, preferred_element_type=jnp.float32)

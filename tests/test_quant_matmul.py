@@ -85,6 +85,94 @@ class TestQuantMatmul:
         assert rel < 0.05
 
 
+class TestBlockQuant:
+    """XLA-native q8_0 representation (BlockQuant) — same stored numbers
+    as the Pallas QuantTensor, dense [k, n] layout.
+
+    Measured on v5e: 240 tok/s end-to-end (the k/32-batched 32-deep dots
+    lower poorly on the MXU) vs 427 for the Pallas kernel — kept as a
+    correct, documented-negative experiment behind FUNASR_Q8_MODE=xla."""
+
+    def test_same_numbers_as_quant_tensor(self):
+        from fun_asr_gguf_tpu.ops.quant_matmul import (
+            block_quantize_weight, blockquant_dequantize, blockquant_from_qt)
+        rng = np.random.default_rng(7)
+        w = jnp.asarray(rng.normal(size=(256, 192)), jnp.float32)
+        qt = quantize_weight(w)
+        bq = block_quantize_weight(w)
+        bq2 = blockquant_from_qt(qt)
+        np.testing.assert_array_equal(np.asarray(bq.q), np.asarray(bq2.q))
+        np.testing.assert_array_equal(np.asarray(bq.d), np.asarray(bq2.d))
+        np.testing.assert_array_equal(
+            np.asarray(blockquant_dequantize(bq)),
+            np.asarray(dequantize_weight(qt)))
+
+    def test_matmul_and_dispatch(self):
+        from fun_asr_gguf_tpu.ops.quant_matmul import (
+            block_quantize_weight, blockquant_matmul)
+        rng = np.random.default_rng(8)
+        w = jnp.asarray(rng.normal(size=(256, 128)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(3, 256)), jnp.float32)
+        bq = block_quantize_weight(w)
+        ref = quant_matmul(x, quantize_weight(w), use_pallas=False)
+        out = blockquant_matmul(x, bq)
+        rel = np.abs(np.asarray(out - ref)).max() / np.abs(np.asarray(ref)).max()
+        assert rel < 0.05
+        # matmul_any dispatch with leading batch dims
+        out_b = matmul_any(x[None], bq)
+        assert out_b.shape == (1, 3, 128)
+        np.testing.assert_allclose(np.asarray(out_b[0]), np.asarray(out),
+                                   rtol=1e-6)
+
+    def test_quantize_qwen3_params_xla_mode(self):
+        from fun_asr_gguf_tpu.ops.quant_matmul import BlockQuant
+        cfg = Qwen3Config.tiny(vocab_size=64)
+        params = init_qwen3_params(jax.random.PRNGKey(2), cfg)
+        qp = quantize_qwen3_params(params, mode="xla")
+        assert isinstance(qp["layers"]["q_w"], BlockQuant)
+        rng = np.random.default_rng(9)
+        e = jnp.asarray(rng.normal(size=(1, 5, cfg.hidden)), jnp.float32) * 0.1
+        m = jnp.ones((1, 5), jnp.float32)
+        l_ref, _ = qwen3_prefill(quantize_qwen3_params(params), e, m, cfg)
+        l_bq, _ = qwen3_prefill(qp, e, m, cfg)
+        np.testing.assert_array_equal(np.asarray(l_ref).argmax(-1),
+                                      np.asarray(l_bq).argmax(-1))
+
+
+class TestKSplitKernel:
+    """2-D (n, k)-grid streaming variant (FUNASR_Q8_KSPLIT).
+
+    Measured on v5e: strictly worse than the 1-step-per-tile kernel
+    (KS4 319, KS8 249 vs 427 tok/s — per-grid-step fixed costs dominate
+    the bandwidth-bound decode matvec). Kept as a tuning knob with the
+    interpret-mode parity pinned here."""
+
+    def test_ksplit_interpret_matches_jnp(self, monkeypatch):
+        monkeypatch.setenv("FUNASR_Q8_KSPLIT", "4")
+        rng = np.random.default_rng(10)
+        x = jnp.asarray(rng.normal(size=(2, 256)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(256, 512)), jnp.float32)
+        qt = quantize_weight(w)
+        ref = quant_matmul(x, qt, use_pallas=False)
+        out = quant_matmul(x, qt, tile_n=256, use_pallas=True,
+                           interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=6e-2, atol=0.5)
+
+    def test_ksplit_indexed_interpret(self, monkeypatch):
+        from fun_asr_gguf_tpu.ops.quant_matmul import quant_matmul_indexed
+        monkeypatch.setenv("FUNASR_Q8_KSPLIT", "8")
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(1, 256)), jnp.float32)
+        ws = jnp.asarray(rng.normal(size=(3, 256, 512)), jnp.float32)
+        qts = jax.vmap(quantize_weight)(ws)
+        ref = quant_matmul_indexed(x, qts, jnp.int32(1), use_pallas=False)
+        out = quant_matmul_indexed(x, qts, jnp.int32(1), tile_n=256,
+                                   use_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=6e-2, atol=0.5)
+
+
 class TestQuantizedQwen3:
     def test_prefill_parity_dense_vs_quant(self):
         cfg = Qwen3Config.tiny(vocab_size=64)
