@@ -244,11 +244,13 @@ def main():
         per_tok_int8 = float("inf")
 
     log("quantizing decoder weights to q8_0 (incl. lm_head)...")
-    qparams = pack_qwen3_params(
-        quantize_lm_head(quantize_qwen3_params(llm_params), cfg.llm))
+    from fun_asr_gguf_tpu.models.qwen3 import fuse_qwen3_params_q8
+    qparams = fuse_qwen3_params_q8(pack_qwen3_params(
+        quantize_lm_head(quantize_qwen3_params(llm_params), cfg.llm)))
     jax.block_until_ready(qparams["layers"]["qkv_w"].q)
     try:
         per_tok_q8 = measure_generation(qparams, "generate[q8_0]")
+        _partial["generate_tokens_per_s_q8_0"] = round(1.0 / per_tok_q8, 1)
     except Exception as e:  # pallas path may be unavailable
         log("q8_0 generation failed:", e)
         per_tok_q8 = float("inf")

@@ -21,6 +21,25 @@ import os
 __version__ = "0.1.0"
 
 
+def _ensure_tpu_compile_env():
+    """Raise the TPU compiler's scoped-VMEM budget for the fused q8_0
+    megacall kernels (ops/quant_matmul.py): one layer's full weight set
+    (~21 MB int8 + scales) must be resident in a single Pallas grid step,
+    above the 16 MB default limit. v5e has 128 MB of physical VMEM.
+
+    Set via LIBTPU_INIT_ARGS (parsed only by libtpu) rather than
+    XLA_FLAGS, which a CPU-only jaxlib would reject as an unknown flag.
+    Must run before the TPU backend initializes — importing this package
+    before triggering any JAX compilation is sufficient."""
+    flag = "--xla_tpu_scoped_vmem_limit_kib=65536"
+    args = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "xla_tpu_scoped_vmem_limit_kib" not in args:
+        os.environ["LIBTPU_INIT_ARGS"] = (args + " " + flag).strip()
+
+
+_ensure_tpu_compile_env()
+
+
 def setup_logging(level: int = logging.WARNING,
                   log_file: str = os.path.join("logs", "latest.log")):
     """Configure the package root logger (file handler at DEBUG)."""

@@ -115,8 +115,8 @@ class ModelManager:
             # Weight-format resolution (measured on v5e, Qwen3-0.6B):
             #   int8  per-channel, XLA-native  852 tok/s  ~0.74 GB  <- auto
             #   bf16  dense                     567 tok/s  ~1.35 GB
-            #   q8_0  per-block Pallas (GGUF-exact bytes) ~350-450 tok/s,
-            #         ~0.98 GB
+            #   q8_0  per-block Pallas megacall (GGUF-exact bytes)
+            #         ~575 tok/s (fused+unroll), ~0.98 GB
             # The reference's own decode runs 8-bit weights (q8_0 GGUF), so
             # 8-bit "auto" matches its numerics class; float32 compute mode
             # stays fully dense/exact for debugging.

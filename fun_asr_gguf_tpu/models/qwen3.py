@@ -29,7 +29,7 @@ from ..ops.quant_matmul import (BlockQuant, IndexedQuant, QuantTensor,
                                 block_permute, block_quantize_weight,
                                 block_unpermute, matmul_any,
                                 permute_out_channels, q8_mlp_fused,
-                                quantize_weight)
+                                q8_mlp_qkv_fused, quantize_weight)
 from .common import rms_norm
 from .config import Qwen3Config
 
@@ -68,15 +68,21 @@ def _layer_params(dense_slice, quant, l):
     return lp
 
 
-def _unroll_decode() -> bool:
+def _unroll_decode(default: bool = False) -> bool:
     """Unroll the quantized decode over layers (static kernel indices).
 
-    Experimental: copy-free, scalar-free weight streaming at the cost of
-    compile time. Measured on v5e it still trails the scan path (XLA's
-    async scheduler hides the scan-slice copies behind attention compute
-    better than exposed kernel DMA ramps), so default off."""
+    Copy-free, scalar-free weight streaming at the cost of compile time.
+    For the plain 4-call-per-layer path it trails the scan (XLA's async
+    scheduler hides scan-slice copies behind attention compute), so that
+    path defaults off. The fused megacall-v2 pipeline requires static
+    layer pairing and measured fastest unrolled (507 → 575 tok/s on
+    v5e), so fused callers pass ``default=True``. ``FUNASR_UNROLL_DECODE``
+    overrides either way."""
     import os
-    return os.environ.get("FUNASR_UNROLL_DECODE", "0") != "0"
+    v = os.environ.get("FUNASR_UNROLL_DECODE")
+    if v is None:
+        return default
+    return v != "0"
 
 
 class KVCache(NamedTuple):
@@ -304,6 +310,20 @@ def fuse_qwen3_params_q8(params):
     return out
 
 
+def _qkv_post(qkv, lp, cfg: Qwen3Config, cos, sin):
+    """Split a raw packed qkv projection [B, T, n_qkv] into heads and apply
+    qk-RMSNorm + rope."""
+    b, t, _ = qkv.shape
+    qd = cfg.q_heads * cfg.head_dim
+    kd = cfg.kv_heads * cfg.head_dim
+    q = qkv[..., :qd].reshape(b, t, cfg.q_heads, cfg.head_dim)
+    k = qkv[..., qd:qd + kd].reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    v = qkv[..., qd + kd:].reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+    k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+    return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
+
+
 def _qkv(x, lp, cfg: Qwen3Config, cos, sin, pre: bool = False):
     """Project + qk-norm + rope. x [B, T, H] → q [B,T,qh,D], k/v [B,T,kh,D].
 
@@ -311,22 +331,14 @@ def _qkv(x, lp, cfg: Qwen3Config, cos, sin, pre: bool = False):
     separate ``q_w``/``k_w``/``v_w``. ``pre``: x arrives block-permuted.
     """
     b, t, _ = x.shape
-    qd = cfg.q_heads * cfg.head_dim
-    kd = cfg.kv_heads * cfg.head_dim
     if "qkv_w" in lp:
-        qkv = _proj(x, lp["qkv_w"], pre)
-        q = qkv[..., :qd].reshape(b, t, cfg.q_heads, cfg.head_dim)
-        k = qkv[..., qd:qd + kd].reshape(b, t, cfg.kv_heads, cfg.head_dim)
-        v = qkv[..., qd + kd:].reshape(b, t, cfg.kv_heads, cfg.head_dim)
-    else:
-        q = _proj(x, lp["q_w"], pre).reshape(b, t, cfg.q_heads, cfg.head_dim)
-        k = _proj(x, lp["k_w"], pre).reshape(b, t, cfg.kv_heads, cfg.head_dim)
-        v = _proj(x, lp["v_w"], pre).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+        return _qkv_post(_proj(x, lp["qkv_w"], pre), lp, cfg, cos, sin)
+    q = _proj(x, lp["q_w"], pre).reshape(b, t, cfg.q_heads, cfg.head_dim)
+    k = _proj(x, lp["k_w"], pre).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    v = _proj(x, lp["v_w"], pre).reshape(b, t, cfg.kv_heads, cfg.head_dim)
     q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
     k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
-    return q, k, v
+    return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 
 def _merge_heads(attn_heads, cfg: Qwen3Config):
@@ -370,6 +382,21 @@ def _fused_mlp_call(attn_heads, x, lp, cfg: Qwen3Config, eps):
         x.reshape(b * t, h), lp["post_ln"],
         lp["o_w"], lp["gate_up_w"], lp["down_w"], eps)
     return out.reshape(b, t, h).astype(x.dtype)
+
+
+def _fused_mlp_qkv_call(attn_heads, x, lp, lp_next, cfg: Qwen3Config, eps):
+    """Megacall v2: the v1 chain plus the NEXT layer's input_ln + qkv
+    projection in the same Pallas call — one call per layer instead of
+    two (the per-call fixed cost is the q8_0 decode bottleneck). Returns
+    (new residual [B,T,H] perm space, raw qkv [B,T,n_qkv])."""
+    b, t, h = x.shape
+    merged = block_permute(_merge_heads(attn_heads, cfg))
+    out, qkv = q8_mlp_qkv_fused(
+        merged.reshape(b * t, -1).astype(jnp.bfloat16),
+        x.reshape(b * t, h), lp["post_ln"], lp_next["input_ln"],
+        lp["o_w"], lp["gate_up_w"], lp["down_w"], lp_next["qkv_w"], eps)
+    return (out.reshape(b, t, h).astype(x.dtype),
+            qkv.reshape(b, t, -1).astype(x.dtype))
 
 
 def _gqa_scores(q, k, cfg: Qwen3Config):
@@ -488,12 +515,7 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
     # more HBM traffic than the weights themselves — measured 4.0 vs
     # 1.9 ms/step on v5e. As carry, each layer writes only its one new
     # [B,1,kh,D] entry in place and reads its slice for attention.
-    def layer(carry, inputs):
-        x, K, V = carry
-        l, lp_dense = inputs
-        lp = _layer_params(lp_dense, quant, l)
-        h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
-        q, k, v = _qkv(h, lp, cfg, cos, sin, fused)
+    def attn_core(q, k, v, K, V, l):
         K = jax.lax.dynamic_update_slice(
             K, k[None].astype(K.dtype), (l, zero, slot, zero, zero))
         V = jax.lax.dynamic_update_slice(
@@ -502,7 +524,15 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         v_cache = jax.lax.dynamic_index_in_dim(V, l, 0, keepdims=False)
         scores = _gqa_scores(q, k_cache, cfg) + bias
         probs = jax.nn.softmax(scores, axis=-1)
-        heads = _gqa_mix(probs, v_cache, cfg)
+        return _gqa_mix(probs, v_cache, cfg), K, V
+
+    def layer(carry, inputs):
+        x, K, V = carry
+        l, lp_dense = inputs
+        lp = _layer_params(lp_dense, quant, l)
+        h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
+        q, k, v = _qkv(h, lp, cfg, cos, sin, fused)
+        heads, K, V = attn_core(q, k, v, K, V, l)
         if fused:
             x = _fused_mlp_call(heads, x, lp, cfg, cfg.rms_eps)
         else:
@@ -511,7 +541,24 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
             x = x + _mlp(h, lp)
         return (x, K, V), jnp.int32(0)
 
-    if quant and _unroll_decode():
+    if quant and fused and _unroll_decode(default=True):
+        # megacall v2 pipeline: layer l's Pallas call also emits layer
+        # l+1's qkv projection, so each layer costs ONE kernel launch.
+        lps = [_layer_params({key: w[l] for key, w in dense.items()},
+                             quant, l) for l in range(cfg.n_layers)]
+        h0 = rms_norm(x, lps[0]["input_ln"], cfg.rms_eps)
+        qkv_raw = _proj(h0, lps[0]["qkv_w"], True)
+        K, V = kv.k, kv.v
+        for l in range(cfg.n_layers):
+            q, k, v = _qkv_post(qkv_raw, lps[l], cfg, cos, sin)
+            heads, K, V = attn_core(q, k, v, K, V, l)
+            if l + 1 < cfg.n_layers:
+                x, qkv_raw = _fused_mlp_qkv_call(
+                    heads, x, lps[l], lps[l + 1], cfg, cfg.rms_eps)
+            else:
+                x = _fused_mlp_call(heads, x, lps[l], cfg, cfg.rms_eps)
+        ks, vs = K, V
+    elif quant and _unroll_decode():
         # static layer indices: each kernel's index_map bakes in its layer,
         # so weights stream copy-free with no scalar-prefetch plumbing.
         carry = (x, kv.k, kv.v)
@@ -582,19 +629,22 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
 
     # stacked KV as scan CARRY (see qwen3_decode_step: the ys path
     # re-writes the whole cache every pass)
-    def layer(carry, inputs):
-        x, K, V = carry
-        l, lp_dense = inputs
-        lp = _layer_params(lp_dense, quant, l)
-        h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
-        q, k, v = _qkv(h, lp, cfg, cos, sin, fused)
+    def attn_core(q, k, v, K, V, l):
         K = write_kv(K, k, l)
         V = write_kv(V, v, l)
         k_cache = jax.lax.dynamic_index_in_dim(K, l, 0, keepdims=False)
         v_cache = jax.lax.dynamic_index_in_dim(V, l, 0, keepdims=False)
         scores = _gqa_scores(q, k_cache, cfg) + bias
         probs = jax.nn.softmax(scores, axis=-1)
-        heads = _gqa_mix(probs, v_cache, cfg)
+        return _gqa_mix(probs, v_cache, cfg), K, V
+
+    def layer(carry, inputs):
+        x, K, V = carry
+        l, lp_dense = inputs
+        lp = _layer_params(lp_dense, quant, l)
+        h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
+        q, k, v = _qkv(h, lp, cfg, cos, sin, fused)
+        heads, K, V = attn_core(q, k, v, K, V, l)
         if fused:
             x = _fused_mlp_call(heads, x, lp, cfg, cfg.rms_eps)
         else:
@@ -603,7 +653,23 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
             x = x + _mlp(h, lp)
         return (x, K, V), jnp.int32(0)
 
-    if quant and _unroll_decode():
+    if quant and fused and _unroll_decode(default=True):
+        # megacall v2 (see qwen3_decode_step): one Pallas call per layer
+        lps = [_layer_params({key: w[l] for key, w in dense.items()},
+                             quant, l) for l in range(cfg.n_layers)]
+        h0 = rms_norm(x, lps[0]["input_ln"], cfg.rms_eps)
+        qkv_raw = _proj(h0, lps[0]["qkv_w"], True)
+        K, V = kv.k, kv.v
+        for l in range(cfg.n_layers):
+            q, k, v = _qkv_post(qkv_raw, lps[l], cfg, cos, sin)
+            heads, K, V = attn_core(q, k, v, K, V, l)
+            if l + 1 < cfg.n_layers:
+                x, qkv_raw = _fused_mlp_qkv_call(
+                    heads, x, lps[l], lps[l + 1], cfg, cfg.rms_eps)
+            else:
+                x = _fused_mlp_call(heads, x, lps[l], cfg, cfg.rms_eps)
+        ks, vs = K, V
+    elif quant and _unroll_decode():
         carry = (x, kv.k, kv.v)
         for l in range(cfg.n_layers):
             dense_l = {key: w[l] for key, w in dense.items()}

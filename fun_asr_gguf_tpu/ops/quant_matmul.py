@@ -670,6 +670,375 @@ def q8_mlp_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
       oq.q, oq.d, gq.q, gq.d, dq.q, dq.d)
 
 
+# ---------------------------------------------------------------------------
+# Megacall v2: + next layer's input_ln and qkv projection
+# ---------------------------------------------------------------------------
+#
+# With the v1 megacall the decode step still issues 2 Pallas calls per
+# layer (qkv, then the fused MLP chain); measured per-call fixed costs of
+# ~8-15 us dominate the q8_0 gap to int8 (see docs/PERFORMANCE.md). The
+# only op between a layer's MLP output and the NEXT layer's qkv
+# projection is an rmsnorm, so this variant appends next-input_ln +
+# qkv-matmul to the same kernel: 1 Pallas call per layer. The qkv output
+# leaves in natural channel order (rope/attention stay in XLA).
+
+
+def _q8_mlp_qkv_fused_body(xm, res, pw, nw, oq, od, gq, gd, dq, dd,
+                           qq, qd_, o_ref, qkv_ref, eps):
+    h_dim = oq.shape[0]
+    ffn = gq.shape[0] // 2
+    attn = _deq_dot_rows(xm, oq, od, 0, h_dim)            # [m, h] f32
+    h = attn + res.astype(jnp.float32)
+    var = jnp.mean(h * h, axis=-1, keepdims=True)
+    nh = (h * jax.lax.rsqrt(var + eps)
+          ) * pw[0].astype(jnp.float32)                   # perm space
+    nhb = nh.astype(jnp.bfloat16)
+    g = _deq_dot_rows(nhb, gq, gd, 0, ffn)                # [m, ffn]
+    u = _deq_dot_rows(nhb, gq, gd, ffn, 2 * ffn)
+    act = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
+    out = _deq_dot_rows(act, dq, dd, 0, h_dim) + h
+    o_ref[:] = out
+    var2 = jnp.mean(out * out, axis=-1, keepdims=True)
+    nh2 = (out * jax.lax.rsqrt(var2 + eps)
+           ) * nw[0].astype(jnp.float32)
+    qkv_ref[:] = _deq_dot_rows(nh2.astype(jnp.bfloat16), qq, qd_,
+                               0, qq.shape[0])
+
+
+def _q8_mlp_qkv_fused_kernel(xm_ref, res_ref, pw_ref, nw_ref, oq_ref,
+                             od_ref, gq_ref, gd_ref, dq_ref, dd_ref,
+                             qq_ref, qd_ref, o_ref, qkv_ref, *, eps):
+    _q8_mlp_qkv_fused_body(
+        xm_ref[:], res_ref[:], pw_ref[:], nw_ref[:], oq_ref[0], od_ref[0],
+        gq_ref[0], gd_ref[0], dq_ref[0], dd_ref[0], qq_ref[0], qd_ref[0],
+        o_ref, qkv_ref, eps)
+
+
+def _q8_mlp_qkv_fused_kernel_dyn(l_ref, xm_ref, res_ref, pw_ref, nw_ref,
+                                 oq_ref, od_ref, gq_ref, gd_ref, dq_ref,
+                                 dd_ref, qq_ref, qd_ref, o_ref, qkv_ref,
+                                 *, eps):
+    _q8_mlp_qkv_fused_body(
+        xm_ref[:], res_ref[:], pw_ref[:], nw_ref[:], oq_ref[0], od_ref[0],
+        gq_ref[0], gd_ref[0], dq_ref[0], dd_ref[0], qq_ref[0], qd_ref[0],
+        o_ref, qkv_ref, eps)
+
+
+def _q8_mlp_qkv_fused_ref(xm, res, pw, nw, oq, oi, gq, gi, dq, di,
+                          qq, qi, eps):
+    """jnp reference (CPU tests / non-TPU): the v1 reference chain plus
+    next-input_ln + qkv. nw arrives permuted (perm-space elementwise);
+    the qkv weight contracts perm-space activations natively."""
+    out = _q8_mlp_fused_ref(xm, res, pw, oq, oi, gq, gi, dq, di, eps)
+    var2 = jnp.mean(out * out, axis=-1, keepdims=True)
+    nh2 = (out * jax.lax.rsqrt(var2 + eps)) * nw.astype(jnp.float32)
+    sl = QuantTensor(
+        q=jax.lax.dynamic_index_in_dim(qq.q, qi, 0, keepdims=False),
+        d=jax.lax.dynamic_index_in_dim(qq.d, qi, 0, keepdims=False))
+    deq = dequantize_weight(sl).astype(jnp.bfloat16)      # [k(nat), n_qkv]
+    qkv = jnp.dot(block_unpermute(nh2).astype(jnp.bfloat16), deq,
+                  preferred_element_type=jnp.float32)
+    return out, qkv
+
+
+def q8_mlp_qkv_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
+                     post_w: jnp.ndarray, next_in_w: jnp.ndarray,
+                     o_w, gu_w, down_w, next_qkv_w, eps: float,
+                     use_pallas: bool = None, interpret: bool = False):
+    """One layer's post-attention half PLUS the next layer's input_ln +
+    qkv projection, in a single Pallas call.
+
+    Same contract as :func:`q8_mlp_fused` with two additions:
+    ``next_in_w [hidden]`` — the NEXT layer's input rmsnorm weight,
+    permuted; ``next_qkv_w`` — QuantTensor/IndexedQuant for the next
+    layer's packed qkv projection (natural output channels). Returns
+    ``(new_resid [m, hidden] f32 perm-space, qkv [m, n_qkv] f32)``.
+    """
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+
+    def norm_w(w):
+        if isinstance(w, IndexedQuant):
+            return w.qt, w.idx
+        return QuantTensor(q=w.q[None], d=w.d[None]), 0
+
+    (oq, oi), (gq, gi), (dq, di) = norm_w(o_w), norm_w(gu_w), norm_w(down_w)
+    qq, qi = norm_w(next_qkv_w)
+    m, qd = merged_perm.shape
+    h = oq.q.shape[1]
+    f2 = gq.q.shape[1]
+    ffn = dq.q.shape[2]
+    nq = qq.q.shape[1]
+    if not use_pallas:
+        return _q8_mlp_qkv_fused_ref(merged_perm, resid, post_w, next_in_w,
+                                     oq, oi, gq, gi, dq, di,
+                                     QuantTensor(q=qq.q, d=qq.d), qi, eps)
+
+    xm = merged_perm.astype(jnp.bfloat16)
+    pw = post_w.reshape(1, h)
+    nw = next_in_w.reshape(1, h)
+    cost = pl.CostEstimate(
+        flops=2 * m * (h * qd + f2 * h + h * ffn + nq * h),
+        bytes_accessed=(h * qd + f2 * h + h * ffn + nq * h)  # int8 weights
+        + ((h * qd + f2 * h + h * ffn + nq * h) // BLOCK) * 4
+        + m * (qd + 2 * h + nq) * 2 + m * h * 4,
+        transcendentals=m * ffn)
+    out_shape = (jax.ShapeDtypeStruct((m, h), jnp.float32),
+                 jax.ShapeDtypeStruct((m, nq), jnp.float32))
+    kern = functools.partial(_q8_mlp_qkv_fused_kernel, eps=eps)
+    kern_dyn = functools.partial(_q8_mlp_qkv_fused_kernel_dyn, eps=eps)
+    if isinstance(oi, int):
+        _o, _g, _d, _q = oi, gi, di, qi
+        return pl.pallas_call(
+            kern,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((m, qd), lambda i: (0, 0)),
+                pl.BlockSpec((m, h), lambda i: (0, 0)),
+                pl.BlockSpec((1, h), lambda i: (0, 0)),
+                pl.BlockSpec((1, h), lambda i: (0, 0)),
+                pl.BlockSpec((1, h, qd), lambda i, _l=_o: (_l, 0, 0)),
+                pl.BlockSpec((1, h, qd // BLOCK), lambda i, _l=_o: (_l, 0, 0)),
+                pl.BlockSpec((1, f2, h), lambda i, _l=_g: (_l, 0, 0)),
+                pl.BlockSpec((1, f2, h // BLOCK), lambda i, _l=_g: (_l, 0, 0)),
+                pl.BlockSpec((1, h, ffn), lambda i, _l=_d: (_l, 0, 0)),
+                pl.BlockSpec((1, h, ffn // BLOCK), lambda i, _l=_d: (_l, 0, 0)),
+                pl.BlockSpec((1, nq, h), lambda i, _l=_q: (_l, 0, 0)),
+                pl.BlockSpec((1, nq, h // BLOCK), lambda i, _l=_q: (_l, 0, 0)),
+            ],
+            out_specs=[pl.BlockSpec((m, h), lambda i: (0, 0)),
+                       pl.BlockSpec((m, nq), lambda i: (0, 0))],
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(xm, resid, pw, nw, oq.q, oq.d, gq.q, gq.d, dq.q, dq.d,
+          qq.q, qq.d)
+
+    # dynamic layer index: scalar-prefetch [2] = (this layer, next layer)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((m, qd), lambda i, l: (0, 0)),
+            pl.BlockSpec((m, h), lambda i, l: (0, 0)),
+            pl.BlockSpec((1, h), lambda i, l: (0, 0)),
+            pl.BlockSpec((1, h), lambda i, l: (0, 0)),
+            pl.BlockSpec((1, h, qd), lambda i, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, h, qd // BLOCK), lambda i, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, f2, h), lambda i, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, f2, h // BLOCK), lambda i, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, h, ffn), lambda i, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, h, ffn // BLOCK), lambda i, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, nq, h), lambda i, l: (l[1], 0, 0)),
+            pl.BlockSpec((1, nq, h // BLOCK), lambda i, l: (l[1], 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((m, h), lambda i, l: (0, 0)),
+                   pl.BlockSpec((m, nq), lambda i, l: (0, 0))],
+    )
+    lidx = jnp.stack([jnp.asarray(oi, jnp.int32),
+                      jnp.asarray(qi, jnp.int32)])
+    return pl.pallas_call(
+        kern_dyn,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(lidx, xm, resid, pw, nw, oq.q, oq.d, gq.q, gq.d, dq.q, dq.d,
+      qq.q, qq.d)
+
+
+# ---------------------------------------------------------------------------
+# int8-dot path ("q8i"): integer MXU matmuls with scales on block partials
+# ---------------------------------------------------------------------------
+#
+# The dequant-in-register kernels above are VPU-bound: every weight element
+# pays an int8→bf16 convert plus a scale multiply on the vector unit
+# (~31 M element-ops per layer per token — the measured dominant non-DMA
+# cost; see docs/PERFORMANCE.md "megacall ladder"). This path removes the
+# per-element work entirely, the same way llama.cpp's own q8_0 GEMM does
+# (ggml vec_dot_q8_0_q8_0: quantize activations to q8_0, integer dot per
+# 32-block, multiply the two block scales into the partial sum):
+#
+#   1. activations are quantized to q8_0 per 32-block (scale xs[b]);
+#   2. the int8 activation column is expanded into a block-diagonal
+#      matrix X [k, nb*m], so ONE s8×s8 MXU dot against the raw weight
+#      bytes yields ALL per-block partial sums Z [n, nb*m] exactly;
+#   3. Z × (weight block scale d[n,b], lane-tiled) on the VPU — n*nb
+#      elements instead of n*k (32× less);
+#   4. a second small f32 MXU dot against Gx [nb*m, m] (the activation
+#      scales arranged to also perform the per-block segment sum) gives
+#      the output column [n, m].
+#
+# Weights here store k in NATURAL order (`QuantTensorN`) — the
+# block-transposed trick exists only to make per-lane scale expansion
+# concat-shaped, and this path never expands scales over k. Activations
+# flow COLUMN-major ([k, m]) so chained matmuls need no transposes.
+
+def _round_away(x):
+    """roundf semantics (ties away from zero) — matches ggml quantization
+    (quantize_weight above uses the same)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+class QuantTensorN(NamedTuple):
+    """q8_0 weight with the contraction dim in natural order, for the
+    int8-dot kernels. Same stored numbers as :class:`QuantTensor`."""
+    q: jnp.ndarray   # int8  [..., n, k]
+    d: jnp.ndarray   # f32   [..., n, k // 32]
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+
+def to_natural(qt: QuantTensor) -> QuantTensorN:
+    """Undo the k-block-transpose: QuantTensor → QuantTensorN (relabeling
+    only; q8_0 bytes/scales unchanged)."""
+    return QuantTensorN(q=block_unpermute(qt.q), d=qt.d)
+
+
+def dequantize_weight_n(qtn: QuantTensorN) -> jnp.ndarray:
+    """QuantTensorN → dense [k_in, n_out] f32 (XLA; for prefill-sized
+    matmuls where per-element dequant amortizes over many rows)."""
+    n, k = qtn.q.shape[-2], qtn.q.shape[-1]
+    deq = (qtn.q.astype(jnp.float32)
+           .reshape(*qtn.q.shape[:-1], k // BLOCK, BLOCK)
+           * qtn.d[..., None]).reshape(*qtn.q.shape[:-2], n, k)
+    return jnp.swapaxes(deq, -1, -2)
+
+
+def quantize_act_q8(x: jnp.ndarray):
+    """Quantize activations to q8_0 rows (ggml quantize_row_q8_0):
+    x [m, k] → (xq [m, k] int8, xs [m, k//32] f32)."""
+    m, k = x.shape
+    xf = x.astype(jnp.float32).reshape(m, k // BLOCK, BLOCK)
+    amax = jnp.max(jnp.abs(xf), axis=-1)                  # [m, nb]
+    d = amax / 127.0
+    inv = jnp.where(d == 0, 0.0, 1.0 / d)
+    q = _round_away(xf * inv[..., None]).astype(jnp.int8)
+    return q.reshape(m, k), d
+
+
+def _build_x_diag(xq_col, nb: int):
+    """xq_col [k, m] s8 → block-diagonal X [k, nb*m] s8, columns mi-major
+    (c = mi*nb + b): X[j, mi*nb + b] = xq_col[j, mi] iff j//32 == b."""
+    k, m = xq_col.shape
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (k, nb), 0) // BLOCK ==
+            jax.lax.broadcasted_iota(jnp.int32, (k, nb), 1))
+    zero = jnp.zeros((k, nb), jnp.int8)
+    pieces = [jnp.where(mask,
+                        jnp.broadcast_to(xq_col[:, mi:mi + 1], (k, nb)),
+                        zero)
+              for mi in range(m)]
+    return pieces[0] if m == 1 else jnp.concatenate(pieces, axis=1)
+
+
+def _build_gx(xs_col, m: int):
+    """xs_col [nb, m] f32 → Gx [nb*m, m] f32 with Gx[mi*nb+b, j] =
+    xs[b, j]·1[j==mi]: one f32 dot against Gx applies the activation
+    scales AND the per-block segment sum."""
+    if m == 1:
+        return xs_col
+    nb = xs_col.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nb, m), 1)
+    pieces = [jnp.where(lane == mi, xs_col, 0.0) for mi in range(m)]
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _q8dot_tile(qrows, drows, X, gx, m: int):
+    """One weight tile through the partial-sum dots.
+    qrows [tn, k] s8, drows [tn, nb] f32, X [k, nb*m] s8,
+    gx [nb*m, m] f32 → [tn, m] f32."""
+    z = jax.lax.dot_general(qrows, X, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    dexp = drows if m == 1 else jnp.concatenate([drows] * m, axis=1)
+    zd = z.astype(jnp.float32) * dexp
+    return jax.lax.dot_general(zd, gx, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _q8dot_kernel(xq_ref, xs_ref, q_ref, d_ref, o_ref, *, m, nb):
+    o_ref[:] = _q8dot_tile(q_ref[0], d_ref[0],
+                           _build_x_diag(xq_ref[:], nb),
+                           _build_gx(xs_ref[:], m), m)
+
+
+def _q8dot_ref(x, qtn: QuantTensorN, idx):
+    """jnp reference (CPU tests / non-TPU): same math, block partials in
+    f32. x [m, k] → [m, n] f32."""
+    q = jax.lax.dynamic_index_in_dim(qtn.q, idx, 0, keepdims=False) \
+        if qtn.q.ndim == 3 else qtn.q
+    d = jax.lax.dynamic_index_in_dim(qtn.d, idx, 0, keepdims=False) \
+        if qtn.d.ndim == 3 else qtn.d
+    m, k = x.shape
+    n = q.shape[0]
+    nb = k // BLOCK
+    xq, xs = quantize_act_q8(x)
+    z = jnp.einsum("mbt,nbt->mnb",
+                   xq.reshape(m, nb, BLOCK).astype(jnp.float32),
+                   q.reshape(n, nb, BLOCK).astype(jnp.float32))
+    return jnp.einsum("mnb,nb,mb->mn", z, d, xs)
+
+
+def q8dot_matmul(x: jnp.ndarray, w, tile_n: int = 0,
+                 use_pallas: bool = None,
+                 interpret: bool = False) -> jnp.ndarray:
+    """x [m, k] × q8_0 weight (natural-k) → [m, n] f32 via int8 MXU dots.
+
+    ``w``: QuantTensorN or IndexedQuant(QuantTensorN, static idx).
+    Activations are quantized to q8_0 per 32-block first — the identical
+    compute contract to llama.cpp's q8_0×q8_0 vec_dot (the reference's
+    entire decode path). Intended for decode-sized m (≤ ~16): the
+    block-diagonal expansion scales MXU work by nb, which is free only
+    while the MXU is idle waiting on weight DMA.
+    """
+    if isinstance(w, IndexedQuant):
+        qtn, idx = w.qt, w.idx
+    else:
+        qtn, idx = w, 0
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if not use_pallas:
+        return _q8dot_ref(x, qtn, idx)
+    if not isinstance(idx, int):
+        raise NotImplementedError("q8dot_matmul: dynamic layer index "
+                                  "unsupported (use the unrolled decode)")
+
+    stacked = qtn.q.ndim == 3
+    qs = qtn.q if stacked else qtn.q[None]
+    ds = qtn.d if stacked else qtn.d[None]
+    n, k = qs.shape[1], qs.shape[2]
+    m = x.shape[0]
+    nb = k // BLOCK
+    tn = _pick_tile(n, k, tile_n)
+    if tn == 0:
+        return _q8dot_ref(x, qtn, idx)
+
+    xq, xs = quantize_act_q8(x)
+    xq_col, xs_col = xq.T, xs.T                      # [k, m], [nb, m]
+    kern = functools.partial(_q8dot_kernel, m=m, nb=nb)
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k * 1,                     # useful MACs
+        bytes_accessed=n * k + n * nb * 4 + k * m + n * m * 4,
+        transcendentals=0)
+    _l = idx
+    out_col = pl.pallas_call(
+        kern,
+        grid=(n // tn,),
+        in_specs=[
+            pl.BlockSpec((k, m), lambda i: (0, 0)),
+            pl.BlockSpec((nb, m), lambda i: (0, 0)),
+            pl.BlockSpec((1, tn, k), lambda i, _l=_l: (_l, i, 0)),
+            pl.BlockSpec((1, tn, nb), lambda i, _l=_l: (_l, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tn, m), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(xq_col, xs_col, qs, ds)
+    return out_col.T
+
+
 import functools as _functools
 
 

@@ -1,0 +1,204 @@
+"""Fused residual-MLP megacall kernels (v1: q8_mlp_fused, v2: + next-layer
+qkv) — permutation algebra, Pallas interpret parity, and the fused decode
+wiring in qwen3_decode_step / qwen3_verify_step.
+
+The reference's q8_0 decode runs every layer matmul through llama.cpp's
+fused kernels (``bin/ggml-*.dll``); these tests pin our TPU megacall
+equivalents against an independently computed dense chain.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fun_asr_gguf_tpu.ops.quant_matmul import (
+    QuantTensor, IndexedQuant, block_permute, block_unpermute,
+    dequantize_weight, permute_out_channels, q8_mlp_fused,
+    q8_mlp_qkv_fused, quantize_weight)
+
+M, QD, H, FFN, NQ = 3, 128, 64, 96, 160
+EPS = 1e-6
+
+
+def _mk(seed):
+    rng = np.random.default_rng(seed)
+
+    def w(k, n):
+        return jnp.asarray(rng.normal(size=(k, n)).astype(np.float32) * 0.05)
+
+    return {
+        "merged": jnp.asarray(
+            rng.normal(size=(M, QD)).astype(np.float32) * 0.3),
+        "resid": jnp.asarray(
+            rng.normal(size=(M, H)).astype(np.float32) * 0.3),
+        "post_w": jnp.asarray(1.0 + rng.normal(size=(H,)) * 0.1
+                              ).astype(jnp.float32),
+        "in_w": jnp.asarray(1.0 + rng.normal(size=(H,)) * 0.1
+                            ).astype(jnp.float32),
+        "o": w(QD, H), "gu": w(H, 2 * FFN), "dn": w(FFN, H),
+        "qkv": w(H, NQ),
+    }
+
+
+def _dense_chain(t):
+    """Independent f32 reference in NATURAL space, quantized weights."""
+    def deq(w):
+        return dequantize_weight(quantize_weight(w))
+    attn = t["merged"] @ deq(t["o"])
+    h1 = attn + t["resid"]
+    nh = (h1 * jax.lax.rsqrt(
+        jnp.mean(h1 * h1, axis=-1, keepdims=True) + EPS)) * t["post_w"]
+    gu = nh @ deq(t["gu"])
+    act = jax.nn.silu(gu[:, :FFN]) * gu[:, FFN:]
+    out = act @ deq(t["dn"]) + h1
+    nh2 = (out * jax.lax.rsqrt(
+        jnp.mean(out * out, axis=-1, keepdims=True) + EPS)) * t["in_w"]
+    qkv = nh2 @ deq(t["qkv"])
+    return out, qkv
+
+
+def _fused_weights(t):
+    o_q = permute_out_channels(quantize_weight(t["o"]))
+    gu_q = permute_out_channels(quantize_weight(t["gu"]), halves=2)
+    dn_q = permute_out_channels(quantize_weight(t["dn"]))
+    qkv_q = quantize_weight(t["qkv"])
+    return o_q, gu_q, dn_q, qkv_q
+
+
+def _close(a, b, tol=3e-2):
+    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    scale = np.abs(b).max() + 1e-6
+    assert np.abs(a - b).max() / scale < tol, \
+        f"maxdiff {np.abs(a - b).max()} vs scale {scale}"
+
+
+class TestMegacallV1:
+    def test_ref_matches_dense_chain(self):
+        t = _mk(0)
+        o_q, gu_q, dn_q, _ = _fused_weights(t)
+        out = q8_mlp_fused(
+            block_permute(t["merged"]), block_permute(t["resid"]),
+            block_permute(t["post_w"]), o_q, gu_q, dn_q, EPS,
+            use_pallas=False)
+        exp, _ = _dense_chain(t)
+        _close(block_unpermute(out), exp)
+
+    def test_interpret_matches_ref(self):
+        t = _mk(1)
+        o_q, gu_q, dn_q, _ = _fused_weights(t)
+        args = (block_permute(t["merged"]), block_permute(t["resid"]),
+                block_permute(t["post_w"]), o_q, gu_q, dn_q, EPS)
+        ref = q8_mlp_fused(*args, use_pallas=False)
+        got = q8_mlp_fused(*args, use_pallas=True, interpret=True)
+        _close(got, ref, tol=2e-2)
+
+    def test_interpret_indexed_layer(self):
+        t0, t1 = _mk(2), _mk(3)
+        stacked = []
+        for key, halves in (("o", 1), ("gu", 2), ("dn", 1)):
+            qs = [permute_out_channels(quantize_weight(t[key]), halves)
+                  for t in (t0, t1)]
+            stacked.append(QuantTensor(
+                q=jnp.stack([q.q for q in qs]),
+                d=jnp.stack([q.d for q in qs])))
+        o_s, gu_s, dn_s = stacked
+        for l, t in ((0, t0), (1, t1)):
+            got = q8_mlp_fused(
+                block_permute(t["merged"]), block_permute(t["resid"]),
+                block_permute(t["post_w"]),
+                IndexedQuant(o_s, l), IndexedQuant(gu_s, l),
+                IndexedQuant(dn_s, l), EPS,
+                use_pallas=True, interpret=True)
+            exp, _ = _dense_chain(t)
+            _close(block_unpermute(got), exp)
+
+
+class TestMegacallV2:
+    def test_ref_matches_dense_chain(self):
+        t = _mk(4)
+        o_q, gu_q, dn_q, qkv_q = _fused_weights(t)
+        out, qkv = q8_mlp_qkv_fused(
+            block_permute(t["merged"]), block_permute(t["resid"]),
+            block_permute(t["post_w"]), block_permute(t["in_w"]),
+            o_q, gu_q, dn_q, qkv_q, EPS, use_pallas=False)
+        exp_out, exp_qkv = _dense_chain(t)
+        _close(block_unpermute(out), exp_out)
+        _close(qkv, exp_qkv)
+
+    def test_residual_identical_to_v1(self):
+        t = _mk(5)
+        o_q, gu_q, dn_q, qkv_q = _fused_weights(t)
+        common = (block_permute(t["merged"]), block_permute(t["resid"]),
+                  block_permute(t["post_w"]))
+        v1 = q8_mlp_fused(*common, o_q, gu_q, dn_q, EPS, use_pallas=False)
+        v2, _ = q8_mlp_qkv_fused(*common, block_permute(t["in_w"]),
+                                 o_q, gu_q, dn_q, qkv_q, EPS,
+                                 use_pallas=False)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=0, atol=1e-5)
+
+    def test_interpret_matches_ref(self):
+        t = _mk(6)
+        o_q, gu_q, dn_q, qkv_q = _fused_weights(t)
+        args = (block_permute(t["merged"]), block_permute(t["resid"]),
+                block_permute(t["post_w"]), block_permute(t["in_w"]),
+                o_q, gu_q, dn_q, qkv_q, EPS)
+        r_out, r_qkv = q8_mlp_qkv_fused(*args, use_pallas=False)
+        g_out, g_qkv = q8_mlp_qkv_fused(*args, use_pallas=True,
+                                        interpret=True)
+        _close(g_out, r_out, tol=2e-2)
+        _close(g_qkv, r_qkv, tol=2e-2)
+
+
+class TestFusedDecodeWiring:
+    """qwen3_decode_step / verify_step under the q8_fused marker: the
+    megacall graph (scan AND the unrolled v2 pipeline) must agree with the
+    plain quantized path."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from fun_asr_gguf_tpu.models.config import Qwen3Config
+        from fun_asr_gguf_tpu.models import qwen3 as Q
+        cfg = Qwen3Config(
+            n_layers=3, hidden=128, q_heads=4, kv_heads=2, head_dim=32,
+            ffn_dim=256, vocab_size=512, rope_theta=1e6, rms_eps=1e-6,
+            tie_embeddings=True)
+        params = Q.init_qwen3_params(jax.random.PRNGKey(0), cfg,
+                                     dtype=jnp.bfloat16)
+        qp = Q.pack_qwen3_params(Q.quantize_lm_head(
+            Q.quantize_qwen3_params(params), cfg))
+        fp = Q.fuse_qwen3_params_q8(qp)
+        emb = jax.random.normal(jax.random.PRNGKey(1), (2, 16, cfg.hidden),
+                                jnp.bfloat16) * 0.1
+        mask = jnp.ones((2, 16), jnp.float32)
+        _, kv = Q.qwen3_prefill(qp, emb, mask, cfg, kv_max_len=24)
+        tok = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.hidden),
+                                jnp.bfloat16) * 0.1
+        return Q, cfg, qp, fp, kv, tok
+
+    def _steps(self, setup, unroll, monkeypatch):
+        Q, cfg, qp, fp, kv, tok = setup
+        monkeypatch.setenv("FUNASR_UNROLL_DECODE", "1" if unroll else "0")
+        slot = jnp.asarray(16, jnp.int32)
+        pos = jnp.full((2,), 16, jnp.int32)
+        vf = jnp.zeros((2,), jnp.int32)
+        base, _ = Q.qwen3_decode_step(qp, kv, tok, slot, pos, vf, cfg)
+        got, _ = Q.qwen3_decode_step(fp, kv, tok, slot, pos, vf, cfg)
+        _close(got, base, tol=3e-2)
+        assert (np.asarray(base.argmax(-1))
+                == np.asarray(got.argmax(-1))).all()
+        toks = jax.random.normal(jax.random.PRNGKey(3),
+                                 (2, 4, cfg.hidden), jnp.bfloat16) * 0.1
+        slots = jnp.full((2,), 16, jnp.int32)
+        poss = pos[:, None] + jnp.arange(4)[None, :]
+        vbase, _ = Q.qwen3_verify_step(qp, kv, toks, slots, poss, vf, cfg)
+        vgot, _ = Q.qwen3_verify_step(fp, kv, toks, slots, poss, vf, cfg)
+        _close(vgot, vbase, tol=3e-2)
+
+    def test_scan_path(self, setup, monkeypatch):
+        self._steps(setup, unroll=False, monkeypatch=monkeypatch)
+
+    def test_unrolled_v2_path(self, setup, monkeypatch):
+        self._steps(setup, unroll=True, monkeypatch=monkeypatch)
