@@ -26,10 +26,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.quant_matmul import (BlockQuant, IndexedQuant, QuantTensor,
-                                block_permute, block_quantize_weight,
-                                block_unpermute, matmul_any,
+                                QuantTensorN, block_permute,
+                                block_quantize_weight, block_unpermute,
+                                dequantize_weight_n, matmul_any,
                                 permute_out_channels, q8_mlp_fused,
-                                q8_mlp_qkv_fused, quantize_weight)
+                                q8_mlp_qkv_fused, q8dot_matmul,
+                                q8i_layer_fused, quantize_act_q8,
+                                quantize_weight, to_natural)
 from .common import rms_norm
 from .config import Qwen3Config
 
@@ -51,13 +54,15 @@ class Int8Weight(NamedTuple):
 
 
 def _split_quant_layers(layers):
-    """Split the stacked layer dict for scanning: QuantTensor weights must
-    NOT ride scan xs (XLA copies every per-layer slice before the pallas
-    custom call — 3× HBM traffic); they stay whole and the kernel selects
-    the layer via scalar-prefetch (see ops.quant_matmul.IndexedQuant)."""
+    """Split the stacked layer dict for scanning: QuantTensor(N) weights
+    must NOT ride scan xs (XLA copies every per-layer slice before the
+    pallas custom call — 3× HBM traffic); they stay whole and the kernel
+    selects the layer via scalar-prefetch / static index_maps (see
+    ops.quant_matmul.IndexedQuant)."""
     dense = {k: v for k, v in layers.items()
-             if not isinstance(v, QuantTensor)}
-    quant = {k: v for k, v in layers.items() if isinstance(v, QuantTensor)}
+             if not isinstance(v, (QuantTensor, QuantTensorN))}
+    quant = {k: v for k, v in layers.items()
+             if isinstance(v, (QuantTensor, QuantTensorN))}
     return dense, quant
 
 
@@ -310,6 +315,38 @@ def fuse_qwen3_params_q8(params):
     return out
 
 
+def fuse_qwen3_params_q8i(params):
+    """Adopt the int8-dot decode convention (megacall v3).
+
+    Requires packed q8_0 (QuantTensor) params WITHOUT the perm-space
+    transform. Relabels — never recomputes — the stored q8_0 bytes:
+    weights move to natural-k :class:`QuantTensorN` storage and the
+    lm_head to the q8dot layout. Every decode matmul then runs s8×s8 MXU
+    dots with the weight/activation block scales multiplied into partial
+    sums — the identical compute contract to llama.cpp's q8_0×q8_0
+    ``vec_dot`` (the reference's entire decode path), removing the
+    per-element VPU dequantization that bounds the perm-space megacalls.
+    Norm weights stay natural; activations are NOT block-permuted.
+    """
+    if "q8i_fused" in params:
+        return params
+    if "q8_fused" in params:
+        raise ValueError("params already use the perm-space (q8_fused) "
+                         "convention; build q8i from unfused packed params")
+    layers = dict(params["layers"])
+    for key in ("qkv_w", "o_w", "gate_up_w", "down_w"):
+        w = layers.get(key)
+        if isinstance(w, QuantTensor):
+            layers[key] = to_natural(w)
+        elif not isinstance(w, QuantTensorN):
+            raise ValueError(
+                f"fuse_qwen3_params_q8i needs packed q8_0 params ({key})")
+    out = dict(params)
+    out["layers"] = layers
+    out["q8i_fused"] = jnp.zeros((0,), jnp.int8)     # static marker
+    return lm_head_q8dot(out)
+
+
 def _qkv_post(qkv, lp, cfg: Qwen3Config, cos, sin):
     """Split a raw packed qkv projection [B, T, n_qkv] into heads and apply
     qk-RMSNorm + rope."""
@@ -397,6 +434,22 @@ def _fused_mlp_qkv_call(attn_heads, x, lp, lp_next, cfg: Qwen3Config, eps):
         lp["o_w"], lp["gate_up_w"], lp["down_w"], lp_next["qkv_w"], eps)
     return (out.reshape(b, t, h).astype(x.dtype),
             qkv.reshape(b, t, -1).astype(x.dtype))
+
+
+def _q8i_layer_call(attn_heads, x_col, lp, lp_next, cfg: Qwen3Config, eps,
+                    with_qkv: bool):
+    """Megacall v3 (int8-dot): quantize the merged attention output to
+    q8_0 columns in XLA, then one Pallas call for the whole layer chain
+    (+ the next layer's input_ln + qkv when ``with_qkv``). The residual
+    rides column-major between calls; returns (x_col', qkv_col|None)."""
+    b, t = attn_heads.shape[0], attn_heads.shape[2]
+    merged = _merge_heads(attn_heads, cfg).reshape(b * t, -1)
+    aq, as_ = quantize_act_q8(merged.astype(jnp.float32))
+    return q8i_layer_fused(
+        aq.T, as_.T, x_col, lp["post_ln"],
+        lp_next["input_ln"] if with_qkv else None,
+        lp["o_w"], lp["gate_up_w"], lp["down_w"],
+        lp_next["qkv_w"] if with_qkv else None, eps, with_qkv=with_qkv)
 
 
 def _gqa_scores(q, k, cfg: Qwen3Config):
@@ -541,7 +594,28 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
             x = x + _mlp(h, lp)
         return (x, K, V), jnp.int32(0)
 
-    if quant and fused and _unroll_decode(default=True):
+    fused_i = "q8i_fused" in params
+    if quant and fused_i and _unroll_decode(default=True):
+        # megacall v3: int8-dot layer chain, residual column-major
+        lps = [_layer_params({key: w[l] for key, w in dense.items()},
+                             quant, l) for l in range(cfg.n_layers)]
+        h0 = rms_norm(x, lps[0]["input_ln"], cfg.rms_eps)
+        qkv_raw = _proj(h0, lps[0]["qkv_w"])
+        x_col = x.reshape(b, -1).T.astype(jnp.float32)
+        K, V = kv.k, kv.v
+        for l in range(cfg.n_layers):
+            q, k, v = _qkv_post(qkv_raw.astype(x.dtype), lps[l], cfg,
+                                cos, sin)
+            heads, K, V = attn_core(q, k, v, K, V, l)
+            wq = l + 1 < cfg.n_layers
+            x_col, qkv_col = _q8i_layer_call(
+                heads, x_col, lps[l], lps[l + 1] if wq else None, cfg,
+                cfg.rms_eps, wq)
+            if wq:
+                qkv_raw = qkv_col.T.reshape(b, 1, -1)
+        x = x_col.T.reshape(b, 1, -1).astype(x.dtype)
+        ks, vs = K, V
+    elif quant and fused and _unroll_decode(default=True):
         # megacall v2 pipeline: layer l's Pallas call also emits layer
         # l+1's qkv projection, so each layer costs ONE kernel launch.
         lps = [_layer_params({key: w[l] for key, w in dense.items()},
@@ -653,7 +727,28 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
             x = x + _mlp(h, lp)
         return (x, K, V), jnp.int32(0)
 
-    if quant and fused and _unroll_decode(default=True):
+    fused_i = "q8i_fused" in params
+    if quant and fused_i and _unroll_decode(default=True):
+        # megacall v3 (see qwen3_decode_step): int8-dot chain, m = B*T
+        lps = [_layer_params({key: w[l] for key, w in dense.items()},
+                             quant, l) for l in range(cfg.n_layers)]
+        h0 = rms_norm(x, lps[0]["input_ln"], cfg.rms_eps)
+        qkv_raw = _proj(h0, lps[0]["qkv_w"])
+        x_col = x.reshape(b * t, -1).T.astype(jnp.float32)
+        K, V = kv.k, kv.v
+        for l in range(cfg.n_layers):
+            q, k, v = _qkv_post(qkv_raw.astype(x.dtype), lps[l], cfg,
+                                cos, sin)
+            heads, K, V = attn_core(q, k, v, K, V, l)
+            wq = l + 1 < cfg.n_layers
+            x_col, qkv_col = _q8i_layer_call(
+                heads, x_col, lps[l], lps[l + 1] if wq else None, cfg,
+                cfg.rms_eps, wq)
+            if wq:
+                qkv_raw = qkv_col.T.reshape(b, t, -1)
+        x = x_col.T.reshape(b, t, -1).astype(x.dtype)
+        ks, vs = K, V
+    elif quant and fused and _unroll_decode(default=True):
         # megacall v2 (see qwen3_decode_step): one Pallas call per layer
         lps = [_layer_params({key: w[l] for key, w in dense.items()},
                              quant, l) for l in range(cfg.n_layers)]
@@ -749,11 +844,40 @@ def quantize_lm_head_per_channel(params, cfg: Qwen3Config):
     return out
 
 
+def lm_head_q8dot(params):
+    """Convert a q8_0 head (``lm_head_q``) to the int8-dot layout
+    (``lm_head_qn``, natural-k QuantTensorN): the logits matmul then runs
+    s8×s8 MXU dots with scales applied to per-block partial sums —
+    llama.cpp's own q8_0 GEMM contract — instead of per-element VPU
+    dequantization (the single most expensive op of the fused decode
+    step: 315 µs/token measured by ablation on v5e). Same stored q8_0
+    bytes, relabeled only."""
+    if "lm_head_qn" in params or "lm_head_q" not in params:
+        return params
+    out = dict(params)
+    out["lm_head_qn"] = to_natural(out.pop("lm_head_q"))
+    return out
+
+
 def _logits(params, x, cfg: Qwen3Config):
     """x [..., hidden] → logits [..., vocab] f32 (quantized head if built).
     In fused-q8 mode x arrives in perm space; the q8 head contracts it
     directly, other heads get it unpermuted first."""
     fused = "q8_fused" in params
+    if "lm_head_qn" in params:
+        if fused:
+            x = block_unpermute(x)
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if x2.shape[0] <= 16:
+            out = q8dot_matmul(x2, params["lm_head_qn"])
+        else:
+            # prefill/training-sized m: per-element dequant amortizes
+            out = jnp.dot(x2.astype(jnp.bfloat16),
+                          dequantize_weight_n(params["lm_head_qn"]
+                                              ).astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        return out.reshape(*lead, -1)[..., :cfg.vocab_size]
     if "lm_head_i8" in params:
         if fused:
             x = block_unpermute(x)

@@ -623,6 +623,12 @@ def q8_mlp_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
     kern = functools.partial(_q8_mlp_fused_kernel, eps=eps)
     kern_dyn = functools.partial(_q8_mlp_fused_kernel_dyn, eps=eps)
     if isinstance(oi, int):
+        if _staged_enabled():
+            plan = _mega_stage_plan(m, qd, h, f2, ffn, 0)
+            if plan:
+                return _q8_mega_staged_call(
+                    xm, resid, pw, None, oq, oi, gq, gi, dq, di, None,
+                    None, eps, plan, interpret)
         _o, _g, _d = oi, gi, di
         return pl.pallas_call(
             kern,
@@ -788,6 +794,12 @@ def q8_mlp_qkv_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
     kern = functools.partial(_q8_mlp_qkv_fused_kernel, eps=eps)
     kern_dyn = functools.partial(_q8_mlp_qkv_fused_kernel_dyn, eps=eps)
     if isinstance(oi, int):
+        if _staged_enabled():
+            plan = _mega_stage_plan(m, qd, h, f2, ffn, nq)
+            if plan:
+                return _q8_mega_staged_call(
+                    xm, resid, pw, nw, oq, oi, gq, gi, dq, di, qq, qi,
+                    eps, plan, interpret)
         _o, _g, _d, _q = oi, gi, di, qi
         return pl.pallas_call(
             kern,
@@ -845,6 +857,247 @@ def q8_mlp_qkv_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
         interpret=interpret,
     )(lidx, xm, resid, pw, nw, oq.q, oq.d, gq.q, gq.d, dq.q, dq.d,
       qq.q, qq.d)
+
+
+# ---------------------------------------------------------------------------
+# Staged (pipelined) megacall: the v2 chain over a multi-step grid
+# ---------------------------------------------------------------------------
+#
+# A grid=(1,) megacall serializes its weight DMA against its compute: the
+# whole ~21 MB layer must land in VMEM before the body starts. The same
+# dequant-dot kernels measured in isolation with a long pipelined grid
+# stream at ~710 GB/s — so the staged variant chops the chain into
+# weight chunks walked by the grid (o k-chunks → gate_up row-chunks →
+# down k-chunks → qkv row-chunks), with the stage logic under pl.when:
+# Pallas prefetches step s+1's chunk while step s computes, hiding DMA
+# behind dequant+MXU. k-chunks must cover whole block-transpose periods
+# (multiples of k/32) so the lane→scale mapping stays the tiled-concat
+# pattern; gate_up row-chunks must not straddle the gate/up boundary.
+
+
+def _mega_stage_plan(m, qd, h, f2, ffn, nq, target=None):
+    """Chunk counts (ko, ng, kd, nqc) or None when shapes don't admit
+    staging. nq=0 plans the no-qkv (last layer) variant.
+    ``FUNASR_Q8_STAGE_TARGET`` (bytes) tunes the per-step chunk size:
+    smaller chunks overlap DMA/compute at finer grain but pay more
+    per-step fixed cost (measured best ≈ 1.25 MB on v5e)."""
+    if target is None:
+        import os
+        target = float(os.environ.get("FUNASR_Q8_STAGE_TARGET", 0)) \
+            or 1.25e6
+    def k_chunks(k, n):
+        best = 1
+        for c in (1, 2, 4, 8, 16, 32):
+            if k % c or (k // c) % max(k // 32, 1):
+                continue
+            if abs(k * n / c - target) < abs(k * n / best - target):
+                best = c
+        return best
+
+    def n_chunks(n, k, halves=1):
+        best = None
+        for c in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32):
+            if n % c or (halves > 1 and c % halves and c != 1):
+                continue
+            if halves > 1 and c != 1 and (n // halves) % (n // c):
+                continue
+            if best is None or abs(n * k / c - target) < \
+                    abs(n * k / best - target):
+                best = c
+        return best or 1
+
+    if min(qd, h, ffn) < 256:          # tiny test shapes: single stage
+        return None
+    ko = k_chunks(qd, h)
+    ng = n_chunks(f2, h, halves=2)
+    kd = k_chunks(ffn, h)
+    nqc = n_chunks(nq, h) if nq else 0
+    if ko + ng + kd + nqc < 4:
+        return None
+    return (ko, ng, kd, nqc)
+
+
+def _deq_chunk_dot(x, qchunk, dfull):
+    """dot(x_chunk, dequant(q_chunk).T) for a k-chunk covering whole
+    block-transpose periods: scales = dfull tiled (chunk/(k/32))×."""
+    reps = qchunk.shape[-1] // dfull.shape[-1]
+    dexp = jnp.concatenate([dfull.astype(jnp.bfloat16)] * reps, axis=1)
+    deq = qchunk.astype(jnp.bfloat16) * dexp
+    return jax.lax.dot_general(
+        x.astype(jnp.bfloat16), deq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _q8_mega_staged_kernel(xm_ref, res_ref, pw_ref, nw_ref,
+                           oq_ref, od_ref, gq_ref, gd_ref, dq_ref, dd_ref,
+                           qq_ref, qd_ref, o_ref, qkv_ref,
+                           acc_ref, h1_ref, nhb_ref, gu_ref, act_ref,
+                           *, eps, plan, dims):
+    ko, ng, kd, nqc = plan
+    qd, h, f2, ffn, nq = dims
+    s = pl.program_id(0)
+    cko, cng, ckd = qd // ko, f2 // ng, ffn // kd
+    f = f2 // 2
+
+    for c in range(ko):
+        @pl.when(s == c)
+        def _(c=c):
+            part = _deq_chunk_dot(xm_ref[:, c * cko:(c + 1) * cko],
+                                  oq_ref[0], od_ref[0])
+            if c == 0:
+                acc_ref[:] = part
+            else:
+                acc_ref[:] += part
+
+    @pl.when(s == ko - 1)
+    def _():
+        h1 = acc_ref[:] + res_ref[:].astype(jnp.float32)
+        var = jnp.mean(h1 * h1, axis=-1, keepdims=True)
+        nh = (h1 * jax.lax.rsqrt(var + eps)
+              ) * pw_ref[:].astype(jnp.float32)
+        h1_ref[:] = h1
+        nhb_ref[:] = nh.astype(jnp.bfloat16)
+
+    for c in range(ng):
+        @pl.when(s == ko + c)
+        def _(c=c):
+            dexp = jnp.concatenate(
+                [gd_ref[0].astype(jnp.bfloat16)] * BLOCK, axis=1)
+            deq = gq_ref[0].astype(jnp.bfloat16) * dexp
+            gu_ref[:, c * cng:(c + 1) * cng] = jax.lax.dot_general(
+                nhb_ref[:], deq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    @pl.when(s == ko + ng - 1)
+    def _():
+        gu = gu_ref[:]
+        act = jax.nn.silu(gu[:, :f]) * gu[:, f:]
+        act_ref[:] = act.astype(jnp.bfloat16)
+
+    for c in range(kd):
+        @pl.when(s == ko + ng + c)
+        def _(c=c):
+            part = _deq_chunk_dot(act_ref[:, c * ckd:(c + 1) * ckd],
+                                  dq_ref[0], dd_ref[0])
+            if c == 0:
+                acc_ref[:] = part
+            else:
+                acc_ref[:] += part
+
+    @pl.when(s == ko + ng + kd - 1)
+    def _():
+        out = acc_ref[:] + h1_ref[:]
+        o_ref[:] = out
+        if nqc:
+            var = jnp.mean(out * out, axis=-1, keepdims=True)
+            nh2 = (out * jax.lax.rsqrt(var + eps)
+                   ) * nw_ref[:].astype(jnp.float32)
+            nhb_ref[:] = nh2.astype(jnp.bfloat16)
+
+    for c in range(nqc):
+        @pl.when(s == ko + ng + kd + c)
+        def _(c=c):
+            dexp = jnp.concatenate(
+                [qd_ref[0].astype(jnp.bfloat16)] * BLOCK, axis=1)
+            deq = qq_ref[0].astype(jnp.bfloat16) * dexp
+            qkv_ref[:] = jax.lax.dot_general(
+                nhb_ref[:], deq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+
+def _q8_mega_staged_call(xm, resid, pw, nw, oq, oi, gq, gi, dq, di,
+                         qq, qi, eps, plan, interpret):
+    """Build the staged pallas_call. qq/qi may be None (no-qkv variant)."""
+    ko, ng, kd, nqc = plan
+    m, qd = xm.shape
+    h = oq.q.shape[1]
+    f2 = gq.q.shape[1]
+    ffn = dq.q.shape[2]
+    nq = qq.q.shape[1] if qq is not None else 0
+    cko, cng, ckd = qd // ko, f2 // ng, ffn // kd
+    steps = ko + ng + kd + nqc
+    base = ko + ng + kd
+
+    def clamp(v, lo, hi):
+        return jnp.minimum(jnp.maximum(v, lo), hi)
+
+    _o, _g, _d, _q = oi, gi, di, qi
+    in_specs = [
+        pl.BlockSpec((m, qd), lambda s: (0, 0)),
+        pl.BlockSpec((m, h), lambda s: (0, 0)),
+        pl.BlockSpec((1, h), lambda s: (0, 0)),
+    ] + ([pl.BlockSpec((1, h), lambda s: (0, 0))] if nqc else []) + [
+        pl.BlockSpec((1, h, cko),
+                     lambda s, _l=_o: (_l, 0, clamp(s, 0, ko - 1))),
+        pl.BlockSpec((1, h, qd // BLOCK), lambda s, _l=_o: (_l, 0, 0)),
+        pl.BlockSpec((1, cng, h),
+                     lambda s, _l=_g: (_l, clamp(s - ko, 0, ng - 1), 0)),
+        pl.BlockSpec((1, cng, h // BLOCK),
+                     lambda s, _l=_g: (_l, clamp(s - ko, 0, ng - 1), 0)),
+        pl.BlockSpec((1, h, ckd),
+                     lambda s, _l=_d: (_l, 0, clamp(s - ko - ng, 0,
+                                                    kd - 1))),
+        pl.BlockSpec((1, h, ffn // BLOCK), lambda s, _l=_d: (_l, 0, 0)),
+    ]
+    scratch = [
+        pltpu.VMEM((m, h), jnp.float32),      # acc
+        pltpu.VMEM((m, h), jnp.float32),      # h1
+        pltpu.VMEM((m, h), jnp.bfloat16),     # nhb / nh2b
+        pltpu.VMEM((m, f2), jnp.float32),     # gu buffer
+        pltpu.VMEM((m, ffn), jnp.bfloat16),   # act
+    ]
+    dims = (qd, h, f2, ffn, nq)
+    kern = functools.partial(_q8_mega_staged_kernel, eps=eps,
+                             plan=plan, dims=dims)
+    if nqc:
+        cnq = nq // nqc
+        in_specs += [
+            pl.BlockSpec((1, cnq, h),
+                         lambda s, _l=_q: (_l, clamp(s - base, 0,
+                                                     nqc - 1), 0)),
+            pl.BlockSpec((1, cnq, h // BLOCK),
+                         lambda s, _l=_q: (_l, clamp(s - base, 0,
+                                                     nqc - 1), 0)),
+        ]
+        return pl.pallas_call(
+            kern,
+            grid=(steps,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((m, h), lambda s: (0, 0)),
+                pl.BlockSpec((m, cnq),
+                             lambda s: (0, clamp(s - base, 0, nqc - 1))),
+            ],
+            out_shape=(jax.ShapeDtypeStruct((m, h), jnp.float32),
+                       jax.ShapeDtypeStruct((m, nq), jnp.float32)),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(xm, resid, pw, nw, oq.q, oq.d, gq.q, gq.d, dq.q, dq.d,
+          qq.q, qq.d)
+
+    def kern_noqkv(xm_ref, res_ref, pw_ref, oq_ref, od_ref, gq_ref,
+                   gd_ref, dq_ref, dd_ref, o_ref, acc_ref, h1_ref,
+                   nhb_ref, gu_ref, act_ref):
+        _q8_mega_staged_kernel(
+            xm_ref, res_ref, pw_ref, pw_ref, oq_ref, od_ref, gq_ref,
+            gd_ref, dq_ref, dd_ref, None, None, o_ref, None,
+            acc_ref, h1_ref, nhb_ref, gu_ref, act_ref,
+            eps=eps, plan=plan, dims=dims)
+
+    return pl.pallas_call(
+        kern_noqkv,
+        grid=(steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m, h), lambda s: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, h), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(xm, resid, pw, oq.q, oq.d, gq.q, gq.d, dq.q, dq.d)
+
+
+def _staged_enabled() -> bool:
+    import os
+    return os.environ.get("FUNASR_Q8_STAGED", "1") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -923,13 +1176,16 @@ def _build_x_diag(xq_col, nb: int):
     """xq_col [k, m] s8 → block-diagonal X [k, nb*m] s8, columns mi-major
     (c = mi*nb + b): X[j, mi*nb + b] = xq_col[j, mi] iff j//32 == b."""
     k, m = xq_col.shape
-    mask = (jax.lax.broadcasted_iota(jnp.int32, (k, nb), 0) // BLOCK ==
-            jax.lax.broadcasted_iota(jnp.int32, (k, nb), 1))
-    zero = jnp.zeros((k, nb), jnp.int8)
-    pieces = [jnp.where(mask,
-                        jnp.broadcast_to(xq_col[:, mi:mi + 1], (k, nb)),
-                        zero)
-              for mi in range(m)]
+    # 0/1 block mask × implicit-broadcast column: a where() on a
+    # broadcast_to'd operand trips Mosaic's relayout ("replicated in
+    # destination but not in source"); the multiply form lowers clean
+    maski = (jax.lax.broadcasted_iota(jnp.int32, (k, nb), 0) // BLOCK ==
+             jax.lax.broadcasted_iota(jnp.int32, (k, nb), 1)
+             ).astype(jnp.int32)
+    # multiply in i32: Mosaic has no i8 vector multiply (arith.muli on
+    # vector<i8> fails to legalize)
+    pieces = [(maski * xq_col[:, mi:mi + 1].astype(jnp.int32)
+               ).astype(jnp.int8) for mi in range(m)]
     return pieces[0] if m == 1 else jnp.concatenate(pieces, axis=1)
 
 
@@ -941,7 +1197,7 @@ def _build_gx(xs_col, m: int):
         return xs_col
     nb = xs_col.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (nb, m), 1)
-    pieces = [jnp.where(lane == mi, xs_col, 0.0) for mi in range(m)]
+    pieces = [xs_col * (lane == mi).astype(jnp.float32) for mi in range(m)]
     return jnp.concatenate(pieces, axis=0)
 
 
@@ -1039,6 +1295,211 @@ def q8dot_matmul(x: jnp.ndarray, w, tile_n: int = 0,
     return out_col.T
 
 
+# ---------------------------------------------------------------------------
+# Megacall v3: the whole post-attention layer chain via int8 dots
+# ---------------------------------------------------------------------------
+#
+# Combines the two measured wins: ONE Pallas call per layer (megacall v2)
+# and zero per-element dequant work (the int8-dot path above). The
+# residual stream flows COLUMN-major ([hidden, m]) so every chained
+# matmul's output is directly the next one's activation — the int8-dot
+# formulation produces [n_out, m] natively and needs no transposes.
+# Activation re-quantization between matmuls happens in-kernel on
+# sublane-blocked reshapes (q8_0 per-32 groups along the contraction
+# dim, identical to ggml's quantize_row_q8_0).
+
+
+def _rms_col(x, w_col, eps):
+    """Column-layout rmsnorm: x [k, m] f32, w_col [k, 1]."""
+    var = jnp.mean(x * x, axis=0, keepdims=True)          # [1, m]
+    return x * jax.lax.rsqrt(var + eps) * w_col.astype(jnp.float32)
+
+
+def _quant_cols(x):
+    """In-kernel q8_0 activation quant, column layout:
+    x [k, m] f32 → (xq [k, m] s8, xs [k//32, m] f32)."""
+    k, m = x.shape
+    xr = x.reshape(k // BLOCK, BLOCK, m)
+    amax = jnp.max(jnp.abs(xr), axis=1)                   # [nb, m]
+    d = amax / 127.0
+    inv = jnp.where(d == 0, 0.0, 1.0 / d)
+    q = _round_away(xr * inv[:, None, :]).astype(jnp.int8)
+    return q.reshape(k, m), d
+
+
+def _q8i_dot_col(qrows, drows, xq_col, xs_col):
+    """Full int8-dot matmul, column in/out: weight [n, k] s8 + [n, nb]
+    f32 scales × activation [k, m] s8 + [nb, m] f32 scales → [n, m] f32."""
+    m = xq_col.shape[1]
+    nb = xs_col.shape[0]
+    return _q8dot_tile(qrows, drows, _build_x_diag(xq_col, nb),
+                       _build_gx(xs_col, m), m)
+
+
+def _q8i_layer_body(aq, as_, res, pw, nw, oq, od, gq, gd, dq, dd,
+                    qq, qd_, o_ref, qkv_ref, eps):
+    attn = _q8i_dot_col(oq, od, aq, as_)                  # [h, m]
+    h1 = attn + res
+    nh = _rms_col(h1, pw, eps)
+    hq, hs = _quant_cols(nh)
+    gu = _q8i_dot_col(gq, gd, hq, hs)                     # [2f, m]
+    ffn = gu.shape[0] // 2
+    act = jax.nn.silu(gu[:ffn]) * gu[ffn:]
+    aq2, as2 = _quant_cols(act)
+    out = _q8i_dot_col(dq, dd, aq2, as2) + h1             # [h, m]
+    o_ref[:] = out
+    if qkv_ref is not None:
+        nh2 = _rms_col(out, nw, eps)
+        q2, s2 = _quant_cols(nh2)
+        qkv_ref[:] = _q8i_dot_col(qq, qd_, q2, s2)        # [nq, m]
+
+
+def _q8i_layer_kernel(aq_ref, as_ref, res_ref, pw_ref, nw_ref, oq_ref,
+                      od_ref, gq_ref, gd_ref, dq_ref, dd_ref, qq_ref,
+                      qd_ref, o_ref, qkv_ref, *, eps):
+    _q8i_layer_body(aq_ref[:], as_ref[:], res_ref[:], pw_ref[:], nw_ref[:],
+                    oq_ref[0], od_ref[0], gq_ref[0], gd_ref[0], dq_ref[0],
+                    dd_ref[0], qq_ref[0], qd_ref[0], o_ref, qkv_ref, eps)
+
+
+def _q8i_layer_kernel_noqkv(aq_ref, as_ref, res_ref, pw_ref, oq_ref,
+                            od_ref, gq_ref, gd_ref, dq_ref, dd_ref,
+                            o_ref, *, eps):
+    _q8i_layer_body(aq_ref[:], as_ref[:], res_ref[:], pw_ref[:], None,
+                    oq_ref[0], od_ref[0], gq_ref[0], gd_ref[0], dq_ref[0],
+                    dd_ref[0], None, None, o_ref, None, eps)
+
+
+def _q8i_layer_ref(aq, as_, res, pw, nw, oq, oi, gq, gi, dq, di,
+                   qq, qi, eps, with_qkv):
+    """jnp reference for the v3 megacall (CPU tests / non-TPU): identical
+    chain with einsum block partials."""
+    def sl(qtn, idx):
+        if qtn.q.ndim == 2:
+            return qtn.q, qtn.d
+        return (jax.lax.dynamic_index_in_dim(qtn.q, idx, 0, False),
+                jax.lax.dynamic_index_in_dim(qtn.d, idx, 0, False))
+
+    def dot(w, idx, xq, xs):
+        q, d = sl(w, idx)
+        n, k = q.shape
+        nb = k // BLOCK
+        m = xq.shape[1]
+        z = jnp.einsum("nbt,btm->nbm",
+                       q.reshape(n, nb, BLOCK).astype(jnp.float32),
+                       xq.reshape(nb, BLOCK, m).astype(jnp.float32))
+        return jnp.einsum("nbm,nb,bm->nm", z, d, xs)
+
+    attn = dot(oq, oi, aq, as_)
+    h1 = attn + res
+    nh = _rms_col(h1, pw, eps)
+    hq, hs = _quant_cols(nh)
+    gu = dot(gq, gi, hq, hs)
+    ffn = gu.shape[0] // 2
+    act = jax.nn.silu(gu[:ffn]) * gu[ffn:]
+    aq2, as2 = _quant_cols(act)
+    out = dot(dq, di, aq2, as2) + h1
+    if not with_qkv:
+        return out, None
+    nh2 = _rms_col(out, nw, eps)
+    q2, s2 = _quant_cols(nh2)
+    return out, dot(qq, qi, q2, s2)
+
+
+def q8i_layer_fused(attn_q, attn_s, resid_col, post_w, next_in_w,
+                    o_w, gu_w, down_w, next_qkv_w, eps: float,
+                    with_qkv: bool = True, use_pallas: bool = None,
+                    interpret: bool = False):
+    """One transformer layer's post-attention half (+ optionally the next
+    layer's input_ln + qkv) in a single Pallas call, all matmuls as
+    s8×s8 MXU dots with scales on block partials.
+
+    ``attn_q [qd, m] s8`` / ``attn_s [qd/32, m] f32``: the merged
+    attention output, pre-quantized to q8_0 columns (XLA side,
+    :func:`quantize_act_q8` + transpose); ``resid_col [h, m] f32``: the
+    residual column; ``post_w``/``next_in_w [h]``: natural (unpermuted)
+    rmsnorm weights. Weights are QuantTensorN / IndexedQuant(QuantTensorN,
+    static idx). Returns ``(out_col [h, m] f32, qkv_col [nq, m] f32 |
+    None)``.
+    """
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+
+    def norm_w(w):
+        if isinstance(w, IndexedQuant):
+            return w.qt, w.idx
+        return QuantTensorN(q=w.q[None], d=w.d[None]), 0
+
+    (oq, oi), (gq, gi), (dq, di) = norm_w(o_w), norm_w(gu_w), norm_w(down_w)
+    qq, qi = norm_w(next_qkv_w) if next_qkv_w is not None else (None, 0)
+    qd, m = attn_q.shape
+    h = oq.q.shape[1]
+    f2 = gq.q.shape[1]
+    ffn = dq.q.shape[2]
+    pw = post_w.reshape(h, 1)
+    if not use_pallas:
+        return _q8i_layer_ref(
+            attn_q, attn_s, resid_col, pw,
+            next_in_w.reshape(h, 1) if with_qkv else None,
+            oq, oi, gq, gi, dq, di, qq, qi, eps, with_qkv)
+    if not all(isinstance(i, int) for i in (oi, gi, di, qi)):
+        raise NotImplementedError("q8i_layer_fused: dynamic layer index "
+                                  "unsupported (use the unrolled decode)")
+
+    wbytes = h * qd + f2 * h + h * ffn + (qq.q.shape[1] * h if with_qkv
+                                          else 0)
+    cost = pl.CostEstimate(
+        flops=2 * m * wbytes,
+        bytes_accessed=wbytes + (wbytes // BLOCK) * 4
+        + m * (qd + 2 * h) * 4,
+        transcendentals=m * ffn)
+    _o, _g, _d, _q = oi, gi, di, qi
+    in_specs = [
+        pl.BlockSpec((qd, m), lambda i: (0, 0)),
+        pl.BlockSpec((qd // BLOCK, m), lambda i: (0, 0)),
+        pl.BlockSpec((h, m), lambda i: (0, 0)),
+        pl.BlockSpec((h, 1), lambda i: (0, 0)),
+    ]
+    w_specs = [
+        pl.BlockSpec((1, h, qd), lambda i, _l=_o: (_l, 0, 0)),
+        pl.BlockSpec((1, h, qd // BLOCK), lambda i, _l=_o: (_l, 0, 0)),
+        pl.BlockSpec((1, f2, h), lambda i, _l=_g: (_l, 0, 0)),
+        pl.BlockSpec((1, f2, h // BLOCK), lambda i, _l=_g: (_l, 0, 0)),
+        pl.BlockSpec((1, h, ffn), lambda i, _l=_d: (_l, 0, 0)),
+        pl.BlockSpec((1, h, ffn // BLOCK), lambda i, _l=_d: (_l, 0, 0)),
+    ]
+    if with_qkv:
+        nq = qq.q.shape[1]
+        nw = next_in_w.reshape(h, 1)
+        return pl.pallas_call(
+            functools.partial(_q8i_layer_kernel, eps=eps),
+            grid=(1,),
+            in_specs=in_specs
+            + [pl.BlockSpec((h, 1), lambda i: (0, 0))]
+            + w_specs
+            + [pl.BlockSpec((1, nq, h), lambda i, _l=_q: (_l, 0, 0)),
+               pl.BlockSpec((1, nq, h // BLOCK),
+                            lambda i, _l=_q: (_l, 0, 0))],
+            out_specs=[pl.BlockSpec((h, m), lambda i: (0, 0)),
+                       pl.BlockSpec((nq, m), lambda i: (0, 0))],
+            out_shape=(jax.ShapeDtypeStruct((h, m), jnp.float32),
+                       jax.ShapeDtypeStruct((nq, m), jnp.float32)),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(attn_q, attn_s, resid_col, pw, nw, oq.q, oq.d, gq.q, gq.d,
+          dq.q, dq.d, qq.q, qq.d)
+    out = pl.pallas_call(
+        functools.partial(_q8i_layer_kernel_noqkv, eps=eps),
+        grid=(1,),
+        in_specs=in_specs + w_specs,
+        out_specs=pl.BlockSpec((h, m), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, m), jnp.float32),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(attn_q, attn_s, resid_col, pw, oq.q, oq.d, gq.q, gq.d, dq.q, dq.d)
+    return out, None
+
+
 import functools as _functools
 
 
@@ -1063,6 +1524,27 @@ def matmul_any(x: jnp.ndarray,
     if isinstance(w, BlockQuant):
         lead = x.shape[:-1]
         out = blockquant_matmul(x.reshape(-1, x.shape[-1]), w)
+        return out.reshape(*lead, out.shape[-1])
+    if isinstance(w, QuantTensorN) or (
+            isinstance(w, IndexedQuant) and isinstance(w.qt, QuantTensorN)):
+        qtn, idx = (w.qt, w.idx) if isinstance(w, IndexedQuant) else (w, 0)
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if use_pallas is None:
+            use_pallas = _on_tpu()
+        if isinstance(idx, int) and x2.shape[0] <= 16:
+            out = q8dot_matmul(x2, IndexedQuant(qtn, idx),
+                               use_pallas=use_pallas)
+        else:
+            # prefill-sized m or a traced (scan) layer index: per-element
+            # dequant amortizes / no static index_map available
+            q = qtn.q if qtn.q.ndim == 2 else \
+                jax.lax.dynamic_index_in_dim(qtn.q, idx, 0, keepdims=False)
+            d = qtn.d if qtn.d.ndim == 2 else \
+                jax.lax.dynamic_index_in_dim(qtn.d, idx, 0, keepdims=False)
+            deq = dequantize_weight_n(QuantTensorN(q=q, d=d))
+            out = jnp.dot(x2.astype(jnp.bfloat16), deq.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
         return out.reshape(*lead, out.shape[-1])
     if isinstance(w, (QuantTensor, IndexedQuant)):
         if use_pallas is None:

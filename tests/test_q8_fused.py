@@ -152,6 +152,139 @@ class TestMegacallV2:
         _close(g_qkv, r_qkv, tol=2e-2)
 
 
+class TestStagedMegacall:
+    """The pipelined (multi-step grid) variant must agree with the
+    single-stage reference on every stage layout, including the no-qkv
+    (last layer) form."""
+
+    def _mk_big(self, seed):
+        rng = np.random.default_rng(seed)
+        M2, QD2, H2, FFN2, NQ2 = 2, 512, 256, 512, 768
+
+        def w(k, n):
+            return jnp.asarray(
+                rng.normal(size=(k, n)).astype(np.float32) * 0.05)
+
+        t = {
+            "merged": jnp.asarray(
+                rng.normal(size=(M2, QD2)).astype(np.float32) * 0.3),
+            "resid": jnp.asarray(
+                rng.normal(size=(M2, H2)).astype(np.float32) * 0.3),
+            "post_w": jnp.asarray(1.0 + rng.normal(size=(H2,)) * 0.1
+                                  ).astype(jnp.float32),
+            "in_w": jnp.asarray(1.0 + rng.normal(size=(H2,)) * 0.1
+                                ).astype(jnp.float32),
+            "o": w(QD2, H2), "gu": w(H2, 2 * FFN2), "dn": w(FFN2, H2),
+            "qkv": w(H2, NQ2),
+        }
+        dims = (M2, QD2, H2, FFN2, NQ2)
+        return t, dims
+
+    @pytest.mark.parametrize("plan", [(2, 4, 2, 3), (1, 2, 1, 1),
+                                      (4, 4, 4, 3)])
+    def test_staged_matches_ref(self, plan):
+        from fun_asr_gguf_tpu.ops.quant_matmul import _q8_mega_staged_call
+        t, (m2, qd2, h2, ffn2, nq2) = self._mk_big(7)
+        o_q = permute_out_channels(quantize_weight(t["o"]))
+        gu_q = permute_out_channels(quantize_weight(t["gu"]), halves=2)
+        dn_q = permute_out_channels(quantize_weight(t["dn"]))
+        qkv_q = quantize_weight(t["qkv"])
+        args = (block_permute(t["merged"]), block_permute(t["resid"]),
+                block_permute(t["post_w"]), block_permute(t["in_w"]),
+                o_q, gu_q, dn_q, qkv_q, EPS)
+        r_out, r_qkv = q8_mlp_qkv_fused(*args, use_pallas=False)
+
+        def stk(w):
+            return QuantTensor(q=w.q[None], d=w.d[None])
+
+        xm = block_permute(t["merged"]).astype(jnp.bfloat16)
+        g_out, g_qkv = _q8_mega_staged_call(
+            xm, block_permute(t["resid"]),
+            block_permute(t["post_w"]).reshape(1, h2),
+            block_permute(t["in_w"]).reshape(1, h2),
+            stk(o_q), 0, stk(gu_q), 0, stk(dn_q), 0, stk(qkv_q), 0,
+            EPS, plan, True)
+        _close(g_out, r_out)
+        _close(g_qkv, r_qkv)
+
+    def test_staged_noqkv_matches_ref(self):
+        from fun_asr_gguf_tpu.ops.quant_matmul import _q8_mega_staged_call
+        t, (m2, qd2, h2, ffn2, nq2) = self._mk_big(8)
+        o_q = permute_out_channels(quantize_weight(t["o"]))
+        gu_q = permute_out_channels(quantize_weight(t["gu"]), halves=2)
+        dn_q = permute_out_channels(quantize_weight(t["dn"]))
+        ref = q8_mlp_fused(
+            block_permute(t["merged"]), block_permute(t["resid"]),
+            block_permute(t["post_w"]), o_q, gu_q, dn_q, EPS,
+            use_pallas=False)
+
+        def stk(w):
+            return QuantTensor(q=w.q[None], d=w.d[None])
+
+        got = _q8_mega_staged_call(
+            block_permute(t["merged"]).astype(jnp.bfloat16),
+            block_permute(t["resid"]),
+            block_permute(t["post_w"]).reshape(1, h2), None,
+            stk(o_q), 0, stk(gu_q), 0, stk(dn_q), 0, None, None,
+            EPS, (2, 4, 2, 0), True)
+        _close(got, ref)
+
+
+class TestQ8DotPath:
+    """int8-dot kernels (q8dot_matmul / q8i megacall): exactness vs the
+    dequantized ground truth and the fused decode wiring."""
+
+    def test_q8dot_matches_dequant_ground_truth(self):
+        from fun_asr_gguf_tpu.ops.quant_matmul import (
+            dequantize_weight_n, q8dot_matmul, quantize_act_q8, to_natural)
+        rng = np.random.default_rng(9)
+        for (m2, k2, n2) in [(1, 128, 256), (3, 96, 160)]:
+            w = jnp.asarray(
+                rng.normal(size=(k2, n2)).astype(np.float32) * 0.05)
+            x = jnp.asarray(
+                rng.normal(size=(m2, k2)).astype(np.float32) * 0.4)
+            qtn = to_natural(quantize_weight(w))
+            ref = q8dot_matmul(x, qtn, use_pallas=False)
+            got = q8dot_matmul(x, qtn, use_pallas=True, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=0, atol=1e-5)
+            xq, xs = quantize_act_q8(x)
+            xdq = (xq.astype(jnp.float32).reshape(m2, k2 // 32, 32)
+                   * xs[..., None]).reshape(m2, k2)
+            exact = xdq @ dequantize_weight_n(qtn)
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(exact),
+                                       rtol=0, atol=1e-5)
+
+    def test_q8i_decode_wiring(self, monkeypatch):
+        from fun_asr_gguf_tpu.models.config import Qwen3Config
+        from fun_asr_gguf_tpu.models import qwen3 as Q
+        monkeypatch.setenv("FUNASR_UNROLL_DECODE", "1")
+        cfg = Qwen3Config(
+            n_layers=2, hidden=128, q_heads=4, kv_heads=2, head_dim=32,
+            ffn_dim=256, vocab_size=512, rope_theta=1e6, rms_eps=1e-6,
+            tie_embeddings=True)
+        params = Q.init_qwen3_params(jax.random.PRNGKey(0), cfg,
+                                     dtype=jnp.bfloat16)
+        qp = Q.pack_qwen3_params(Q.quantize_lm_head(
+            Q.quantize_qwen3_params(params), cfg))
+        ip = Q.fuse_qwen3_params_q8i(qp)
+        emb = jax.random.normal(jax.random.PRNGKey(1), (2, 12, cfg.hidden),
+                                jnp.bfloat16) * 0.1
+        mask = jnp.ones((2, 12), jnp.float32)
+        _, kv1 = Q.qwen3_prefill(qp, emb, mask, cfg, kv_max_len=20)
+        _, kv2 = Q.qwen3_prefill(ip, emb, mask, cfg, kv_max_len=20)
+        tok = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.hidden),
+                                jnp.bfloat16) * 0.1
+        slot = jnp.asarray(12, jnp.int32)
+        pos = jnp.full((2,), 12, jnp.int32)
+        vf = jnp.zeros((2,), jnp.int32)
+        d1, _ = Q.qwen3_decode_step(qp, kv1, tok, slot, pos, vf, cfg)
+        d2, _ = Q.qwen3_decode_step(ip, kv2, tok, slot, pos, vf, cfg)
+        _close(d2, d1, tol=5e-2)
+        assert (np.asarray(d1.argmax(-1))
+                == np.asarray(d2.argmax(-1))).all()
+
+
 class TestFusedDecodeWiring:
     """qwen3_decode_step / verify_step under the q8_fused marker: the
     megacall graph (scan AND the unrolled v2 pipeline) must agree with the
