@@ -22,6 +22,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from .quant_np import (Q8_0_BLOCK, Q8_0_BLOCK_BYTES, QK_K,
+                       iq4_nl_dequantize_blocks, iq4_xs_dequantize_blocks,
                        q2_k_dequantize_blocks, q3_k_dequantize_blocks,
                        q4_k_dequantize_blocks, q5_k_dequantize_blocks,
                        q6_k_dequantize_blocks,
@@ -50,6 +51,8 @@ class GGMLType(IntEnum):
     Q4_K = 12
     Q5_K = 13
     Q6_K = 14
+    IQ4_NL = 20
+    IQ4_XS = 23
     I8 = 24
     I16 = 25
     I32 = 26
@@ -125,6 +128,8 @@ _BLOCK_FORMATS.update({
     GGMLType.Q4_K: (QK_K, 144, q4_k_dequantize_blocks),
     GGMLType.Q5_K: (QK_K, 176, q5_k_dequantize_blocks),
     GGMLType.Q6_K: (QK_K, 210, q6_k_dequantize_blocks),
+    GGMLType.IQ4_NL: (32, 18, iq4_nl_dequantize_blocks),
+    GGMLType.IQ4_XS: (QK_K, 136, iq4_xs_dequantize_blocks),
 })
 
 # float → packed-byte-stream quantizers usable from the writer

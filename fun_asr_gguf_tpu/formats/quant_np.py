@@ -369,3 +369,51 @@ def q6_k_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
     dl = d * scales                                         # [nb, 16]
     out = dl[:, :, None] * q
     return out.reshape(shape).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# IQ 4-bit non-linear formats — read support for modern llama.cpp exports
+# (iq4_nl / iq4_xs). A shared 16-entry signed codebook replaces the linear
+# q = 0..15 mapping; parity target is the reference's vendored
+# ``gguf/quants.py:1271-1318``.
+# ---------------------------------------------------------------------------
+
+# the ggml IQ4 codebook: non-uniform int8 levels indexed by each nibble
+IQ4_KVALUES = np.array([-127, -104, -83, -65, -49, -35, -22, -10,
+                        1, 13, 25, 38, 53, 69, 89, 113], dtype=np.int8)
+
+
+def iq4_nl_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """IQ4_NL: 18-byte block = f16 d + 16 nibble bytes;
+    v = d · kvalues[q] with nibbles in (all-lo, all-hi) order."""
+    b = _blocks(raw, 18)
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)   # [nb, 1]
+    qs = b[:, 2:18]
+    nb = b.shape[0]
+    idx = np.concatenate([qs & 0x0F, qs >> 4], axis=1)         # [nb, 32]
+    vals = IQ4_KVALUES[idx].astype(np.float32)
+    return (d * vals).reshape(shape).astype(np.float32)
+
+
+def iq4_xs_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """IQ4_XS: 136-byte superblock = f16 d + u16 scales_h + 4 scales_l
+    bytes + 128 nibble bytes; per-32 6-bit scale = (lo | hi<<4) − 32,
+    v = d·scale·kvalues[q]."""
+    b = _blocks(raw, 136)
+    nb = b.shape[0]
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)   # [nb, 1]
+    sh = b[:, 2:4].copy().view(np.uint16)                      # [nb, 1]
+    sl = b[:, 4:8]                                             # [nb, 4]
+    qs = b[:, 8:136]
+    lo = np.stack([sl & 0x0F, sl >> 4], axis=2).reshape(nb, 8)
+    shifts = np.arange(0, 16, 2, dtype=np.uint16)
+    hi = ((sh >> shifts[None, :]) & 3).astype(np.uint8)        # [nb, 8]
+    scales = ((lo | (hi << 4)).astype(np.int8) - np.int8(32)
+              ).astype(np.float32)
+    dl = d * scales                                            # [nb, 8]
+    # each 32-value group is 16 bytes, nibbles in (all-lo, all-hi) order
+    g = qs.reshape(nb, 8, 16)
+    idx = np.concatenate([g & 0x0F, g >> 4], axis=2)           # [nb, 8, 32]
+    vals = IQ4_KVALUES[idx].astype(np.float32)
+    out = dl[:, :, None] * vals
+    return out.reshape(shape).astype(np.float32)

@@ -129,6 +129,9 @@ def encoder_forward(params, x, mask, cfg: EncoderConfig):
     x = x + sinusoidal_position_encoding(t_len, cfg.input_size, x.dtype)[None]
 
     flash = cfg.use_flash_attention
+    if flash is None:       # auto: trace-time static decision (see config)
+        from ..ops.quant_matmul import _on_tpu
+        flash = _on_tpu() and x.shape[0] >= 2
     x = sanm_layer(x, mask, params["encoder0"], cfg.heads, adapt_dims=True,
                    ln_eps=cfg.ln_eps, use_flash=flash)
     x = _scan_layers(x, mask, params["encoders"], cfg.heads, cfg.ln_eps,

@@ -169,6 +169,31 @@ def test_kquant_dequant_bit_exact(tname):
     np.testing.assert_array_equal(np.isnan(ours), np.isnan(theirs))
 
 
+IQ4_BLOCKS = {"IQ4_NL": (32, 18), "IQ4_XS": (256, 136)}
+
+
+@pytest.mark.parametrize("tname", sorted(IQ4_BLOCKS))
+def test_iq4_dequant_bit_exact(tname):
+    """IQ4 non-linear-codebook dequantizers agree bit-for-bit with the
+    reference's vendored gguf-py on arbitrary encoded blocks."""
+    refgguf = _ref_gguf()
+    from fun_asr_gguf_tpu.formats import quant_np as qn
+    rt = getattr(refgguf.GGMLQuantizationType, tname)
+    bv, bb = IQ4_BLOCKS[tname]
+    rng = np.random.default_rng(hash(tname) % 2**31)
+    nb = 12
+    raw = rng.integers(0, 256, size=nb * bb, dtype=np.uint8)
+    with np.errstate(invalid="ignore"):
+        theirs = refgguf.quants.dequantize(raw.reshape(nb, bb),
+                                           rt).astype(np.float32)
+        ours = getattr(qn, f"{tname.lower()}_dequantize_blocks")(
+            raw, (nb, bv))
+    np.testing.assert_array_equal(
+        np.where(np.isnan(ours), 0, ours), np.where(np.isnan(theirs), 0,
+                                                    theirs))
+    np.testing.assert_array_equal(np.isnan(ours), np.isnan(theirs))
+
+
 def test_reader_dequantizes_kquant_tensor(tmp_path):
     """A GGUF carrying a Q4_K tensor (e.g. a q4_K_M llama.cpp export)
     loads through GGUFReader.tensor() with reference-identical values."""
