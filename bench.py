@@ -447,14 +447,17 @@ def main():
                 spec_params, prompt, mask, jax.random.PRNGKey(seed),
                 cfg.llm, max_len=spec_max_len))
             d = draft_perfect
-            emitted, spec_on = 0, True
+            emitted, spec_on, first = 0, True, True
             while emitted < N_GEN:
                 if spec_on:
+                    # 16-token probe first, as core/decoder.py does
+                    lim = 16 if first else chunk
+                    first = False
                     st, toks = spec_generate_chunk(
                         spec_params, st, d, cfg.llm, jnp.asarray(0.4),
                         jnp.asarray(1.0), 50, spec_k=SPEC_K,
                         chunk_len=chunk, stop_tokens=(),
-                        fuse_enabled=False, greedy=False)
+                        fuse_enabled=False, greedy=False, limit=lim)
                     emitted += int((np.asarray(toks) >= 0).sum())
                     rounds = int(np.asarray(st.rounds)[0])
                     if (rounds >= 8 and emitted / rounds < MIN_ACCEPT

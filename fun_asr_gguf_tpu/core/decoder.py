@@ -158,11 +158,20 @@ class LLMDecoder:
         chunk_len = models._default_chunk_len()
         generated = 0
         stop_set = set(models.stop_tokens) | {models.eos_token}
+        first_spec = True
         while generated < n_predict:
             todo = min(chunk_len, n_predict - generated)
             # always dispatch the same compiled chunk program; `limit`
             # (traced) trims the final partial chunk
             if draft_ids is not None:
+                if first_spec:
+                    # probe: cap the first spec chunk so the acceptance
+                    # guardrail below can bail after ≤16 emissions instead
+                    # of paying a full chunk of verify passes on a bad
+                    # draft — `limit` is traced, so this reuses the same
+                    # compiled program (no extra compile)
+                    todo = min(todo, 16)
+                    first_spec = False
                 state, tokens = models.spec_generate(
                     state, draft_ids, temperature=temperature, top_p=top_p,
                     top_k=top_k, chunk_len=chunk_len, limit=todo)
