@@ -152,3 +152,22 @@ class TestFlashEncoder:
                                 replace(cfg, use_flash_attention=True))
         np.testing.assert_allclose(np.asarray(plain), np.asarray(flash),
                                    rtol=3e-4, atol=3e-4)
+
+    def test_auto_flash_matches_forced_paths(self):
+        """use_flash_attention=None (auto, the default) must agree with
+        both forced settings at any batch — the batch>=2 trace-time
+        selection changes the kernel, never the math."""
+        from dataclasses import replace
+        cfg = EncoderConfig.tiny()
+        assert cfg.use_flash_attention is None
+        params = init_encoder_params(jax.random.PRNGKey(9), cfg)
+        rng = np.random.default_rng(10)
+        x = rng.normal(size=(3, 20, 560)).astype(np.float32)
+        mask = make_mask(3, 20, [14, 20, 9])
+        auto = encoder_forward(params, jnp.asarray(x), jnp.asarray(mask),
+                               cfg)
+        for forced in (True, False):
+            ref = encoder_forward(params, jnp.asarray(x), jnp.asarray(mask),
+                                  replace(cfg, use_flash_attention=forced))
+            np.testing.assert_allclose(np.asarray(auto), np.asarray(ref),
+                                       rtol=3e-4, atol=3e-4)
