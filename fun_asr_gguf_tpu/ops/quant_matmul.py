@@ -110,7 +110,14 @@ def _pick_tile(n: int, k: int, tile_n: int) -> int:
     """Tile policy: as large as the VMEM dequant working set allows
     (per-grid-step fixed costs dominate bandwidth-bound decode matvecs);
     must divide n on a 128-lane boundary. Returns 0 when impossible.
-    ``FUNASR_Q8_TILE`` overrides the automatic choice (tuning knob)."""
+    ``FUNASR_Q8_TILE`` overrides the automatic choice (tuning knob).
+
+    The public entry points (:func:`quant_matmul`,
+    :func:`quant_matmul_indexed`) resolve this OUTSIDE jit so the env knob
+    keys the jit cache; paths that are themselves traced into a larger
+    program (q8dot_matmul, the megacalls' stage plan) read it at trace
+    time — there the knob is process-start-only by nature, since the
+    enclosing decode program compiles once."""
     if tile_n == 0:
         import os
         tile_n = int(os.environ.get("FUNASR_Q8_TILE", 0)) or \
@@ -163,9 +170,6 @@ def _dequant_dot_acc(x, q, d, o_ref, c):
         o_ref[:] += acc
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("tile_n", "use_pallas", "interpret",
-                                    "x_preblocked"))
 def quant_matmul(x: jnp.ndarray, qt: QuantTensor, tile_n: int = 0,
                  use_pallas: bool = True, interpret: bool = False,
                  x_preblocked: bool = False) -> jnp.ndarray:
@@ -181,10 +185,27 @@ def quant_matmul(x: jnp.ndarray, qt: QuantTensor, tile_n: int = 0,
     bandwidth-bound decode matvecs. ``use_pallas=False`` falls back to a
     dequantize-then-dot jnp path (reference implementation for parity
     tests / CPU).
+
+    The ``FUNASR_Q8_TILE`` / ``FUNASR_Q8_KSPLIT`` env knobs are resolved
+    HERE, outside jit, so they participate in the jit cache key — a knob
+    change mid-process takes effect instead of silently hitting a stale
+    trace.
     """
+    n, k = qt.q.shape[0], x.shape[1]
+    tile_n = _pick_tile(n, k, tile_n) if use_pallas else 0
+    return _quant_matmul_impl(x, qt, tile_n, _ksplit(k), use_pallas,
+                              interpret, x_preblocked)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_n", "ksplit", "use_pallas",
+                                    "interpret", "x_preblocked"))
+def _quant_matmul_impl(x: jnp.ndarray, qt: QuantTensor, tile_n: int,
+                       ksplit: int, use_pallas: bool,
+                       interpret: bool = False,
+                       x_preblocked: bool = False) -> jnp.ndarray:
     m, k = x.shape
     n = qt.q.shape[0]
-    tile_n = _pick_tile(n, k, tile_n) if use_pallas else 0
     if tile_n == 0:
         # non-pallas request, or no lane-aligned tiling — dequantize-then-dot
         if x_preblocked:
@@ -195,7 +216,7 @@ def quant_matmul(x: jnp.ndarray, qt: QuantTensor, tile_n: int = 0,
 
     # match the weights' block-transposed k order
     xp = x if x_preblocked else block_permute(x)
-    ks = _ksplit(k)
+    ks = ksplit
     cost = pl.CostEstimate(
         flops=2 * m * n * k,
         bytes_accessed=m * k * 2 + n * k + n * (k // BLOCK) * 4 + m * n * 4,
@@ -263,6 +284,15 @@ class IndexedQuant(NamedTuple):
     idx: jnp.ndarray         # [] int32
 
 
+def _split_indexed(w, qt_cls=QuantTensor):
+    """IndexedQuant → (stacked tensor, layer idx); a plain quant tensor
+    → (1-layer stack, 0). Shared by every fused entry point so the
+    unwrap convention lives in one place."""
+    if isinstance(w, IndexedQuant):
+        return w.qt, w.idx
+    return qt_cls(q=w.q[None], d=w.d[None]), 0
+
+
 def _q8_matmul_idx_kernel(l_ref, x_ref, q_ref, d_ref, o_ref):
     _dequant_dot(x_ref[:], q_ref[0], d_ref[0], o_ref)
 
@@ -275,13 +305,16 @@ def quant_matmul_indexed(x: jnp.ndarray, qt: QuantTensor, layer_idx,
 
     ``layer_idx`` may be a traced scalar (scalar-prefetch kernel) or a
     Python int (static index baked into the block index_map — no scalar
-    plumbing; used by the unrolled decode path).
+    plumbing; used by the unrolled decode path). Env knobs resolve here,
+    outside jit (see :func:`quant_matmul`).
     """
+    _, n, k = qt.q.shape
+    tile_n = _pick_tile(n, k, tile_n) if use_pallas else 0
     if isinstance(layer_idx, int):
         return _quant_matmul_static_idx(x, qt, layer_idx, tile_n,
                                         use_pallas, interpret, x_preblocked)
-    return _quant_matmul_dyn_idx(x, qt, layer_idx, tile_n, use_pallas,
-                                 interpret, x_preblocked)
+    return _quant_matmul_dyn_idx(x, qt, layer_idx, tile_n, _ksplit(k),
+                                 use_pallas, interpret, x_preblocked)
 
 
 @functools.partial(jax.jit,
@@ -291,7 +324,6 @@ def _quant_matmul_static_idx(x, qt, layer_idx: int, tile_n, use_pallas,
                              interpret, x_preblocked: bool = False):
     m, k = x.shape
     _, n, _ = qt.q.shape
-    tile_n = _pick_tile(n, k, tile_n) if use_pallas else 0
     if tile_n == 0:
         if x_preblocked:
             x = block_unpermute(x)
@@ -326,15 +358,15 @@ def _q8_matmul_idx_kernel_nos(x_ref, q_ref, d_ref, o_ref):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile_n", "use_pallas", "interpret",
-                                    "x_preblocked"))
+                   static_argnames=("tile_n", "ksplit", "use_pallas",
+                                    "interpret", "x_preblocked"))
 def _quant_matmul_dyn_idx(x: jnp.ndarray, qt: QuantTensor, layer_idx,
-                          tile_n: int = 0, use_pallas: bool = True,
+                          tile_n: int = 0, ksplit: int = 1,
+                          use_pallas: bool = True,
                           interpret: bool = False,
                           x_preblocked: bool = False) -> jnp.ndarray:
     m, k = x.shape
     _, n, _ = qt.q.shape
-    tile_n = _pick_tile(n, k, tile_n) if use_pallas else 0
     if tile_n == 0:
         if x_preblocked:
             x = block_unpermute(x)
@@ -347,7 +379,7 @@ def _quant_matmul_dyn_idx(x: jnp.ndarray, qt: QuantTensor, layer_idx,
                        preferred_element_type=jnp.float32)
 
     xp = x if x_preblocked else block_permute(x)
-    ks = _ksplit(k)
+    ks = ksplit
     cost = pl.CostEstimate(
         flops=2 * m * n * k,
         bytes_accessed=m * k * 2 + n * k + n * (k // BLOCK) * 4 + m * n * 4,
@@ -598,12 +630,9 @@ def q8_mlp_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
     if use_pallas is None:
         use_pallas = _on_tpu()
 
-    def norm_w(w):
-        if isinstance(w, IndexedQuant):
-            return w.qt, w.idx
-        return QuantTensor(q=w.q[None], d=w.d[None]), 0
-
-    (oq, oi), (gq, gi), (dq, di) = norm_w(o_w), norm_w(gu_w), norm_w(down_w)
+    (oq, oi), (gq, gi), (dq, di) = (_split_indexed(o_w),
+                                    _split_indexed(gu_w),
+                                    _split_indexed(down_w))
     m, qd = merged_perm.shape
     h = oq.q.shape[1]
     f2 = gq.q.shape[1]
@@ -650,6 +679,8 @@ def q8_mlp_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
             interpret=interpret,
         )(xm, resid, pw, oq.q, oq.d, gq.q, gq.d, dq.q, dq.d)
 
+    # scalar-prefetch [3] = per-weight layer indices (o, gate_up, down) —
+    # honoring each IndexedQuant's own idx, like the static path
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -659,21 +690,21 @@ def q8_mlp_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
             pl.BlockSpec((1, h), lambda i, l: (0, 0)),
             pl.BlockSpec((1, h, qd), lambda i, l: (l[0], 0, 0)),
             pl.BlockSpec((1, h, qd // BLOCK), lambda i, l: (l[0], 0, 0)),
-            pl.BlockSpec((1, f2, h), lambda i, l: (l[0], 0, 0)),
-            pl.BlockSpec((1, f2, h // BLOCK), lambda i, l: (l[0], 0, 0)),
-            pl.BlockSpec((1, h, ffn), lambda i, l: (l[0], 0, 0)),
-            pl.BlockSpec((1, h, ffn // BLOCK), lambda i, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, f2, h), lambda i, l: (l[1], 0, 0)),
+            pl.BlockSpec((1, f2, h // BLOCK), lambda i, l: (l[1], 0, 0)),
+            pl.BlockSpec((1, h, ffn), lambda i, l: (l[2], 0, 0)),
+            pl.BlockSpec((1, h, ffn // BLOCK), lambda i, l: (l[2], 0, 0)),
         ],
         out_specs=pl.BlockSpec((m, h), lambda i, l: (0, 0)),
     )
+    lidx = jnp.stack([jnp.asarray(i, jnp.int32) for i in (oi, gi, di)])
     return pl.pallas_call(
         kern_dyn,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, h), jnp.float32),
         cost_estimate=cost,
         interpret=interpret,
-    )(jnp.asarray(oi, jnp.int32).reshape(1), xm, resid, pw,
-      oq.q, oq.d, gq.q, gq.d, dq.q, dq.d)
+    )(lidx, xm, resid, pw, oq.q, oq.d, gq.q, gq.d, dq.q, dq.d)
 
 
 # ---------------------------------------------------------------------------
@@ -763,13 +794,10 @@ def q8_mlp_qkv_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
     if use_pallas is None:
         use_pallas = _on_tpu()
 
-    def norm_w(w):
-        if isinstance(w, IndexedQuant):
-            return w.qt, w.idx
-        return QuantTensor(q=w.q[None], d=w.d[None]), 0
-
-    (oq, oi), (gq, gi), (dq, di) = norm_w(o_w), norm_w(gu_w), norm_w(down_w)
-    qq, qi = norm_w(next_qkv_w)
+    (oq, oi), (gq, gi), (dq, di) = (_split_indexed(o_w),
+                                    _split_indexed(gu_w),
+                                    _split_indexed(down_w))
+    qq, qi = _split_indexed(next_qkv_w)
     m, qd = merged_perm.shape
     h = oq.q.shape[1]
     f2 = gq.q.shape[1]
@@ -826,7 +854,8 @@ def q8_mlp_qkv_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
         )(xm, resid, pw, nw, oq.q, oq.d, gq.q, gq.d, dq.q, dq.d,
           qq.q, qq.d)
 
-    # dynamic layer index: scalar-prefetch [2] = (this layer, next layer)
+    # dynamic layer index: scalar-prefetch [4] = per-weight layer indices
+    # (o, gate_up, down, next-qkv) — each IndexedQuant's own idx
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -837,18 +866,18 @@ def q8_mlp_qkv_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
             pl.BlockSpec((1, h), lambda i, l: (0, 0)),
             pl.BlockSpec((1, h, qd), lambda i, l: (l[0], 0, 0)),
             pl.BlockSpec((1, h, qd // BLOCK), lambda i, l: (l[0], 0, 0)),
-            pl.BlockSpec((1, f2, h), lambda i, l: (l[0], 0, 0)),
-            pl.BlockSpec((1, f2, h // BLOCK), lambda i, l: (l[0], 0, 0)),
-            pl.BlockSpec((1, h, ffn), lambda i, l: (l[0], 0, 0)),
-            pl.BlockSpec((1, h, ffn // BLOCK), lambda i, l: (l[0], 0, 0)),
-            pl.BlockSpec((1, nq, h), lambda i, l: (l[1], 0, 0)),
-            pl.BlockSpec((1, nq, h // BLOCK), lambda i, l: (l[1], 0, 0)),
+            pl.BlockSpec((1, f2, h), lambda i, l: (l[1], 0, 0)),
+            pl.BlockSpec((1, f2, h // BLOCK), lambda i, l: (l[1], 0, 0)),
+            pl.BlockSpec((1, h, ffn), lambda i, l: (l[2], 0, 0)),
+            pl.BlockSpec((1, h, ffn // BLOCK), lambda i, l: (l[2], 0, 0)),
+            pl.BlockSpec((1, nq, h), lambda i, l: (l[3], 0, 0)),
+            pl.BlockSpec((1, nq, h // BLOCK), lambda i, l: (l[3], 0, 0)),
         ],
         out_specs=[pl.BlockSpec((m, h), lambda i, l: (0, 0)),
                    pl.BlockSpec((m, nq), lambda i, l: (0, 0))],
     )
-    lidx = jnp.stack([jnp.asarray(oi, jnp.int32),
-                      jnp.asarray(qi, jnp.int32)])
+    lidx = jnp.stack([jnp.asarray(i, jnp.int32)
+                      for i in (oi, gi, di, qi)])
     return pl.pallas_call(
         kern_dyn,
         grid_spec=grid_spec,
@@ -1425,13 +1454,12 @@ def q8i_layer_fused(attn_q, attn_s, resid_col, post_w, next_in_w,
     if use_pallas is None:
         use_pallas = _on_tpu()
 
-    def norm_w(w):
-        if isinstance(w, IndexedQuant):
-            return w.qt, w.idx
-        return QuantTensorN(q=w.q[None], d=w.d[None]), 0
-
-    (oq, oi), (gq, gi), (dq, di) = norm_w(o_w), norm_w(gu_w), norm_w(down_w)
-    qq, qi = norm_w(next_qkv_w) if next_qkv_w is not None else (None, 0)
+    (oq, oi), (gq, gi), (dq, di) = (
+        _split_indexed(o_w, QuantTensorN),
+        _split_indexed(gu_w, QuantTensorN),
+        _split_indexed(down_w, QuantTensorN))
+    qq, qi = (_split_indexed(next_qkv_w, QuantTensorN)
+              if next_qkv_w is not None else (None, 0))
     qd, m = attn_q.shape
     h = oq.q.shape[1]
     f2 = gq.q.shape[1]

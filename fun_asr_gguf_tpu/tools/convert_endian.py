@@ -51,6 +51,10 @@ _QUANT_SWAP = {
     GGMLType.Q4_K: ((0, 2), ()),
     GGMLType.Q5_K: ((0, 2), ()),
     GGMLType.Q6_K: ((208,), ()),
+    GGMLType.IQ4_NL: ((0,), ()),
+    # IQ4_XS: f16 d at 0 plus the u16 scales_h word at 2 (same 2-byte
+    # swap as an fp16 word); scales_l / quant nibbles are byte arrays
+    GGMLType.IQ4_XS: ((0, 2), ()),
 }
 
 _SCALAR_SIZE = {

@@ -260,6 +260,11 @@ class TestConvertEndian:
                          (2, 256), GGMLType.Q4_K)
         w.add_tensor_raw("t_q6k", bytes(i % 247 for i in range(210)),
                          (256,), GGMLType.Q6_K)
+        # IQ4 codebook formats: f16 d at 0 (both) + u16 scales_h at 2 (XS)
+        w.add_tensor_raw("t_iq4nl", bytes(i % 253 for i in range(2 * 18)),
+                         (2, 32), GGMLType.IQ4_NL)
+        w.add_tensor_raw("t_iq4xs", bytes(i % 241 for i in range(136)),
+                         (256,), GGMLType.IQ4_XS)
         w.write()
 
     def test_roundtrip_bit_exact(self, tmp_path):
