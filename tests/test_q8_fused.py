@@ -114,6 +114,30 @@ class TestMegacallV1:
             exp, _ = _dense_chain(t)
             _close(block_unpermute(got), exp)
 
+    def test_dyn_path_honors_per_weight_indices(self):
+        """The scalar-prefetch path must use EACH IndexedQuant's own
+        (traced) layer index — o from layer 0 with gate_up/down from
+        layer 1 selects layer 1's MLP weights, not layer 0's."""
+        t0, t1 = _mk(2), _mk(3)
+        stacked = []
+        for key, halves in (("o", 1), ("gu", 2), ("dn", 1)):
+            qs = [permute_out_channels(quantize_weight(t[key]), halves)
+                  for t in (t0, t1)]
+            stacked.append(QuantTensor(
+                q=jnp.stack([q.q for q in qs]),
+                d=jnp.stack([q.d for q in qs])))
+        o_s, gu_s, dn_s = stacked
+        mixed = dict(t0, gu=t1["gu"], dn=t1["dn"])
+        got = q8_mlp_fused(
+            block_permute(t0["merged"]), block_permute(t0["resid"]),
+            block_permute(t0["post_w"]),
+            IndexedQuant(o_s, jnp.asarray(0)),
+            IndexedQuant(gu_s, jnp.asarray(1)),
+            IndexedQuant(dn_s, jnp.asarray(1)), EPS,
+            use_pallas=True, interpret=True)
+        exp, _ = _dense_chain(mixed)
+        _close(block_unpermute(got), exp)
+
 
 class TestMegacallV2:
     def test_ref_matches_dense_chain(self):
