@@ -30,6 +30,13 @@ from .quant_np import (Q8_0_BLOCK, Q8_0_BLOCK_BYTES, QK_K,
                        q4_0_quantize, q4_1_quantize, q5_0_quantize,
                        q5_1_quantize,
                        q5_0_dequantize_blocks, q5_1_dequantize_blocks,
+                       iq1_m_dequantize_blocks, iq1_s_dequantize_blocks,
+                       iq2_s_dequantize_blocks, iq2_xs_dequantize_blocks,
+                       iq2_xxs_dequantize_blocks, iq3_s_dequantize_blocks,
+                       iq3_xxs_dequantize_blocks,
+                       mxfp4_dequantize_blocks, mxfp4_quantize,
+                       tq1_0_dequantize_blocks, tq1_0_quantize,
+                       tq2_0_dequantize_blocks, tq2_0_quantize,
                        q8_0_dequantize_blocks, q8_0_from_blocks,
                        q8_0_to_blocks)
 
@@ -51,14 +58,24 @@ class GGMLType(IntEnum):
     Q4_K = 12
     Q5_K = 13
     Q6_K = 14
+    IQ2_XXS = 16
+    IQ2_XS = 17
+    IQ3_XXS = 18
+    IQ1_S = 19
     IQ4_NL = 20
+    IQ3_S = 21
+    IQ2_S = 22
     IQ4_XS = 23
     I8 = 24
     I16 = 25
     I32 = 26
     I64 = 27
     F64 = 28
+    IQ1_M = 29
     BF16 = 30
+    TQ1_0 = 34
+    TQ2_0 = 35
+    MXFP4 = 39
 
 
 # (block_values, block_bytes, dequantize_fn) per quantized block format
@@ -130,6 +147,16 @@ _BLOCK_FORMATS.update({
     GGMLType.Q6_K: (QK_K, 210, q6_k_dequantize_blocks),
     GGMLType.IQ4_NL: (32, 18, iq4_nl_dequantize_blocks),
     GGMLType.IQ4_XS: (QK_K, 136, iq4_xs_dequantize_blocks),
+    GGMLType.IQ2_XXS: (QK_K, 66, iq2_xxs_dequantize_blocks),
+    GGMLType.IQ2_XS: (QK_K, 74, iq2_xs_dequantize_blocks),
+    GGMLType.IQ2_S: (QK_K, 82, iq2_s_dequantize_blocks),
+    GGMLType.IQ3_XXS: (QK_K, 98, iq3_xxs_dequantize_blocks),
+    GGMLType.IQ3_S: (QK_K, 110, iq3_s_dequantize_blocks),
+    GGMLType.IQ1_S: (QK_K, 50, iq1_s_dequantize_blocks),
+    GGMLType.IQ1_M: (QK_K, 56, iq1_m_dequantize_blocks),
+    GGMLType.TQ1_0: (QK_K, 54, tq1_0_dequantize_blocks),
+    GGMLType.TQ2_0: (QK_K, 66, tq2_0_dequantize_blocks),
+    GGMLType.MXFP4: (32, 17, mxfp4_dequantize_blocks),
 })
 
 # float → packed-byte-stream quantizers usable from the writer
@@ -138,6 +165,9 @@ _QUANTIZERS = {
     GGMLType.Q4_1: q4_1_quantize,
     GGMLType.Q5_0: q5_0_quantize,
     GGMLType.Q5_1: q5_1_quantize,
+    GGMLType.TQ1_0: tq1_0_quantize,
+    GGMLType.TQ2_0: tq2_0_quantize,
+    GGMLType.MXFP4: mxfp4_quantize,
 }
 
 

@@ -417,3 +417,307 @@ def iq4_xs_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
     vals = IQ4_KVALUES[idx].astype(np.float32)
     out = dl[:, :, None] * vals
     return out.reshape(shape).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# I-quants (codebook lattice formats) — read support for llama.cpp's
+# smallest exports (iq1_s .. iq3_s). Each group of 4 or 8 values is one
+# point from a fixed lattice codebook (formats/iq_codebooks.py), flipped by
+# per-group sign bits and scaled by a per-sub-block scale. Parity target is
+# the reference's vendored ``gguf/quants.py:707-1268``.
+# ---------------------------------------------------------------------------
+
+from .iq_codebooks import (GRID_IQ1, GRID_IQ2_S, GRID_IQ2_XS, GRID_IQ2_XXS,
+                           GRID_IQ3_S, GRID_IQ3_XXS, KSIGNS)
+
+
+def _sign_bits(sbytes: np.ndarray) -> np.ndarray:
+    """uint8 sign bytes [..] → [.., 8] float32 factors (bit set → −1)."""
+    bits = (sbytes[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+    return np.where(bits == 0, np.float32(1), np.float32(-1))
+
+
+def _u16_views(b: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    """Little-endian u16 view of a byte-column slice (copy, alignment-safe)."""
+    return b[:, lo:hi].copy().view(np.uint16)
+
+
+def iq2_xxs_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """IQ2_XXS: 66-byte superblock = f16 d + 8 u32 pairs; per 32-value
+    group, word0's 4 bytes index the 256×8 grid, word1 holds 4×7-bit sign
+    codes (bits 0..27) and a 4-bit scale (bits 28..31);
+    v = d·(0.5+scale)·0.25 · grid · sign."""
+    b = _blocks(raw, 66)
+    nb = b.shape[0]
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)   # [nb, 1]
+    words = b[:, 2:].copy().view(np.uint32).reshape(nb, 8, 2)
+    gidx = words[:, :, 0].copy().view(np.uint8).reshape(nb, 8, 4)
+    meta = words[:, :, 1]                                      # [nb, 8]
+    db = d * (0.5 + (meta >> 28)).astype(np.float32) * 0.25    # [nb, 8]
+    scode = (meta[..., None] >> np.array([0, 7, 14, 21], dtype=np.uint32)
+             ) & 0x7F                                          # [nb, 8, 4]
+    signs = _sign_bits(KSIGNS[scode])                          # [nb, 8, 4, 8]
+    vals = GRID_IQ2_XXS[gidx]                                  # [nb, 8, 4, 8]
+    out = db[:, :, None, None] * vals * signs
+    return out.reshape(shape).astype(np.float32)
+
+
+def iq2_xs_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """IQ2_XS: 74-byte superblock = f16 d + 32 u16 codes + 8 scale bytes;
+    each u16 = 9-bit grid index (512×8) | 7-bit sign code; nibble scales
+    cover 16 values; v = d·(0.5+scale)·0.25 · grid · sign."""
+    b = _blocks(raw, 74)
+    nb = b.shape[0]
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)   # [nb, 1]
+    codes = _u16_views(b, 2, 66).reshape(nb, 32)
+    sc = b[:, 66:74]                                           # [nb, 8]
+    sc = np.stack([sc & 0x0F, sc >> 4], axis=2).reshape(nb, 16)
+    db = d * (0.5 + sc).astype(np.float32) * 0.25              # [nb, 16]
+    vals = GRID_IQ2_XS[codes & 0x1FF]                          # [nb, 32, 8]
+    signs = _sign_bits(KSIGNS[codes >> 9])                     # [nb, 32, 8]
+    out = db[:, :, None] * (vals * signs).reshape(nb, 16, 16)
+    return out.reshape(shape).astype(np.float32)
+
+
+def iq2_s_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """IQ2_S: 82-byte superblock = f16 d + 32 low-index bytes + 32 raw sign
+    bytes + 8 high-bit bytes (2 bits per index) + 8 nibble-scale bytes;
+    grid is 1024×8; v = d·(0.5+scale)·0.25 · grid · sign."""
+    b = _blocks(raw, 82)
+    nb = b.shape[0]
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)   # [nb, 1]
+    qs = b[:, 2:34].astype(np.uint16)                          # [nb, 32]
+    sbytes = b[:, 34:66]                                       # [nb, 32]
+    qh = b[:, 66:74]                                           # [nb, 8]
+    sc = b[:, 74:82]
+    sc = np.stack([sc & 0x0F, sc >> 4], axis=2).reshape(nb, 16)
+    db = d * (0.5 + sc).astype(np.float32) * 0.25              # [nb, 16]
+    hi = (qh[:, :, None] >> np.array([0, 2, 4, 6], dtype=np.uint8)) & 0x03
+    idx = qs | (hi.reshape(nb, 32).astype(np.uint16) << 8)
+    vals = GRID_IQ2_S[idx]                                     # [nb, 32, 8]
+    signs = _sign_bits(sbytes)                                 # [nb, 32, 8]
+    out = db[:, :, None] * (vals * signs).reshape(nb, 16, 16)
+    return out.reshape(shape).astype(np.float32)
+
+
+def iq3_xxs_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """IQ3_XXS: 98-byte superblock = f16 d + 64 grid-index bytes (256×4
+    grid, 4 values each) + 8 u32 sign/scale words (4×7-bit sign codes +
+    4-bit scale per 32 values); v = d·(0.5+scale)·0.5 · grid · sign."""
+    b = _blocks(raw, 98)
+    nb = b.shape[0]
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)   # [nb, 1]
+    gidx = b[:, 2:66].reshape(nb, 8, 8)                        # [nb, 8, 8]
+    meta = b[:, 66:98].copy().view(np.uint32)                  # [nb, 8]
+    db = d * (0.5 + (meta >> 28)).astype(np.float32) * 0.5     # [nb, 8]
+    scode = (meta[..., None] >> np.array([0, 7, 14, 21], dtype=np.uint32)
+             ) & 0x7F                                          # [nb, 8, 4]
+    signs = _sign_bits(KSIGNS[scode])                          # [nb, 8, 4, 8]
+    vals = GRID_IQ3_XXS[gidx].reshape(nb, 8, 4, 8)
+    out = db[:, :, None, None] * vals * signs
+    return out.reshape(shape).astype(np.float32)
+
+
+def iq3_s_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """IQ3_S: 110-byte superblock = f16 d + 64 low-index bytes (512×4
+    grid) + 8 high-bit bytes (1 bit per index) + 32 raw sign bytes + 4
+    nibble-scale bytes; v = d·(1+2·scale) · grid · sign."""
+    b = _blocks(raw, 110)
+    nb = b.shape[0]
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)   # [nb, 1]
+    qs = b[:, 2:66].astype(np.uint16)                          # [nb, 64]
+    qh = b[:, 66:74]                                           # [nb, 8]
+    sbytes = b[:, 74:106]                                      # [nb, 32]
+    sc = b[:, 106:110]                                         # [nb, 4]
+    sc = np.stack([sc & 0x0F, sc >> 4], axis=2).reshape(nb, 8)
+    db = d * (1 + 2 * sc).astype(np.float32)                   # [nb, 8]
+    hi = (qh[:, :, None] >> np.arange(8, dtype=np.uint8)) & 0x01
+    idx = qs | (hi.reshape(nb, 64).astype(np.uint16) << 8)
+    vals = GRID_IQ3_S[idx].reshape(nb, 8, 32)                  # 8 per scale
+    signs = _sign_bits(sbytes).reshape(nb, 8, 32)
+    out = db[:, :, None] * vals * signs
+    return out.reshape(shape).astype(np.float32)
+
+
+IQ1_DELTA = np.float32(0.125)
+
+
+def iq1_s_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """IQ1_S: 50-byte superblock = f16 d + 32 low-index bytes (2048×8
+    ternary grid) + 8 u16 words; per 32-value group one word carries 4×3
+    high index bits (shifts 0/3/6/9), a 3-bit scale (bits 12..14) and a
+    delta sign (bit 15); v = d·(2·scale+1)·(grid ± 0.125)."""
+    b = _blocks(raw, 50)
+    nb = b.shape[0]
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)   # [nb, 1]
+    qs = b[:, 2:34].astype(np.uint16)                          # [nb, 32]
+    qhw = _u16_views(b, 34, 50)                                # [nb, 8]
+    dl = d * (2 * ((qhw >> 12) & 7) + 1).astype(np.float32)    # [nb, 8]
+    delta = np.where((qhw & 0x8000) == 0, IQ1_DELTA, -IQ1_DELTA)
+    hi = (qhw[:, :, None] >> np.array([0, 3, 6, 9], dtype=np.uint16)) & 7
+    idx = qs | (hi.reshape(nb, 32) << 8)
+    vals = GRID_IQ1[idx].reshape(nb, 8, 32)
+    out = dl[:, :, None] * (vals + delta[:, :, None])
+    return out.reshape(shape).astype(np.float32)
+
+
+def iq1_m_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """IQ1_M: 56-byte superblock = 32 low-index bytes + 16 high-nibble
+    bytes (3 index bits + delta sign each) + 8 scale bytes; the f16 super
+    scale is scattered across the top nibbles of the 4 scale words, and
+    3-bit sub-scales (shifts 0/3/6/9) cover 16 values each;
+    v = d·(2·scale+1)·(grid ± 0.125)."""
+    b = _blocks(raw, 56)
+    nb = b.shape[0]
+    qs = b[:, 0:32].astype(np.uint16)                          # [nb, 32]
+    qh = b[:, 32:48]                                           # [nb, 16]
+    scw = _u16_views(b, 48, 56)                                # [nb, 4]
+    dbits = (scw & np.uint16(0xF000)) >> np.array(
+        [12, 8, 4, 0], dtype=np.uint16)
+    d = (dbits[:, 0] | dbits[:, 1] | dbits[:, 2] | dbits[:, 3]
+         ).astype(np.uint16).view(np.float16).astype(np.float32)  # [nb]
+    sc = (scw[:, :, None] >> np.array([0, 3, 6, 9], dtype=np.uint16)) & 7
+    dl = d[:, None] * (2 * sc.reshape(nb, 16) + 1).astype(np.float32)
+    nib = np.stack([qh & 0x0F, qh >> 4], axis=2).reshape(nb, 32)
+    idx = qs | ((nib & 7).astype(np.uint16) << 8)
+    delta = np.where((nib & 0x08) == 0, IQ1_DELTA, -IQ1_DELTA)  # [nb, 32]
+    vals = GRID_IQ1[idx]                                       # [nb, 32, 8]
+    out = dl.reshape(nb, 16, 1, 1) * (
+        vals + delta[:, :, None]).reshape(nb, 16, 2, 8)
+    return out.reshape(shape).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Ternary (BitNet) and microscaling formats. TQ1_0 packs 5 trits per byte
+# in base-3 (×243/256 fixed-point decode), TQ2_0 packs 4 trits per byte in
+# 2 bits; MXFP4 is OCP-MX e2m1 with a shared e8m0 power-of-two scale.
+# Parity target: reference ``gguf/quants.py:575-705`` both directions.
+# ---------------------------------------------------------------------------
+
+def _ternary_quants(x: np.ndarray):
+    """Per-256-block ternary quantization: returns (q in {0,1,2} uint8
+    [nb, 256], d f16-bytes [nb, 2])."""
+    d = np.abs(x).max(axis=-1, keepdims=True)
+    with np.errstate(divide="ignore"):
+        inv = np.where(d == 0, 0.0, 1.0 / d)
+    q = (_round_half_away(x * inv).astype(np.int8) + np.int8(1)
+         ).astype(np.uint8)
+    return q, d.astype(np.float16).view(np.uint8)
+
+
+def tq1_0_quantize(x: np.ndarray) -> np.ndarray:
+    """TQ1_0: 54-byte block. Trits are packed 5-per-byte as
+    ceil(sum(q_i·3^(4-i))·256/243): 32 bytes cover values 0..159 (stride
+    32), 16 bytes cover 160..239 (stride 16), 4 bytes cover the last 16
+    (stride 4, only 4 trits each); f16 d at the end."""
+    x = np.asarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    q, d = _ternary_quants(x)
+    p5 = np.array([81, 27, 9, 3, 1], dtype=np.uint8)
+    g0 = (q[:, :160].reshape(nb, 5, 32) * p5[None, :, None]).sum(
+        axis=1).reshape(nb, 32)
+    g1 = (q[:, 160:240].reshape(nb, 5, 16) * p5[None, :, None]).sum(
+        axis=1).reshape(nb, 16)
+    g2 = (q[:, 240:].reshape(nb, 4, 4) * p5[None, :4, None]).sum(
+        axis=1).reshape(nb, 4)
+    packed = np.concatenate([g0, g1, g2], axis=1).astype(np.uint16)
+    packed = ((packed * 256 + 242) // 243).astype(np.uint8)
+    return np.concatenate([packed, d], axis=1).reshape(-1)
+
+
+def tq1_0_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """Inverse of :func:`tq1_0_quantize_blocks`; trit i of byte b is
+    ((b·3^(i+1)) >> 8) − 1."""
+    b = _blocks(raw, 54)
+    nb = b.shape[0]
+    d = b[:, 52:54].copy().view(np.float16).astype(np.float32)  # [nb, 1]
+    p5 = np.array([1, 3, 9, 27, 81], dtype=np.uint8)
+    g0 = (b[:, 0:32].reshape(nb, 1, 32) * p5[None, :, None]
+          ).reshape(nb, 160)
+    g1 = (b[:, 32:48].reshape(nb, 1, 16) * p5[None, :, None]
+          ).reshape(nb, 80)
+    g2 = (b[:, 48:52].reshape(nb, 1, 4) * p5[None, :4, None]
+          ).reshape(nb, 16)
+    q = np.concatenate([g0, g1, g2], axis=1).astype(np.uint16)
+    q = ((q * 3) >> 8).astype(np.int8) - np.int8(1)
+    return (d * q.astype(np.float32)).reshape(shape)
+
+
+def tq2_0_quantize(x: np.ndarray) -> np.ndarray:
+    """TQ2_0: 66-byte block = 64 bytes of 2-bit trits (4 per byte, 32-value
+    stride per bit-plane) + f16 d."""
+    x = np.asarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    q, d = _ternary_quants(x)
+    planes = q.reshape(nb, 2, 4, 32) << np.array(
+        [0, 2, 4, 6], dtype=np.uint8).reshape(1, 1, 4, 1)
+    packed = np.bitwise_or.reduce(planes, axis=2).reshape(nb, 64)
+    return np.concatenate([packed, d], axis=1).reshape(-1)
+
+
+def tq2_0_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """Inverse of :func:`tq2_0_quantize_blocks`."""
+    b = _blocks(raw, 66)
+    nb = b.shape[0]
+    d = b[:, 64:66].copy().view(np.float16).astype(np.float32)  # [nb, 1]
+    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+    q = (b[:, :64].reshape(nb, 2, 1, 32) >> shifts[None, None, :, None]
+         ) & 0x03
+    q = q.reshape(nb, 256).astype(np.int8) - np.int8(1)
+    return (d * q.astype(np.float32)).reshape(shape)
+
+
+# the OCP-MX e2m1 value table (doubled), ggml kvalues_mxfp4
+MXFP4_KVALUES = np.array([0, 1, 2, 3, 4, 6, 8, 12,
+                          0, -1, -2, -3, -4, -6, -8, -12], dtype=np.int8)
+
+
+def _e8m0_to_fp32_half(e: np.ndarray) -> np.ndarray:
+    """Decode a biased e8m0 exponent byte to 2^(e-127)/2 as float32
+    (subnormal-encoded below e=2), per ggml_e8m0_to_fp32_half."""
+    e = e.astype(np.uint32)
+    bits = np.where(e < 2, np.uint32(0x00200000) << e,
+                    (e - 1).astype(np.uint32) << np.uint32(23))
+    return bits.view(np.float32)
+
+
+def mxfp4_quantize(x: np.ndarray) -> np.ndarray:
+    """MXFP4: 17-byte block = e8m0 scale byte + 16 nibble bytes (elements
+    0..15 in low nibbles). Scale = floor(log2(absmax)) − 2 (power of two);
+    each value maps to the nearest of the 16 e2m1 codebook points."""
+    x = np.asarray(x, dtype=np.float32).reshape(-1, Q8_0_BLOCK)
+    nb = x.shape[0]
+    absmax = np.abs(x).max(axis=-1, keepdims=True)
+    with np.errstate(divide="ignore"):
+        e = np.where(absmax > 0,
+                     np.floor(np.log2(absmax)) - 2 + 127, 0).astype(np.uint8)
+    d = _e8m0_to_fp32_half(e)                                   # [nb, 1]
+    errs = np.abs(d[:, :, None] * MXFP4_KVALUES.astype(np.float32)
+                  - x[:, :, None])                              # [nb, 32, 16]
+    best = np.argmin(errs, axis=-1).astype(np.uint8)            # [nb, 32]
+    qs = best.reshape(nb, 2, 16)
+    return np.concatenate([e, qs[:, 0] | (qs[:, 1] << 4)],
+                          axis=1).reshape(-1)
+
+
+def mxfp4_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
+    """Inverse of :func:`mxfp4_quantize_blocks`."""
+    b = _blocks(raw, 17)
+    d = _e8m0_to_fp32_half(b[:, 0:1])                           # [nb, 1]
+    idx = np.concatenate([b[:, 1:] & 0x0F, b[:, 1:] >> 4], axis=1)
+    return (d * MXFP4_KVALUES[idx].astype(np.float32)).reshape(shape)
+
+
+def bf16_quantize(x: np.ndarray) -> np.ndarray:
+    """fp32 → bf16 raw bits (uint16), ggml semantics: quiet NaNs, then
+    round-to-nearest-even on the top 16 bits."""
+    u = np.asarray(x, dtype=np.float32).view(np.uint32)
+    u = np.where((u & 0x7FFFFFFF) > 0x7F800000,
+                 (u & np.uint32(0xFFFF0000)) | np.uint32(64 << 16), u)
+    u = (u.astype(np.uint64) + (0x7FFF + ((u >> 16) & 1))) >> 16
+    return u.astype(np.uint16)
+
+
+def bf16_dequantize(bits: np.ndarray) -> np.ndarray:
+    """bf16 raw bits (uint16) → fp32."""
+    return (bits.astype(np.uint16).astype(np.uint32) << 16).view(np.float32)

@@ -55,6 +55,20 @@ _QUANT_SWAP = {
     # IQ4_XS: f16 d at 0 plus the u16 scales_h word at 2 (same 2-byte
     # swap as an fp16 word); scales_l / quant nibbles are byte arrays
     GGMLType.IQ4_XS: ((0, 2), ()),
+    # i-quants: the dequantizers read grid/sign words native-endian
+    # (u32 code pairs for the XXS family, u16 codes for IQ2_XS, u16
+    # qh/scale words for IQ1); index bytes / sign bytes pass through
+    GGMLType.IQ2_XXS: ((0,), tuple(range(2, 66, 4))),
+    GGMLType.IQ2_XS: ((0,) + tuple(range(2, 66, 2)), ()),
+    GGMLType.IQ2_S: ((0,), ()),
+    GGMLType.IQ3_XXS: ((0,), tuple(range(66, 98, 4))),
+    GGMLType.IQ3_S: ((0,), ()),
+    GGMLType.IQ1_S: ((0,) + tuple(range(34, 50, 2)), ()),
+    GGMLType.IQ1_M: (tuple(range(48, 56, 2)), ()),
+    # ternary: single trailing f16 d; trit bytes pass through
+    GGMLType.TQ1_0: ((52,), ()),
+    GGMLType.TQ2_0: ((64,), ()),
+    GGMLType.MXFP4: ((), ()),   # e8m0 scale is a single byte
 }
 
 _SCALAR_SIZE = {

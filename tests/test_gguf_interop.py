@@ -276,3 +276,130 @@ def test_qwen3_loader_reads_kquant_gguf(tmp_path):
     assert np.isfinite(qw).all()
     dw = np.asarray(loaded["layers"]["down_w"])
     assert np.isfinite(dw).all()
+
+
+# ---------------------------------------------------------------------------
+# Full reference-python type coverage: i-quants, ternary, MXFP4, BF16
+# ---------------------------------------------------------------------------
+
+IQ_BLOCK_BYTES = {"IQ1_S": 50, "IQ1_M": 56, "IQ2_XXS": 66, "IQ2_XS": 74,
+                  "IQ2_S": 82, "IQ3_XXS": 98, "IQ3_S": 110}
+
+
+def test_iq_codebooks_match_format_spec():
+    """The embedded lattice codebooks and the derived ksigns table are
+    byte-identical to the reference's grid constants (gguf/quants.py
+    grid_hex tables, themselves ggml's iq*_grid arrays)."""
+    refgguf = _ref_gguf()
+    from fun_asr_gguf_tpu.formats import iq_codebooks as cb
+    rq = refgguf.quants
+    for mine, refcls in [(cb.GRID_IQ2_XXS, rq.IQ2_XXS),
+                         (cb.GRID_IQ2_XS, rq.IQ2_XS),
+                         (cb.GRID_IQ2_S, rq.IQ2_S),
+                         (cb.GRID_IQ3_XXS, rq.IQ3_XXS),
+                         (cb.GRID_IQ3_S, rq.IQ3_S),
+                         (cb.GRID_IQ1, rq.IQ1_S)]:
+        refcls.init_grid()
+        np.testing.assert_array_equal(
+            mine, refcls.grid.reshape(refcls.grid_shape))
+    np.testing.assert_array_equal(
+        cb.KSIGNS, np.frombuffer(rq.IQ2_XXS.ksigns, np.uint8))
+
+
+@pytest.mark.parametrize("tname", sorted(IQ_BLOCK_BYTES))
+def test_iquant_dequant_bit_exact(tname):
+    """I-quant (codebook lattice) dequantizers agree bit-for-bit with the
+    reference's vendored gguf-py on arbitrary encoded blocks (all index
+    bit-patterns are valid codebook entries)."""
+    refgguf = _ref_gguf()
+    from fun_asr_gguf_tpu.formats import quant_np as qn
+    rt = getattr(refgguf.GGMLQuantizationType, tname)
+    bb = IQ_BLOCK_BYTES[tname]
+    rng = np.random.default_rng(hash(tname) % 2**31)
+    nb = 12
+    raw = rng.integers(0, 256, size=nb * bb, dtype=np.uint8)
+    with np.errstate(invalid="ignore"):
+        theirs = refgguf.quants.dequantize(raw.reshape(nb, bb),
+                                           rt).astype(np.float32)
+        ours = getattr(qn, f"{tname.lower()}_dequantize_blocks")(
+            raw, (nb, 256))
+    np.testing.assert_array_equal(
+        np.where(np.isnan(ours), 0, ours),
+        np.where(np.isnan(theirs), 0, theirs))
+    np.testing.assert_array_equal(np.isnan(ours), np.isnan(theirs))
+
+
+TERNARY_MX = {"TQ1_0": (256, 54), "TQ2_0": (256, 66), "MXFP4": (32, 17)}
+
+
+@pytest.mark.parametrize("tname", sorted(TERNARY_MX))
+def test_ternary_mxfp4_quantize_bit_exact(tname):
+    """TQ1_0 / TQ2_0 (ternary BitNet) and MXFP4 (OCP-MX e2m1) quantizers
+    emit byte-identical streams to the reference's vendored gguf-py, and
+    the dequantizers invert them bit-exactly."""
+    refgguf = _ref_gguf()
+    from fun_asr_gguf_tpu.formats import quant_np as qn
+    rt = getattr(refgguf.GGMLQuantizationType, tname)
+    rng = np.random.default_rng(hash(tname) % 2**31)
+    x = (rng.normal(size=(8, 512)) *
+         rng.uniform(0.01, 30, size=(8, 1))).astype(np.float32)
+    x[0] = 0.0                                    # zero-block edge
+    x[1, ::2] = np.float32(0.5) * np.sign(x[1, ::2])   # ties
+    ref = refgguf.quants.quantize(x, rt).reshape(-1)
+    mine = getattr(qn, f"{tname.lower()}_quantize")(x)
+    np.testing.assert_array_equal(mine, ref)
+    deq_ref = refgguf.quants.dequantize(
+        ref.reshape(8, -1), rt).astype(np.float32)
+    deq_mine = getattr(qn, f"{tname.lower()}_dequantize_blocks")(
+        mine, x.shape)
+    np.testing.assert_array_equal(deq_mine, deq_ref.reshape(x.shape))
+
+
+def test_bf16_quantize_bit_exact():
+    """fp32→bf16 matches ggml semantics (round-to-nearest-even on the top
+    16 bits, NaNs forced quiet) — including NaN/inf/subnormal edges."""
+    refgguf = _ref_gguf()
+    from fun_asr_gguf_tpu.formats import quant_np as qn
+    rt = refgguf.GGMLQuantizationType.BF16
+    rng = np.random.default_rng(30)
+    x = np.concatenate([
+        rng.normal(size=500).astype(np.float32) * 1e3,
+        np.array([np.nan, -np.nan, np.inf, -np.inf, 0.0, -0.0,
+                  1.5e-40, -1.5e-40, 1.0 + 2**-9, 1.0 + 2**-8,
+                  np.float32(3.0).item(), 65504.0], np.float32),
+    ]).reshape(2, -1)
+    ref = refgguf.quants.quantize(x, rt).reshape(-1)
+    mine = qn.bf16_quantize(x).view(np.uint8).reshape(-1)
+    np.testing.assert_array_equal(mine, ref)
+    back = qn.bf16_dequantize(qn.bf16_quantize(x))
+    ref_back = refgguf.quants.dequantize(ref.reshape(2, -1), rt)
+    np.testing.assert_array_equal(back.view(np.uint32),
+                                  ref_back.astype(np.float32)
+                                  .reshape(back.shape).view(np.uint32))
+
+
+def test_reader_dequantizes_iquant_and_ternary(tmp_path):
+    """GGUFs carrying IQ2_S / TQ2_0 / MXFP4 tensors load through
+    GGUFReader.tensor() with reference-identical values."""
+    refgguf = _ref_gguf()
+    from fun_asr_gguf_tpu.formats.gguf import (GGMLType, GGUFReader,
+                                               GGUFWriter)
+    rng = np.random.default_rng(9)
+    path = str(tmp_path / "iq.gguf")
+    w = GGUFWriter(path, "qwen3")
+    payloads = {}
+    for tname, (bv, bb) in [("IQ2_S", (256, 82)), ("TQ2_0", (256, 66)),
+                            ("MXFP4", (32, 17))]:
+        raw = rng.integers(0, 128, size=4 * bb, dtype=np.uint8)
+        payloads[tname] = raw
+        w.add_tensor_raw(f"t_{tname.lower()}", raw.tobytes(),
+                         (4, bv), getattr(GGMLType, tname))
+    w.write()
+    r = GGUFReader(path)
+    for tname, raw in payloads.items():
+        bv, bb = {"IQ2_S": (256, 82), "TQ2_0": (256, 66),
+                  "MXFP4": (32, 17)}[tname]
+        ours = r.tensor(f"t_{tname.lower()}")
+        theirs = refgguf.quants.dequantize(
+            raw.reshape(4, bb), getattr(refgguf.GGMLQuantizationType, tname))
+        np.testing.assert_array_equal(ours, theirs.astype(np.float32))

@@ -265,6 +265,22 @@ class TestConvertEndian:
                          (2, 32), GGMLType.IQ4_NL)
         w.add_tensor_raw("t_iq4xs", bytes(i % 241 for i in range(136)),
                          (256,), GGMLType.IQ4_XS)
+        # i-quants (u32 code words / u16 code words / u16 qh+scale words),
+        # ternary trailing-f16, and single-byte-scale MXFP4
+        w.add_tensor_raw("t_iq2xxs", bytes(i % 239 for i in range(66)),
+                         (256,), GGMLType.IQ2_XXS)
+        w.add_tensor_raw("t_iq2xs", bytes(i % 233 for i in range(74)),
+                         (256,), GGMLType.IQ2_XS)
+        w.add_tensor_raw("t_iq1s", bytes(i % 229 for i in range(50)),
+                         (256,), GGMLType.IQ1_S)
+        w.add_tensor_raw("t_iq1m", bytes(i % 227 for i in range(56)),
+                         (256,), GGMLType.IQ1_M)
+        w.add_tensor_raw("t_iq3s", bytes(i % 223 for i in range(110)),
+                         (256,), GGMLType.IQ3_S)
+        w.add_tensor_raw("t_tq1", bytes(i % 219 for i in range(54)),
+                         (256,), GGMLType.TQ1_0)
+        w.add_tensor_raw("t_mx", bytes(i % 217 for i in range(2 * 17)),
+                         (2, 32), GGMLType.MXFP4)
         w.write()
 
     def test_roundtrip_bit_exact(self, tmp_path):
