@@ -1,8 +1,11 @@
-"""GGUF quantizer: rewrite a model with q8_0 (or f16) tensor payloads.
+"""GGUF quantizer: rewrite a model's matmul weights in a smaller type.
 
 The llama-quantize equivalent (the reference ships it as a prebuilt
 ``bin/llama-quantize.exe``). 2-D matmul weights are converted; 1-D norms
-stay f32 (matching llama.cpp's quantization policy for q8_0 models).
+stay f32 (matching llama.cpp's quantization policy). Every target this
+repo has a bit-exact ggml quantizer for is accepted: the legacy 4/5/8-bit
+block types, ternary BitNet (tq1_0/tq2_0), MXFP4, and the f16/bf16
+half-float stores.
 
 Usage:
     python -m fun_asr_gguf_tpu.tools.quantize in.gguf out.gguf --type q8_0
@@ -12,7 +15,16 @@ import argparse
 
 import numpy as np
 
-from ..formats.gguf import GGMLType, GGUFReader, GGUFWriter
+from ..formats.gguf import GGMLType, GGUFReader, GGUFWriter, _BLOCK_FORMATS
+from ..formats.quant_np import bf16_quantize
+
+QUANT_TYPES = {
+    "q4_0": GGMLType.Q4_0, "q4_1": GGMLType.Q4_1,
+    "q5_0": GGMLType.Q5_0, "q5_1": GGMLType.Q5_1,
+    "q8_0": GGMLType.Q8_0,
+    "tq1_0": GGMLType.TQ1_0, "tq2_0": GGMLType.TQ2_0,
+    "mxfp4": GGMLType.MXFP4,
+}
 
 
 def quantize_gguf(in_path: str, out_path: str, ttype: str = "q8_0"):
@@ -24,18 +36,24 @@ def quantize_gguf(in_path: str, out_path: str, ttype: str = "q8_0"):
             continue
         w.add_kv(key, value)
 
+    gtype = QUANT_TYPES.get(ttype)
+    block = _BLOCK_FORMATS[gtype][0] if gtype is not None else 1
     n_converted = 0
     for info in r.tensors:
         data = r.tensor(info.name)          # dequantized f32/f16 view
         arr = np.asarray(data, dtype=np.float32)
-        quantizable = (arr.ndim == 2 and arr.shape[-1] % 32 == 0
+        quantizable = (arr.ndim == 2 and arr.shape[-1] % block == 0
                        and info.name.endswith(".weight")
                        and "norm" not in info.name)
-        if quantizable and ttype == "q8_0":
-            w.add_tensor(info.name, arr, ggml_type=GGMLType.Q8_0)
+        if quantizable and gtype is not None:
+            w.add_tensor(info.name, arr, ggml_type=gtype)
             n_converted += 1
         elif quantizable and ttype == "f16":
             w.add_tensor(info.name, arr.astype(np.float16))
+            n_converted += 1
+        elif quantizable and ttype == "bf16":
+            w.add_tensor_raw(info.name, bf16_quantize(arr).tobytes(),
+                             arr.shape, GGMLType.BF16)
             n_converted += 1
         else:
             w.add_tensor(info.name, arr.astype(np.float32))
@@ -47,7 +65,8 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("input")
     ap.add_argument("output")
-    ap.add_argument("--type", default="q8_0", choices=["q8_0", "f16"])
+    ap.add_argument("--type", default="q8_0",
+                    choices=sorted(QUANT_TYPES) + ["f16", "bf16"])
     args = ap.parse_args()
     quantize_gguf(args.input, args.output, args.type)
 

@@ -74,6 +74,30 @@ class TestQuantizer:
         w2 = np.asarray(p2["layers"]["q_w"][0], dtype=np.float32)
         assert np.abs(w1 - w2).max() < np.abs(w1).max() * 0.02
 
+    def test_quantize_all_types(self, tmp_path):
+        """Every --type target produces a loadable GGUF whose matmul
+        weights carry the requested type and reconstruct the originals
+        within that type's quantization error."""
+        cfg = Qwen3Config.tiny(vocab_size=64)
+        params = init_qwen3_params(jax.random.PRNGKey(3), cfg)
+        f16 = str(tmp_path / "f16.gguf")
+        save_qwen3_to_gguf(f16, params, cfg, quantize_q8_0=False)
+        w1 = np.asarray(params["layers"]["q_w"][0])
+        # (type, worst-case relative reconstruction error)
+        for ttype, gt, tol in [("q4_0", GGMLType.Q4_0, 0.2),
+                               ("q5_1", GGMLType.Q5_1, 0.1),
+                               ("mxfp4", GGMLType.MXFP4, 0.5),
+                               ("bf16", GGMLType.BF16, 0.02)]:
+            out = str(tmp_path / f"{ttype}.gguf")
+            quantize_gguf(f16, out, ttype)
+            r = GGUFReader(out)
+            assert r.tensor_info("blk.0.attn_q.weight").ggml_type == gt
+            assert (r.tensor_info("blk.0.attn_norm.weight").ggml_type
+                    == GGMLType.F32)
+            p2, _, _ = load_qwen3_from_gguf(out)
+            w2 = np.asarray(p2["layers"]["q_w"][0], dtype=np.float32)
+            assert np.abs(w1 - w2).max() < np.abs(w1).max() * tol, ttype
+
     def test_smaller_file(self, tmp_path):
         cfg = Qwen3Config.tiny(vocab_size=64)
         params = init_qwen3_params(jax.random.PRNGKey(1), cfg)
