@@ -330,7 +330,8 @@ class GGUFReader:
         dtype = _NUMPY_FOR_TYPE[t.ggml_type]
         arr = np.frombuffer(raw, dtype=dtype).reshape(t.shape)
         if t.ggml_type == GGMLType.BF16:
-            arr = (arr.astype(np.uint32) << 16).view(np.float32)
+            from .quant_np import bf16_dequantize
+            arr = bf16_dequantize(arr)
         return arr
 
     def tensor_q8_0(self, name: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -467,8 +468,9 @@ class GGUFWriter:
                 raw = _QUANTIZERS[gtype](
                     np.asarray(arr, dtype=np.float32)).tobytes()
             elif gtype == GGMLType.BF16:
-                a32 = np.asarray(arr, dtype=np.float32)
-                raw = ((a32.view(np.uint32) + 0x8000) >> 16).astype(np.uint16).tobytes()
+                from .quant_np import bf16_quantize
+                raw = bf16_quantize(
+                    np.asarray(arr, dtype=np.float32)).tobytes()
             else:
                 raw = np.ascontiguousarray(arr.astype(_NUMPY_FOR_TYPE[gtype])).tobytes()
             pad = -len(raw) % alignment

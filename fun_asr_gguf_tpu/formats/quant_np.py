@@ -626,7 +626,7 @@ def tq1_0_quantize(x: np.ndarray) -> np.ndarray:
 
 
 def tq1_0_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
-    """Inverse of :func:`tq1_0_quantize_blocks`; trit i of byte b is
+    """Inverse of :func:`tq1_0_quantize`; trit i of byte b is
     ((b·3^(i+1)) >> 8) − 1."""
     b = _blocks(raw, 54)
     nb = b.shape[0]
@@ -656,7 +656,7 @@ def tq2_0_quantize(x: np.ndarray) -> np.ndarray:
 
 
 def tq2_0_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
-    """Inverse of :func:`tq2_0_quantize_blocks`."""
+    """Inverse of :func:`tq2_0_quantize`."""
     b = _blocks(raw, 66)
     nb = b.shape[0]
     d = b[:, 64:66].copy().view(np.float16).astype(np.float32)  # [nb, 1]
@@ -701,7 +701,7 @@ def mxfp4_quantize(x: np.ndarray) -> np.ndarray:
 
 
 def mxfp4_dequantize_blocks(raw: np.ndarray, shape) -> np.ndarray:
-    """Inverse of :func:`mxfp4_quantize_blocks`."""
+    """Inverse of :func:`mxfp4_quantize`."""
     b = _blocks(raw, 17)
     d = _e8m0_to_fp32_half(b[:, 0:1])                           # [nb, 1]
     idx = np.concatenate([b[:, 1:] & 0x0F, b[:, 1:] >> 4], axis=1)

@@ -16,7 +16,6 @@ import argparse
 import numpy as np
 
 from ..formats.gguf import GGMLType, GGUFReader, GGUFWriter, _BLOCK_FORMATS
-from ..formats.quant_np import bf16_quantize
 
 QUANT_TYPES = {
     "q4_0": GGMLType.Q4_0, "q4_1": GGMLType.Q4_1,
@@ -36,6 +35,10 @@ def quantize_gguf(in_path: str, out_path: str, ttype: str = "q8_0"):
             continue
         w.add_kv(key, value)
 
+    if ttype not in QUANT_TYPES and ttype not in ("f16", "bf16"):
+        raise ValueError(
+            f"unknown quantization target {ttype!r}; expected one of "
+            f"{sorted(QUANT_TYPES) + ['f16', 'bf16']}")
     gtype = QUANT_TYPES.get(ttype)
     block = _BLOCK_FORMATS[gtype][0] if gtype is not None else 1
     n_converted = 0
@@ -52,8 +55,7 @@ def quantize_gguf(in_path: str, out_path: str, ttype: str = "q8_0"):
             w.add_tensor(info.name, arr.astype(np.float16))
             n_converted += 1
         elif quantizable and ttype == "bf16":
-            w.add_tensor_raw(info.name, bf16_quantize(arr).tobytes(),
-                             arr.shape, GGMLType.BF16)
+            w.add_tensor(info.name, arr, ggml_type=GGMLType.BF16)
             n_converted += 1
         else:
             w.add_tensor(info.name, arr.astype(np.float32))

@@ -303,6 +303,12 @@ class TestConvertEndian:
                          (256,), GGMLType.IQ3_S)
         w.add_tensor_raw("t_tq1", bytes(i % 219 for i in range(54)),
                          (256,), GGMLType.TQ1_0)
+        w.add_tensor_raw("t_tq2", bytes(i % 215 for i in range(66)),
+                         (256,), GGMLType.TQ2_0)
+        w.add_tensor_raw("t_iq2s", bytes(i % 213 for i in range(82)),
+                         (256,), GGMLType.IQ2_S)
+        w.add_tensor_raw("t_iq3xxs", bytes(i % 211 for i in range(98)),
+                         (256,), GGMLType.IQ3_XXS)
         w.add_tensor_raw("t_mx", bytes(i % 217 for i in range(2 * 17)),
                          (2, 32), GGMLType.MXFP4)
         w.write()
@@ -320,6 +326,53 @@ class TestConvertEndian:
         assert convert_endian(be, le2, "little", verbose=False) == "little"
         with open(le, "rb") as a, open(le2, "rb") as b:
             assert a.read() == b.read()
+
+    # literal per-type word layout (independent restatement of the swap
+    # rules: 2-byte word starts, 4-byte word starts within one block) —
+    # an accidental edit to convert_endian._QUANT_SWAP fails here
+    QUANT_WORDS = {
+        "t_q8": (34, [0], []),
+        "t_q4k": (144, [0, 2], []),
+        "t_q6k": (210, [208], []),
+        "t_iq4nl": (18, [0], []),
+        "t_iq4xs": (136, [0, 2], []),
+        "t_iq2xxs": (66, [0], list(range(2, 66, 4))),
+        "t_iq2xs": (74, [0] + list(range(2, 66, 2)), []),
+        "t_iq2s": (82, [0], []),
+        "t_iq3xxs": (98, [0], list(range(66, 98, 4))),
+        "t_iq3s": (110, [0], []),
+        "t_iq1s": (50, [0] + list(range(34, 50, 2)), []),
+        "t_iq1m": (56, list(range(48, 56, 2)), []),
+        "t_tq1": (54, [52], []),
+        "t_tq2": (66, [64], []),
+        "t_mx": (17, [], []),
+    }
+
+    def test_single_swap_touches_exactly_the_scale_words(self, tmp_path):
+        """One LE→BE pass must reverse exactly the multi-byte words of
+        each quant block (f16/u16 scales, u32 code words) and leave every
+        packed index/sign byte untouched — a round-trip cannot see this
+        (double swap restores any offset table)."""
+        from fun_asr_gguf_tpu.formats.gguf import GGUFReader
+        from fun_asr_gguf_tpu.tools.convert_endian import convert_endian
+        le = str(tmp_path / "m.gguf")
+        be = str(tmp_path / "m.be.gguf")
+        self._make_gguf(le)
+        convert_endian(le, be, verbose=False)
+        r = GGUFReader(le)
+        be_raw = np.fromfile(be, dtype=np.uint8)
+        for name, (bb, w16, w32) in self.QUANT_WORDS.items():
+            t = r.tensor_info(name)
+            le_pay = np.frombuffer(r.tensor_raw(name), dtype=np.uint8)
+            start = r.data_start + t.offset
+            be_pay = be_raw[start:start + t.nbytes]
+            expect = le_pay.reshape(-1, bb).copy()
+            for off in w16:
+                expect[:, [off, off + 1]] = expect[:, [off + 1, off]]
+            for off in w32:
+                expect[:, off:off + 4] = expect[:, off:off + 4][:, ::-1]
+            np.testing.assert_array_equal(
+                be_pay.reshape(-1, bb), expect, err_msg=name)
 
     def test_big_endian_payloads_decode(self, tmp_path):
         import struct
