@@ -54,6 +54,7 @@ class ModelManager:
         self.adaptor_params = None
         self.ctc_params = None
         self.llm_params = None
+        self.mesh = None               # set when config.mesh_shape is given
         self.embedding_table: Optional[np.ndarray] = None
         self.tokenizer = None
         self.eos_token = None
@@ -153,6 +154,40 @@ class ModelManager:
                 # decoders would otherwise OOM holding both copies)
                 self.llm_params = quantize_qwen3_params_int8(
                     self.llm_params, donate=True)
+
+            if self.config.mesh_shape:
+                # Multi-chip serving: place the decoder on a ('dp','tp')
+                # mesh with Megatron-TP shardings; every jitted program
+                # below takes params as arguments, so GSPMD partitions the
+                # prefill/decode/verify compute and inserts the ICI
+                # collectives. Activations/KV inherit shardings by
+                # propagation (parity: tests/test_parallel.py,
+                # tests/test_engine_e2e.py::TestShardedEngine).
+                ms = dict(self.config.mesh_shape)
+                dp, tp = int(ms.pop("dp", 1)), int(ms.pop("tp", 1))
+                if ms:
+                    raise ValueError(
+                        f"mesh_shape has unknown axes {sorted(ms)}; "
+                        "expected 'dp' and/or 'tp'")
+                if fmt == "q8_0":
+                    raise ValueError(
+                        "mesh_shape with llm_weight_format='q8_0' is not "
+                        "supported (the per-block Pallas kernels are "
+                        "single-chip); use 'int8' or 'bf16'")
+                n_need = dp * tp
+                n_avail = len(jax.devices())
+                if n_need > n_avail:
+                    raise ValueError(
+                        f"mesh_shape dp{dp}xtp{tp} needs {n_need} devices; "
+                        f"only {n_avail} visible")
+                from ..parallel.mesh import make_mesh
+                from ..parallel.sharding import shard_llm_params
+                self.mesh = make_mesh(dp=dp, tp=tp,
+                                      devices=jax.devices()[:n_need])
+                self.llm_params = shard_llm_params(self.llm_params,
+                                                   self.mesh)
+                vprint(f"[1b/6] 张量并行: 解码器已切分到 dp{dp}xtp{tp} "
+                       "网格", verbose)
             self.audio_cfg = AudioEncoderConfig(
                 encoder=self.hybrid_cfg.encoder,
                 adaptor=self.hybrid_cfg.adaptor)

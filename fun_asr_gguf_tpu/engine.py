@@ -44,11 +44,23 @@ class FunASREngine:
                  speculative: bool = True,
                  spec_k: int = 8,
                  spec_draft_len: int = 512,
-                 spec_min_accept: float = 1.35):
+                 spec_min_accept: float = 1.35,
+                 mesh_shape: Optional[dict] = None):
         if llm_weight_format not in ("auto", "bf16", "int8", "q8_0"):
             raise ValueError(
                 f"llm_weight_format must be auto|bf16|int8|q8_0, got "
                 f"{llm_weight_format!r}")
+        if mesh_shape:
+            bad = set(mesh_shape) - {"dp", "tp"}
+            if bad:
+                raise ValueError(
+                    f"mesh_shape has unknown axes {sorted(bad)}; "
+                    "expected 'dp' and/or 'tp'")
+            if llm_weight_format == "q8_0":
+                raise ValueError(
+                    "mesh_shape with llm_weight_format='q8_0' is not "
+                    "supported (the per-block Pallas kernels are "
+                    "single-chip); use 'int8' or 'bf16'")
         self.config = ASREngineConfig(
             checkpoint_dir=checkpoint_dir,
             tokens_path=tokens_path,
@@ -74,7 +86,8 @@ class FunASREngine:
             speculative=speculative,
             spec_k=spec_k,
             spec_draft_len=spec_draft_len,
-            spec_min_accept=spec_min_accept)
+            spec_min_accept=spec_min_accept,
+            mesh_shape=dict(mesh_shape) if mesh_shape else None)
         self.models = ModelManager(self.config)
         self.orchestrator = TranscriptionOrchestrator(self.models)
         self.sample_rate = self.config.sample_rate

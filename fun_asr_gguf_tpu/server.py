@@ -452,6 +452,10 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--warmup-all", action="store_true",
                     help="compile every prefill bucket at startup so no "
                          "request pays first-use compile time")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel ways: shard the decoder "
+                         "Megatron-style over the first N chips "
+                         "(mesh_shape={'dp':1,'tp':N})")
     args = ap.parse_args(argv)
 
     from . import create_asr_engine
@@ -463,7 +467,9 @@ def main(argv: Optional[list] = None):
                                compilation_cache_dir=args.compile_cache,
                                rules_path=args.rules_path,
                                rectify_path=args.rectify_path,
-                               warmup_all_buckets=args.warmup_all)
+                               warmup_all_buckets=args.warmup_all,
+                               mesh_shape=({"dp": 1, "tp": args.tp}
+                                           if args.tp > 1 else None))
     server = make_server(engine, args.host, args.port,
                          batch_window_ms=args.batch_window_ms,
                          max_batch=args.max_batch)

@@ -293,6 +293,71 @@ class TestInt8Engine:
             reset_hotword_manager()
 
 
+class TestShardedEngine:
+    def test_mesh_engine_matches_single_device_greedy(self, checkpoint,
+                                                      tmp_path):
+        """config.mesh_shape places the decoder on a ('dp','tp') mesh
+        (Megatron-TP shardings); greedy transcription through the facade
+        must be identical to the single-device engine."""
+        reset_hotword_manager()
+        import jax
+        from jax.sharding import NamedSharding
+        from fun_asr_gguf_tpu import create_asr_engine
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >= 2 devices")
+        ckpt, _cfg = checkpoint
+        path = make_wav(tmp_path, 1.0, "tp.wav", seed=23)
+        kwargs = dict(checkpoint_dir=ckpt, verbose=False,
+                      compute_dtype="float32", segment_pad_seconds=2.0,
+                      n_predict=8, prefill_buckets=(64,))
+        eng1 = create_asr_engine(**kwargs)
+        try:
+            ref = eng1.transcribe(path, verbose=False, temperature=0.0)
+        finally:
+            eng1.cleanup()
+            reset_hotword_manager()
+        eng2 = create_asr_engine(mesh_shape={"dp": 1, "tp": 2}, **kwargs)
+        try:
+            assert eng2.models.mesh is not None
+            assert eng2.models.mesh.shape == {"dp": 1, "tp": 2}
+            layers = eng2.models.llm_params["layers"]
+            w = layers.get("qkv_w", layers.get("q_w"))
+            leaf = w.w8 if hasattr(w, "w8") else w
+            assert isinstance(leaf.sharding, NamedSharding)
+            assert not leaf.sharding.is_fully_replicated
+            res = eng2.transcribe(path, verbose=False, temperature=0.0)
+            assert res.text == ref.text
+        finally:
+            eng2.cleanup()
+            reset_hotword_manager()
+
+    def test_mesh_q8_0_rejected(self, checkpoint):
+        reset_hotword_manager()
+        from fun_asr_gguf_tpu import create_asr_engine
+        ckpt, _cfg = checkpoint
+        with pytest.raises(Exception, match="q8_0"):
+            create_asr_engine(
+                checkpoint_dir=ckpt, verbose=False,
+                compute_dtype="float32", segment_pad_seconds=2.0,
+                n_predict=8, prefill_buckets=(64,),
+                llm_weight_format="q8_0", mesh_shape={"dp": 1, "tp": 2})
+        reset_hotword_manager()
+
+    def test_mesh_too_many_devices_rejected(self, checkpoint):
+        reset_hotword_manager()
+        from fun_asr_gguf_tpu import create_asr_engine
+        ckpt, _cfg = checkpoint
+        # device-count depends on the runtime, so it surfaces as the
+        # generic init failure (reference semantics: initialize() -> False)
+        with pytest.raises(RuntimeError, match="initialize"):
+            create_asr_engine(
+                checkpoint_dir=ckpt, verbose=False,
+                compute_dtype="float32", segment_pad_seconds=2.0,
+                n_predict=8, prefill_buckets=(64,),
+                mesh_shape={"dp": 64, "tp": 2})
+        reset_hotword_manager()
+
+
 class TestEdgeCases:
     def test_very_short_audio(self, engine, tmp_path):
         """One-tenth-second clip: static padding must absorb it."""
