@@ -94,7 +94,7 @@ class BatchStreamDecoder:
             {"encoder": models.encoder_params,
              "adaptor": models.adaptor_params},
             models.frontend_consts,
-            jnp.asarray(buf), jnp.asarray(lens, jnp.int32),
+            models.put_batch(buf), models.put_batch(lens, jnp.int32),
             cfg=models.audio_cfg, compute_dtype=models._compute_dtype)
         embd_np = np.asarray(embd, dtype=np.float32)
         t_encode = time.perf_counter() - t0
@@ -182,8 +182,8 @@ class BatchStreamDecoder:
         seed = int(np.random.randint(0, 2 ** 31 - 1))
         state = prefill_init(
             models.llm_params,
-            jnp.asarray(prompt_buf, models._compute_dtype),
-            jnp.asarray(mask_buf),
+            models.put_batch(prompt_buf, models._compute_dtype),
+            models.put_batch(mask_buf),
             jax.random.PRNGKey(seed), models.hybrid_cfg.llm,
             max_len=max_len)
         state.logits.block_until_ready()
@@ -195,7 +195,7 @@ class BatchStreamDecoder:
         if drafts is not None:
             from ..models.speculative import spec_generate_chunk, spec_init
             state = spec_init(state)
-            draft_dev = jnp.asarray(drafts)
+            draft_dev = models.put_batch(drafts)
             while True:
                 # budget by state.n_gen (stop tokens are NOT counted, the
                 # reference single-stream semantics) — raw emitted-token

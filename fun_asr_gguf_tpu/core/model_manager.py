@@ -288,6 +288,22 @@ class ModelManager:
 
     # -- compiled entry points ----------------------------------------------
 
+    def put_batch(self, arr, dtype=None):
+        """Device-put a batch-major array, sharded over the mesh's 'dp'
+        axis when one is configured and the row count divides — batched
+        decoding then scales out over data-parallel chips while the 'tp'
+        axis keeps sharding the weights. Falls back to an unsharded
+        (replicated) array otherwise."""
+        x = jnp.asarray(arr, dtype) if dtype is not None else jnp.asarray(arr)
+        if self.mesh is None or x.ndim == 0:
+            return x
+        dp = self.mesh.shape.get("dp", 1)
+        if dp <= 1 or x.shape[0] % dp != 0:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(*(("dp",) + (None,) * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
     def encode_audio(self, audio: np.ndarray):
         """audio [n] float → (audio_embd [T_llm,llm_dim] f32 np,
         enc_output [1,T_lfr,d] device array). Mirrors

@@ -331,6 +331,36 @@ class TestShardedEngine:
             eng2.cleanup()
             reset_hotword_manager()
 
+    def test_dp_tp_batch_matches_single(self, checkpoint, tmp_path):
+        """With a dp>1 mesh, transcribe_batch shards the batch dimension
+        over 'dp' (put_batch) while 'tp' shards the weights; outputs must
+        equal the single-device engine's per-file greedy results."""
+        reset_hotword_manager()
+        import jax
+        from fun_asr_gguf_tpu import create_asr_engine
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 devices")
+        ckpt, _cfg = checkpoint
+        paths = [make_wav(tmp_path, 1.0, f"dp{i}.wav", seed=40 + i)
+                 for i in range(2)]
+        kwargs = dict(checkpoint_dir=ckpt, verbose=False,
+                      compute_dtype="float32", segment_pad_seconds=2.0,
+                      n_predict=8, prefill_buckets=(64,))
+        eng1 = create_asr_engine(**kwargs)
+        try:
+            ref = [eng1.transcribe(pth, verbose=False, temperature=0.0).text
+                   for pth in paths]
+        finally:
+            eng1.cleanup()
+            reset_hotword_manager()
+        eng2 = create_asr_engine(mesh_shape={"dp": 2, "tp": 2}, **kwargs)
+        try:
+            res = eng2.transcribe_batch(paths, temperature=0.0)
+            assert [r.text for r in res] == ref
+        finally:
+            eng2.cleanup()
+            reset_hotword_manager()
+
     def test_mesh_q8_0_rejected(self, checkpoint):
         reset_hotword_manager()
         from fun_asr_gguf_tpu import create_asr_engine
