@@ -259,3 +259,86 @@ class TestQuantizedCTC:
         quant = np.asarray(ctc_head_forward(qparams, x, cfg))
         # argmax indices agree except possibly at near-ties
         assert (dense == quant).mean() > 0.9
+
+
+class TestPipeline:
+    """GPipe pipeline parallelism (parallel/pipeline.py): forward, loss
+    and grads through the pp-staged decoder must match the unsharded
+    computation — the backward schedule comes from differentiating
+    through the ppermute ring."""
+
+    def _setup(self, pp=4, n_micro=4, b=4, t=10):
+        from fun_asr_gguf_tpu.parallel.pipeline import (make_pp_mesh,
+                                                        shard_layers_pp)
+        import dataclasses
+        cfg = dataclasses.replace(Qwen3Config.tiny(vocab_size=64),
+                                  n_layers=4)   # 1 layer per stage at pp=4
+        params = init_qwen3_params(jax.random.PRNGKey(3), cfg)
+        mesh = make_pp_mesh(pp)
+        sharded = shard_layers_pp(params, mesh)
+        rng = np.random.default_rng(3)
+        ids = jnp.asarray(rng.integers(0, 64, size=(b, t)), jnp.int32)
+        mask = np.ones((b, t), np.float32)
+        mask[1, :3] = 0.0                      # a left-padded row
+        return cfg, params, sharded, mesh, ids, jnp.asarray(mask)
+
+    def _ref_loss(self, params, ids, mask, cfg):
+        from fun_asr_gguf_tpu.models.common import rms_norm
+        from fun_asr_gguf_tpu.models.qwen3 import qwen3_forward_logits
+        # reference: unsharded full-sequence forward with the same tied
+        # head + masked next-token CE
+        embeds = params["embed"][ids]
+        logits = qwen3_forward_logits(params, embeds, mask, cfg)
+        logits = logits[:, :-1].astype(jnp.float32)
+        targets = ids[:, 1:]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        w = mask[:, 1:].astype(jnp.float32)
+        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    def test_pp_forward_matches_unsharded(self):
+        from fun_asr_gguf_tpu.parallel.pipeline import pp_lm_loss
+        cfg, params, sharded, mesh, ids, mask = self._setup()
+        ref = self._ref_loss(params, ids, mask, cfg)
+        got = pp_lm_loss(sharded, ids, mask, cfg, mesh, n_micro=4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_pp_grads_match_unsharded(self):
+        from fun_asr_gguf_tpu.parallel.pipeline import pp_lm_loss
+        cfg, params, sharded, mesh, ids, mask = self._setup()
+        g_ref = jax.grad(self._ref_loss)(params, ids, mask, cfg)
+        g_pp = jax.grad(pp_lm_loss)(sharded, ids, mask, cfg, mesh, 4)
+        flat_ref, _ = jax.tree_util.tree_flatten(g_ref)
+        flat_pp, _ = jax.tree_util.tree_flatten(g_pp)
+        for a, b_ in zip(flat_ref, flat_pp):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       rtol=5e-4, atol=1e-5)
+
+    def test_pp_train_step_decreases_loss(self):
+        import optax
+        from fun_asr_gguf_tpu.parallel.pipeline import (make_pp_train_step,
+                                                        pp_lm_loss)
+        cfg, params, sharded, mesh, ids, mask = self._setup(pp=2, n_micro=2)
+        opt = optax.adamw(1e-2)
+        step = make_pp_train_step(cfg, opt, mesh, n_micro=2)
+        opt_state = opt.init(sharded)
+        p, s = sharded, opt_state
+        losses = []
+        for _ in range(3):
+            p, s, m = step(p, s, ids, mask)
+            losses.append(float(jax.device_get(m["loss"])))
+        assert losses[-1] < losses[0]
+
+    def test_uneven_stage_split_rejected(self):
+        from fun_asr_gguf_tpu.parallel.pipeline import (make_pp_mesh,
+                                                        pp_forward)
+        import dataclasses
+        cfg = dataclasses.replace(Qwen3Config.tiny(vocab_size=64),
+                                  n_layers=4)
+        params = init_qwen3_params(jax.random.PRNGKey(0), cfg)
+        mesh = make_pp_mesh(3)
+        x = jnp.zeros((2, 4, cfg.hidden), jnp.float32)
+        m = jnp.ones((2, 4), jnp.float32)
+        with pytest.raises(ValueError, match="stages"):
+            pp_forward(params, x, m, cfg, mesh, n_micro=2)
