@@ -163,24 +163,15 @@ class ModelManager:
                 # collectives. Activations/KV inherit shardings by
                 # propagation (parity: tests/test_parallel.py,
                 # tests/test_engine_e2e.py::TestShardedEngine).
-                ms = dict(self.config.mesh_shape)
-                dp, tp = int(ms.pop("dp", 1)), int(ms.pop("tp", 1))
-                if ms:
-                    raise ValueError(
-                        f"mesh_shape has unknown axes {sorted(ms)}; "
-                        "expected 'dp' and/or 'tp'")
-                if fmt == "q8_0":
-                    raise ValueError(
-                        "mesh_shape with llm_weight_format='q8_0' is not "
-                        "supported (the per-block Pallas kernels are "
-                        "single-chip); use 'int8' or 'bf16'")
+                from ..parallel.mesh import (make_mesh,
+                                             validate_mesh_shape)
+                dp, tp = validate_mesh_shape(self.config.mesh_shape, fmt)
                 n_need = dp * tp
                 n_avail = len(jax.devices())
                 if n_need > n_avail:
                     raise ValueError(
                         f"mesh_shape dp{dp}xtp{tp} needs {n_need} devices; "
                         f"only {n_avail} visible")
-                from ..parallel.mesh import make_mesh
                 from ..parallel.sharding import shard_llm_params
                 self.mesh = make_mesh(dp=dp, tp=tp,
                                       devices=jax.devices()[:n_need])
@@ -298,7 +289,18 @@ class ModelManager:
         if self.mesh is None or x.ndim == 0:
             return x
         dp = self.mesh.shape.get("dp", 1)
-        if dp <= 1 or x.shape[0] % dp != 0:
+        if dp <= 1:
+            return x
+        if x.shape[0] % dp != 0:
+            # replicated fallback: no data parallelism for this batch —
+            # say so once instead of silently duplicating all compute
+            if not getattr(self, "_warned_dp_fallback", False):
+                self._warned_dp_fallback = True
+                logger.warning(
+                    "batch of %d rows does not divide the dp=%d mesh "
+                    "axis; running replicated (no data-parallel "
+                    "speedup). Pad the batch to a multiple of %d.",
+                    x.shape[0], dp, dp)
             return x
         from jax.sharding import NamedSharding, PartitionSpec as P
         spec = P(*(("dp",) + (None,) * (x.ndim - 1)))

@@ -51,16 +51,8 @@ class FunASREngine:
                 f"llm_weight_format must be auto|bf16|int8|q8_0, got "
                 f"{llm_weight_format!r}")
         if mesh_shape:
-            bad = set(mesh_shape) - {"dp", "tp"}
-            if bad:
-                raise ValueError(
-                    f"mesh_shape has unknown axes {sorted(bad)}; "
-                    "expected 'dp' and/or 'tp'")
-            if llm_weight_format == "q8_0":
-                raise ValueError(
-                    "mesh_shape with llm_weight_format='q8_0' is not "
-                    "supported (the per-block Pallas kernels are "
-                    "single-chip); use 'int8' or 'bf16'")
+            from .parallel.mesh import validate_mesh_shape
+            validate_mesh_shape(mesh_shape, llm_weight_format)
         self.config = ASREngineConfig(
             checkpoint_dir=checkpoint_dir,
             tokens_path=tokens_path,

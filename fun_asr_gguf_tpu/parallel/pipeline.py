@@ -19,7 +19,6 @@ the TPU-native scale-out design and is validated against the unsharded
 loss/grads on a virtual mesh (tests/test_parallel.py::TestPipeline).
 """
 
-from functools import partial
 from typing import Tuple
 
 import numpy as np
@@ -27,13 +26,13 @@ import optax
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.common import rms_norm
 from ..models.config import Qwen3Config
 from ..models.qwen3 import (NEG_INF, _attn_out, _gqa_mix, _gqa_scores,
-                            _mlp, _qkv, rope_cos_sin)
+                            _lm_head, _mlp, _qkv, rope_cos_sin)
 
 
 def make_pp_mesh(pp: int, devices=None) -> Mesh:
@@ -91,26 +90,33 @@ def pp_forward(params, embeds, attn_mask, cfg: Qwen3Config, mesh: Mesh,
     x_mb = embeds.reshape(n_micro, mb, t, d)
     m_mb = attn_mask.reshape(n_micro, mb, t)
 
-    def stage_prog(local_layers, x_all, m_all):
+    # per-microbatch RoPE tables + attention bias, computed once ahead of
+    # the schedule (each tick just indexes them). Positions follow the
+    # left-pad-shift convention of qwen3_forward_logits — RoPE is
+    # relative, but matching the absolute angles keeps this path
+    # numerically comparable to the unsharded one.
+    flat_m = m_mb.reshape(b, t)
+    shift = t - jnp.sum(flat_m, axis=1).astype(jnp.int32)          # [B]
+    positions = jnp.maximum(
+        jnp.arange(t, dtype=jnp.int32)[None, :] - shift[:, None], 0)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+                            embeds.dtype)
+    cos_mb = cos.reshape(n_micro, mb, t, 1, cfg.head_dim)
+    sin_mb = sin.reshape(n_micro, mb, t, 1, cfg.head_dim)
+    bias = jnp.where(causal & (flat_m[:, None, None, :] > 0), 0.0,
+                     NEG_INF).astype(jnp.float32)
+    bias_mb = bias.reshape(n_micro, mb, 1, t, t)
+
+    def stage_prog(local_layers, x_all, m_consts):
         """Runs on every 'pp' device; local_layers has the stage's
         [L/pp, ...] slice (shard_map hands each device its shard)."""
         stage = jax.lax.axis_index("pp")
 
-        def apply_stage(x, m):
-            # left-pad-shifted positions, the qwen3_forward_logits
-            # convention (RoPE is relative, but matching the absolute
-            # angles keeps this path bit-comparable to the unsharded one)
-            shift = t - jnp.sum(m, axis=1).astype(jnp.int32)       # [mb]
-            positions = jnp.maximum(
-                jnp.arange(t, dtype=jnp.int32)[None, :] - shift[:, None], 0)
-            cos, sin = rope_cos_sin(positions, cfg.head_dim,
-                                    cfg.rope_theta, x.dtype)
-            cos_, sin_ = cos[:, :, None, :], sin[:, :, None, :]
-            bias = jnp.where(causal & (m[:, None, None, :] > 0), 0.0,
-                             NEG_INF).astype(jnp.float32)
+        def apply_stage(x, consts):
+            cos_, sin_, bias_ = consts
 
             def body(h, lp):
-                return _block(h, lp, cfg, cos_, sin_, bias), None
+                return _block(h, lp, cfg, cos_, sin_, bias_), None
 
             out, _ = jax.lax.scan(body, x, local_layers)
             return out
@@ -125,7 +131,8 @@ def pp_forward(params, embeds, attn_mask, cfg: Qwen3Config, mesh: Mesh,
             # tick_idx - stage; clip keeps the (masked-out) bubble ticks
             # in range
             m_idx = jnp.clip(tick_idx - stage, 0, n_micro - 1)
-            out = apply_stage(inp, m_all[m_idx])
+            out = apply_stage(inp, jax.tree_util.tree_map(
+                lambda a: a[m_idx], m_consts))
             # the last stage owns microbatch tick_idx-(pp-1) when valid
             w = tick_idx - (pp - 1)
             valid = jnp.logical_and(stage == pp - 1,
@@ -152,10 +159,10 @@ def pp_forward(params, embeds, attn_mask, cfg: Qwen3Config, mesh: Mesh,
 
     out = shard_map(
         stage_prog, mesh=mesh,
-        in_specs=(P("pp"), P(), P()),
+        in_specs=(P("pp"), P(), (P(), P(), P())),
         out_specs=P(),
-        check_rep=False,
-    )(params["layers"], x_mb, m_mb)
+        check_vma=False,
+    )(params["layers"], x_mb, (cos_mb, sin_mb, bias_mb))
     return out.reshape(b, t, d)
 
 
@@ -170,7 +177,7 @@ def pp_lm_loss(params, token_ids, attn_mask, cfg: Qwen3Config, mesh: Mesh,
     h = pp_forward(params, embeds, attn_mask, cfg, mesh, n_micro)
     h = rms_norm(h, params["final_ln"], cfg.rms_eps)
     logits = jnp.dot(h[:, :-1].astype(jnp.float32),
-                     params["embed"].T.astype(jnp.float32))
+                     _lm_head(params, cfg).astype(jnp.float32))
     targets = token_ids[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None],
@@ -184,7 +191,7 @@ def make_pp_train_step(cfg: Qwen3Config, optimizer, mesh: Mesh,
     """(params, opt_state, batch) → (params, opt_state, metrics) with the
     decoder forward/backward pipelined over the 'pp' mesh axis."""
 
-    @partial(jax.jit, static_argnames=())
+    @jax.jit
     def step(params, opt_state, token_ids, attn_mask
              ) -> Tuple[dict, tuple, dict]:
         loss, grads = jax.value_and_grad(pp_lm_loss)(

@@ -342,3 +342,17 @@ class TestPipeline:
         m = jnp.ones((2, 4), jnp.float32)
         with pytest.raises(ValueError, match="stages"):
             pp_forward(params, x, m, cfg, mesh, n_micro=2)
+
+
+def test_validate_mesh_shape():
+    from fun_asr_gguf_tpu.parallel.mesh import validate_mesh_shape
+    assert validate_mesh_shape({"dp": 2, "tp": 4}) == (2, 4)
+    assert validate_mesh_shape({"tp": 2}) == (1, 2)
+    with pytest.raises(ValueError, match="unknown axes"):
+        validate_mesh_shape({"pp": 2})
+    with pytest.raises(ValueError, match="positive"):
+        validate_mesh_shape({"dp": 0, "tp": 2})
+    with pytest.raises(ValueError, match="positive"):
+        validate_mesh_shape({"dp": -4})
+    with pytest.raises(ValueError, match="q8_0"):
+        validate_mesh_shape({"tp": 2}, "q8_0")
