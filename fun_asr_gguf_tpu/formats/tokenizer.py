@@ -59,6 +59,46 @@ class BaseTokenizer:
             "utf-8", errors="replace")
 
 
+# the Qwen2/Qwen3 pre-tokenization split (llama.cpp's LLAMA_VOCAB_PRE_QWEN2
+# regex; also the pattern inside the HF tokenizer.json)
+QWEN_SPLIT_REGEX = (r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|"
+                    r"[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}|"
+                    r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|"
+                    r"\s+(?!\S)|\s+")
+
+# GGUF tokenizer.ggml.token_type values (ggml llama_token_type)
+TOKEN_TYPE_NORMAL = 1
+TOKEN_TYPE_UNKNOWN = 2
+TOKEN_TYPE_CONTROL = 3
+TOKEN_TYPE_USER_DEFINED = 4
+
+
+def qwen_tokenizer_spec(vocab: dict, merges: List[str],
+                        added: List[dict]) -> dict:
+    """The HF tokenizer.json schema for Qwen's byte-level BPE.
+
+    ``vocab``: piece → id (byte-level unicode form); ``merges``: "a b"
+    strings; ``added``: added_tokens entries (id/content/special).
+    """
+    return {
+        "version": "1.0", "truncation": None, "padding": None,
+        "added_tokens": added, "normalizer": None,
+        "pre_tokenizer": {"type": "Sequence", "pretokenizers": [
+            {"type": "Split", "pattern": {"Regex": QWEN_SPLIT_REGEX},
+             "behavior": "Isolated", "invert": False},
+            {"type": "ByteLevel", "add_prefix_space": False,
+             "trim_offsets": False, "use_regex": False}]},
+        "post_processor": None,
+        "decoder": {"type": "ByteLevel", "add_prefix_space": True,
+                    "trim_offsets": True, "use_regex": True},
+        "model": {"type": "BPE", "dropout": None, "unk_token": None,
+                  "continuing_subword_prefix": "",
+                  "end_of_word_suffix": "", "fuse_unk": False,
+                  "byte_fallback": False, "vocab": vocab,
+                  "merges": merges},
+    }
+
+
 class QwenTokenizer(BaseTokenizer):
     """Qwen3 byte-level BPE from a HF tokenizer.json.
 
@@ -68,7 +108,53 @@ class QwenTokenizer(BaseTokenizer):
 
     def __init__(self, tokenizer_json_path: str):
         from tokenizers import Tokenizer
-        self._tok = Tokenizer.from_file(tokenizer_json_path)
+        self._init_from(Tokenizer.from_file(tokenizer_json_path))
+
+    @classmethod
+    def from_gguf(cls, gguf_path: str) -> "QwenTokenizer":
+        """Build from the vocab embedded in a llama.cpp GGUF
+        (``tokenizer.ggml.tokens/merges/token_type`` KVs) — the same
+        self-contained loading ``llama.dll`` does, so a stock llama.cpp
+        export works without a separate tokenizer.json.
+
+        The tokenizers runtime numbers added tokens base-vocab-size +
+        insertion order, so control/user-defined entries must sit
+        contiguously at the tail of the GGUF token list (they do for
+        every Qwen export; validated here).
+        """
+        import json as _json
+        from tokenizers import Tokenizer
+        from .gguf import GGUFReader
+        r = GGUFReader(gguf_path)
+        tokens = r.fields.get("tokenizer.ggml.tokens")
+        merges = r.fields.get("tokenizer.ggml.merges")
+        if tokens is None or merges is None:
+            raise ValueError(f"{gguf_path} has no embedded tokenizer "
+                             "(tokenizer.ggml.tokens/merges KVs missing)")
+        types = r.fields.get("tokenizer.ggml.token_type",
+                             [TOKEN_TYPE_NORMAL] * len(tokens))
+        n_base = len(tokens)
+        while n_base > 0 and types[n_base - 1] in (TOKEN_TYPE_CONTROL,
+                                                   TOKEN_TYPE_USER_DEFINED):
+            n_base -= 1
+        for i in range(n_base):
+            if types[i] in (TOKEN_TYPE_CONTROL, TOKEN_TYPE_USER_DEFINED):
+                raise ValueError(
+                    f"{gguf_path}: added token {tokens[i]!r} (id {i}) is "
+                    "not at the tail of the vocab; the tokenizers runtime "
+                    "cannot reproduce its id")
+        vocab = {t: i for i, t in enumerate(tokens[:n_base])}
+        added = [{"id": n_base + j, "content": t, "single_word": False,
+                  "lstrip": False, "rstrip": False, "normalized": False,
+                  "special": types[n_base + j] == TOKEN_TYPE_CONTROL}
+                 for j, t in enumerate(tokens[n_base:])]
+        spec = qwen_tokenizer_spec(vocab, list(merges), added)
+        obj = cls.__new__(cls)
+        obj._init_from(Tokenizer.from_str(_json.dumps(spec)))
+        return obj
+
+    def _init_from(self, tok):
+        self._tok = tok
         self.vocab_size = self._tok.get_vocab_size(with_added_tokens=True)
         # special ids from the RUNTIME, not the file's declared ids: the
         # tokenizers library assigns added-token ids as base-vocab-size +
@@ -194,4 +280,39 @@ def load_tokenizer(path: Optional[str]) -> BaseTokenizer:
             cand = os.path.join(cand, "tokenizer.json")
         if os.path.exists(cand):
             return QwenTokenizer(cand)
+        # no tokenizer.json: a llama.cpp GGUF carries its own vocab
+        base = path if os.path.isdir(path) else os.path.dirname(path)
+        if os.path.isdir(base):
+            for name in sorted(os.listdir(base)):
+                if name.endswith(".gguf"):
+                    try:
+                        return QwenTokenizer.from_gguf(
+                            os.path.join(base, name))
+                    except (ValueError, OSError):
+                        continue
     return ByteTokenizer()
+
+
+def gguf_vocab_from_tokenizer_json(path: str):
+    """Extract (tokens, token_types, merges) in llama.cpp GGUF layout
+    from a HF tokenizer.json — runtime ids, not the file's declared ids
+    (the tokenizers library numbers added tokens base-vocab-size +
+    insertion order)."""
+    with open(path, encoding="utf-8") as f:
+        spec = json.load(f)
+    vocab = spec["model"]["vocab"]
+    tokens: List[Optional[str]] = [None] * len(vocab)
+    for piece, i in vocab.items():
+        tokens[i] = piece
+    if any(t is None for t in tokens):
+        raise ValueError(f"{path}: base vocab ids are not contiguous")
+    types = [TOKEN_TYPE_NORMAL] * len(tokens)
+    for a in spec.get("added_tokens") or []:
+        if a["content"] in vocab:
+            continue                    # already a base piece, keeps its id
+        tokens.append(a["content"])
+        types.append(TOKEN_TYPE_CONTROL if a.get("special")
+                     else TOKEN_TYPE_USER_DEFINED)
+    merges = [m if isinstance(m, str) else " ".join(m)
+              for m in spec["model"]["merges"]]
+    return tokens, types, merges

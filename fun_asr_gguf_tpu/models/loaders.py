@@ -157,8 +157,15 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
 
 
 def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
-                       quantize_q8_0: bool = True):
-    """Export our params as a llama.cpp-compatible qwen3 GGUF."""
+                       quantize_q8_0: bool = True,
+                       tokenizer_json: str = None):
+    """Export our params as a llama.cpp-compatible qwen3 GGUF.
+
+    With ``tokenizer_json``, the vocab/merges embed as
+    ``tokenizer.ggml.*`` KVs (llama.cpp layout) so the file is
+    self-contained — loadable without a separate tokenizer.json
+    (QwenTokenizer.from_gguf / llama.cpp itself).
+    """
     w = GGUFWriter(path, arch="qwen3")
     w.add_kv("qwen3.embedding_length", cfg.hidden)
     w.add_kv("qwen3.block_count", cfg.n_layers)
@@ -170,6 +177,23 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
     w.add_kv("qwen3.rope.freq_base", float(cfg.rope_theta))
     w.add_kv("qwen3.attention.layer_norm_rms_epsilon", float(cfg.rms_eps))
     w.add_kv("qwen3.context_length", cfg.max_position)
+
+    if tokenizer_json:
+        from ..formats.tokenizer import gguf_vocab_from_tokenizer_json
+        tokens, types, merges = gguf_vocab_from_tokenizer_json(
+            tokenizer_json)
+        w.add_kv("tokenizer.ggml.model", "gpt2")
+        w.add_kv("tokenizer.ggml.pre", "qwen2")
+        w.add_kv("tokenizer.ggml.tokens", tokens)
+        w.add_kv("tokenizer.ggml.token_type", types)
+        w.add_kv("tokenizer.ggml.merges", merges)
+        by_content = {t: i for i, t in enumerate(tokens)}
+        if "<|im_end|>" in by_content:
+            w.add_kv("tokenizer.ggml.eos_token_id",
+                     by_content["<|im_end|>"])
+        if "<|endoftext|>" in by_content:
+            w.add_kv("tokenizer.ggml.padding_token_id",
+                     by_content["<|endoftext|>"])
 
     def mat(name, arr2d):
         """our [in, out] -> gguf [out, in]; q8_0 blocks run along `in`."""

@@ -142,8 +142,11 @@ def convert(model_dir: str, out_dir: str, outtype: str = "q8_0",
     else:
         sd = extract_llm_from_model_pt(model_pt)
     params = qwen3_params_from_hf_state(sd, llm_cfg)
+    tok_json = os.path.join(hf_dir, "tokenizer.json")
     save_qwen3_to_gguf(os.path.join(out_dir, "decoder.gguf"), params,
-                       llm_cfg, quantize_q8_0=(outtype == "q8_0"))
+                       llm_cfg, quantize_q8_0=(outtype == "q8_0"),
+                       tokenizer_json=(tok_json if os.path.exists(tok_json)
+                                       else None))
     print(f"decoder.gguf ({outtype})")
 
     # 4. tokenizer + config

@@ -335,6 +335,60 @@ class TestGGUFCorruption:
         self._expect(tmp_path, "t6", b"XXXX" + base[4:])
 
 
+def _build_qwen_schema_tok(tmp_path_factory):
+    import json as _json
+    from fun_asr_gguf_tpu.formats.tokenizer import _bytes_to_unicode
+    b2u = _bytes_to_unicode()
+    vocab = {ch: b for b, ch in b2u.items()}          # ids 0..255
+    merges = [["Y", "ou"], ["o", "u"], ["a", "s"], ["as", "s"],
+              ["t", "an"], ["a", "n"], ["Ġ", "a"], ["h", "e"],
+              ["l", "p"], ["he", "lp"]]
+    nid = 256
+    for a, b in merges:
+        m = a + b
+        if m not in vocab:
+            vocab[m] = nid
+            nid += 1
+    for i in range(nid, 151643):                      # real base size
+        vocab[f"<|unused:{i}|>"] = i
+    added = [
+        {"id": 151643 + j, "content": c, "single_word": False,
+         "lstrip": False, "rstrip": False, "normalized": False,
+         "special": True}
+        for j, c in enumerate(["<|endoftext|>", "<|im_start|>",
+                               "<|im_end|>"])]
+    qwen_regex = (r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|"
+                  r"[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}|"
+                  r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|"
+                  r"\s+(?!\S)|\s+")
+    spec = {
+        "version": "1.0", "truncation": None, "padding": None,
+        "added_tokens": added, "normalizer": None,
+        "pre_tokenizer": {"type": "Sequence", "pretokenizers": [
+            {"type": "Split", "pattern": {"Regex": qwen_regex},
+             "behavior": "Isolated", "invert": False},
+            {"type": "ByteLevel", "add_prefix_space": False,
+             "trim_offsets": False, "use_regex": False}]},
+        "post_processor": None,
+        "decoder": {"type": "ByteLevel", "add_prefix_space": True,
+                    "trim_offsets": True, "use_regex": True},
+        "model": {"type": "BPE", "dropout": None, "unk_token": None,
+                  "continuing_subword_prefix": "",
+                  "end_of_word_suffix": "", "fuse_unk": False,
+                  "byte_fallback": False, "vocab": vocab,
+                  "merges": [f"{a} {b}" for a, b in merges]},
+    }
+    path = str(tmp_path_factory.mktemp("qwen_schema") / "tokenizer.json")
+    with open(path, "w", encoding="utf-8") as f:
+        _json.dump(spec, f, ensure_ascii=False)
+    return path
+
+
+@pytest.fixture(scope="module")
+def qwen_schema_tok_path(tmp_path_factory):
+    return _build_qwen_schema_tok(tmp_path_factory)
+
+
 class TestQwenSchemaGoldens:
     """Golden token-id pins under a tokenizer.json with the REAL Qwen3
     schema: base vocab of exactly 151643 entries (so the runtime assigns
@@ -361,53 +415,9 @@ class TestQwenSchemaGoldens:
                  230, 136, 144, 228, 184, 173, 230, 150, 135, 239, 188, 154]
 
     @pytest.fixture(scope="class")
-    def tok_path(self, tmp_path_factory):
-        import json as _json
-        from fun_asr_gguf_tpu.formats.tokenizer import _bytes_to_unicode
-        b2u = _bytes_to_unicode()
-        vocab = {ch: b for b, ch in b2u.items()}          # ids 0..255
-        merges = [["Y", "ou"], ["o", "u"], ["a", "s"], ["as", "s"],
-                  ["t", "an"], ["a", "n"], ["Ġ", "a"], ["h", "e"],
-                  ["l", "p"], ["he", "lp"]]
-        nid = 256
-        for a, b in merges:
-            m = a + b
-            if m not in vocab:
-                vocab[m] = nid
-                nid += 1
-        for i in range(nid, 151643):                      # real base size
-            vocab[f"<|unused:{i}|>"] = i
-        added = [
-            {"id": 151643 + j, "content": c, "single_word": False,
-             "lstrip": False, "rstrip": False, "normalized": False,
-             "special": True}
-            for j, c in enumerate(["<|endoftext|>", "<|im_start|>",
-                                   "<|im_end|>"])]
-        qwen_regex = (r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|"
-                      r"[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}|"
-                      r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|"
-                      r"\s+(?!\S)|\s+")
-        spec = {
-            "version": "1.0", "truncation": None, "padding": None,
-            "added_tokens": added, "normalizer": None,
-            "pre_tokenizer": {"type": "Sequence", "pretokenizers": [
-                {"type": "Split", "pattern": {"Regex": qwen_regex},
-                 "behavior": "Isolated", "invert": False},
-                {"type": "ByteLevel", "add_prefix_space": False,
-                 "trim_offsets": False, "use_regex": False}]},
-            "post_processor": None,
-            "decoder": {"type": "ByteLevel", "add_prefix_space": True,
-                        "trim_offsets": True, "use_regex": True},
-            "model": {"type": "BPE", "dropout": None, "unk_token": None,
-                      "continuing_subword_prefix": "",
-                      "end_of_word_suffix": "", "fuse_unk": False,
-                      "byte_fallback": False, "vocab": vocab,
-                      "merges": [f"{a} {b}" for a, b in merges]},
-        }
-        path = str(tmp_path_factory.mktemp("qwen_schema") / "tokenizer.json")
-        with open(path, "w", encoding="utf-8") as f:
-            _json.dump(spec, f, ensure_ascii=False)
-        return path
+    def tok_path(self, qwen_schema_tok_path):
+        return qwen_schema_tok_path
+
 
     def test_special_ids_are_production_ids(self, tok_path):
         from fun_asr_gguf_tpu.formats.tokenizer import QwenTokenizer
@@ -457,3 +467,85 @@ class TestQwenSchemaGoldens:
         np.testing.assert_array_equal(s_embd[:, 0],
                                       np.asarray(self.GOLD_SUFFIX,
                                                  np.float32))
+
+
+class TestGGUFEmbeddedVocab:
+    """llama.cpp-style self-contained GGUFs: the vocab rides in
+    tokenizer.ggml.* KVs (written by save_qwen3_to_gguf / read by
+    QwenTokenizer.from_gguf), so a checkpoint needs no tokenizer.json —
+    parity target: the reference's llama.dll loading its vocab from the
+    GGUF (SURVEY §2.1 llama.py)."""
+
+    @pytest.fixture(scope="class")
+    def vocab_gguf(self, qwen_schema_tok_path, tmp_path_factory):
+        import numpy as np
+        from fun_asr_gguf_tpu.formats.gguf import GGUFWriter
+        from fun_asr_gguf_tpu.formats.tokenizer import (
+            gguf_vocab_from_tokenizer_json)
+        tokens, types, merges = gguf_vocab_from_tokenizer_json(
+            qwen_schema_tok_path)
+        path = str(tmp_path_factory.mktemp("vggml") / "decoder.gguf")
+        w = GGUFWriter(path, arch="qwen3")
+        w.add_kv("tokenizer.ggml.model", "gpt2")
+        w.add_kv("tokenizer.ggml.pre", "qwen2")
+        w.add_kv("tokenizer.ggml.tokens", tokens)
+        w.add_kv("tokenizer.ggml.token_type", types)
+        w.add_kv("tokenizer.ggml.merges", merges)
+        w.add_tensor("dummy", np.zeros((4, 4), np.float32))
+        w.write()
+        return path
+
+    def test_vocab_layout_extraction(self, qwen_schema_tok_path):
+        from fun_asr_gguf_tpu.formats.tokenizer import (
+            TOKEN_TYPE_CONTROL, gguf_vocab_from_tokenizer_json)
+        tokens, types, merges = gguf_vocab_from_tokenizer_json(
+            qwen_schema_tok_path)
+        assert len(tokens) == len(types) == 151646
+        assert tokens[151643:] == ["<|endoftext|>", "<|im_start|>",
+                                   "<|im_end|>"]
+        assert all(t == TOKEN_TYPE_CONTROL for t in types[151643:])
+        assert all(isinstance(m, str) and " " in m for m in merges)
+
+    def test_from_gguf_matches_tokenizer_json(self, qwen_schema_tok_path,
+                                              vocab_gguf):
+        from fun_asr_gguf_tpu.formats.tokenizer import QwenTokenizer
+        ref = QwenTokenizer(qwen_schema_tok_path)
+        got = QwenTokenizer.from_gguf(vocab_gguf)
+        assert got.vocab_size == ref.vocab_size == 151646
+        assert got.eos_token == 151645
+        assert got.stop_tokens == (151643, 151645)
+        g = TestQwenSchemaGoldens
+        for text in (g.PREFIX, g.SUFFIX, "语音转写成中文：",
+                     "<|im_start|>assistant\nYou are helpful"):
+            assert got.encode(text) == ref.encode(text)
+        assert got.encode(g.PREFIX) == g.GOLD_PREFIX
+        assert got.decode(g.GOLD_PREFIX) == g.PREFIX
+
+    def test_load_tokenizer_falls_back_to_gguf(self, vocab_gguf, tmp_path):
+        import shutil
+        from fun_asr_gguf_tpu.formats.tokenizer import (QwenTokenizer,
+                                                        load_tokenizer)
+        ckpt = tmp_path / "ckpt"
+        ckpt.mkdir()
+        shutil.copy(vocab_gguf, ckpt / "decoder.gguf")
+        tok = load_tokenizer(str(ckpt))
+        assert isinstance(tok, QwenTokenizer)
+        assert tok.vocab_size == 151646
+
+    def test_save_qwen3_embeds_vocab(self, qwen_schema_tok_path, tmp_path):
+        import jax
+        from fun_asr_gguf_tpu.formats.gguf import GGUFReader
+        from fun_asr_gguf_tpu.formats.tokenizer import QwenTokenizer
+        from fun_asr_gguf_tpu.models.config import Qwen3Config
+        from fun_asr_gguf_tpu.models.loaders import save_qwen3_to_gguf
+        from fun_asr_gguf_tpu.models.qwen3 import init_qwen3_params
+        cfg = Qwen3Config.tiny(vocab_size=64)
+        params = init_qwen3_params(jax.random.PRNGKey(0), cfg)
+        path = str(tmp_path / "d.gguf")
+        save_qwen3_to_gguf(path, params, cfg,
+                           tokenizer_json=qwen_schema_tok_path)
+        r = GGUFReader(path)
+        assert r.fields["tokenizer.ggml.pre"] == "qwen2"
+        assert r.fields["tokenizer.ggml.eos_token_id"] == 151645
+        tok = QwenTokenizer.from_gguf(path)
+        assert tok.encode("<|im_end|>") == [151645]
