@@ -721,3 +721,233 @@ def bf16_quantize(x: np.ndarray) -> np.ndarray:
 def bf16_dequantize(bits: np.ndarray) -> np.ndarray:
     """bf16 raw bits (uint16) → fp32."""
     return (bits.astype(np.uint16).astype(np.uint32) << 16).view(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# K-quant WRITE support. The ggml quantizers pick per-group scales by a
+# small search (make_qx_quants / make_qkx2_quants in ggml-quants.c); the
+# same algorithm is implemented here vectorized over groups. Bit-exactness
+# against ggml's C quantizer is unverifiable in this environment (the
+# reference ships only Windows DLLs and its vendored gguf-py has no
+# k-quant quantizer), so the tests pin what IS provable: the emitted
+# bytes decode identically through our dequantizers and the reference's
+# vendored gguf-py, and the search beats a naive absmax encoder on RMSE.
+# ---------------------------------------------------------------------------
+
+def _nearest_int(x: np.ndarray) -> np.ndarray:
+    """ggml nearest_int: round-half-to-even (the 12582912.0f trick)."""
+    return np.rint(x).astype(np.int32)
+
+
+def _make_qx_quants(x: np.ndarray, nmax: int):
+    """Symmetric per-group scale search (ggml make_qx_quants, rmse_type 1).
+
+    x: [G, n] float32. Returns (scale [G], L [G, n] ints in [0, 2*nmax-1]).
+    Tries iscale = -(nmax + 0.1*is)/signed_absmax for is in {0, ±1..±9},
+    keeping the candidate maximizing (Σw·x·L)²/Σw·L² with w = x².
+    """
+    x = x.astype(np.float32)
+    g, n = x.shape
+    idx = np.argmax(np.abs(x), axis=1)
+    smax = x[np.arange(g), idx]                         # signed absmax [G]
+    dead = np.abs(smax) < 1e-30
+    safe = np.where(dead, 1.0, smax)
+
+    steps = np.array([0] + list(range(-9, 0)) + list(range(1, 10)),
+                     np.float32)
+    iscale = (-(nmax + 0.1 * steps)[None, :] / safe[:, None]
+              ).astype(np.float32)                      # [G, 19]
+    lcand = np.clip(_nearest_int(iscale[:, :, None] * x[:, None, :]),
+                    -nmax, nmax - 1)                    # [G, 19, n]
+    w = (x * x)[:, None, :]
+    sumlx = np.sum(w * x[:, None, :] * lcand, axis=2, dtype=np.float32)
+    suml2 = np.sum(w * lcand * lcand, axis=2, dtype=np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        metric = np.where(suml2 > 0, sumlx * sumlx / suml2, -np.inf)
+    best = np.argmax(metric, axis=1)                    # first max wins
+    gi = np.arange(g)
+    L = lcand[gi, best]
+    sl, s2 = sumlx[gi, best], suml2[gi, best]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.where(s2 > 0, sl / s2, 0.0).astype(np.float32)
+    scale = np.where(dead, 0.0, scale)
+    L = np.where(dead[:, None], 0, L)
+    return scale, L + nmax
+
+
+def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
+                      rmin: float = -1.0, rdelta: float = 0.1,
+                      nstep: int = 20):
+    """Asymmetric scale/min search (ggml make_qkx2_quants, use_mad=False).
+
+    x, weights: [G, n]. Returns (scale [G], the_min [G], L [G, n]).
+    """
+    x = x.astype(np.float32)
+    w = weights.astype(np.float32)
+    g, n = x.shape
+    mn = np.minimum(x.min(axis=1), 0.0)                 # [G]
+    mx = x.max(axis=1)
+    flat = mx == mn
+    span = np.where(flat, 1.0, mx - mn)
+
+    sum_w = w.sum(axis=1)
+    sum_x = (w * x).sum(axis=1)
+
+    def quantize_at(iscale):
+        return np.clip(_nearest_int(iscale[:, None] * (x - mn[:, None])),
+                       0, nmax)
+
+    # baseline: iscale = nmax/(max-min), scale = 1/iscale, min as-is
+    iscale0 = (nmax / span).astype(np.float32)
+    L = quantize_at(iscale0)
+    scale = (1.0 / iscale0).astype(np.float32)
+    cur_min = mn.copy()
+    diff = scale[:, None] * L + cur_min[:, None] - x
+    best_err = (w * diff * diff).sum(axis=1)
+
+    for step in range(nstep + 1):
+        iscale_t = ((rmin + rdelta * step + nmax) / span).astype(np.float32)
+        Lt = quantize_at(iscale_t)
+        sum_l = (w * Lt).sum(axis=1)
+        sum_l2 = (w * Lt * Lt).sum(axis=1)
+        sum_xl = (w * Lt * x).sum(axis=1)
+        D = sum_w * sum_l2 - sum_l * sum_l
+        with np.errstate(divide="ignore", invalid="ignore"):
+            this_scale = (sum_w * sum_xl - sum_x * sum_l) / D
+            this_min = (sum_l2 * sum_x - sum_l * sum_xl) / D
+            pos = this_min > 0
+            this_min = np.where(pos, 0.0, this_min)
+            this_scale = np.where(pos,
+                                  np.where(sum_l2 > 0, sum_xl / sum_l2, 0.0),
+                                  this_scale)
+        diff = this_scale[:, None] * Lt + this_min[:, None] - x
+        err = (w * diff * diff).sum(axis=1)
+        better = (D > 0) & (err < best_err)
+        best_err = np.where(better, err, best_err)
+        scale = np.where(better, this_scale, scale).astype(np.float32)
+        cur_min = np.where(better, this_min, cur_min).astype(np.float32)
+        L = np.where(better[:, None], Lt, L)
+
+    scale = np.where(flat, 0.0, scale)
+    cur_min = np.where(flat, -mn, -cur_min)  # the_min = -min
+    cur_min = np.where(flat, -mn, cur_min)
+    L = np.where(flat[:, None], 0, L)
+    return scale, cur_min, L
+
+
+def _pack_kquant_scale_min(sc6: np.ndarray, mn6: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_kquant_scale_min`: 6-bit scales/mins [nb, 8]
+    → the 12-byte packed table [nb, 12]."""
+    sc6 = sc6.astype(np.uint8)
+    mn6 = mn6.astype(np.uint8)
+    a = (sc6[:, 0:4] & 0x3F) | ((sc6[:, 4:8] >> 4) << 6)
+    b = (mn6[:, 0:4] & 0x3F) | ((mn6[:, 4:8] >> 4) << 6)
+    c = (sc6[:, 4:8] & 0x0F) | ((mn6[:, 4:8] & 0x0F) << 4)
+    return np.concatenate([a, b, c], axis=1)
+
+
+def _kq_weights(x: np.ndarray) -> np.ndarray:
+    """q4_K/q5_K group weights: av_x + |x| (ggml quantize_row_q4_K_ref)."""
+    av = np.sqrt((x * x).mean(axis=1, keepdims=True))
+    return av + np.abs(x)
+
+
+def _kq45_header(x32: np.ndarray, nmax: int):
+    """Shared q4_K/q5_K header math: per-32-value scale/min search, 6-bit
+    requantized table, fp16 super scales, final L. x32: [nb, 8, 32]."""
+    nb = x32.shape[0]
+    flat = x32.reshape(nb * 8, 32)
+    scales, mins, _ = _make_qkx2_quants(flat, _kq_weights(flat), nmax)
+    scales = scales.reshape(nb, 8)
+    mins = mins.reshape(nb, 8)
+    max_scale = scales.max(axis=1)
+    max_min = mins.max(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_scale = np.where(max_scale > 0, 63.0 / max_scale, 0.0)
+        inv_min = np.where(max_min > 0, 63.0 / max_min, 0.0)
+    ls = np.minimum(63, _nearest_int(inv_scale[:, None] * scales))
+    lm = np.minimum(63, _nearest_int(inv_min[:, None] * mins))
+    d = (max_scale / 63.0).astype(np.float16)
+    dmin = (max_min / 63.0).astype(np.float16)
+    # requantize against the rounded 6-bit scales (ggml does the same)
+    dg = d.astype(np.float32)[:, None] * ls                 # [nb, 8]
+    mg = dmin.astype(np.float32)[:, None] * lm
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = _nearest_int((x32 + mg[:, :, None]) /
+                         np.where(dg == 0, 1.0, dg)[:, :, None])
+    q = np.clip(q, 0, nmax)
+    q = np.where((dg == 0)[:, :, None], 0, q)
+    return d, dmin, _pack_kquant_scale_min(ls, lm), q
+
+
+def _pack_group_nibbles(q: np.ndarray) -> np.ndarray:
+    """[nb, 8, 32] values → [nb, 128] bytes in the ggml sub-block order
+    (inverse of :func:`_nibble_rows` with group=32)."""
+    nb = q.shape[0]
+    pairs = q.reshape(nb, 4, 2, 32).astype(np.uint8)
+    return (pairs[:, :, 0] | (pairs[:, :, 1] << 4)).reshape(nb, 128)
+
+
+def q4_k_quantize(x: np.ndarray) -> np.ndarray:
+    """Quantize to the 144-byte q4_K superblock stream (ggml
+    quantize_row_q4_K_ref algorithm; layout per
+    :func:`q4_k_dequantize_blocks`)."""
+    x32 = np.asarray(x, np.float32).reshape(-1, 8, 32)
+    d, dmin, table, q = _kq45_header(x32, 15)
+    return np.concatenate([
+        d.view(np.uint8).reshape(-1, 2), dmin.view(np.uint8).reshape(-1, 2),
+        table, _pack_group_nibbles(q)], axis=1).reshape(-1)
+
+
+def q5_k_quantize(x: np.ndarray) -> np.ndarray:
+    """Quantize to the 176-byte q5_K superblock stream (high bit of each
+    5-bit value in the 32-byte qh section; layout per
+    :func:`q5_k_dequantize_blocks`)."""
+    x32 = np.asarray(x, np.float32).reshape(-1, 8, 32)
+    d, dmin, table, q = _kq45_header(x32, 31)
+    nb = q.shape[0]
+    # qh bit b of byte j = bit 4 of value [group b, pos j]
+    highs = ((q >> 4) & 1).astype(np.uint8)                # [nb, 8, 32]
+    qh = np.zeros((nb, 32), np.uint8)
+    for b in range(8):
+        qh |= highs[:, b, :] << b
+    return np.concatenate([
+        d.view(np.uint8).reshape(-1, 2), dmin.view(np.uint8).reshape(-1, 2),
+        table, qh, _pack_group_nibbles(q & 0x0F)], axis=1).reshape(-1)
+
+
+def q6_k_quantize(x: np.ndarray) -> np.ndarray:
+    """Quantize to the 210-byte q6_K superblock stream (ggml
+    quantize_row_q6_K: per-16 symmetric scale search + int8 super-scaled
+    scales; layout per :func:`q6_k_dequantize_blocks`)."""
+    x16 = np.asarray(x, np.float32).reshape(-1, 16, 16)
+    nb = x16.shape[0]
+    flat = x16.reshape(nb * 16, 16)
+    scales, _ = _make_qx_quants(flat, 32)
+    scales = scales.reshape(nb, 16)
+    idx = np.argmax(np.abs(scales), axis=1)
+    max_scale = scales[np.arange(nb), idx]                 # signed
+    dead = np.abs(max_scale) < 1e-30
+    safe = np.where(dead, 1.0, max_scale)
+    iscale = (-128.0 / safe).astype(np.float32)
+    d = np.where(dead, 0.0, 1.0 / iscale).astype(np.float16)
+    sc8 = np.minimum(127, _nearest_int(iscale[:, None] * scales)
+                     ).astype(np.int8)
+    dg = d.astype(np.float32)[:, None] * sc8               # [nb, 16]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = _nearest_int(x16 / np.where(dg == 0, 1.0, dg)[:, :, None])
+    q = np.clip(q, -32, 31)
+    q = np.where((dg == 0)[:, :, None], 0, q) + 32         # [nb, 16, 16]
+    vals = q.reshape(nb, 2, 4, 32).astype(np.uint8)        # chunk, shift, j
+    # ql: per 64-wide chunk, (lo nibble, hi nibble) pairs over shifts
+    # 0/1 and 2/3 — the exact inverse of q6_k_dequantize_blocks
+    lo = vals & 0x0F
+    ql = np.concatenate([lo[:, :, 0] | (lo[:, :, 2] << 4),
+                         lo[:, :, 1] | (lo[:, :, 3] << 4)],
+                        axis=2).reshape(nb, 128)
+    hi = (vals >> 4) & 0x03
+    qh = (hi[:, :, 0] | (hi[:, :, 1] << 2) | (hi[:, :, 2] << 4)
+          | (hi[:, :, 3] << 6)).reshape(nb, 64)
+    return np.concatenate([
+        ql, qh, sc8.view(np.uint8),
+        d.view(np.uint8).reshape(-1, 2)], axis=1).reshape(-1)

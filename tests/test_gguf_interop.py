@@ -403,3 +403,54 @@ def test_reader_dequantizes_iquant_and_ternary(tmp_path):
         theirs = refgguf.quants.dequantize(
             raw.reshape(4, bb), getattr(refgguf.GGMLQuantizationType, tname))
         np.testing.assert_array_equal(ours, theirs.astype(np.float32))
+
+
+K_QUANT_WRITE = {"Q4_K": (144, 15, 0.12), "Q5_K": (176, 31, 0.06),
+                 "Q6_K": (210, 63, 0.03)}
+
+
+@pytest.mark.parametrize("tname", sorted(K_QUANT_WRITE))
+def test_kquant_quantize_roundtrip(tname):
+    """K-quant WRITE support: emitted superblocks decode identically
+    through our dequantizers and the reference's vendored gguf-py, and
+    the ggml-style scale search keeps reconstruction error within the
+    expected bound for the bit width. (Bit-exactness vs ggml's C
+    quantizer is unverifiable here — the reference ships only DLLs and
+    gguf-py has no k-quant quantizer — so decode-compat + error bounds
+    are the provable contract.)"""
+    refgguf = _ref_gguf()
+    from fun_asr_gguf_tpu.formats import quant_np as qn
+    bb, nmax, tol = K_QUANT_WRITE[tname]
+    rt = getattr(refgguf.GGMLQuantizationType, tname)
+    rng = np.random.default_rng(hash(tname) % 2**31)
+    x = (rng.normal(size=(6, 512)) *
+         rng.uniform(0.05, 8, size=(6, 1))).astype(np.float32)
+    x[0, :256] = 0.0                               # all-zero superblock
+    x[1, :256] = 3.25                              # constant block
+    raw = getattr(qn, f"{tname.lower()}_quantize")(x)
+    assert raw.size == x.size // 256 * bb
+    ours = getattr(qn, f"{tname.lower()}_dequantize_blocks")(raw, x.shape)
+    theirs = refgguf.quants.dequantize(
+        raw.reshape(-1, bb), rt).reshape(x.shape).astype(np.float32)
+    np.testing.assert_array_equal(ours, theirs)
+    scale = np.sqrt((x ** 2).mean())
+    assert np.sqrt(((ours - x) ** 2).mean()) < tol * scale
+    # zero in, zero out
+    np.testing.assert_array_equal(ours[0, :256], 0.0)
+
+
+def test_kquant_search_beats_naive_absmax():
+    """The make_qx_quants-style scale search must beat a plain absmax
+    encoder on RMSE — the reason ggml does the search at all."""
+    from fun_asr_gguf_tpu.formats import quant_np as qn
+    rng = np.random.default_rng(11)
+    x = (rng.normal(size=(8, 512)) *
+         rng.uniform(0.1, 4, size=(8, 1))).astype(np.float32)
+    ours = qn.q6_k_dequantize_blocks(qn.q6_k_quantize(x), x.shape)
+    g = x.reshape(-1, 16)
+    d = np.abs(g).max(axis=1, keepdims=True) / 31.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.clip(np.rint(np.where(d == 0, 0, g / d)), -32, 31)
+    naive = (q * d).reshape(x.shape)
+    assert (np.sqrt(((ours - x) ** 2).mean())
+            < np.sqrt(((naive - x) ** 2).mean()))
