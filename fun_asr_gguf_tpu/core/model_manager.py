@@ -154,6 +154,12 @@ class ModelManager:
                 # decoders would otherwise OOM holding both copies)
                 self.llm_params = quantize_qwen3_params_int8(
                     self.llm_params, donate=True)
+            elif fmt == "int4":
+                # experimental w4a16 (group-32 RTN): half the weight
+                # bytes of int8 — see Int4Weight
+                from ..models.qwen3 import quantize_qwen3_params_int4
+                self.llm_params = quantize_qwen3_params_int4(
+                    self.llm_params, donate=True)
 
             if self.config.mesh_shape:
                 # Multi-chip serving: place the decoder on a ('dp','tp')

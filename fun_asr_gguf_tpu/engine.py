@@ -46,9 +46,10 @@ class FunASREngine:
                  spec_draft_len: int = 512,
                  spec_min_accept: float = 1.35,
                  mesh_shape: Optional[dict] = None):
-        if llm_weight_format not in ("auto", "bf16", "int8", "q8_0"):
+        if llm_weight_format not in ("auto", "bf16", "int8", "int4",
+                                     "q8_0"):
             raise ValueError(
-                f"llm_weight_format must be auto|bf16|int8|q8_0, got "
+                f"llm_weight_format must be auto|bf16|int8|int4|q8_0, got "
                 f"{llm_weight_format!r}")
         if mesh_shape:
             from .parallel.mesh import validate_mesh_shape

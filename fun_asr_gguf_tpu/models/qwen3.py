@@ -53,6 +53,62 @@ class Int8Weight(NamedTuple):
     scale: jnp.ndarray
 
 
+class Int4Weight(NamedTuple):
+    """Group-quantized 4-bit weight for the XLA-native decode path
+    (w4a16, AWQ-style RTN): half the HBM bytes of int8 — decode being
+    weight-streaming-bound, the ceiling is ~2x int8 throughput if XLA
+    fuses the unpack+scale into its dot reads like it fuses the int8
+    convert. Experimental accuracy class (the reference is 8-bit);
+    opt-in via ``llm_weight_format='int4'``.
+
+    ``packed [..., k/2, n] int8`` — two signed nibbles per byte along the
+    contraction dim (k=2i in the low nibble, k=2i+1 in the high);
+    ``scale [..., k/32, n] bf16`` — one scale per 32-value input group
+    per output channel (group-wise, because a 4-bit per-channel absmax
+    is far too coarse).
+    """
+    packed: jnp.ndarray
+    scale: jnp.ndarray
+
+
+INT4_GROUP = 32
+
+
+def _int4_unpack(packed: jnp.ndarray) -> jnp.ndarray:
+    """[..., k/2, n] int8 → [..., k, n] int8 in [-8, 7] (arithmetic-shift
+    sign extension; interleaved low/high nibble order)."""
+    lo = (packed << 4) >> 4
+    hi = packed >> 4
+    k2, n = packed.shape[-2], packed.shape[-1]
+    out = jnp.stack([lo, hi], axis=-2)            # [..., k/2, 2, n]
+    return out.reshape(*packed.shape[:-2], 2 * k2, n)
+
+
+def int4_dequantize(w: Int4Weight, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[..., k, n] dense reconstruction (elementwise producer XLA can
+    fuse into a consuming dot)."""
+    q = _int4_unpack(w.packed)                    # [..., k, n]
+    k, n = q.shape[-2], q.shape[-1]
+    g = q.reshape(*q.shape[:-2], k // INT4_GROUP, INT4_GROUP, n)
+    s = w.scale[..., :, None, :].astype(dtype)
+    return (g.astype(dtype) * s).reshape(*q.shape[:-2], k, n)
+
+
+def int4_quantize_weight(w: jnp.ndarray) -> Int4Weight:
+    """RTN group-32 symmetric quantization of a [..., k, n] weight."""
+    wf = w.astype(jnp.float32)
+    k, n = wf.shape[-2], wf.shape[-1]
+    g = wf.reshape(*wf.shape[:-2], k // INT4_GROUP, INT4_GROUP, n)
+    s = jnp.max(jnp.abs(g), axis=-2, keepdims=True) / 7.0
+    q = jnp.clip(jnp.round(g / jnp.where(s == 0, 1.0, s)), -8, 7)
+    q = q.astype(jnp.int8).reshape(*wf.shape[:-2], k, n)
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    packed = ((hi << 4) | (lo & 0x0F)).astype(jnp.int8)
+    return Int4Weight(packed=packed,
+                      scale=s[..., 0, :].astype(jnp.bfloat16))
+
+
 def _split_quant_layers(layers):
     """Split the stacked layer dict for scanning: QuantTensor(N) weights
     must NOT ride scan xs (XLA copies every per-layer slice before the
@@ -141,6 +197,13 @@ def _proj(x, w, pre: bool = False):
         out = jnp.dot(x, w.w8.astype(x.dtype),
                       preferred_element_type=jnp.float32)
         return (out * w.scale.astype(jnp.float32)).astype(x.dtype)
+    if isinstance(w, Int4Weight):
+        # group scales don't commute out of the contraction: reconstruct
+        # in the activation dtype as an elementwise producer and let XLA
+        # fuse it into the dot's operand reads
+        out = jnp.dot(x, int4_dequantize(w, x.dtype),
+                      preferred_element_type=jnp.float32)
+        return out.astype(x.dtype)
     return matmul_any(x, w, x_preblocked=pre).astype(x.dtype)
 
 
@@ -216,6 +279,35 @@ def quantize_qwen3_params_int8(params, keys=None, donate: bool = False):
         del w
         layers[key] = Int8Weight(
             w8=jnp.stack([p.w8 for p in per]),
+            scale=jnp.stack([p.scale for p in per]))
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+def quantize_qwen3_params_int4(params, keys=None, donate: bool = False):
+    """Convert layer matmul weights to group-32 int4 (`Int4Weight`).
+
+    Same structure as :func:`quantize_qwen3_params_int8` (layer-by-layer,
+    optional donation); QuantTensor/Int8Weight entries are left alone.
+    """
+    src = params["layers"]
+    layers = dict(src)
+    for key in (keys or _MATMUL_KEYS):
+        w = layers.get(key)
+        if w is None or isinstance(w, (QuantTensor, BlockQuant,
+                                       Int8Weight, Int4Weight)):
+            continue
+        if donate:
+            src.pop(key, None)
+        per = []
+        for i in range(w.shape[0]):
+            q = int4_quantize_weight(w[i])
+            jax.block_until_ready(q.packed)
+            per.append(q)
+        del w
+        layers[key] = Int4Weight(
+            packed=jnp.stack([p.packed for p in per]),
             scale=jnp.stack([p.scale for p in per]))
     out = dict(params)
     out["layers"] = layers

@@ -38,7 +38,7 @@ def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
     repl = P()
 
     def wspec(key):
-        from ..models.qwen3 import Int8Weight
+        from ..models.qwen3 import Int4Weight, Int8Weight
         w = params["layers"].get(key) if params is not None else None
         if key in _COL_PARALLEL:
             if isinstance(w, QuantTensor):
@@ -46,6 +46,9 @@ def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
                                    d=P(None, "tp", None))
             if isinstance(w, Int8Weight):
                 return Int8Weight(w8=P(None, None, "tp"),
+                                  scale=P(None, None, "tp"))
+            if isinstance(w, Int4Weight):
+                return Int4Weight(packed=P(None, None, "tp"),
                                   scale=P(None, None, "tp"))
             return P(None, None, "tp")
         if isinstance(w, QuantTensor):
@@ -58,6 +61,11 @@ def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
             # replicated
             return Int8Weight(w8=P(None, "tp", None),
                               scale=P(None, None, None))
+        if isinstance(w, Int4Weight):
+            # row-parallel: packed k/2 and group-scale k/32 axes shard
+            # alike (k/tp stays a multiple of 32 for every real config)
+            return Int4Weight(packed=P(None, "tp", None),
+                              scale=P(None, "tp", None))
         return P(None, "tp", None)
 
     if params is not None:

@@ -388,6 +388,28 @@ class TestShardedEngine:
         reset_hotword_manager()
 
 
+class TestInt4Engine:
+    def test_int4_engine_runs(self, checkpoint, tmp_path):
+        """Experimental w4a16 decode (llm_weight_format='int4')."""
+        reset_hotword_manager()
+        from fun_asr_gguf_tpu import create_asr_engine
+        from fun_asr_gguf_tpu.models.qwen3 import Int4Weight
+        ckpt, _cfg = checkpoint
+        eng = create_asr_engine(
+            checkpoint_dir=ckpt, verbose=False, compute_dtype="float32",
+            segment_pad_seconds=2.0, n_predict=8, prefill_buckets=(64,),
+            llm_weight_format="int4")
+        try:
+            assert isinstance(eng.models.llm_params["layers"]["qkv_w"],
+                              Int4Weight)
+            path = make_wav(tmp_path, 1.0, "i4.wav", seed=18)
+            res = eng.transcribe(path, verbose=False, temperature=0.0)
+            assert isinstance(res.text, str)
+        finally:
+            eng.cleanup()
+            reset_hotword_manager()
+
+
 class TestEdgeCases:
     def test_very_short_audio(self, engine, tmp_path):
         """One-tenth-second clip: static padding must absorb it."""

@@ -356,3 +356,34 @@ def test_validate_mesh_shape():
         validate_mesh_shape({"dp": -4})
     with pytest.raises(ValueError, match="q8_0"):
         validate_mesh_shape({"tp": 2}, "q8_0")
+
+
+class TestInt4TP:
+    def test_sharded_int4_generation_matches_single(self):
+        """w4a16 weights under a TP mesh: same greedy tokens as the
+        unsharded int4 model (group-scale axes shard with the packed
+        contraction axis)."""
+        from fun_asr_gguf_tpu.models.qwen3 import (
+            pack_qwen3_params, quantize_qwen3_params_int4)
+        from fun_asr_gguf_tpu.parallel.sharding import shard_llm_params
+
+        cfg = Qwen3Config.tiny(vocab_size=64)
+        params = quantize_qwen3_params_int4(
+            pack_qwen3_params(init_qwen3_params(jax.random.PRNGKey(9),
+                                                cfg)))
+        rng = np.random.default_rng(9)
+        e = jnp.asarray(rng.normal(size=(1, 4, cfg.hidden)), jnp.float32) * .1
+        m = jnp.ones((1, 4), jnp.float32)
+
+        def run(p):
+            st = prefill_init(p, e, m, jax.random.PRNGKey(7), cfg,
+                              max_len=4 + 12)
+            _, toks = generate_chunk(p, st, cfg, jnp.asarray(0.0),
+                                     jnp.asarray(1.0), 50, chunk_len=10,
+                                     stop_tokens=(63,))
+            return np.asarray(toks)
+
+        single = run(params)
+        mesh = make_mesh(dp=4, tp=2)
+        sharded = run(shard_llm_params(params, mesh))
+        np.testing.assert_array_equal(single, sharded)

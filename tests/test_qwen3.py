@@ -381,3 +381,74 @@ class TestInt8Weights:
         # column, unaffected by concatenation order)
         np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                    rtol=2e-2, atol=1e-3)
+
+
+class TestInt4Weights:
+    """Experimental w4a16 decode format (Int4Weight: packed nibbles +
+    group-32 scales, in-graph dequant fused into the dots)."""
+
+    def test_pack_unpack_dequant_exact(self):
+        from fun_asr_gguf_tpu.models.qwen3 import (int4_dequantize,
+                                                   int4_quantize_weight)
+        rng = np.random.default_rng(40)
+        w = jnp.asarray(rng.normal(size=(64, 48)), jnp.float32)
+        q = int4_quantize_weight(w)
+        assert q.packed.shape == (32, 48) and q.scale.shape == (2, 48)
+        dense = np.asarray(int4_dequantize(q, jnp.float32))
+        # manual reference reconstruction
+        g = np.asarray(w).reshape(2, 32, 48)
+        s = np.abs(g).max(axis=1, keepdims=True) / 7.0
+        ref = (np.clip(np.round(g / s), -8, 7)
+               * np.float32(np.asarray(q.scale, np.float32))[:, None, :])
+        np.testing.assert_allclose(dense, ref.reshape(64, 48),
+                                   rtol=1e-2, atol=1e-3)
+        # round-trip error bounded by half a step per group
+        assert np.abs(dense - np.asarray(w)).max() <= (
+            np.abs(np.asarray(w)).max() / 7.0) * 0.5001 + 1e-6
+
+    def test_logits_close_and_greedy_matches(self):
+        from fun_asr_gguf_tpu.models.qwen3 import (Int4Weight,
+                                                   int4_dequantize,
+                                                   pack_qwen3_params,
+                                                   quantize_qwen3_params_int4)
+        rng = np.random.default_rng(41)
+        e, m = make_prompt(rng, 1, 8, [8])
+        packed = pack_qwen3_params(PARAMS)
+        qp = quantize_qwen3_params_int4(packed)
+        assert isinstance(qp["layers"]["qkv_w"], Int4Weight)
+
+        # exact reference: the same params with int4 weights dequantized
+        # to dense OUTSIDE the graph — the in-graph path must match it
+        # (both are f32 compute on identical reconstructed weights)
+        dense = dict(qp)
+        dense["layers"] = {
+            k: (int4_dequantize(w, jnp.float32)
+                if isinstance(w, Int4Weight) else w)
+            for k, w in qp["layers"].items()}
+        ref, _ = qwen3_prefill(dense, e, m, CFG)
+        out, _ = qwen3_prefill(qp, e, m, CFG)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+        # and stays in the full-precision model's ballpark (4-bit on a
+        # tiny RANDOM model is far noisier than on trained weights —
+        # the exact contract is the dense-dequant equivalence above)
+        full, _ = qwen3_prefill(packed, e, m, CFG)
+        scale = np.abs(np.asarray(full)).max()
+        assert np.abs(np.asarray(out) - np.asarray(full)).max() \
+            < 0.6 * scale
+
+        st = prefill_init(qp, e, m, jax.random.PRNGKey(0), CFG,
+                          max_len=8 + 10)
+        _, toks = generate_chunk(qp, st, CFG, jnp.asarray(0.0),
+                                 jnp.asarray(1.0), 50, chunk_len=6,
+                                 stop_tokens=(96,))
+        assert np.asarray(toks).shape == (1, 6)
+
+    def test_idempotent(self):
+        from fun_asr_gguf_tpu.models.qwen3 import (Int4Weight,
+                                                   quantize_qwen3_params_int4)
+        qp = quantize_qwen3_params_int4(PARAMS)
+        assert isinstance(qp["layers"]["q_w"], Int4Weight)
+        qp2 = quantize_qwen3_params_int4(qp)
+        assert qp2["layers"]["q_w"] is qp["layers"]["q_w"]
