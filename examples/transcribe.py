@@ -67,6 +67,12 @@ def main():
     ap.add_argument("--parallel-segments", action="store_true",
                     help="batch long-audio segments through one "
                          "device program (TPU-native extension)")
+    ap.add_argument("--llm-weight-format", default="auto",
+                    choices=["auto", "bf16", "int8", "int4", "q8_0"],
+                    help="decoder weight format (int4: experimental "
+                         "w4a16, half the HBM bytes of int8)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel ways over the first N chips")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 
@@ -75,7 +81,10 @@ def main():
     with MemoryMonitor() as mem:
         t0 = time.perf_counter()
         engine = create_asr_engine(checkpoint_dir=args.checkpoint,
-                                   verbose=not args.quiet)
+                                   verbose=not args.quiet,
+                                   llm_weight_format=args.llm_weight_format,
+                                   mesh_shape=({"dp": 1, "tp": args.tp}
+                                               if args.tp > 1 else None))
         t_init = time.perf_counter() - t0
 
         result = engine.transcribe(
