@@ -38,6 +38,10 @@ def main():
                          "virtual CPU mesh (the safe demo mode — the "
                          "platform must be chosen BEFORE jax initializes, "
                          "so there is no reliable auto-detect)")
+    ap.add_argument("--pp", type=int, default=0,
+                    help="GPipe pipeline-parallel decoder-LM demo over N "
+                         "stages (parallel/pipeline.py; exclusive with "
+                         "--dp/--tp)")
     ap.add_argument("--save-every", type=int, default=0)
     ap.add_argument("--out", default="finetune_ckpt")
     ap.add_argument("--export",
@@ -46,7 +50,7 @@ def main():
                          "serve it directly)")
     args = ap.parse_args()
 
-    n_dev = args.dp * args.tp
+    n_dev = args.pp if args.pp else args.dp * args.tp
     if not args.real_devices:
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
@@ -54,6 +58,10 @@ def main():
     import jax
     if not args.real_devices:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.pp:
+        _run_pp_demo(args)
+        return
 
     from fun_asr_gguf_tpu.models.config import HybridConfig
     from fun_asr_gguf_tpu.parallel.mesh import make_mesh
@@ -107,6 +115,48 @@ def main():
                 if os.path.exists(src):
                     shutil.copy(src, os.path.join(args.export, name))
         print(f"exported engine checkpoint → {args.export}")
+    print("done.")
+
+
+def _run_pp_demo(args):
+    """Decoder-only LM fine-tuning with the layers staged over a ('pp',)
+    mesh — the microbatch schedule and its differentiated backward live
+    in parallel/pipeline.py."""
+    import dataclasses
+    import time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fun_asr_gguf_tpu.models.config import Qwen3Config
+    from fun_asr_gguf_tpu.models.qwen3 import init_qwen3_params
+    from fun_asr_gguf_tpu.parallel.pipeline import (make_pp_mesh,
+                                                    make_pp_train_step,
+                                                    shard_layers_pp)
+    from fun_asr_gguf_tpu.parallel.training import make_optimizer
+
+    cfg = dataclasses.replace(Qwen3Config.tiny(vocab_size=128),
+                              n_layers=max(args.pp, 2))
+    mesh = make_pp_mesh(args.pp)
+    params = shard_layers_pp(init_qwen3_params(jax.random.PRNGKey(0), cfg),
+                             mesh)
+    opt = make_optimizer(args.lr)
+    step_fn = make_pp_train_step(cfg, opt, mesh, n_micro=max(2, args.pp))
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(0)
+    print(f"pp{args.pp} pipeline on {jax.devices()[0].platform}; "
+          f"{args.steps} steps, batch {args.batch}")
+    for step in range(args.steps):
+        b = max(args.batch, 2 * args.pp)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(b, 16)),
+                          jnp.int32)
+        mask = jnp.ones((b, 16), jnp.float32)
+        t0 = time.perf_counter()
+        params, opt_state, metrics = step_fn(params, opt_state, ids, mask)
+        loss = float(jax.device_get(metrics["loss"]))
+        print(f"step {step:4d}  loss {loss:.4f}  "
+              f"({(time.perf_counter()-t0)*1000:.0f} ms)")
     print("done.")
 
 
