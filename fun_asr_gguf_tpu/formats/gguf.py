@@ -31,6 +31,7 @@ from .quant_np import (Q8_0_BLOCK, Q8_0_BLOCK_BYTES, QK_K,
                        q4_0_quantize, q4_1_quantize, q5_0_quantize,
                        q5_1_quantize,
                        q5_0_dequantize_blocks, q5_1_dequantize_blocks,
+                       iq4_nl_quantize, iq4_xs_quantize,
                        iq1_m_dequantize_blocks, iq1_s_dequantize_blocks,
                        iq2_s_dequantize_blocks, iq2_xs_dequantize_blocks,
                        iq2_xxs_dequantize_blocks, iq3_s_dequantize_blocks,
@@ -172,6 +173,8 @@ _QUANTIZERS = {
     GGMLType.Q4_K: q4_k_quantize,
     GGMLType.Q5_K: q5_k_quantize,
     GGMLType.Q6_K: q6_k_quantize,
+    GGMLType.IQ4_NL: iq4_nl_quantize,
+    GGMLType.IQ4_XS: iq4_xs_quantize,
 }
 
 

@@ -951,3 +951,109 @@ def q6_k_quantize(x: np.ndarray) -> np.ndarray:
     return np.concatenate([
         ql, qh, sc8.view(np.uint8),
         d.view(np.uint8).reshape(-1, 2)], axis=1).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# IQ4 WRITE support. The ggml C quantizer fits a scale to the non-linear
+# 16-entry codebook per block (quantize_row_iq4_nl_impl); here the same
+# fit runs vectorized: candidate scales around signed-absmax/kv_min, each
+# refined by a weighted least-squares step on its codebook assignment,
+# best candidate by weighted error. Format-valid output (decode-verified
+# against gguf-py); not claimed bit-identical to ggml's C search.
+# ---------------------------------------------------------------------------
+
+def _iq4_fit_scale(x: np.ndarray, w: np.ndarray):
+    """Fit per-row scales to the IQ4 codebook. x, w: [G, n].
+    Returns (d [G] float32, idx [G, n] uint8)."""
+    kv = IQ4_KVALUES.astype(np.float32)                  # [16]
+    g, n = x.shape
+    idxmax = np.argmax(np.abs(x), axis=1)
+    smax = x[np.arange(g), idxmax]
+    dead = np.abs(smax) < 1e-30
+    safe = np.where(dead, 1.0, smax)
+    base = (safe / kv[0]).astype(np.float32)             # kv[0] = -127
+    steps = 1.0 + 0.04 * np.arange(-8, 9, dtype=np.float32)
+    cand = base[:, None] * steps[None, :]                # [G, 17]
+
+    def assign(d):
+        # d: [G, C]; nearest codebook entry per value
+        err = np.abs(d[:, :, None, None] * kv[None, None, None, :]
+                     - x[:, None, :, None])              # [G, C, n, 16]
+        return np.argmin(err, axis=-1)                   # [G, C, n]
+
+    q = kv[assign(cand)]                                 # [G, C, n]
+    ww = w[:, None, :]
+    sumqx = (ww * q * x[:, None, :]).sum(axis=2)
+    sumq2 = (ww * q * q).sum(axis=2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d_ls = np.where(sumq2 > 0, sumqx / sumq2, cand)  # LS refit [G, C]
+    q2 = kv[assign(d_ls)]
+    diff = d_ls[:, :, None] * q2 - x[:, None, :]
+    errs = (ww * diff * diff).sum(axis=2)                # [G, C]
+    best = np.argmin(errs, axis=1)
+    d = d_ls[np.arange(g), best].astype(np.float32)
+    d = np.where(dead, 0.0, d)
+    # final assignment against the value that will actually be stored
+    idx = np.argmin(np.abs(d[:, None, None] * kv[None, None, :]
+                           - x[:, :, None]), axis=-1).astype(np.uint8)
+    idx = np.where(dead[:, None], 8, idx)        # kv[8] = 1·0 → exact zero
+    return d, idx
+
+
+def _iq4_pack_nibbles(idx: np.ndarray) -> np.ndarray:
+    """[G, 32] codebook indices → [G, 16] bytes ((all-lo, all-hi) order,
+    inverse of the iq4 dequantizers)."""
+    return (idx[:, :16] | (idx[:, 16:] << 4)).astype(np.uint8)
+
+
+def iq4_nl_quantize(x: np.ndarray) -> np.ndarray:
+    """Quantize to the 18-byte IQ4_NL block stream (f16 d + 16 nibble
+    bytes into the shared non-linear codebook)."""
+    x = np.asarray(x, np.float32).reshape(-1, 32)
+    d, idx = _iq4_fit_scale(x, np.sqrt((x * x).mean(axis=1, keepdims=True))
+                            + np.abs(x))
+    d16 = d.astype(np.float16)
+    # re-assign against the rounded stored scale so encode/decode agree
+    df = d16.astype(np.float32)
+    kv = IQ4_KVALUES.astype(np.float32)
+    idx = np.argmin(np.abs(df[:, None, None] * kv[None, None, :]
+                           - x[:, :, None]), axis=-1).astype(np.uint8)
+    idx = np.where((df == 0)[:, None], 8, idx)
+    return np.concatenate([d16.view(np.uint8).reshape(-1, 2),
+                           _iq4_pack_nibbles(idx)], axis=1).reshape(-1)
+
+
+def iq4_xs_quantize(x: np.ndarray) -> np.ndarray:
+    """Quantize to the 136-byte IQ4_XS superblock stream: per-32-group
+    codebook scales, requantized through a 6-bit (−32..31) table under an
+    f16 super scale (layout per :func:`iq4_xs_dequantize_blocks`)."""
+    x32 = np.asarray(x, np.float32).reshape(-1, 8, 32)
+    nb = x32.shape[0]
+    flat = x32.reshape(nb * 8, 32)
+    w = np.sqrt((flat * flat).mean(axis=1, keepdims=True)) + np.abs(flat)
+    g_scale, _ = _iq4_fit_scale(flat, w)
+    g_scale = g_scale.reshape(nb, 8)
+    idxm = np.argmax(np.abs(g_scale), axis=1)
+    smax = g_scale[np.arange(nb), idxm]                  # signed
+    dead = np.abs(smax) < 1e-30
+    safe = np.where(dead, 1.0, smax)
+    d = np.where(dead, 0.0, safe / -32.0).astype(np.float16)
+    df = d.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ls = _nearest_int(g_scale / np.where(df == 0, 1.0, df)[:, None])
+    ls = np.clip(ls, -32, 31)                            # [nb, 8]
+    dg = df[:, None] * ls                                # [nb, 8]
+    kv = IQ4_KVALUES.astype(np.float32)
+    idx = np.argmin(np.abs(dg[:, :, None, None] * kv[None, None, None, :]
+                           - x32[:, :, :, None]), axis=-1).astype(np.uint8)
+    idx = np.where((dg == 0)[:, :, None], 8, idx)
+    ls6 = (ls + 32).astype(np.uint8)                     # 0..63
+    # scales_l bytes interleave adjacent groups: byte j = g[2j] | g[2j+1]<<4
+    sl = (ls6[:, 0::2] & 0x0F) | ((ls6[:, 1::2] & 0x0F) << 4)
+    sh = np.zeros(nb, np.uint16)
+    for j in range(8):
+        sh |= ((ls6[:, j] >> 4).astype(np.uint16)) << (2 * j)
+    qs = _iq4_pack_nibbles(idx.reshape(nb * 8, 32)).reshape(nb, 128)
+    return np.concatenate([
+        d.view(np.uint8).reshape(-1, 2), sh.view(np.uint8).reshape(-1, 2),
+        sl, qs], axis=1).reshape(-1)

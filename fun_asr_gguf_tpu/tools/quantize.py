@@ -22,6 +22,7 @@ QUANT_TYPES = {
     "q5_0": GGMLType.Q5_0, "q5_1": GGMLType.Q5_1,
     "q8_0": GGMLType.Q8_0,
     "q4_k": GGMLType.Q4_K, "q5_k": GGMLType.Q5_K, "q6_k": GGMLType.Q6_K,
+    "iq4_nl": GGMLType.IQ4_NL, "iq4_xs": GGMLType.IQ4_XS,
     "tq1_0": GGMLType.TQ1_0, "tq2_0": GGMLType.TQ2_0,
     "mxfp4": GGMLType.MXFP4,
 }

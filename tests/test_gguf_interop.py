@@ -454,3 +454,31 @@ def test_kquant_search_beats_naive_absmax():
     naive = (q * d).reshape(x.shape)
     assert (np.sqrt(((ours - x) ** 2).mean())
             < np.sqrt(((naive - x) ** 2).mean()))
+
+
+IQ4_WRITE = {"IQ4_NL": (18, 32, 0.12), "IQ4_XS": (136, 256, 0.12)}
+
+
+@pytest.mark.parametrize("tname", sorted(IQ4_WRITE))
+def test_iq4_quantize_roundtrip(tname):
+    """IQ4 WRITE support: format-valid encoding into the non-linear
+    codebook (scale candidates + weighted least-squares refinement),
+    decode-verified through gguf-py; not claimed bit-identical to ggml's
+    C search."""
+    refgguf = _ref_gguf()
+    from fun_asr_gguf_tpu.formats import quant_np as qn
+    bb, bv, tol = IQ4_WRITE[tname]
+    rt = getattr(refgguf.GGMLQuantizationType, tname)
+    rng = np.random.default_rng(hash(tname) % 2**31)
+    x = (rng.normal(size=(6, 512)) *
+         rng.uniform(0.05, 8, size=(6, 1))).astype(np.float32)
+    x[0, :256] = 0.0
+    raw = getattr(qn, f"{tname.lower()}_quantize")(x)
+    assert raw.size == x.size // bv * bb
+    ours = getattr(qn, f"{tname.lower()}_dequantize_blocks")(raw, x.shape)
+    theirs = refgguf.quants.dequantize(
+        raw.reshape(-1, bb), rt).reshape(x.shape).astype(np.float32)
+    np.testing.assert_array_equal(ours, theirs)
+    scale = np.sqrt((x ** 2).mean())
+    assert np.sqrt(((ours - x) ** 2).mean()) < tol * scale
+    np.testing.assert_array_equal(ours[0, :256], np.zeros(256, np.float32))
