@@ -26,6 +26,7 @@ from .quant_np import (Q8_0_BLOCK, Q8_0_BLOCK_BYTES, QK_K,
                        q2_k_dequantize_blocks, q3_k_dequantize_blocks,
                        q4_k_dequantize_blocks, q5_k_dequantize_blocks,
                        q6_k_dequantize_blocks,
+                       q2_k_quantize, q3_k_quantize,
                        q4_k_quantize, q5_k_quantize, q6_k_quantize,
                        q4_0_dequantize_blocks, q4_1_dequantize_blocks,
                        q4_0_quantize, q4_1_quantize, q5_0_quantize,
@@ -170,6 +171,8 @@ _QUANTIZERS = {
     GGMLType.TQ1_0: tq1_0_quantize,
     GGMLType.TQ2_0: tq2_0_quantize,
     GGMLType.MXFP4: mxfp4_quantize,
+    GGMLType.Q2_K: q2_k_quantize,
+    GGMLType.Q3_K: q3_k_quantize,
     GGMLType.Q4_K: q4_k_quantize,
     GGMLType.Q5_K: q5_k_quantize,
     GGMLType.Q6_K: q6_k_quantize,

@@ -777,10 +777,12 @@ def _make_qx_quants(x: np.ndarray, nmax: int):
 
 def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
                       rmin: float = -1.0, rdelta: float = 0.1,
-                      nstep: int = 20):
-    """Asymmetric scale/min search (ggml make_qkx2_quants, use_mad=False).
+                      nstep: int = 20, use_mad: bool = False):
+    """Asymmetric scale/min search (ggml make_qkx2_quants).
 
     x, weights: [G, n]. Returns (scale [G], the_min [G], L [G, n]).
+    ``use_mad``: weighted absolute error instead of squared (the q2_K
+    configuration).
     """
     x = x.astype(np.float32)
     w = weights.astype(np.float32)
@@ -802,8 +804,12 @@ def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
     L = quantize_at(iscale0)
     scale = (1.0 / iscale0).astype(np.float32)
     cur_min = mn.copy()
-    diff = scale[:, None] * L + cur_min[:, None] - x
-    best_err = (w * diff * diff).sum(axis=1)
+
+    def werr(diff):
+        pen = np.abs(diff) if use_mad else diff * diff
+        return (w * pen).sum(axis=1)
+
+    best_err = werr(scale[:, None] * L + cur_min[:, None] - x)
 
     for step in range(nstep + 1):
         iscale_t = ((rmin + rdelta * step + nmax) / span).astype(np.float32)
@@ -820,8 +826,7 @@ def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
             this_scale = np.where(pos,
                                   np.where(sum_l2 > 0, sum_xl / sum_l2, 0.0),
                                   this_scale)
-        diff = this_scale[:, None] * Lt + this_min[:, None] - x
-        err = (w * diff * diff).sum(axis=1)
+        err = werr(this_scale[:, None] * Lt + this_min[:, None] - x)
         better = (D > 0) & (err < best_err)
         best_err = np.where(better, err, best_err)
         scale = np.where(better, this_scale, scale).astype(np.float32)
@@ -1057,3 +1062,86 @@ def iq4_xs_quantize(x: np.ndarray) -> np.ndarray:
     return np.concatenate([
         d.view(np.uint8).reshape(-1, 2), sh.view(np.uint8).reshape(-1, 2),
         sl, qs], axis=1).reshape(-1)
+
+
+def q2_k_quantize(x: np.ndarray) -> np.ndarray:
+    """Quantize to the 84-byte q2_K superblock stream (ggml
+    quantize_row_q2_K_ref: per-16 asymmetric scale/min search with |x|
+    weights, nmax 3, rmin −0.5, 15 steps, mad error; 4-bit scale/min
+    nibbles under f16 super scales)."""
+    x16 = np.asarray(x, np.float32).reshape(-1, 16, 16)
+    nb = x16.shape[0]
+    flat = x16.reshape(nb * 16, 16)
+    scales, mins, _ = _make_qkx2_quants(flat, np.abs(flat), 3,
+                                        rmin=-0.5, rdelta=0.1, nstep=15,
+                                        use_mad=True)
+    scales = scales.reshape(nb, 16)
+    mins = mins.reshape(nb, 16)
+    max_scale = scales.max(axis=1)
+    max_min = mins.max(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_s = np.where(max_scale > 0, 15.0 / max_scale, 0.0)
+        inv_m = np.where(max_min > 0, 15.0 / max_min, 0.0)
+    ls = np.clip(_nearest_int(inv_s[:, None] * scales), 0, 15)
+    lm = np.clip(_nearest_int(inv_m[:, None] * mins), 0, 15)
+    d = np.where(max_scale > 0, max_scale / 15.0, 0.0).astype(np.float16)
+    dmin = np.where(max_min > 0, max_min / 15.0, 0.0).astype(np.float16)
+    dg = d.astype(np.float32)[:, None] * ls                # [nb, 16]
+    mg = dmin.astype(np.float32)[:, None] * lm
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = _nearest_int((x16 + mg[:, :, None]) /
+                         np.where(dg == 0, 1.0, dg)[:, :, None])
+    q = np.clip(q, 0, 3)
+    q = np.where((dg == 0)[:, :, None], 0, q).astype(np.uint8)
+    sc_bytes = (ls | (lm << 4)).astype(np.uint8)           # [nb, 16]
+    planes = q.reshape(nb, 2, 4, 32)
+    qs = np.zeros((nb, 2, 32), np.uint8)
+    for s in range(4):
+        qs |= planes[:, :, s, :] << (2 * s)
+    return np.concatenate([
+        sc_bytes, qs.reshape(nb, 64),
+        d.view(np.uint8).reshape(-1, 2),
+        dmin.view(np.uint8).reshape(-1, 2)], axis=1).reshape(-1)
+
+
+def q3_k_quantize(x: np.ndarray) -> np.ndarray:
+    """Quantize to the 110-byte q3_K superblock stream: per-16 symmetric
+    scale search (the make_qx_quants family; ggml's q3 variant adds a
+    coordinate-descent refinement — same format either way), 6-bit
+    signed scales under an f16 super scale, values in [−4, 3] with the
+    high bit mask inverted (layout per :func:`q3_k_dequantize_blocks`)."""
+    x16 = np.asarray(x, np.float32).reshape(-1, 16, 16)
+    nb = x16.shape[0]
+    flat = x16.reshape(nb * 16, 16)
+    scales, _ = _make_qx_quants(flat, 4)
+    scales = scales.reshape(nb, 16)
+    idx = np.argmax(np.abs(scales), axis=1)
+    smax = scales[np.arange(nb), idx]
+    dead = np.abs(smax) < 1e-30
+    safe = np.where(dead, 1.0, smax)
+    iscale = (-32.0 / safe).astype(np.float32)
+    d = np.where(dead, 0.0, 1.0 / iscale).astype(np.float16)
+    s6 = np.clip(_nearest_int(iscale[:, None] * scales), -32, 31)
+    dg = d.astype(np.float32)[:, None] * s6                # [nb, 16]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = _nearest_int(x16 / np.where(dg == 0, 1.0, dg)[:, :, None])
+    q = np.clip(q, -4, 3)
+    l = (np.where((dg == 0)[:, :, None], 0, q) + 4).astype(np.uint8)
+    # hmask bit set ⇔ no −4 offset ⇔ stored value ≥ 4; byte j's bit b
+    # covers flat value b*32 + j (inverse of the dequant's bit unpack)
+    hbit = ((l >> 2) & 1).reshape(nb, 8, 32)               # [nb, bit, j]
+    hmask = np.zeros((nb, 32), np.uint8)
+    for b in range(8):
+        hmask |= hbit[:, b, :] << b
+    low = (l & 0x03).reshape(nb, 2, 4, 32)
+    qs = np.zeros((nb, 2, 32), np.uint8)
+    for s in range(4):
+        qs |= low[:, :, s, :] << (2 * s)
+    s6b = (s6 + 32).astype(np.uint8)                       # 0..63 biased
+    ls_lo = (s6b[:, 0:8] & 0x0F) | ((s6b[:, 8:16] & 0x0F) << 4)
+    hs = np.zeros((nb, 4), np.uint8)
+    for s in range(4):
+        hs |= (s6b[:, 4 * s:4 * s + 4] >> 4) << (2 * s)
+    return np.concatenate([
+        hmask, qs.reshape(nb, 64), ls_lo, hs,
+        d.view(np.uint8).reshape(-1, 2)], axis=1).reshape(-1)

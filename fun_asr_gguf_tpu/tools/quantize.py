@@ -21,6 +21,7 @@ QUANT_TYPES = {
     "q4_0": GGMLType.Q4_0, "q4_1": GGMLType.Q4_1,
     "q5_0": GGMLType.Q5_0, "q5_1": GGMLType.Q5_1,
     "q8_0": GGMLType.Q8_0,
+    "q2_k": GGMLType.Q2_K, "q3_k": GGMLType.Q3_K,
     "q4_k": GGMLType.Q4_K, "q5_k": GGMLType.Q5_K, "q6_k": GGMLType.Q6_K,
     "iq4_nl": GGMLType.IQ4_NL, "iq4_xs": GGMLType.IQ4_XS,
     "tq1_0": GGMLType.TQ1_0, "tq2_0": GGMLType.TQ2_0,

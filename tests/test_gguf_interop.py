@@ -405,7 +405,8 @@ def test_reader_dequantizes_iquant_and_ternary(tmp_path):
         np.testing.assert_array_equal(ours, theirs.astype(np.float32))
 
 
-K_QUANT_WRITE = {"Q4_K": (144, 15, 0.12), "Q5_K": (176, 31, 0.06),
+K_QUANT_WRITE = {"Q2_K": (84, 3, 0.35), "Q3_K": (110, 7, 0.20),
+                 "Q4_K": (144, 15, 0.12), "Q5_K": (176, 31, 0.06),
                  "Q6_K": (210, 63, 0.03)}
 
 
