@@ -185,7 +185,8 @@ class BatchStreamDecoder:
             models.put_batch(prompt_buf, models._compute_dtype),
             models.put_batch(mask_buf),
             jax.random.PRNGKey(seed), models.hybrid_cfg.llm,
-            max_len=max_len)
+            max_len=max_len,
+            kv_int8=(models.config.kv_cache_dtype == "int8"))
         state.logits.block_until_ready()
         t_inject = time.perf_counter() - t0
 

@@ -375,7 +375,8 @@ class ModelManager:
             jnp.asarray(buf, self._compute_dtype),
             jnp.asarray(mask),
             jax.random.PRNGKey(rng_seed),
-            self.hybrid_cfg.llm, max_len=max_len)
+            self.hybrid_cfg.llm, max_len=max_len,
+            kv_int8=(self.config.kv_cache_dtype == "int8"))
         return state
 
     def generate(self, state, temperature: float, top_p: float, top_k: int,

@@ -120,7 +120,10 @@ class ASREngineConfig:
     compute_dtype: str = "bfloat16"          # encoder/LLM activation dtype
     segment_pad_seconds: float = 60.0        # static shape window for jit
     max_prompt_tokens: int = 512             # static prefill length bucket
-    llm_weight_format: str = "auto"          # auto | bf16 | int8 | q8_0
+    llm_weight_format: str = "auto"          # auto | bf16 | int8 | int4 | q8_0
+    kv_cache_dtype: str = "bf16"             # bf16 | int8 (halves KV HBM
+                                             # reads — the batched-decode
+                                             # bottleneck past b~16)
     mesh_shape: Optional[Dict[str, int]] = None   # e.g. {"dp": 1, "tp": 4}
     prefill_buckets: tuple = (256, 512)
     fuse_projections: bool = True            # pack qkv / gate-up matmuls

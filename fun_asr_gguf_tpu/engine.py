@@ -45,7 +45,8 @@ class FunASREngine:
                  spec_k: int = 8,
                  spec_draft_len: int = 512,
                  spec_min_accept: float = 1.35,
-                 mesh_shape: Optional[dict] = None):
+                 mesh_shape: Optional[dict] = None,
+                 kv_cache_dtype: str = "bf16"):
         if llm_weight_format not in ("auto", "bf16", "int8", "int4",
                                      "q8_0"):
             raise ValueError(
@@ -54,6 +55,9 @@ class FunASREngine:
         if mesh_shape:
             from .parallel.mesh import validate_mesh_shape
             validate_mesh_shape(mesh_shape, llm_weight_format)
+        if kv_cache_dtype not in ("bf16", "int8"):
+            raise ValueError(
+                f"kv_cache_dtype must be bf16|int8, got {kv_cache_dtype!r}")
         self.config = ASREngineConfig(
             checkpoint_dir=checkpoint_dir,
             tokens_path=tokens_path,
@@ -80,7 +84,8 @@ class FunASREngine:
             spec_k=spec_k,
             spec_draft_len=spec_draft_len,
             spec_min_accept=spec_min_accept,
-            mesh_shape=dict(mesh_shape) if mesh_shape else None)
+            mesh_shape=dict(mesh_shape) if mesh_shape else None,
+            kv_cache_dtype=kv_cache_dtype)
         self.models = ModelManager(self.config)
         self.orchestrator = TranscriptionOrchestrator(self.models)
         self.sample_rate = self.config.sample_rate

@@ -49,17 +49,17 @@ class GenState(NamedTuple):
         return jnp.all(self.done)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_len"))
+@partial(jax.jit, static_argnames=("cfg", "max_len", "kv_int8"))
 def prefill_init(params, embeds, attn_mask, rng, cfg: Qwen3Config,
-                 max_len: int) -> GenState:
+                 max_len: int, kv_int8: bool = False) -> GenState:
     """Run embedding-injection prefill and build the generation state.
 
     embeds [B, P, hidden] left-padded, attn_mask [B, P]; max_len is the KV
-    capacity (>= P + n_predict).
+    capacity (>= P + n_predict); ``kv_int8`` stores the cache int8.
     """
     b, p, _ = embeds.shape
     logits, kv = qwen3_prefill(params, embeds, attn_mask, cfg,
-                               kv_max_len=max_len)
+                               kv_max_len=max_len, kv_int8=kv_int8)
     prompt_len = jnp.sum(attn_mask, axis=1).astype(jnp.int32)
     return GenState(
         kv=kv,
@@ -141,7 +141,7 @@ def generate_chunk(params, state: GenState, cfg: Qwen3Config,
         # feed the sampled token (the reference feeds even the stop token;
         # rows already done feed a dummy — their logits are never used)
         emb = embed_tokens(params, jnp.where(active, token, 0)).astype(
-            state.kv.k.dtype)
+            state.kv.act_dtype)
         slot = p + state.step
         position = state.prompt_len + state.step
         logits, kv = qwen3_decode_step(

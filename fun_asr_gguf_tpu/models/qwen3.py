@@ -20,7 +20,7 @@ occupies slots [P-L, P) (left-aligned padding mask) and generated token t
 lives at slot P+t with rope position L+t.
 """
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -146,18 +146,68 @@ def _unroll_decode(default: bool = False) -> bool:
     return v != "0"
 
 
+class QuantKV(NamedTuple):
+    """int8 cache half: per-(layer,row,slot,head) absmax scales.
+
+    Halves KV HBM traffic — decode reads the whole cache every step, and
+    past batch ~16 those reads outweigh the weights (docs/PERFORMANCE.md
+    KV table). Dequant (q·s) is an elementwise producer XLA fuses into
+    the attention dots. Opt-in via ``kv_cache_dtype='int8'``.
+    """
+    q: jnp.ndarray  # int8 [n_layers, B, S, kv_heads, head_dim]
+    s: jnp.ndarray  # activation dtype [n_layers, B, S, kv_heads, 1]
+
+
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # [n_layers, B, S, kv_heads, head_dim]
-    v: jnp.ndarray
+    k: Any  # [n_layers, B, S, kv_heads, head_dim] array — or QuantKV
+    v: Any
 
     @property
     def max_len(self):
-        return self.k.shape[2]
+        arr = self.k.q if isinstance(self.k, QuantKV) else self.k
+        return arr.shape[2]
+
+    @property
+    def act_dtype(self):
+        """The activation dtype this cache pairs with."""
+        return (self.k.s.dtype if isinstance(self.k, QuantKV)
+                else self.k.dtype)
+
+
+def _kv_quantize(a: jnp.ndarray):
+    """[..., head_dim] activations → (int8 values, [..., 1] scales)."""
+    s = jnp.max(jnp.abs(a.astype(jnp.float32)), axis=-1,
+                keepdims=True) / 127.0
+    q = jnp.round(a.astype(jnp.float32) / jnp.where(s == 0, 1.0, s))
+    return q.astype(jnp.int8), s.astype(a.dtype)
+
+
+def _kv_store(K, new, write_fn):
+    """Write ``new`` activations into an array or QuantKV cache;
+    ``write_fn(big, payload)`` performs the positional update."""
+    if isinstance(K, QuantKV):
+        q, s = _kv_quantize(new)
+        return QuantKV(q=write_fn(K.q, q), s=write_fn(K.s, s))
+    return write_fn(K, new)
+
+
+def _kv_layer_slice(K, l, dtype):
+    """Layer ``l``'s dequantized [B, S, kh, hd] view."""
+    if isinstance(K, QuantKV):
+        q = jax.lax.dynamic_index_in_dim(K.q, l, 0, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(K.s, l, 0, keepdims=False)
+        return q.astype(dtype) * s.astype(dtype)
+    return jax.lax.dynamic_index_in_dim(K, l, 0, keepdims=False)
 
 
 def init_kv_cache(cfg: Qwen3Config, batch: int, max_len: int,
-                  dtype=jnp.bfloat16) -> KVCache:
+                  dtype=jnp.bfloat16, kv_int8: bool = False) -> KVCache:
     shape = (cfg.n_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
+    if kv_int8:
+        sshape = shape[:-1] + (1,)
+        half = QuantKV(q=jnp.zeros(shape, jnp.int8),
+                       s=jnp.zeros(sshape, dtype))
+        return KVCache(k=half, v=half)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -570,13 +620,15 @@ NEG_INF = -1e30
 
 
 def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
-                  kv_max_len: Optional[int] = None
+                  kv_max_len: Optional[int] = None,
+                  kv_int8: bool = False
                   ) -> Tuple[jnp.ndarray, KVCache]:
     """Prefill from injected embeddings.
 
     embeds: [B, P, hidden] left-padded (valid tokens occupy the suffix).
     attn_mask: [B, P] 1.0 for valid. Returns (last-token logits [B, vocab]
-    f32, KVCache with the prompt written at slots [0, P)).
+    f32, KVCache with the prompt written at slots [0, P)); ``kv_int8``
+    stores the cache as per-(slot,head) int8 (see :class:`QuantKV`).
     """
     b, p, _ = embeds.shape
     kv_max_len = kv_max_len or p
@@ -620,7 +672,12 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
                           cfg.head_dim), kv_dtype)
         ks = jnp.concatenate([ks.astype(kv_dtype), zpad], axis=2)
         vs = jnp.concatenate([vs.astype(kv_dtype), zpad], axis=2)
-    kv = KVCache(k=ks.astype(kv_dtype), v=vs.astype(kv_dtype))
+    if kv_int8:
+        kq, ksc = _kv_quantize(ks.astype(kv_dtype))
+        vq, vsc = _kv_quantize(vs.astype(kv_dtype))
+        kv = KVCache(k=QuantKV(q=kq, s=ksc), v=QuantKV(q=vq, s=vsc))
+    else:
+        kv = KVCache(k=ks.astype(kv_dtype), v=vs.astype(kv_dtype))
 
     x = rms_norm(x, params["final_ln"], cfg.rms_eps)
     logits = _logits(params, x[:, -1, :], cfg)                    # [B, vocab]
@@ -661,12 +718,15 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
     # 1.9 ms/step on v5e. As carry, each layer writes only its one new
     # [B,1,kh,D] entry in place and reads its slice for attention.
     def attn_core(q, k, v, K, V, l):
-        K = jax.lax.dynamic_update_slice(
-            K, k[None].astype(K.dtype), (l, zero, slot, zero, zero))
-        V = jax.lax.dynamic_update_slice(
-            V, v[None].astype(V.dtype), (l, zero, slot, zero, zero))
-        k_cache = jax.lax.dynamic_index_in_dim(K, l, 0, keepdims=False)
-        v_cache = jax.lax.dynamic_index_in_dim(V, l, 0, keepdims=False)
+        def upd(big, new):
+            return jax.lax.dynamic_update_slice(
+                big, new[None].astype(big.dtype),
+                (l, zero, slot, zero, zero))
+
+        K = _kv_store(K, k, upd)
+        V = _kv_store(V, v, upd)
+        k_cache = _kv_layer_slice(K, l, q.dtype)
+        v_cache = _kv_layer_slice(V, l, q.dtype)
         scores = _gqa_scores(q, k_cache, cfg) + bias
         probs = jax.nn.softmax(scores, axis=-1)
         return _gqa_mix(probs, v_cache, cfg), K, V
@@ -796,10 +856,10 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
     # stacked KV as scan CARRY (see qwen3_decode_step: the ys path
     # re-writes the whole cache every pass)
     def attn_core(q, k, v, K, V, l):
-        K = write_kv(K, k, l)
-        V = write_kv(V, v, l)
-        k_cache = jax.lax.dynamic_index_in_dim(K, l, 0, keepdims=False)
-        v_cache = jax.lax.dynamic_index_in_dim(V, l, 0, keepdims=False)
+        K = _kv_store(K, k, lambda big, new: write_kv(big, new, l))
+        V = _kv_store(V, v, lambda big, new: write_kv(big, new, l))
+        k_cache = _kv_layer_slice(K, l, q.dtype)
+        v_cache = _kv_layer_slice(V, l, q.dtype)
         scores = _gqa_scores(q, k_cache, cfg) + bias
         probs = jax.nn.softmax(scores, axis=-1)
         return _gqa_mix(probs, v_cache, cfg), K, V

@@ -283,7 +283,7 @@ def spec_generate_chunk(params, state: SpecState, draft_ids,
         # 3. one verify pass over [pending, d_1..d_K]
         tok_seq = jnp.concatenate([pending[:, None], d_tok], axis=1)
         emb = embed_tokens(params, jnp.where(tok_seq >= 0, tok_seq, 0)
-                           ).astype(state.kv.k.dtype)
+                           ).astype(state.kv.act_dtype)
         positions = state.pos_next[:, None] + jnp.arange(
             spec_k + 1, dtype=jnp.int32)[None, :]
         logits_v, kv = qwen3_verify_step(

@@ -410,6 +410,47 @@ class TestInt4Engine:
             reset_hotword_manager()
 
 
+class TestInt8KVEngine:
+    def test_int8_kv_engine_matches_bf16_kv_greedy(self, checkpoint,
+                                                   tmp_path):
+        """kv_cache_dtype='int8' through the facade: the cache stores
+        int8 + scales; greedy transcription stays deterministic and (on
+        this tiny f32 model) matches the bf16-KV engine."""
+        reset_hotword_manager()
+        from fun_asr_gguf_tpu import create_asr_engine
+        from fun_asr_gguf_tpu.models.qwen3 import QuantKV  # noqa: F401
+        ckpt, _cfg = checkpoint
+        path = make_wav(tmp_path, 1.0, "kv8.wav", seed=33)
+        kwargs = dict(checkpoint_dir=ckpt, verbose=False,
+                      compute_dtype="float32", segment_pad_seconds=2.0,
+                      n_predict=8, prefill_buckets=(64,))
+        eng1 = create_asr_engine(**kwargs)
+        try:
+            ref = eng1.transcribe(path, verbose=False, temperature=0.0)
+        finally:
+            eng1.cleanup()
+            reset_hotword_manager()
+        eng2 = create_asr_engine(kv_cache_dtype="int8", **kwargs)
+        try:
+            r1 = eng2.transcribe(path, verbose=False, temperature=0.0)
+            r2 = eng2.transcribe(path, verbose=False, temperature=0.0)
+            assert r1.text == r2.text          # deterministic
+            assert isinstance(r1.text, str)
+            # int8 KV perturbs logits by ~1/254 of each head's absmax —
+            # on this checkpoint greedy output is unchanged
+            assert r1.text == ref.text
+        finally:
+            eng2.cleanup()
+            reset_hotword_manager()
+
+    def test_bad_kv_dtype_rejected(self, checkpoint):
+        from fun_asr_gguf_tpu import create_asr_engine
+        ckpt, _cfg = checkpoint
+        with pytest.raises(ValueError, match="kv_cache_dtype"):
+            create_asr_engine(checkpoint_dir=ckpt, verbose=False,
+                              kv_cache_dtype="fp8")
+
+
 class TestEdgeCases:
     def test_very_short_audio(self, engine, tmp_path):
         """One-tenth-second clip: static padding must absorb it."""
