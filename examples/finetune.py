@@ -143,12 +143,15 @@ def _run_pp_demo(args):
                              mesh)
     opt = make_optimizer(args.lr)
     step_fn = make_pp_train_step(cfg, opt, mesh, n_micro=max(2, args.pp))
+    # (n_micro recomputed below for the batch rounding)
     opt_state = opt.init(params)
     rng = np.random.default_rng(0)
     print(f"pp{args.pp} pipeline on {jax.devices()[0].platform}; "
           f"{args.steps} steps, batch {args.batch}")
+    n_micro = max(2, args.pp)
     for step in range(args.steps):
-        b = max(args.batch, 2 * args.pp)
+        # batch must split evenly into the schedule's microbatches
+        b = -(-max(args.batch, n_micro) // n_micro) * n_micro
         ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(b, 16)),
                           jnp.int32)
         mask = jnp.ones((b, 16), jnp.float32)

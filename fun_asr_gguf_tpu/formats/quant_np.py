@@ -739,7 +739,24 @@ def _nearest_int(x: np.ndarray) -> np.ndarray:
     return np.rint(x).astype(np.int32)
 
 
-def _make_qx_quants(x: np.ndarray, nmax: int):
+def _row_chunked(impl, n_out: int, chunk: int):
+    """Wrap a [G, ...]-rowwise search so large tensors run in bounded
+    memory: the candidate/error broadcasts inside the searches cost
+    100s of bytes per element, so a whole-model call must not
+    materialize them for every group at once."""
+    def run(x, *rest):
+        g = x.shape[0]
+        if g <= chunk:
+            return impl(x, *rest)
+        outs = [impl(x[i:i + chunk],
+                     *[r[i:i + chunk] for r in rest])
+                for i in range(0, g, chunk)]
+        return tuple(np.concatenate([o[j] for o in outs], axis=0)
+                     for j in range(n_out))
+    return run
+
+
+def _make_qx_quants_impl(x: np.ndarray, nmax: int):
     """Symmetric per-group scale search (ggml make_qx_quants, rmse_type 1).
 
     x: [G, n] float32. Returns (scale [G], L [G, n] ints in [0, 2*nmax-1]).
@@ -775,9 +792,14 @@ def _make_qx_quants(x: np.ndarray, nmax: int):
     return scale, L + nmax
 
 
-def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
-                      rmin: float = -1.0, rdelta: float = 0.1,
-                      nstep: int = 20, use_mad: bool = False):
+def _make_qx_quants(x: np.ndarray, nmax: int):
+    return _row_chunked(lambda c: _make_qx_quants_impl(c, nmax),
+                        2, 65536)(x)
+
+
+def _make_qkx2_quants_impl(x: np.ndarray, weights: np.ndarray, nmax: int,
+                           rmin: float = -1.0, rdelta: float = 0.1,
+                           nstep: int = 20, use_mad: bool = False):
     """Asymmetric scale/min search (ggml make_qkx2_quants).
 
     x, weights: [G, n]. Returns (scale [G], the_min [G], L [G, n]).
@@ -835,9 +857,17 @@ def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
 
     scale = np.where(flat, 0.0, scale)
     cur_min = np.where(flat, -mn, -cur_min)  # the_min = -min
-    cur_min = np.where(flat, -mn, cur_min)
     L = np.where(flat[:, None], 0, L)
     return scale, cur_min, L
+
+
+def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
+                      rmin: float = -1.0, rdelta: float = 0.1,
+                      nstep: int = 20, use_mad: bool = False):
+    return _row_chunked(
+        lambda c, w: _make_qkx2_quants_impl(c, w, nmax, rmin, rdelta,
+                                            nstep, use_mad),
+        3, 131072)(x, weights)
 
 
 def _pack_kquant_scale_min(sc6: np.ndarray, mn6: np.ndarray) -> np.ndarray:
@@ -851,18 +881,18 @@ def _pack_kquant_scale_min(sc6: np.ndarray, mn6: np.ndarray) -> np.ndarray:
     return np.concatenate([a, b, c], axis=1)
 
 
-def _kq_weights(x: np.ndarray) -> np.ndarray:
-    """q4_K/q5_K group weights: av_x + |x| (ggml quantize_row_q4_K_ref)."""
-    av = np.sqrt((x * x).mean(axis=1, keepdims=True))
-    return av + np.abs(x)
-
-
 def _kq45_header(x32: np.ndarray, nmax: int):
     """Shared q4_K/q5_K header math: per-32-value scale/min search, 6-bit
-    requantized table, fp16 super scales, final L. x32: [nb, 8, 32]."""
+    requantized table, fp16 super scales, final L. x32: [nb, 8, 32].
+
+    Group weights follow ggml quantize_row_q4_K_ref: sigma2 is the mean
+    square over the WHOLE 256-value superblock, w = sqrt(sigma2) + |x|.
+    """
     nb = x32.shape[0]
     flat = x32.reshape(nb * 8, 32)
-    scales, mins, _ = _make_qkx2_quants(flat, _kq_weights(flat), nmax)
+    av = np.sqrt((x32.astype(np.float32) ** 2).mean(axis=(1, 2)))
+    w = np.repeat(av, 8)[:, None] + np.abs(flat)
+    scales, mins, _ = _make_qkx2_quants(flat, w, nmax)
     scales = scales.reshape(nb, 8)
     mins = mins.reshape(nb, 8)
     max_scale = scales.max(axis=1)
@@ -967,7 +997,7 @@ def q6_k_quantize(x: np.ndarray) -> np.ndarray:
 # against gguf-py); not claimed bit-identical to ggml's C search.
 # ---------------------------------------------------------------------------
 
-def _iq4_fit_scale(x: np.ndarray, w: np.ndarray):
+def _iq4_fit_scale_impl(x: np.ndarray, w: np.ndarray):
     """Fit per-row scales to the IQ4 codebook. x, w: [G, n].
     Returns (d [G] float32, idx [G, n] uint8)."""
     kv = IQ4_KVALUES.astype(np.float32)                  # [16]
@@ -1003,6 +1033,11 @@ def _iq4_fit_scale(x: np.ndarray, w: np.ndarray):
                            - x[:, :, None]), axis=-1).astype(np.uint8)
     idx = np.where(dead[:, None], 8, idx)        # kv[8] = 1·0 → exact zero
     return d, idx
+
+
+# the [G, 17, n, 16] candidate-error broadcast costs ~1.1 KB/element —
+# chunk to ~70 MB slabs so whole-model tensors quantize in bounded RAM
+_iq4_fit_scale = _row_chunked(_iq4_fit_scale_impl, 2, 8192)
 
 
 def _iq4_pack_nibbles(idx: np.ndarray) -> np.ndarray:

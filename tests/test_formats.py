@@ -336,8 +336,14 @@ class TestGGUFCorruption:
 
 
 def _build_qwen_schema_tok(tmp_path_factory):
+    """Write a tokenizer.json with the PRODUCTION Qwen schema
+    (formats.tokenizer.qwen_tokenizer_spec — the same builder
+    QwenTokenizer.from_gguf uses) over a tiny but realistically-sized
+    vocab: base = exactly 151643 entries so the runtime assigns the
+    added specials their production ids."""
     import json as _json
-    from fun_asr_gguf_tpu.formats.tokenizer import _bytes_to_unicode
+    from fun_asr_gguf_tpu.formats.tokenizer import (_bytes_to_unicode,
+                                                    qwen_tokenizer_spec)
     b2u = _bytes_to_unicode()
     vocab = {ch: b for b, ch in b2u.items()}          # ids 0..255
     merges = [["Y", "ou"], ["o", "u"], ["a", "s"], ["as", "s"],
@@ -357,27 +363,8 @@ def _build_qwen_schema_tok(tmp_path_factory):
          "special": True}
         for j, c in enumerate(["<|endoftext|>", "<|im_start|>",
                                "<|im_end|>"])]
-    qwen_regex = (r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|"
-                  r"[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}|"
-                  r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|"
-                  r"\s+(?!\S)|\s+")
-    spec = {
-        "version": "1.0", "truncation": None, "padding": None,
-        "added_tokens": added, "normalizer": None,
-        "pre_tokenizer": {"type": "Sequence", "pretokenizers": [
-            {"type": "Split", "pattern": {"Regex": qwen_regex},
-             "behavior": "Isolated", "invert": False},
-            {"type": "ByteLevel", "add_prefix_space": False,
-             "trim_offsets": False, "use_regex": False}]},
-        "post_processor": None,
-        "decoder": {"type": "ByteLevel", "add_prefix_space": True,
-                    "trim_offsets": True, "use_regex": True},
-        "model": {"type": "BPE", "dropout": None, "unk_token": None,
-                  "continuing_subword_prefix": "",
-                  "end_of_word_suffix": "", "fuse_unk": False,
-                  "byte_fallback": False, "vocab": vocab,
-                  "merges": [f"{a} {b}" for a, b in merges]},
-    }
+    spec = qwen_tokenizer_spec(vocab, [f"{a} {b}" for a, b in merges],
+                               added)
     path = str(tmp_path_factory.mktemp("qwen_schema") / "tokenizer.json")
     with open(path, "w", encoding="utf-8") as f:
         _json.dump(spec, f, ensure_ascii=False)
