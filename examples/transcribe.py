@@ -73,6 +73,8 @@ def main():
                          "w4a16, half the HBM bytes of int8)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel ways over the first N chips")
+    ap.add_argument("--kv-cache-dtype", default="bf16",
+                    choices=["bf16", "int8"])
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 
@@ -83,6 +85,7 @@ def main():
         engine = create_asr_engine(checkpoint_dir=args.checkpoint,
                                    verbose=not args.quiet,
                                    llm_weight_format=args.llm_weight_format,
+                                   kv_cache_dtype=args.kv_cache_dtype,
                                    mesh_shape=({"dp": 1, "tp": args.tp}
                                                if args.tp > 1 else None))
         t_init = time.perf_counter() - t0

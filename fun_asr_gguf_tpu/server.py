@@ -452,6 +452,10 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--warmup-all", action="store_true",
                     help="compile every prefill bucket at startup so no "
                          "request pays first-use compile time")
+    ap.add_argument("--kv-cache-dtype", default="bf16",
+                    choices=["bf16", "int8"],
+                    help="int8: quantized KV cache (halves cache reads "
+                         "in batched serving)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel ways: shard the decoder "
                          "Megatron-style over the first N chips "
@@ -468,6 +472,7 @@ def main(argv: Optional[list] = None):
                                rules_path=args.rules_path,
                                rectify_path=args.rectify_path,
                                warmup_all_buckets=args.warmup_all,
+                               kv_cache_dtype=args.kv_cache_dtype,
                                mesh_shape=({"dp": 1, "tp": args.tp}
                                            if args.tp > 1 else None))
     server = make_server(engine, args.host, args.port,
