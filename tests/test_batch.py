@@ -122,3 +122,29 @@ class TestParallelSegments:
         res = engine.transcribe(p, verbose=False, segment_size=1.0,
                                 temperature=0.0, parallel_segments=True)
         assert isinstance(res.text, str)
+
+
+class TestBatchInt8KV:
+    def test_batched_int8_kv_deterministic(self, engine):
+        """decode_streams with kv_cache_dtype='int8': the batched device
+        program stores the cache quantized; greedy decode stays
+        deterministic (exact bf16-KV text equality is NOT asserted —
+        random tiny-model logits are near-tied, so the ~0.4% cache
+        perturbation may legitimately flip a token)."""
+        reset_hotword_manager()
+        from fun_asr_gguf_tpu import create_asr_engine
+        eng8 = create_asr_engine(
+            checkpoint_dir=engine.config.checkpoint_dir, verbose=False,
+            compute_dtype="float32", segment_pad_seconds=1.0, n_predict=8,
+            prefill_buckets=(64,), kv_cache_dtype="int8")
+        try:
+            def run():
+                return [r.text for r in eng8.decode_streams(
+                    [make_stream(0.6, 71), make_stream(0.8, 72)],
+                    temperature=0.0)]
+            a, b = run(), run()
+            assert a == b
+            assert all(isinstance(t, str) for t in a)
+        finally:
+            eng8.cleanup()
+            reset_hotword_manager()
