@@ -19,6 +19,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: compiles dominate the suite's wall time
+# (70-layer encoder + decode program variants); caching them across runs
+# cuts repeat runs several-fold. Keyed by HLO hash, so staleness is
+# impossible by construction; override the location with FUNASR_TEST_CACHE
+# (set it empty to disable).
+_cache = os.environ.get("FUNASR_TEST_CACHE", "/tmp/funasr_test_xla_cache")
+if _cache:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # the cache refuses single-device processes by default
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
