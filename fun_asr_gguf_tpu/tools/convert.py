@@ -143,10 +143,19 @@ def convert(model_dir: str, out_dir: str, outtype: str = "q8_0",
         sd = extract_llm_from_model_pt(model_pt)
     params = qwen3_params_from_hf_state(sd, llm_cfg)
     tok_json = os.path.join(hf_dir, "tokenizer.json")
-    save_qwen3_to_gguf(os.path.join(out_dir, "decoder.gguf"), params,
-                       llm_cfg, quantize_q8_0=(outtype == "q8_0"),
+    dec = os.path.join(out_dir, "decoder.gguf")
+    save_qwen3_to_gguf(dec, params, llm_cfg,
+                       quantize_q8_0=(outtype == "q8_0"),
                        tokenizer_json=(tok_json if os.path.exists(tok_json)
                                        else None))
+    if outtype not in ("q8_0", "f16"):
+        # other targets (k-quants, iq4, ternary, mxfp4, bf16) go through
+        # the generic requantizer over the f16 export
+        from .quantize import quantize_gguf
+        tmp = dec + ".f16"
+        os.replace(dec, tmp)
+        quantize_gguf(tmp, dec, outtype)
+        os.remove(tmp)
     print(f"decoder.gguf ({outtype})")
 
     # 4. tokenizer + config
@@ -167,7 +176,9 @@ def main():
     ap.add_argument("--model-dir", required=True,
                     help="Fun-ASR-Nano model dir (model.pt, tiktoken, ...)")
     ap.add_argument("--out", required=True, help="output checkpoint dir")
-    ap.add_argument("--outtype", default="q8_0", choices=["q8_0", "f16"])
+    from .quantize import QUANT_TYPES
+    ap.add_argument("--outtype", default="q8_0",
+                    choices=sorted(QUANT_TYPES) + ["f16", "bf16"])
     ap.add_argument("--hf-llm-dir", default=None,
                     help="optional HF Qwen3 dir overriding model.pt llm.*")
     args = ap.parse_args()

@@ -519,6 +519,19 @@ class TestGGUFEmbeddedVocab:
         assert isinstance(tok, QwenTokenizer)
         assert tok.vocab_size == 151646
 
+    def test_vocab_kvs_survive_requantization(self, vocab_gguf, tmp_path):
+        """tools/convert.py's non-q8_0 outtypes requantize through
+        quantize_gguf — the embedded tokenizer KVs must ride along."""
+        from fun_asr_gguf_tpu.formats.gguf import GGUFReader
+        from fun_asr_gguf_tpu.tools.quantize import quantize_gguf
+        out = str(tmp_path / "req.gguf")
+        quantize_gguf(vocab_gguf, out, "q4_0")
+        r = GGUFReader(out)
+        assert len(r.fields["tokenizer.ggml.tokens"]) == 151646
+        assert r.fields["tokenizer.ggml.pre"] == "qwen2"
+        from fun_asr_gguf_tpu.formats.tokenizer import QwenTokenizer
+        assert QwenTokenizer.from_gguf(out).encode("<|im_end|>") == [151645]
+
     def test_save_qwen3_embeds_vocab(self, qwen_schema_tok_path, tmp_path):
         import jax
         from fun_asr_gguf_tpu.formats.gguf import GGUFReader
