@@ -193,7 +193,7 @@ def main():
 
     # ---- generation: chunked decode, same shape as the engine path ----
     def measure_generation(params, label, gen_prompt=None, gen_mask=None,
-                           temperature=0.0):
+                           temperature=0.0, kv_int8=False):
         gen_prompt = prompt if gen_prompt is None else gen_prompt
         gen_mask = mask if gen_mask is None else gen_mask
         chunk = 4 if _TINY else 64
@@ -203,7 +203,7 @@ def main():
         def gen_chunks(n_chunks, seed):
             st = prefill_init(params, gen_prompt, gen_mask,
                               jax.random.PRNGKey(seed),
-                              cfg.llm, max_len=max_len)
+                              cfg.llm, max_len=max_len, kv_int8=kv_int8)
             toks = None
             for _ in range(n_chunks):
                 st, toks = generate_chunk(
@@ -577,6 +577,37 @@ def main():
         except Exception as e:
             log("long-audio batched measurement failed:", e)
 
+    def tree_bytes(tree):
+        return int(sum(x.size * x.dtype.itemsize
+                       for x in jax.tree_util.tree_leaves(tree)
+                       if hasattr(x, "dtype")))
+
+    # ---- round-2 experimental formats: int4 (w4a16) weights and the
+    # int8 KV cache. Measured LAST so a near-deadline alarm can only
+    # truncate these extras, never the headline metrics above. ----
+    try:
+        from fun_asr_gguf_tpu.models.qwen3 import quantize_qwen3_params_int4
+        llm_int4 = quantize_qwen3_params_int4(llm_packed)
+        per_tok_int4 = measure_generation(llm_int4, "generate[int4]")
+        _partial["generate_tokens_per_s_int4"] = round(1.0 / per_tok_int4, 1)
+        _partial["llm_int4_mb"] = round(tree_bytes(llm_int4) / 1e6, 1)
+        del llm_int4
+    except Exception as e:
+        log("int4 generation failed:", e)
+    try:
+        per_tok_kv8 = measure_generation(llm_int8, "generate[int8,kv8]",
+                                         kv_int8=True)
+        _partial["generate_tokens_per_s_int8_kv8"] = round(
+            1.0 / per_tok_kv8, 1)
+        if per_step_b is not None:
+            per_step_bkv = measure_generation(
+                llm_int8, f"generate[int8,b{B},kv8]", promptB, maskB,
+                kv_int8=True)
+            _partial[f"generate_tokens_per_s_batch{B}_kv8"] = round(
+                B / per_step_bkv, 1)
+    except Exception as e:
+        log("int8-KV generation failed:", e)
+
     # headline generation = the engine's default decode: CTC-draft
     # speculation over int8 weights (falls back to plain decode)
     # spec headline: the better of the two 15%-disagreement corruption
@@ -589,11 +620,6 @@ def main():
     per_tok = min(per_tok_bf16, per_tok_int8, per_tok_q8, per_tok_spec_eff)
     t_gen = per_tok * N_GEN
     gen_tps = 1.0 / per_tok
-
-    def tree_bytes(tree):
-        return int(sum(x.size * x.dtype.itemsize
-                       for x in jax.tree_util.tree_leaves(tree)
-                       if hasattr(x, "dtype")))
 
     total = t_encode + t_ctc + t_prefill + t_gen
     rtf = total / AUDIO_SECONDS
@@ -635,6 +661,14 @@ def main():
             "generate_tokens_per_s_int8_sampled"),
         f"generate_tokens_per_s_batch{B}": (round(B / per_step_b, 1)
                                             if per_step_b else None),
+        # round-2 experimental formats (None when truncated by the alarm)
+        "generate_tokens_per_s_int4": _partial.get(
+            "generate_tokens_per_s_int4"),
+        "generate_tokens_per_s_int8_kv8": _partial.get(
+            "generate_tokens_per_s_int8_kv8"),
+        f"generate_tokens_per_s_batch{B}_kv8": _partial.get(
+            f"generate_tokens_per_s_batch{B}_kv8"),
+        "llm_int4_mb": _partial.get("llm_int4_mb"),
         "gen_vs_baseline": round(gen_tps / REF_GEN_TOKS_PER_S, 2),
         "total_s": round(total, 4),
         # parallel long-audio: 300 s / 6 segments through b=8 batched
