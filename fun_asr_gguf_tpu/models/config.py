@@ -74,7 +74,15 @@ class CTCHeadConfig:
 
 @dataclass(frozen=True)
 class Qwen3Config:
-    """Qwen3-0.6B decoder (HF config referenced by ``03-Export…py:14``)."""
+    """Llama-family decoder config; defaults are Qwen3-0.6B (HF config
+    referenced by ``03-Export…py:14``).
+
+    The same dataclass describes the whole GGUF "llama-class" family the
+    reference's llama.dll can load (``llama.py:417`` loads any arch):
+    ``arch``/``qk_norm``/``attn_bias`` select the per-arch differences —
+    qwen3 (qk-RMSNorm, no biases), qwen2 (q/k/v biases, no qk-norm),
+    llama/mistral (neither).
+    """
     hidden: int = 1024
     n_layers: int = 28
     q_heads: int = 16
@@ -86,12 +94,31 @@ class Qwen3Config:
     rms_eps: float = 1e-6
     tie_embeddings: bool = True
     max_position: int = 40960
+    arch: str = "qwen3"          # GGUF general.architecture on export
+    qk_norm: bool = True         # per-head RMSNorm on q/k (qwen3, gemma-like)
+    attn_bias: bool = False      # q/k/v projection biases (qwen2 family)
 
     @staticmethod
     def tiny(vocab_size: int = 512):
         return Qwen3Config(hidden=64, n_layers=2, q_heads=4, kv_heads=2,
                            head_dim=16, ffn_dim=128, vocab_size=vocab_size,
                            rope_theta=1e4)
+
+    @staticmethod
+    def tiny_qwen2(vocab_size: int = 512):
+        """Qwen2/Qwen2.5-shaped tiny config (biases, no qk-norm)."""
+        return Qwen3Config(hidden=64, n_layers=2, q_heads=4, kv_heads=2,
+                           head_dim=16, ffn_dim=128, vocab_size=vocab_size,
+                           rope_theta=1e4, arch="qwen2", qk_norm=False,
+                           attn_bias=True)
+
+    @staticmethod
+    def tiny_llama(vocab_size: int = 512):
+        """Llama/Mistral-shaped tiny config (no biases, no qk-norm)."""
+        return Qwen3Config(hidden=64, n_layers=2, q_heads=4, kv_heads=2,
+                           head_dim=16, ffn_dim=128, vocab_size=vocab_size,
+                           rope_theta=1e4, arch="llama", qk_norm=False,
+                           attn_bias=False)
 
     # -- stretch decoder presets (BASELINE.json configs[4]: larger
     # Qwen-class audio-LLM decoders with int8 TP across a TPU mesh) --

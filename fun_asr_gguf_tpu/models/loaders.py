@@ -63,23 +63,37 @@ def unflatten_tree(flat: Dict[str, np.ndarray]):
 # ---------------------------------------------------------------------------
 
 def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
+    """Read any llama-class GGUF's hyperparameters (qwen3 / qwen2 /
+    llama / mistral — the arch family the reference's llama.dll loads).
+
+    Per-arch structure (qk-norm, attention biases) is detected from the
+    tensor set rather than hardcoded per arch name, so fine-tunes that
+    deviate from the stock layout still load."""
     f = reader.fields
     arch = f.get("general.architecture", "qwen3")
     def g(key, default):
         return f.get(f"{arch}.{key}", default)
     vocab, hidden = reader.tensor_info("token_embd.weight").shape
-    has_head = "output.weight" in reader.tensor_names()
+    names = set(reader.tensor_names())
+    has_head = "output.weight" in names
+    q_heads = int(g("attention.head_count", 16))
+    hidden = int(g("embedding_length", hidden))
     return Qwen3Config(
-        hidden=int(g("embedding_length", hidden)),
+        hidden=hidden,
         n_layers=int(g("block_count", 28)),
-        q_heads=int(g("attention.head_count", 16)),
+        q_heads=q_heads,
         kv_heads=int(g("attention.head_count_kv", 8)),
-        head_dim=int(g("attention.key_length", 128)),
+        # llama GGUFs typically omit key_length: head_dim = hidden/heads
+        head_dim=int(g("attention.key_length", hidden // q_heads)),
         ffn_dim=int(g("feed_forward_length", 3072)),
         vocab_size=int(vocab),
         rope_theta=float(g("rope.freq_base", 1e6)),
         rms_eps=float(g("attention.layer_norm_rms_epsilon", 1e-6)),
         tie_embeddings=not has_head,
+        max_position=int(g("context_length", 40960)),
+        arch=str(arch),
+        qk_norm="blk.0.attn_q_norm.weight" in names,
+        attn_bias="blk.0.attn_q.bias" in names,
     )
 
 
@@ -125,19 +139,13 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
         items = [fn(i) for i in range(n)]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *items)
 
+    def vstack(fmt):
+        return jnp.asarray(
+            np.stack([vec(fmt.format(i)) for i in range(n)]), dtype)
+
     layers = {
-        "input_ln": jnp.asarray(
-            np.stack([vec(f"blk.{i}.attn_norm.weight") for i in range(n)]),
-            dtype),
-        "post_ln": jnp.asarray(
-            np.stack([vec(f"blk.{i}.ffn_norm.weight") for i in range(n)]),
-            dtype),
-        "q_norm": jnp.asarray(
-            np.stack([vec(f"blk.{i}.attn_q_norm.weight") for i in range(n)]),
-            dtype),
-        "k_norm": jnp.asarray(
-            np.stack([vec(f"blk.{i}.attn_k_norm.weight") for i in range(n)]),
-            dtype),
+        "input_ln": vstack("blk.{}.attn_norm.weight"),
+        "post_ln": vstack("blk.{}.ffn_norm.weight"),
         "q_w": stack(lambda i: mat(f"blk.{i}.attn_q.weight")),
         "k_w": stack(lambda i: mat(f"blk.{i}.attn_k.weight")),
         "v_w": stack(lambda i: mat(f"blk.{i}.attn_v.weight")),
@@ -146,6 +154,13 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
         "up_w": stack(lambda i: mat(f"blk.{i}.ffn_up.weight")),
         "down_w": stack(lambda i: mat(f"blk.{i}.ffn_down.weight")),
     }
+    if cfg.qk_norm:
+        layers["q_norm"] = vstack("blk.{}.attn_q_norm.weight")
+        layers["k_norm"] = vstack("blk.{}.attn_k_norm.weight")
+    if cfg.attn_bias:
+        layers["q_b"] = vstack("blk.{}.attn_q.bias")
+        layers["k_b"] = vstack("blk.{}.attn_k.bias")
+        layers["v_b"] = vstack("blk.{}.attn_v.bias")
     params = {
         "layers": layers,
         "final_ln": jnp.asarray(vec("output_norm.weight"), dtype),
@@ -166,17 +181,18 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
     self-contained — loadable without a separate tokenizer.json
     (QwenTokenizer.from_gguf / llama.cpp itself).
     """
-    w = GGUFWriter(path, arch="qwen3")
-    w.add_kv("qwen3.embedding_length", cfg.hidden)
-    w.add_kv("qwen3.block_count", cfg.n_layers)
-    w.add_kv("qwen3.attention.head_count", cfg.q_heads)
-    w.add_kv("qwen3.attention.head_count_kv", cfg.kv_heads)
-    w.add_kv("qwen3.attention.key_length", cfg.head_dim)
-    w.add_kv("qwen3.attention.value_length", cfg.head_dim)
-    w.add_kv("qwen3.feed_forward_length", cfg.ffn_dim)
-    w.add_kv("qwen3.rope.freq_base", float(cfg.rope_theta))
-    w.add_kv("qwen3.attention.layer_norm_rms_epsilon", float(cfg.rms_eps))
-    w.add_kv("qwen3.context_length", cfg.max_position)
+    arch = cfg.arch
+    w = GGUFWriter(path, arch=arch)
+    w.add_kv(f"{arch}.embedding_length", cfg.hidden)
+    w.add_kv(f"{arch}.block_count", cfg.n_layers)
+    w.add_kv(f"{arch}.attention.head_count", cfg.q_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", cfg.kv_heads)
+    w.add_kv(f"{arch}.attention.key_length", cfg.head_dim)
+    w.add_kv(f"{arch}.attention.value_length", cfg.head_dim)
+    w.add_kv(f"{arch}.feed_forward_length", cfg.ffn_dim)
+    w.add_kv(f"{arch}.rope.freq_base", float(cfg.rope_theta))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", float(cfg.rms_eps))
+    w.add_kv(f"{arch}.context_length", cfg.max_position)
 
     if tokenizer_json:
         from ..formats.tokenizer import gguf_vocab_from_tokenizer_json
@@ -217,10 +233,18 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
                      np.asarray(L["input_ln"][i], np.float32))
         w.add_tensor(f"blk.{i}.ffn_norm.weight",
                      np.asarray(L["post_ln"][i], np.float32))
-        w.add_tensor(f"blk.{i}.attn_q_norm.weight",
-                     np.asarray(L["q_norm"][i], np.float32))
-        w.add_tensor(f"blk.{i}.attn_k_norm.weight",
-                     np.asarray(L["k_norm"][i], np.float32))
+        if "q_norm" in L:
+            w.add_tensor(f"blk.{i}.attn_q_norm.weight",
+                         np.asarray(L["q_norm"][i], np.float32))
+            w.add_tensor(f"blk.{i}.attn_k_norm.weight",
+                         np.asarray(L["k_norm"][i], np.float32))
+        if "q_b" in L:
+            w.add_tensor(f"blk.{i}.attn_q.bias",
+                         np.asarray(L["q_b"][i], np.float32))
+            w.add_tensor(f"blk.{i}.attn_k.bias",
+                         np.asarray(L["k_b"][i], np.float32))
+            w.add_tensor(f"blk.{i}.attn_v.bias",
+                         np.asarray(L["v_b"][i], np.float32))
         mat(f"blk.{i}.attn_q.weight", L["q_w"][i])
         mat(f"blk.{i}.attn_k.weight", L["k_w"][i])
         mat(f"blk.{i}.attn_v.weight", L["v_w"][i])

@@ -62,10 +62,17 @@ class Int4Weight(NamedTuple):
     opt-in via ``llm_weight_format='int4'``.
 
     ``packed [..., k/2, n] int8`` — two signed nibbles per byte along the
-    contraction dim (k=2i in the low nibble, k=2i+1 in the high);
+    contraction dim, **split-half order**: byte i holds row ``i`` in the
+    low nibble and row ``i + k/2`` in the high nibble. Interleaved
+    (even/odd) packing forces a transposing stack+reshape on unpack that
+    XLA materializes — the whole dequantized bf16 tensor round-trips HBM
+    every token (measured 131 tok/s vs int8's 757 on v5e). Split-half
+    unpacks as two contiguous fusable producers (or two dots over
+    contiguous activation slices — see :func:`_proj`), no interleave.
     ``scale [..., k/32, n] bf16`` — one scale per 32-value input group
     per output channel (group-wise, because a 4-bit per-channel absmax
-    is far too coarse).
+    is far too coarse); k/2 must stay a multiple of 32 so groups don't
+    straddle the halves (holds for every real config).
     """
     packed: jnp.ndarray
     scale: jnp.ndarray
@@ -76,12 +83,11 @@ INT4_GROUP = 32
 
 def _int4_unpack(packed: jnp.ndarray) -> jnp.ndarray:
     """[..., k/2, n] int8 → [..., k, n] int8 in [-8, 7] (arithmetic-shift
-    sign extension; interleaved low/high nibble order)."""
+    sign extension; split-half nibble order: low half then high half —
+    a fusion-friendly concat, not an interleave)."""
     lo = (packed << 4) >> 4
     hi = packed >> 4
-    k2, n = packed.shape[-2], packed.shape[-1]
-    out = jnp.stack([lo, hi], axis=-2)            # [..., k/2, 2, n]
-    return out.reshape(*packed.shape[:-2], 2 * k2, n)
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def int4_dequantize(w: Int4Weight, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -98,15 +104,40 @@ def int4_quantize_weight(w: jnp.ndarray) -> Int4Weight:
     """RTN group-32 symmetric quantization of a [..., k, n] weight."""
     wf = w.astype(jnp.float32)
     k, n = wf.shape[-2], wf.shape[-1]
+    if (k // 2) % INT4_GROUP:
+        raise ValueError(f"int4 needs k/2 % {INT4_GROUP} == 0, got k={k}")
     g = wf.reshape(*wf.shape[:-2], k // INT4_GROUP, INT4_GROUP, n)
     s = jnp.max(jnp.abs(g), axis=-2, keepdims=True) / 7.0
     q = jnp.clip(jnp.round(g / jnp.where(s == 0, 1.0, s)), -8, 7)
     q = q.astype(jnp.int8).reshape(*wf.shape[:-2], k, n)
-    lo = q[..., 0::2, :]
-    hi = q[..., 1::2, :]
+    lo = q[..., :k // 2, :]
+    hi = q[..., k // 2:, :]
     packed = ((hi << 4) | (lo & 0x0F)).astype(jnp.int8)
     return Int4Weight(packed=packed,
                       scale=s[..., 0, :].astype(jnp.bfloat16))
+
+
+def _int4_half_dot(x_half, q_half, s_half):
+    """dot(x_half, dequant(q_half)) for one nibble half, the group-scale
+    expand left as an elementwise producer on the dot's weight operand.
+
+    Variants measured on v5e (Qwen3-0.6B decode, tok/s): interleaved
+    pack + single dot 131 (XLA materializes the transposing unpack);
+    split-half producer fusion (this) 566; group-batched BlockQuant-style
+    dot 487 (per-group matvecs tile poorly at m=1); native XLA s4 dtype —
+    blocked by a backend layout bug through the remote tunnel. The
+    remaining gap to int8 (774) is the nibble-extract VPU work XLA won't
+    sink into its dot reads; int4's value is the 715 vs 909 MB footprint
+    (see docs/PERFORMANCE.md).
+
+    x_half [m, kh], q_half [kh, n] int8 nibbles, s_half [kh/32, n].
+    Nibbles convert to the activation dtype (bf16 fast path; f32 when the
+    caller runs float32 compute)."""
+    kh, n = q_half.shape[-2], q_half.shape[-1]
+    g = q_half.reshape(kh // INT4_GROUP, INT4_GROUP, n)
+    deq = (g.astype(x_half.dtype)
+           * s_half[..., :, None, :].astype(x_half.dtype)).reshape(kh, n)
+    return jnp.dot(x_half, deq, preferred_element_type=jnp.float32)
 
 
 def _split_quant_layers(layers):
@@ -258,12 +289,20 @@ def _proj(x, w, pre: bool = False):
                       preferred_element_type=jnp.float32)
         return (out * w.scale.astype(jnp.float32)).astype(x.dtype)
     if isinstance(w, Int4Weight):
-        # group scales don't commute out of the contraction: reconstruct
-        # in the activation dtype as an elementwise producer and let XLA
-        # fuse it into the dot's operand reads
-        out = jnp.dot(x, int4_dequantize(w, x.dtype),
-                      preferred_element_type=jnp.float32)
-        return out.astype(x.dtype)
+        # two group-batched dots over contiguous activation halves (the
+        # interleave-free split-half packing makes both the nibble
+        # extracts and the scale slices contiguous). A single dot over
+        # the full dequantized reconstruction makes XLA materialize the
+        # bf16 tensor through HBM instead (measured 131 tok/s).
+        kh = w.packed.shape[-2]
+        gs = w.scale.shape[-2] // 2
+        lead, k = x.shape[:-1], x.shape[-1]
+        xf = x.reshape(-1, k)
+        out = _int4_half_dot(xf[:, :kh], (w.packed << 4) >> 4,
+                             w.scale[..., :gs, :])
+        out = out + _int4_half_dot(xf[:, kh:], w.packed >> 4,
+                                   w.scale[..., gs:, :])
+        return out.reshape(*lead, -1).astype(x.dtype)
     return matmul_any(x, w, x_preblocked=pre).astype(x.dtype)
 
 
@@ -404,6 +443,9 @@ def pack_qwen3_params(params):
 
     layers["qkv_w"] = cat(("q_w", "k_w", "v_w"))
     layers["gate_up_w"] = cat(("gate_w", "up_w"))
+    if "q_b" in layers:   # qwen2-family biases ride along, fused likewise
+        layers["qkv_b"] = jnp.concatenate(
+            [layers.pop(k) for k in ("q_b", "k_b", "v_b")], axis=-1)
     out = dict(params)
     out["layers"] = layers
     return out
@@ -451,6 +493,11 @@ def fuse_qwen3_params_q8(params):
     if "q8_fused" in params:
         return params
     layers = dict(params["layers"])
+    if "qkv_b" in layers or "q_b" in layers:
+        raise ValueError(
+            "fuse_qwen3_params_q8 supports bias-free archs only (qwen3/"
+            "llama); qwen2-family biases would need perm-space handling — "
+            "use the int8/bf16 paths instead")
     for key in ("qkv_w", "o_w", "gate_up_w", "down_w"):
         if not isinstance(layers.get(key), QuantTensor):
             raise ValueError(
@@ -501,15 +548,22 @@ def fuse_qwen3_params_q8i(params):
 
 def _qkv_post(qkv, lp, cfg: Qwen3Config, cos, sin):
     """Split a raw packed qkv projection [B, T, n_qkv] into heads and apply
-    qk-RMSNorm + rope."""
+    (arch-dependent) bias, qk-RMSNorm and rope.
+
+    Bias/norm presence follows the param dict, which the loaders populate
+    per arch (qwen3: qk-norm, no bias; qwen2: bias, no qk-norm; llama:
+    neither) — the graph functions stay arch-agnostic."""
     b, t, _ = qkv.shape
+    if "qkv_b" in lp:
+        qkv = qkv + lp["qkv_b"].astype(qkv.dtype)
     qd = cfg.q_heads * cfg.head_dim
     kd = cfg.kv_heads * cfg.head_dim
     q = qkv[..., :qd].reshape(b, t, cfg.q_heads, cfg.head_dim)
     k = qkv[..., qd:qd + kd].reshape(b, t, cfg.kv_heads, cfg.head_dim)
     v = qkv[..., qd + kd:].reshape(b, t, cfg.kv_heads, cfg.head_dim)
-    q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
-    k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+    if "q_norm" in lp:
+        q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 
@@ -522,11 +576,19 @@ def _qkv(x, lp, cfg: Qwen3Config, cos, sin, pre: bool = False):
     b, t, _ = x.shape
     if "qkv_w" in lp:
         return _qkv_post(_proj(x, lp["qkv_w"], pre), lp, cfg, cos, sin)
-    q = _proj(x, lp["q_w"], pre).reshape(b, t, cfg.q_heads, cfg.head_dim)
-    k = _proj(x, lp["k_w"], pre).reshape(b, t, cfg.kv_heads, cfg.head_dim)
-    v = _proj(x, lp["v_w"], pre).reshape(b, t, cfg.kv_heads, cfg.head_dim)
-    q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
-    k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+    q = _proj(x, lp["q_w"], pre)
+    k = _proj(x, lp["k_w"], pre)
+    v = _proj(x, lp["v_w"], pre)
+    if "q_b" in lp:
+        q = q + lp["q_b"].astype(q.dtype)
+        k = k + lp["k_b"].astype(k.dtype)
+        v = v + lp["v_b"].astype(v.dtype)
+    q = q.reshape(b, t, cfg.q_heads, cfg.head_dim)
+    k = k.reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    v = v.reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    if "q_norm" in lp:
+        q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 
@@ -1076,8 +1138,6 @@ def init_qwen3_params(rng, cfg: Qwen3Config, dtype=jnp.float32):
     layers = {
         "input_ln": jnp.ones((n, h), dtype),
         "post_ln": jnp.ones((n, h), dtype),
-        "q_norm": jnp.ones((n, cfg.head_dim), dtype),
-        "k_norm": jnp.ones((n, cfg.head_dim), dtype),
         "q_w": norm(keys[0], (n, h, qd), s_h),
         "k_w": norm(keys[1], (n, h, kd), s_h),
         "v_w": norm(keys[2], (n, h, kd), s_h),
@@ -1086,6 +1146,14 @@ def init_qwen3_params(rng, cfg: Qwen3Config, dtype=jnp.float32):
         "up_w": norm(keys[5], (n, h, cfg.ffn_dim), s_h),
         "down_w": norm(keys[6], (n, cfg.ffn_dim, h), s_f),
     }
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((n, cfg.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((n, cfg.head_dim), dtype)
+    if cfg.attn_bias:
+        bkeys = jax.random.split(keys[7], 3)
+        layers["q_b"] = norm(bkeys[0], (n, qd), 0.02)
+        layers["k_b"] = norm(bkeys[1], (n, kd), 0.02)
+        layers["v_b"] = norm(bkeys[2], (n, kd), 0.02)
     params = {
         "layers": layers,
         "final_ln": jnp.ones((h,), dtype),

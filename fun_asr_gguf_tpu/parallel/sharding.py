@@ -73,12 +73,19 @@ def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
                             if k in _COL_PARALLEL + _ROW_PARALLEL)
     else:
         matmul_keys = ("q_w", "k_w", "v_w", "gate_w", "up_w") + _ROW_PARALLEL
-    layers = {
-        "input_ln": repl,
-        "post_ln": repl,
-        "q_norm": repl,
-        "k_norm": repl,
-    }
+    norm_keys = ("input_ln", "post_ln", "q_norm", "k_norm")
+    # qwen2-family attention biases: [L, out] — column-split with their
+    # projection's output channels
+    bias_keys = ("q_b", "k_b", "v_b", "qkv_b")
+    if params is not None:
+        present = params["layers"]
+        norm_keys = tuple(k for k in norm_keys if k in present)
+        bias_keys = tuple(k for k in bias_keys if k in present)
+    else:
+        bias_keys = ()
+    layers = {k: repl for k in norm_keys}
+    for key in bias_keys:
+        layers[key] = P(None, "tp")
     for key in matmul_keys:
         layers[key] = wspec(key)
     spec = {"layers": layers, "final_ln": repl, "embed": repl}

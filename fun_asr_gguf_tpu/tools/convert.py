@@ -33,7 +33,11 @@ from ..models.loaders import (flatten_tree, load_encoder_from_pt,
 
 def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
                                cfg: Qwen3Config) -> dict:
-    """HF Qwen3 key schema → our param pytree (host numpy)."""
+    """HF llama-family key schema → our param pytree (host numpy).
+
+    Covers the archs the config can describe: Qwen3 (qk-norm), Qwen2/2.5
+    (attention biases), Llama/Mistral (plain) — the HF module layout is
+    identical apart from those two feature axes."""
     def t(name):
         return np.ascontiguousarray(sd[name].astype(np.float32).T)
 
@@ -44,21 +48,29 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
         return np.stack([sd[fmt.format(i)].astype(np.float32)
                          for i in range(cfg.n_layers)])
 
+    layers = {
+        "input_ln": stack_vec("model.layers.{}.input_layernorm.weight"),
+        "post_ln": stack_vec(
+            "model.layers.{}.post_attention_layernorm.weight"),
+        "q_w": stack("model.layers.{}.self_attn.q_proj.weight"),
+        "k_w": stack("model.layers.{}.self_attn.k_proj.weight"),
+        "v_w": stack("model.layers.{}.self_attn.v_proj.weight"),
+        "o_w": stack("model.layers.{}.self_attn.o_proj.weight"),
+        "gate_w": stack("model.layers.{}.mlp.gate_proj.weight"),
+        "up_w": stack("model.layers.{}.mlp.up_proj.weight"),
+        "down_w": stack("model.layers.{}.mlp.down_proj.weight"),
+    }
+    if cfg.qk_norm:
+        layers["q_norm"] = stack_vec(
+            "model.layers.{}.self_attn.q_norm.weight")
+        layers["k_norm"] = stack_vec(
+            "model.layers.{}.self_attn.k_norm.weight")
+    if cfg.attn_bias:
+        layers["q_b"] = stack_vec("model.layers.{}.self_attn.q_proj.bias")
+        layers["k_b"] = stack_vec("model.layers.{}.self_attn.k_proj.bias")
+        layers["v_b"] = stack_vec("model.layers.{}.self_attn.v_proj.bias")
     params = {
-        "layers": {
-            "input_ln": stack_vec("model.layers.{}.input_layernorm.weight"),
-            "post_ln": stack_vec(
-                "model.layers.{}.post_attention_layernorm.weight"),
-            "q_norm": stack_vec("model.layers.{}.self_attn.q_norm.weight"),
-            "k_norm": stack_vec("model.layers.{}.self_attn.k_norm.weight"),
-            "q_w": stack("model.layers.{}.self_attn.q_proj.weight"),
-            "k_w": stack("model.layers.{}.self_attn.k_proj.weight"),
-            "v_w": stack("model.layers.{}.self_attn.v_proj.weight"),
-            "o_w": stack("model.layers.{}.self_attn.o_proj.weight"),
-            "gate_w": stack("model.layers.{}.mlp.gate_proj.weight"),
-            "up_w": stack("model.layers.{}.mlp.up_proj.weight"),
-            "down_w": stack("model.layers.{}.mlp.down_proj.weight"),
-        },
+        "layers": layers,
         "final_ln": sd["model.norm.weight"].astype(np.float32),
         "embed": sd["model.embed_tokens.weight"].astype(np.float32),
     }
@@ -67,7 +79,22 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
     return params
 
 
+# HF `architectures[0]` → (gguf arch, qk_norm, attn_bias)
+_HF_ARCHS = {
+    "Qwen3ForCausalLM": ("qwen3", True, False),
+    "Qwen2ForCausalLM": ("qwen2", False, True),
+    "LlamaForCausalLM": ("llama", False, False),
+    "MistralForCausalLM": ("llama", False, False),
+}
+
+
 def qwen3_config_from_hf(config: dict) -> Qwen3Config:
+    hf_arch = (config.get("architectures") or ["Qwen3ForCausalLM"])[0]
+    if hf_arch not in _HF_ARCHS:
+        raise ValueError(
+            f"unsupported HF architecture {hf_arch!r}; supported: "
+            f"{sorted(_HF_ARCHS)}")
+    arch, qk_norm, attn_bias = _HF_ARCHS[hf_arch]
     return Qwen3Config(
         hidden=config["hidden_size"],
         n_layers=config["num_hidden_layers"],
@@ -82,6 +109,7 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
         rms_eps=float(config.get("rms_norm_eps", 1e-6)),
         tie_embeddings=bool(config.get("tie_word_embeddings", True)),
         max_position=config.get("max_position_embeddings", 40960),
+        arch=arch, qk_norm=qk_norm, attn_bias=attn_bias,
     )
 
 
