@@ -442,13 +442,14 @@ def main():
         from fun_asr_gguf_tpu.models.speculative import spec_to_gen
         MIN_ACCEPT = 1.35
 
-        def sampled_engine_emission(seed):
+        def sampled_engine_emission(seed, target=None):
+            target = N_GEN if target is None else target
             st = spec_init(prefill_init(
                 spec_params, prompt, mask, jax.random.PRNGKey(seed),
                 cfg.llm, max_len=spec_max_len))
             d = draft_perfect
             emitted, spec_on, first = 0, True, True
-            while emitted < N_GEN:
+            while emitted < target:
                 if spec_on:
                     # 16-token probe first, as core/decoder.py does
                     lim = 16 if first else chunk
@@ -473,22 +474,25 @@ def main():
             return emitted
 
         sampled_engine_emission(0)      # compile both phases
-        # prefill measured on the SAME (int8 spec) params as the timing
-        # loop — t_prefill above is a bf16-params number
-        t0 = time.perf_counter()
-        fetch(prefill_init(spec_params, prompt, mask, jax.random.PRNGKey(7),
-                           cfg.llm, max_len=spec_max_len).kv.k)
-        t_prefill_spec = time.perf_counter() - t0
-        t_best = float("inf")
+        # two-point differencing: run to a short and a full emission
+        # target and difference — the prefill (and any fixed dispatch
+        # cost) cancels exactly instead of being subtracted from a
+        # separately-measured number, which over the tunnel can exceed
+        # the loop time and go negative
+        short_target = max(N_GEN // 4, 16)
+        best = (float("inf"), 1)
         for i in range(1 if _TINY else 3):
             t0 = time.perf_counter()
-            n_em = sampled_engine_emission(50 + i)
-            t_best = min(t_best, time.perf_counter() - t0)
-        # subtract the same-params prefill so the number is
-        # generation-only like the other spec metrics
-        per_tok_spec_t04 = max(t_best - t_prefill_spec, 1e-9) / n_em
-        log(f"generate[spec,int8,T=0.4,guardrail]: {t_best:.3f}s for "
-            f"{n_em} tok -> {per_tok_spec_t04*1000:.3f} ms/token")
+            n_s = sampled_engine_emission(50 + i, target=short_target)
+            t_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n_l = sampled_engine_emission(50 + i)
+            t_l = time.perf_counter() - t0
+            if n_l > n_s and (t_l - t_s) / (n_l - n_s) < best[0] / best[1]:
+                best = (max(t_l - t_s, 1e-9), n_l - n_s)
+        per_tok_spec_t04 = best[0] / best[1]
+        log(f"generate[spec,int8,T=0.4,guardrail]: {best[0]:.3f}s for "
+            f"{best[1]} tok -> {per_tok_spec_t04*1000:.3f} ms/token")
         _partial["generate_tokens_per_s_spec_sampled"] = round(
             1.0 / per_tok_spec_t04, 1)
     except Exception as e:
@@ -599,12 +603,23 @@ def main():
                                          kv_int8=True)
         _partial["generate_tokens_per_s_int8_kv8"] = round(
             1.0 / per_tok_kv8, 1)
-        if per_step_b is not None:
-            per_step_bkv = measure_generation(
-                llm_int8, f"generate[int8,b{B},kv8]", promptB, maskB,
-                kv_int8=True)
-            _partial[f"generate_tokens_per_s_batch{B}_kv8"] = round(
-                B / per_step_bkv, 1)
+        # int8 KV halves the cache reads, which only dominate past b≈16
+        # (see PERFORMANCE.md batched table) — measure the pair at b=16
+        # where the trade is expected to pay, not at b=4 where weight
+        # streaming still dominates and the quant/dequant VPU work loses
+        B16 = 2 if _TINY else 16
+        prompt16 = jnp.concatenate(
+            [prompt + jnp.bfloat16(i * 1e-3) for i in range(B16)], axis=0)
+        mask16 = jnp.ones((B16, N_PROMPT), jnp.float32)
+        per_step_16 = measure_generation(
+            llm_int8, f"generate[int8,b{B16}]", prompt16, mask16)
+        _partial[f"generate_tokens_per_s_batch{B16}"] = round(
+            B16 / per_step_16, 1)
+        per_step_16kv = measure_generation(
+            llm_int8, f"generate[int8,b{B16},kv8]", prompt16, mask16,
+            kv_int8=True)
+        _partial[f"generate_tokens_per_s_batch{B16}_kv8"] = round(
+            B16 / per_step_16kv, 1)
     except Exception as e:
         log("int8-KV generation failed:", e)
 
