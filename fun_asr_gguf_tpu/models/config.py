@@ -23,8 +23,11 @@ class EncoderConfig:
     ln_eps: float = 1e-5
     # Pallas online-softmax attention: None = auto (on TPU for batch ≥ 2,
     # where XLA's materialized [B,H,T,T] scores thrash HBM — measured
-    # 113 → 55 ms for the batch-8 60 s encode on v5e — while at B=1 XLA's
-    # fused attention still wins 7.2 vs 11.2 ms); True/False force it.
+    # 113 → 52 ms for the batch-8 60 s encode on v5e — while at B=1 XLA's
+    # fused attention still wins, 7.2 vs 10.0 ms: isolated per-layer
+    # attention time is EQUAL, the gap is ~70 scanned Pallas call
+    # overheads that only pay for themselves once score traffic
+    # dominates); True/False force it.
     use_flash_attention: "bool | None" = None
 
     @staticmethod

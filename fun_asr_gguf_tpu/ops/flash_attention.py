@@ -25,15 +25,25 @@ NEG_BIG = -1e9
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
                   kv_len: int):
-    """One (bh, q_block) cell: stream K/V blocks with online softmax."""
-    q = q_ref[0].astype(jnp.float32)                   # [bq, d]
+    """One (bh, q_block) cell: stream K/V blocks with online softmax.
+
+    Dtype policy: dot operands stay in the INPUT dtype with f32
+    accumulation, and the probabilities are cast back to the V dtype
+    for the second dot — the same policy as the plain path's
+    ``softmax_f32(...).astype(x.dtype)``. An interleaved A/B on v5e
+    measured this *equal* to explicit f32-upcast operands (Mosaic folds
+    the convert into the MXU feed either way: 0.349 vs 0.350 ms/layer
+    at bh=4, 0.513 vs 0.515 at bh=32, T=1024); it is kept because it
+    matches the plain path's numerics class and wastes no VREGs on an
+    f32 copy of K/V. Softmax statistics (max/exp/sum) stay f32."""
+    q = q_ref[0]                                       # [bq, d]
     bq, d = q.shape
     n_kb = kv_len // block_k
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         bias = bias_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(
             jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -45,7 +55,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
         scale = jnp.exp(m_prev - m_new)
         l_new = l_prev * scale + jnp.sum(p, axis=1)
         acc = acc * scale[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
