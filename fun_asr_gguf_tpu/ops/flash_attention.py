@@ -40,6 +40,25 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
     bq, d = q.shape
     n_kb = kv_len // block_k
 
+    if n_kb == 1:
+        # single-pass: the whole K/V row is one block (T ≤ 1024), so the
+        # exact row max is available up front — skip the online-softmax
+        # rescaling (acc·scale multiplies + the second exp). Interleaved
+        # A/B on v5e at bh=32, T=1024: 0.496 vs 0.551 ms/layer (~10%).
+        k = k_ref[0]
+        v = v_ref[0]
+        bias = bias_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + bias[None, :]
+        p = jnp.exp(s - jnp.max(s, axis=1)[:, None])
+        l = jnp.sum(p, axis=1)
+        acc = jax.lax.dot_general(p.astype(v.dtype), v,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+        return
+
     def body(kb, carry):
         acc, m_prev, l_prev = carry
         k = k_ref[0, pl.ds(kb * block_k, block_k), :]
@@ -69,15 +88,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k",
                                              "use_pallas", "interpret"))
 def flash_attention(q, k, v, key_bias, block_q: int = 256,
-                    block_k: int = 512, use_pallas: bool = True,
+                    block_k: "int | None" = None, use_pallas: bool = True,
                     interpret: bool = False):
     """Masked (non-causal) attention.
 
     q, k, v: [BH, T, D]; key_bias: [BH, T] additive bias over keys
     (0 valid / −1e4·… padding). Returns [BH, T, D] in q.dtype. The caller
     applies any query-side scaling beforehand.
+
+    block_k=None (auto): one K/V block when T ≤ 1024 — the kernel's exact
+    single-pass branch, ~10% faster than the two-block online loop at the
+    encoder's T=1024 (VMEM easily holds the [block_q, T] f32 score tile)
+    — else 512. An explicit block_k is honored as given.
     """
     bh, t, d = q.shape
+    if block_k is None:
+        block_k = t if t <= 1024 else 512
     if (not use_pallas) or t % block_k != 0 or t % block_q != 0:
         s = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32),
                        k.astype(jnp.float32))

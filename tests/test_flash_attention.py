@@ -59,6 +59,24 @@ class TestFlashAttention:
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_single_pass_matches_streamed(self):
+        """block_k=None auto-selects the kernel's exact single-pass
+        branch at T ≤ 1024; it must agree with the streamed
+        online-softmax loop and the reference."""
+        q, k, v, bias = self.make()
+        one = flash_attention(jnp.asarray(q), jnp.asarray(k),
+                              jnp.asarray(v), jnp.asarray(bias),
+                              block_q=128, use_pallas=True, interpret=True)
+        multi = flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                jnp.asarray(v), jnp.asarray(bias),
+                                block_q=128, block_k=128,
+                                use_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(one), np.asarray(multi),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(one),
+                                   ref_attention(q, k, v, bias),
+                                   rtol=3e-4, atol=3e-4)
+
     def test_non_divisible_t_falls_back(self):
         q, k, v, bias = self.make(t=100, valid=100)
         out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
