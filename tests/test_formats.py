@@ -519,9 +519,13 @@ class TestGGUFEmbeddedVocab:
         assert isinstance(tok, QwenTokenizer)
         assert tok.vocab_size == 151646
 
+    @pytest.mark.slow
     def test_vocab_kvs_survive_requantization(self, vocab_gguf, tmp_path):
         """tools/convert.py's non-q8_0 outtypes requantize through
-        quantize_gguf — the embedded tokenizer KVs must ride along."""
+        quantize_gguf — the embedded tokenizer KVs must ride along.
+        Slow: serializing the 151k-token vocab twice costs ~25 s; the
+        same KV read/write path is covered in the default run by
+        test_from_gguf_matches_tokenizer_json."""
         from fun_asr_gguf_tpu.formats.gguf import GGUFReader
         from fun_asr_gguf_tpu.tools.quantize import quantize_gguf
         out = str(tmp_path / "req.gguf")
@@ -532,7 +536,10 @@ class TestGGUFEmbeddedVocab:
         from fun_asr_gguf_tpu.formats.tokenizer import QwenTokenizer
         assert QwenTokenizer.from_gguf(out).encode("<|im_end|>") == [151645]
 
+    @pytest.mark.slow
     def test_save_qwen3_embeds_vocab(self, qwen_schema_tok_path, tmp_path):
+        # slow: writes the full 151k-token vocab (~25 s); the embedded-KV
+        # format itself is covered by the default-run golden test
         import jax
         from fun_asr_gguf_tpu.formats.gguf import GGUFReader
         from fun_asr_gguf_tpu.formats.tokenizer import QwenTokenizer

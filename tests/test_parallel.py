@@ -304,7 +304,11 @@ class TestPipeline:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.slow
     def test_pp_grads_match_unsharded(self):
+        # slow (~37 s CPU): the default run keeps pp-forward parity and
+        # the pp train-step loss-decrease check; exact grad equality
+        # re-verifies the same shard_map graph at much higher cost
         from fun_asr_gguf_tpu.parallel.pipeline import pp_lm_loss
         cfg, params, sharded, mesh, ids, mask = self._setup()
         g_ref = jax.grad(self._ref_loss)(params, ids, mask, cfg)

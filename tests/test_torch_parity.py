@@ -161,6 +161,137 @@ class TestFrontendParity:
 
 
 # ---------------------------------------------------------------------------
+# Reduced-width encoder + adaptor + CTC head (default-run parity)
+# ---------------------------------------------------------------------------
+
+class TestReducedEncoderParity:
+    """Per-layer math parity at reduced width (in 72, d 64, 2+1 layers),
+    assembled from the REFERENCE's own modules (EncoderLayerSANM,
+    MultiHeadedAttentionSANM, CorrectTransformerAdaptor, CTC) so the
+    default run keeps torch-vs-JAX coverage while the 200 M-param
+    full-size fixtures live behind ``--runslow`` (they cost ~4.5 min of
+    CPU per suite run). Weights travel through the production
+    ``load_encoder_from_pt`` mapping, same as the full-size test."""
+
+    IN, D, HEADS, FFN, KERNEL = 72, 64, 4, 128, 11
+    N_MID, N_TP = 1, 1
+    VOCAB = 97
+
+    @pytest.fixture(scope="class")
+    def mini(self, md, tmp_path_factory):
+        from fun_asr_gguf_tpu.models.config import (AdaptorConfig,
+                                                    CTCHeadConfig,
+                                                    EncoderConfig)
+        from fun_asr_gguf_tpu.models.loaders import load_encoder_from_pt
+        torch.manual_seed(3)
+        IN, D, H, F, K = self.IN, self.D, self.HEADS, self.FFN, self.KERNEL
+
+        def sanm(in_size):
+            return md.EncoderLayerSANM(
+                in_size, D,
+                md.MultiHeadedAttentionSANM(H, in_size, D, 0.0, K),
+                md.PositionwiseFeedForward(D, F, 0.0), 0.0)
+
+        class MiniHybrid(torch.nn.Module):
+            def __init__(s):
+                super().__init__()
+                enc = torch.nn.Module()
+                enc.embed = md.SinusoidalPositionEncoder()
+                enc.encoders0 = torch.nn.ModuleList([sanm(IN)])
+                enc.encoders = torch.nn.ModuleList(
+                    [sanm(D) for _ in range(self.N_MID)])
+                enc.tp_encoders = torch.nn.ModuleList(
+                    [sanm(D) for _ in range(self.N_TP)])
+                enc.after_norm = md.LayerNorm(D)
+                enc.tp_norm = md.LayerNorm(D)
+                s.audio_encoder = enc
+                s.audio_adaptor = md.CorrectTransformerAdaptor(1, D, D, 96, 2)
+                s.ctc_decoder = md.CorrectTransformerAdaptor(1, D, D, 96, 2)
+                s.ctc_proj = md.CTC(self.VOCAB, D)
+
+            def encode(s, x, mask):
+                # mirrors SenseVoiceEncoderSmall.forward with d_model = D
+                e = s.audio_encoder
+                x = e.embed(x * (D ** 0.5), mask)
+                for layer in e.encoders0:
+                    x, _ = layer(x, mask)
+                for layer in e.encoders:
+                    x, _ = layer(x, mask)
+                x = e.after_norm(x)
+                if mask is not None:
+                    x = x * mask.unsqueeze(-1)
+                for layer in e.tp_encoders:
+                    x, _ = layer(x, mask)
+                x = e.tp_norm(x)
+                if mask is not None:
+                    x = x * mask.unsqueeze(-1)
+                return x
+
+        hyb = MiniHybrid().eval()
+        pt = str(tmp_path_factory.mktemp("mini_sd") / "model.pt")
+        torch.save(hyb.state_dict(), pt)
+        enc_cfg = EncoderConfig(input_size=IN, d_model=D, heads=H,
+                                ffn_dim=F, num_blocks=1 + self.N_MID,
+                                tp_blocks=self.N_TP, kernel_size=K)
+        ad_cfg = AdaptorConfig(in_dim=D, out_dim=D, ffn_dim=96, n_layers=2)
+        ctc_cfg = CTCHeadConfig(
+            adaptor=AdaptorConfig(in_dim=D, out_dim=D, ffn_dim=96,
+                                  n_layers=2),
+            vocab_size=self.VOCAB)
+        params = load_encoder_from_pt(pt, enc_cfg=enc_cfg, ad_cfg=ad_cfg,
+                                      ctc_cfg=ctc_cfg, dtype=jnp.float32)
+        return hyb, params, enc_cfg, ad_cfg, ctc_cfg
+
+    @pytest.fixture(scope="class")
+    def features(self):
+        rng = np.random.default_rng(11)
+        t, t_valid = 48, 37
+        x = rng.normal(size=(1, t, self.IN)).astype(np.float32) * 0.5
+        mask = (np.arange(t) < t_valid).astype(np.float32)[None]
+        return x, mask
+
+    def test_encoder_matches_torch(self, mini, features):
+        from fun_asr_gguf_tpu.models.sanm import encoder_forward
+        hyb, (enc_p, _, _), enc_cfg, _, _ = mini
+        x, mask = features
+        with torch.no_grad():
+            enc_t = hyb.encode(torch.from_numpy(x),
+                               torch.from_numpy(mask)).numpy()
+        enc_j = np.asarray(encoder_forward(
+            enc_p, jnp.asarray(x), jnp.asarray(mask), enc_cfg))
+        assert enc_t.shape == enc_j.shape
+        assert _cos(enc_t, enc_j) > 0.99999
+        np.testing.assert_allclose(enc_j, enc_t, rtol=2e-4, atol=2e-4)
+
+    def test_adaptor_matches_torch(self, mini, features):
+        from fun_asr_gguf_tpu.models.adaptor import adaptor_forward
+        hyb, (enc_p, ada_p, _), enc_cfg, ad_cfg, _ = mini
+        x, mask = features
+        with torch.no_grad():
+            enc_t = hyb.encode(torch.from_numpy(x), torch.from_numpy(mask))
+            out_t, _ = hyb.audio_adaptor(enc_t, torch.from_numpy(mask))
+        out_j = np.asarray(adaptor_forward(
+            ada_p, jnp.asarray(enc_t.numpy()), jnp.asarray(mask), ad_cfg))
+        assert _cos(out_t.numpy(), out_j) > 0.99999
+
+    def test_ctc_head_matches_torch(self, mini, features):
+        from fun_asr_gguf_tpu.models.adaptor import (ctc_head_forward,
+                                                     ctc_logits_forward)
+        hyb, (enc_p, _, ctc_p), enc_cfg, _, ctc_cfg = mini
+        x, mask = features
+        with torch.no_grad():
+            enc_t = hyb.encode(torch.from_numpy(x), torch.from_numpy(mask))
+            h, _ = hyb.ctc_decoder(enc_t, None)
+            logits_t = hyb.ctc_proj(h).numpy()
+        logits_j = np.asarray(ctc_logits_forward(
+            ctc_p, jnp.asarray(enc_t.numpy()), ctc_cfg))
+        assert _cos(logits_t, logits_j) > 0.99999
+        np.testing.assert_array_equal(
+            np.argmax(logits_t, -1), np.asarray(ctc_head_forward(
+                ctc_p, jnp.asarray(enc_t.numpy()), ctc_cfg)))
+
+
+# ---------------------------------------------------------------------------
 # Full-size encoder + adaptor + CTC head, identical weights
 # ---------------------------------------------------------------------------
 
@@ -182,9 +313,12 @@ def jax_encoder_params(torch_hybrid, tmp_path_factory):
     return load_encoder_from_pt(pt, dtype=jnp.float32)
 
 
+@pytest.mark.slow
 class TestEncoderParity:
-    """70-layer SANM + adaptor vs the reference torch classes (full size,
-    short audio so the default run stays fast)."""
+    """70-layer SANM + adaptor vs the reference torch classes (full size;
+    slow — building + running the 200 M-param torch fixture costs ~4.5 min
+    of CPU; TestReducedEncoderParity keeps the same math under the default
+    run)."""
 
     @pytest.fixture(scope="class")
     def outputs(self, md, torch_hybrid, jax_encoder_params):
