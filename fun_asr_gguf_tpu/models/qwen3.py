@@ -238,6 +238,43 @@ def _kv_layer_slice(K, l, dtype):
     return jax.lax.dynamic_index_in_dim(K, l, 0, keepdims=False)
 
 
+def _attend_cache(q, K, V, l, bias, cfg):
+    """Attention of q [B,T,qh,hd] over layer ``l`` of a stacked cache.
+
+    For a QuantKV cache the per-(slot,head) scales COMMUTE out of the
+    head_dim contraction, so the [S, hd] dequant expand never exists:
+    scores are computed on the raw int8 K (the int8→compute-dtype
+    convert is exact, the same convert XLA fuses for ``Int8Weight``)
+    and K's scale multiplies the [.., s] score row; V's scale folds
+    into the probabilities before the mix dot. Numerically this is at
+    least as accurate as dequant-then-dot (one fewer bf16 rounding on
+    the K side)."""
+    if isinstance(K, QuantKV):
+        kq = jax.lax.dynamic_index_in_dim(K.q, l, 0, keepdims=False)
+        ks = jax.lax.dynamic_index_in_dim(K.s, l, 0, keepdims=False)
+        vq = jax.lax.dynamic_index_in_dim(V.q, l, 0, keepdims=False)
+        vs = jax.lax.dynamic_index_in_dim(V.s, l, 0, keepdims=False)
+        group = cfg.q_heads // cfg.kv_heads
+        scores = _gqa_scores(q, kq.astype(q.dtype), cfg)   # [B,qh,T,S]
+        b, _, t, s = scores.shape
+        kscale = jnp.transpose(ks[..., 0].astype(jnp.float32),
+                               (0, 2, 1))                  # [B,kh,S]
+        scores = (scores.reshape(b, cfg.kv_heads, group, t, s)
+                  * kscale[:, :, None, None, :]
+                  ).reshape(b, cfg.q_heads, t, s) + bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        vscale = jnp.transpose(vs[..., 0].astype(jnp.float32), (0, 2, 1))
+        probs = (probs.reshape(b, cfg.kv_heads, group, t, s)
+                 * vscale[:, :, None, None, :]
+                 ).reshape(b, cfg.q_heads, t, s)
+        return _gqa_mix(probs, vq.astype(q.dtype), cfg)
+    k_cache = _kv_layer_slice(K, l, q.dtype)
+    v_cache = _kv_layer_slice(V, l, q.dtype)
+    scores = _gqa_scores(q, k_cache, cfg) + bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    return _gqa_mix(probs, v_cache, cfg)
+
+
 def init_kv_cache(cfg: Qwen3Config, batch: int, max_len: int,
                   dtype=jnp.bfloat16, kv_int8: bool = False) -> KVCache:
     shape = (cfg.n_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
@@ -797,11 +834,7 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
 
         K = _kv_store(K, k, upd)
         V = _kv_store(V, v, upd)
-        k_cache = _kv_layer_slice(K, l, q.dtype)
-        v_cache = _kv_layer_slice(V, l, q.dtype)
-        scores = _gqa_scores(q, k_cache, cfg) + bias
-        probs = jax.nn.softmax(scores, axis=-1)
-        return _gqa_mix(probs, v_cache, cfg), K, V
+        return _attend_cache(q, K, V, l, bias, cfg), K, V
 
     def layer(carry, inputs):
         x, K, V = carry
@@ -930,11 +963,7 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
     def attn_core(q, k, v, K, V, l):
         K = _kv_store(K, k, lambda big, new: write_kv(big, new, l))
         V = _kv_store(V, v, lambda big, new: write_kv(big, new, l))
-        k_cache = _kv_layer_slice(K, l, q.dtype)
-        v_cache = _kv_layer_slice(V, l, q.dtype)
-        scores = _gqa_scores(q, k_cache, cfg) + bias
-        probs = jax.nn.softmax(scores, axis=-1)
-        return _gqa_mix(probs, v_cache, cfg), K, V
+        return _attend_cache(q, K, V, l, bias, cfg), K, V
 
     def layer(carry, inputs):
         x, K, V = carry
