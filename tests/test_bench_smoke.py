@@ -12,10 +12,16 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_bench_tiny_emits_contract_json():
+    # ~80 s on the 1-CPU test host: a full tiny-mode bench subprocess.
+    # MUST be run (--runslow) after ANY edit to bench.py — it is the only
+    # guard on the JSON contract the round driver consumes.
     env = dict(os.environ, BENCH_TINY="1", JAX_PLATFORMS="cpu")
     # bench.py calls jax.config internally only via env; force CPU the
     # same way conftest does for the child process

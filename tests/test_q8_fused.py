@@ -258,7 +258,10 @@ class TestQ8DotPath:
     """int8-dot kernels (q8dot_matmul / q8i megacall): exactness vs the
     dequantized ground truth and the fused decode wiring."""
 
+    @pytest.mark.slow
     def test_q8dot_matches_dequant_ground_truth(self):
+        # q8dot is the measured-slower opt-in experiment (PERFORMANCE.md);
+        # its decode wiring test below is slow-marked for the same reason
         from fun_asr_gguf_tpu.ops.quant_matmul import (
             dequantize_weight_n, q8dot_matmul, quantize_act_q8, to_natural)
         rng = np.random.default_rng(9)
@@ -362,5 +365,8 @@ class TestFusedDecodeWiring:
     def test_scan_path(self, setup, monkeypatch):
         self._steps(setup, unroll=False, monkeypatch=monkeypatch)
 
+    @pytest.mark.slow
     def test_unrolled_v2_path(self, setup, monkeypatch):
+        # unroll=True is the opt-in FUNASR_UNROLL_DECODE=1 variant; the
+        # default scan wiring above stays in the quick suite
         self._steps(setup, unroll=True, monkeypatch=monkeypatch)
