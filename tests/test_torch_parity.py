@@ -605,6 +605,40 @@ class TestEndToEndEquivalence:
     def test_engine_matches_torch_pipeline(self, setup, md, torch_hybrid,
                                            tmp_path):
         from fun_asr_gguf_tpu.audio import write_wav
+        n_valid = int(16000 * 3.5)
+        window = 16000 * 4
+        buf = _mk_audio(window, n_valid, seed=21)
+        wav = str(tmp_path / "x.wav")
+        write_wav(wav, buf[:n_valid], 16000)
+        self._check_equivalence(setup, md, torch_hybrid, wav, buf, n_valid)
+
+    def test_engine_matches_torch_on_reference_mp3(self, setup, md,
+                                                   torch_hybrid, tmp_path):
+        """The same cross-implementation equivalence on the reference's
+        real 60 s Chinese clip (decoded through the engine's audio path,
+        native FFmpeg decoder when built) instead of synthetic tones.
+        First 3.5 s only — the torch stack is CPU-bound. The slice
+        round-trips through write_wav/load_audio so both stacks consume
+        bit-identical PCM (write_wav quantizes to int16)."""
+        mp3 = "/root/reference/input.mp3"
+        if not os.path.exists(mp3):
+            pytest.skip("reference input.mp3 not present")
+        from fun_asr_gguf_tpu.audio import load_audio, write_wav
+        audio = load_audio(mp3, 16000)
+        n_valid = int(16000 * 3.5)
+        window = 16000 * 4
+        wav = str(tmp_path / "ref.wav")
+        write_wav(wav, audio[:n_valid], 16000)
+        pcm = load_audio(wav, 16000)        # engine-identical samples
+        assert len(pcm) == n_valid
+        buf = np.zeros(window, np.float32)
+        buf[:n_valid] = pcm
+        self._check_equivalence(setup, md, torch_hybrid, wav, buf, n_valid)
+
+    def _check_equivalence(self, setup, md, torch_hybrid, wav, buf, n_valid):
+        """Engine transcribe(wav) vs the reference-style torch pipeline on
+        ``buf`` (the same samples the engine loads): identical CTC text,
+        identical greedy token ids, identical final text."""
         from fun_asr_gguf_tpu.ctc import decode_ctc
         from fun_asr_gguf_tpu.formats.ctc_vocab import load_ctc_tokens
         from fun_asr_gguf_tpu.frontend import audio_token_length
@@ -618,12 +652,6 @@ class TestEndToEndEquivalence:
             segment_pad_seconds=4.0, n_predict=24, prefill_buckets=(192,),
             speculative=False)
         try:
-            n_valid = int(16000 * 3.5)
-            window = 16000 * 4
-            buf = _mk_audio(window, n_valid, seed=21)
-            wav = str(tmp_path / "x.wav")
-            write_wav(wav, buf[:n_valid], 16000)
-
             res = eng.transcribe(wav, verbose=False, temperature=0.0)
 
             # ---- reference-style torch pipeline on the same weights ----
