@@ -29,8 +29,8 @@ from ..ops.quant_matmul import (BlockQuant, IndexedQuant, QuantTensor,
                                 QuantTensorN, block_permute,
                                 block_quantize_weight, block_unpermute,
                                 dequantize_weight_n, matmul_any,
-                                permute_out_channels, q8_mlp_fused,
-                                q8_mlp_qkv_fused, q8dot_matmul,
+                                permute_out_channels, q8_layer_head_fused,
+                                q8_mlp_fused, q8_mlp_qkv_fused, q8dot_matmul,
                                 q8i_layer_fused, quantize_act_q8,
                                 quantize_weight, to_natural)
 from .common import rms_norm
@@ -687,6 +687,29 @@ def _fused_mlp_qkv_call(attn_heads, x, lp, lp_next, cfg: Qwen3Config, eps):
             qkv.reshape(b, t, -1).astype(x.dtype))
 
 
+def _fused_head_call(attn_heads, x, lp, params, cfg: Qwen3Config, eps):
+    """Last-layer megacall with the lm_head fused in: the final rmsnorm
+    and the vocab logits stream through the same staged Pallas grid as
+    the layer weights (ops.quant_matmul.q8_layer_head_fused) — the
+    lm_head is mathematically the qkv stage group with ``final_ln`` in
+    the next-input_ln slot. Returns logits [B, T, vocab] f32, or None
+    when the staged head path is unavailable (caller falls back to the
+    separate final-norm + head matmul)."""
+    head = params.get("lm_head_q")
+    if not isinstance(head, QuantTensor):
+        return None
+    b, t, h = x.shape
+    merged = block_permute(_merge_heads(attn_heads, cfg))
+    res = q8_layer_head_fused(
+        merged.reshape(b * t, -1).astype(jnp.bfloat16),
+        x.reshape(b * t, h), lp["post_ln"], params["final_ln"],
+        lp["o_w"], lp["gate_up_w"], lp["down_w"], head, eps)
+    if res is None:
+        return None
+    _out, logits = res
+    return logits.reshape(b, t, -1)[..., :cfg.vocab_size]
+
+
 def _q8i_layer_call(attn_heads, x_col, lp, lp_next, cfg: Qwen3Config, eps,
                     with_qkv: bool):
     """Megacall v3 (int8-dot): quantize the merged attention output to
@@ -852,6 +875,7 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         return (x, K, V), jnp.int32(0)
 
     fused_i = "q8i_fused" in params
+    logits = None                    # set in-branch when the head fuses
     if quant and fused_i and _unroll_decode(default=True):
         # megacall v3: int8-dot layer chain, residual column-major
         lps = [_layer_params({key: w[l] for key, w in dense.items()},
@@ -874,7 +898,9 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         ks, vs = K, V
     elif quant and fused and _unroll_decode(default=True):
         # megacall v2 pipeline: layer l's Pallas call also emits layer
-        # l+1's qkv projection, so each layer costs ONE kernel launch.
+        # l+1's qkv projection, so each layer costs ONE kernel launch;
+        # the LAST layer's call also emits the lm_head logits when the
+        # staged head path is available.
         lps = [_layer_params({key: w[l] for key, w in dense.items()},
                              quant, l) for l in range(cfg.n_layers)]
         h0 = rms_norm(x, lps[0]["input_ln"], cfg.rms_eps)
@@ -887,7 +913,12 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
                 x, qkv_raw = _fused_mlp_qkv_call(
                     heads, x, lps[l], lps[l + 1], cfg, cfg.rms_eps)
             else:
-                x = _fused_mlp_call(heads, x, lps[l], cfg, cfg.rms_eps)
+                lg = _fused_head_call(heads, x, lps[l], params, cfg,
+                                      cfg.rms_eps)
+                if lg is not None:
+                    logits = lg[:, 0, :]
+                else:
+                    x = _fused_mlp_call(heads, x, lps[l], cfg, cfg.rms_eps)
         ks, vs = K, V
     elif quant and _unroll_decode():
         # static layer indices: each kernel's index_map bakes in its layer,
@@ -901,8 +932,9 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         (x, ks, vs), _ = jax.lax.scan(
             layer, (x, kv.k, kv.v),
             (jnp.arange(cfg.n_layers, dtype=jnp.int32), dense))
-    x = rms_norm(x, params["final_ln"], cfg.rms_eps)
-    logits = _logits(params, x[:, 0, :], cfg)
+    if logits is None:
+        x = rms_norm(x, params["final_ln"], cfg.rms_eps)
+        logits = _logits(params, x[:, 0, :], cfg)
     return logits, KVCache(k=ks, v=vs)
 
 
@@ -981,6 +1013,7 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
         return (x, K, V), jnp.int32(0)
 
     fused_i = "q8i_fused" in params
+    logits = None                    # set in-branch when the head fuses
     if quant and fused_i and _unroll_decode(default=True):
         # megacall v3 (see qwen3_decode_step): int8-dot chain, m = B*T
         lps = [_layer_params({key: w[l] for key, w in dense.items()},
@@ -1002,7 +1035,8 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
         x = x_col.T.reshape(b, t, -1).astype(x.dtype)
         ks, vs = K, V
     elif quant and fused and _unroll_decode(default=True):
-        # megacall v2 (see qwen3_decode_step): one Pallas call per layer
+        # megacall v2 (see qwen3_decode_step): one Pallas call per layer,
+        # lm_head fused into the last layer's call when available
         lps = [_layer_params({key: w[l] for key, w in dense.items()},
                              quant, l) for l in range(cfg.n_layers)]
         h0 = rms_norm(x, lps[0]["input_ln"], cfg.rms_eps)
@@ -1015,7 +1049,12 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
                 x, qkv_raw = _fused_mlp_qkv_call(
                     heads, x, lps[l], lps[l + 1], cfg, cfg.rms_eps)
             else:
-                x = _fused_mlp_call(heads, x, lps[l], cfg, cfg.rms_eps)
+                lg = _fused_head_call(heads, x, lps[l], params, cfg,
+                                      cfg.rms_eps)
+                if lg is not None:
+                    logits = lg
+                else:
+                    x = _fused_mlp_call(heads, x, lps[l], cfg, cfg.rms_eps)
         ks, vs = K, V
     elif quant and _unroll_decode():
         carry = (x, kv.k, kv.v)
@@ -1027,8 +1066,9 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
         (x, ks, vs), _ = jax.lax.scan(
             layer, (x, kv.k, kv.v),
             (jnp.arange(cfg.n_layers, dtype=jnp.int32), dense))
-    x = rms_norm(x, params["final_ln"], cfg.rms_eps)
-    logits = _logits(params, x, cfg)                              # [B,T,V]
+    if logits is None:
+        x = rms_norm(x, params["final_ln"], cfg.rms_eps)
+        logits = _logits(params, x, cfg)                          # [B,T,V]
     return logits, KVCache(k=ks, v=vs)
 
 

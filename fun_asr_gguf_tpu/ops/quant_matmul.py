@@ -888,6 +888,68 @@ def q8_mlp_qkv_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
       qq.q, qq.d)
 
 
+def q8_layer_head_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
+                        post_w: jnp.ndarray, final_w: jnp.ndarray,
+                        o_w, gu_w, down_w, head_w, eps: float,
+                        use_pallas: bool = None, interpret: bool = False):
+    """LAST-layer megacall: the layer chain plus final-rmsnorm + lm_head
+    logits in the same staged Pallas call.
+
+    Mathematically the lm_head is the qkv stage group with the final norm
+    weight in the next-input_ln slot — ``head_w`` is the same
+    ``quantize_weight([hidden, vocab_padded])`` QuantTensor ``_logits``
+    consumes, contracting perm-space activations natively. Fusing it
+    removes the separate head custom call whose ramp is exposed (measured:
+    the isolated head kernel runs at roofline, 209.8 µs, but costs 315 µs
+    in-graph — docs/PERFORMANCE.md), and streams the 149 vocab chunks
+    through the SAME pipelined grid as the layer weights.
+
+    Returns ``(new_resid [m, hidden] f32 perm space, logits [m, vocab_pad]
+    f32)``, or ``None`` when the staged path cannot run (tiny shapes, no
+    aligned chunking, staging disabled) — the caller falls back to the
+    separate final-norm + head matmul. The grid=(1,) fallback of
+    :func:`q8_mlp_qkv_fused` is never used here: a whole-vocab block
+    (~150 MB) cannot reside in VMEM.
+    """
+    (oq, oi), (gq, gi), (dq, di) = (_split_indexed(o_w),
+                                    _split_indexed(gu_w),
+                                    _split_indexed(down_w))
+    hq, hi = _split_indexed(head_w)
+    m, qd = merged_perm.shape
+    h = oq.q.shape[1]
+    f2 = gq.q.shape[1]
+    ffn = dq.q.shape[2]
+    nv = hq.q.shape[1]
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if not use_pallas:
+        return _q8_mlp_qkv_fused_ref(merged_perm, resid, post_w, final_w,
+                                     oq, oi, gq, gi, dq, di,
+                                     QuantTensor(q=hq.q, d=hq.d), hi, eps)
+    import os
+    if os.environ.get("FUNASR_Q8_FUSED_HEAD", "0") == "0":
+        # default OFF: an interleaved same-process A/B on v5e measured the
+        # fused head timing-neutral vs the separate call (1.582 vs 1.579
+        # ms/token) — XLA already overlaps the separate head call's ramp
+        # with the last layer's megacall, so there is nothing to recover;
+        # the knob keeps the variant runnable (trace-time, process-start)
+        return None
+    if not _staged_enabled() or not isinstance(oi, int):
+        return None
+    plan = _mega_stage_plan(m, qd, h, f2, ffn, nv)
+    if plan is None:
+        return None
+    nqc = plan[3]
+    # head chunk must actually be streamable (≤ ~4 MB int8 + bf16 dequant
+    # working set in VMEM) — bail out on vocab sizes with no good divisor
+    if nqc == 0 or (nv // nqc) * h > 4 << 20:
+        return None
+    return _q8_mega_staged_call(
+        merged_perm.astype(jnp.bfloat16), resid,
+        post_w.reshape(1, h), final_w.reshape(1, h),
+        oq, oi, gq, gi, dq, di, hq, hi, eps, plan, interpret)
+
+
 # ---------------------------------------------------------------------------
 # Staged (pipelined) megacall: the v2 chain over a multi-step grid
 # ---------------------------------------------------------------------------
@@ -925,8 +987,14 @@ def _mega_stage_plan(m, qd, h, f2, ffn, nq, target=None):
 
     def n_chunks(n, k, halves=1):
         best = None
-        for c in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32):
-            if n % c or (halves > 1 and c % halves and c != 1):
+        # divisor enumeration (not a fixed candidate list) so vocab-sized
+        # n (e.g. 152576 = 2^10 x 149 — the fused lm_head) still admits a
+        # ~target-sized chunk; rows per chunk must stay 128-lane-aligned
+        # (chunk rows are the qkv/head OUT block's lane dimension)
+        for c in range(1, 513):
+            if n % c or (n // c) % 128:
+                continue
+            if halves > 1 and c % halves and c != 1:
                 continue
             if halves > 1 and c != 1 and (n // halves) % (n // c):
                 continue
@@ -1023,9 +1091,13 @@ def _q8_mega_staged_kernel(xm_ref, res_ref, pw_ref, nw_ref,
                    ) * nw_ref[:].astype(jnp.float32)
             nhb_ref[:] = nh2.astype(jnp.bfloat16)
 
-    for c in range(nqc):
-        @pl.when(s == ko + ng + kd + c)
-        def _(c=c):
+    if nqc:
+        # one body serves every qkv/head chunk: the BlockSpec index_map
+        # delivers chunk clamp(s - base) and the out block advances with
+        # it, so no per-chunk unroll is needed — this keeps compile time
+        # constant even at vocab-head chunk counts (149 chunks)
+        @pl.when(s >= ko + ng + kd)
+        def _():
             dexp = jnp.concatenate(
                 [qd_ref[0].astype(jnp.bfloat16)] * BLOCK, axis=1)
             deq = qq_ref[0].astype(jnp.bfloat16) * dexp

@@ -231,6 +231,40 @@ class TestStagedMegacall:
         _close(g_out, r_out)
         _close(g_qkv, r_qkv)
 
+    def test_staged_head_group_matches_ref(self):
+        """The fused-lm_head form: the 'qkv' stage group carries a
+        vocab-sized projection with the final norm in the next-input_ln
+        slot, streamed over MANY chunks through the single-when body
+        (the real head runs 149 chunks; here 12)."""
+        from fun_asr_gguf_tpu.ops.quant_matmul import (_q8_mega_staged_call,
+                                                       q8_layer_head_fused)
+        t, (m2, qd2, h2, ffn2, _) = self._mk_big(11)
+        nvocab = 12 * 128                     # 12 chunks of 128 rows
+        rng = np.random.default_rng(12)
+        head = jnp.asarray(
+            rng.normal(size=(h2, nvocab)).astype(np.float32) * 0.05)
+        o_q = permute_out_channels(quantize_weight(t["o"]))
+        gu_q = permute_out_channels(quantize_weight(t["gu"]), halves=2)
+        dn_q = permute_out_channels(quantize_weight(t["dn"]))
+        head_q = quantize_weight(head)
+        args = (block_permute(t["merged"]), block_permute(t["resid"]),
+                block_permute(t["post_w"]), block_permute(t["in_w"]),
+                o_q, gu_q, dn_q, head_q, EPS)
+        r_out, r_log = q8_layer_head_fused(*args, use_pallas=False)
+
+        def stk(w):
+            return QuantTensor(q=w.q[None], d=w.d[None])
+
+        g_out, g_log = _q8_mega_staged_call(
+            block_permute(t["merged"]).astype(jnp.bfloat16),
+            block_permute(t["resid"]),
+            block_permute(t["post_w"]).reshape(1, h2),
+            block_permute(t["in_w"]).reshape(1, h2),
+            stk(o_q), 0, stk(gu_q), 0, stk(dn_q), 0, stk(head_q), 0,
+            EPS, (2, 4, 2, 12), True)
+        _close(g_out, r_out)
+        _close(g_log, r_log)
+
     def test_staged_noqkv_matches_ref(self):
         from fun_asr_gguf_tpu.ops.quant_matmul import _q8_mega_staged_call
         t, (m2, qd2, h2, ffn2, nq2) = self._mk_big(8)
