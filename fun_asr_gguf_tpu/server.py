@@ -19,6 +19,12 @@ Endpoints:
                                text/event-stream: one `data: {"piece": …}`
                                event per generated text piece, then a
                                final `data: {"done": true, …full result…}`.
+  POST /v1/audio/transcriptions → OpenAI audio API compatible (drop-in
+                               for whisper-API clients): multipart form
+                               with `file`, optional `language` (ISO),
+                               `prompt`, `temperature`,
+                               `response_format` json/text/srt/vtt/
+                               verbose_json.
 
 Requests are serialized through a lock by default. With
 ``--batch-window-ms N``, concurrent short-clip requests that arrive
@@ -173,21 +179,33 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
             })
         return self._send_json(404, {"error": f"unknown path {path!r}"})
 
-    def do_POST(self):
-        parsed = urlparse(self.path)
-        if parsed.path not in ("/v1/transcribe", "/transcribe"):
-            return self._send_json(404,
-                                   {"error": f"unknown path {parsed.path!r}"})
+    def _read_body(self) -> Optional[bytes]:
+        """Read the POST body with size checks; sends the error response
+        itself and returns None on failure."""
         try:
             length = int(self.headers.get("Content-Length", 0))
         except ValueError:
             length = 0
         if length <= 0:
-            return self._send_json(400, {"error": "empty body — POST the "
-                                                  "audio file bytes"})
+            self._send_json(400, {"error": "empty body — POST the "
+                                           "audio file bytes"})
+            return None
         if length > MAX_BODY_BYTES:
-            return self._send_json(413, {"error": "body too large"})
-        body = self.rfile.read(length)
+            self._send_json(413, {"error": "body too large"})
+            return None
+        return self.rfile.read(length)
+
+    def do_POST(self):
+        parsed = urlparse(self.path)
+        if parsed.path in ("/v1/audio/transcriptions",
+                           "/audio/transcriptions"):
+            return self._openai_transcription()
+        if parsed.path not in ("/v1/transcribe", "/transcribe"):
+            return self._send_json(404,
+                                   {"error": f"unknown path {parsed.path!r}"})
+        body = self._read_body()
+        if body is None:
+            return
 
         q = {k: v[0] for k, v in parse_qs(parsed.query).items()}
         try:
@@ -326,6 +344,134 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
         if audio_s:
             payload["rtf"] = round(wall / audio_s, 5)
         return self._send_json(200, payload), None
+
+    # -- OpenAI-compatible audio API ---------------------------------------
+
+    _ISO_LANG = {"zh": "中文", "en": "英文", "ja": "日文", "ko": "韩文",
+                 "yue": "粤语", "zh-cn": "中文", "zh-tw": "中文"}
+    _OAI_FORMATS = ("json", "text", "srt", "vtt", "verbose_json")
+
+    def _oai_error(self, code: int, message: str,
+                   etype: str = "invalid_request_error"):
+        return self._send_json(code, {"error": {"message": message,
+                                                "type": etype}})
+
+    def _parse_multipart(self, body: bytes):
+        """Minimal multipart/form-data parser (stdlib email machinery).
+        Returns ((file_bytes|None, filename), {field: value})."""
+        from email.parser import BytesParser
+        from email.policy import HTTP
+        ctype = (self.headers.get("Content-Type") or "").strip()
+        msg = BytesParser(policy=HTTP).parsebytes(
+            b"Content-Type: " + ctype.encode("latin-1") + b"\r\n\r\n" + body)
+        file_bytes, filename, fields = None, "", {}
+        if msg.is_multipart():
+            for part in msg.iter_parts():
+                name = part.get_param("name",
+                                      header="content-disposition")
+                if name is None:
+                    continue
+                payload = part.get_payload(decode=True) or b""
+                if name == "file":
+                    file_bytes = payload
+                    filename = part.get_filename() or ""
+                else:
+                    fields[str(name)] = payload.decode(
+                        "utf-8", "replace").strip()
+        return (file_bytes, filename), fields
+
+    def _send_text(self, code: int, text: str,
+                   content_type: str = "text/plain; charset=utf-8"):
+        raw = text.encode("utf-8")
+        try:
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(raw)))
+            self.end_headers()
+            self.wfile.write(raw)
+            return True
+        except (BrokenPipeError, ConnectionResetError):
+            return False
+
+    def _openai_transcription(self):
+        """POST /v1/audio/transcriptions — OpenAI audio API compatible:
+        multipart/form-data with ``file`` (audio) and optional ``model``
+        (ignored), ``language`` (ISO-639-1, mapped to the prompt's
+        language names), ``prompt`` (→ engine ``context``),
+        ``temperature``, ``response_format`` ∈ json (default) / text /
+        srt / vtt / verbose_json. A drop-in target for OpenAI/whisper
+        API clients (no reference counterpart — llama-server serves
+        LLM chat only)."""
+        body = self._read_body()
+        if body is None:
+            return
+        ctype = (self.headers.get("Content-Type") or "")
+        if "multipart/form-data" not in ctype:
+            return self._oai_error(400, "expected multipart/form-data "
+                                        "with a 'file' field")
+        try:
+            (blob, filename), fields = self._parse_multipart(body)
+        except Exception as e:                              # noqa: BLE001
+            return self._oai_error(400, f"malformed multipart body: {e}")
+        if not blob:
+            return self._oai_error(400, "missing 'file' field")
+        fmt = fields.get("response_format", "json") or "json"
+        if fmt not in self._OAI_FORMATS:
+            return self._oai_error(
+                400, f"response_format must be one of {self._OAI_FORMATS}")
+        try:
+            temperature = float(fields.get("temperature") or 0.0)
+        except ValueError:
+            return self._oai_error(400, "temperature must be a number")
+        lang = fields.get("language") or None
+        if lang:
+            lang = self._ISO_LANG.get(lang.lower(), lang)
+
+        suffix = os.path.splitext(filename)[1].lower() or \
+            (".wav" if blob[:4] == b"RIFF" else ".bin")
+        tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+        try:
+            tmp.write(blob)
+            tmp.close()
+            with self.engine_lock:
+                try:
+                    result = self.engine.transcribe(
+                        tmp.name, verbose=False, temperature=temperature,
+                        language=lang, context=fields.get("prompt") or None)
+                except RuntimeError as e:
+                    if "could not decode" in str(e):
+                        return self._oai_error(
+                            400, f"undecodable audio: {e}")
+                    raise
+            if fmt == "text":
+                return self._send_text(200, result.text + "\n")
+            from .srt_utils import compose_srt, compose_vtt, split_subtitles
+            if fmt in ("srt", "vtt"):
+                cues = split_subtitles(result.segments)
+                text = (compose_srt(cues) if fmt == "srt"
+                        else compose_vtt(cues))
+                return self._send_text(200, text)
+            if fmt == "verbose_json":
+                cues = split_subtitles(result.segments)
+                return self._send_json(200, {
+                    "task": "transcribe",
+                    "language": fields.get("language") or "",
+                    "duration": round(result.audio_seconds, 3),
+                    "text": result.text,
+                    "segments": [{
+                        "id": i,
+                        "start": round(c["start"], 3),
+                        "end": round(c["end"], 3),
+                        "text": c["content"],
+                    } for i, c in enumerate(cues)],
+                })
+            return self._send_json(200, {"text": result.text})
+        except Exception as e:                              # noqa: BLE001
+            logger.exception("openai-compat transcription failed")
+            return self._oai_error(500, str(e), etype="server_error")
+        finally:
+            if os.path.exists(tmp.name):
+                os.unlink(tmp.name)
 
     def _transcribe_sse(self, path: str, opts: dict):
         """Server-sent-events mode: stream generated text pieces live.

@@ -31,12 +31,17 @@ def compose_srt(subtitles: List[Dict[str, Any]]) -> str:
     return "\n".join(blocks)
 
 
-def generate_srt_file(segments: List[Dict[str, Any]], output_path: str,
-                      max_chars_per_line: int = 30):
-    """segments: [{'char', 'start'}] → write an .srt file; returns the path."""
-    if not segments:
-        return None
+def split_subtitles(segments: List[Dict[str, Any]]
+                    ) -> List[Dict[str, Any]]:
+    """Char-level timestamps → sentence cues.
 
+    segments: [{'char', 'start'}] → [{'start', 'end', 'content'}], split
+    on sentence punctuation, end time = next char start (capped at
+    +0.1 s), trailing punctuation stripped — the reference exporter's
+    grouping, shared by the SRT/VTT composers and the server's
+    whisper-style ``verbose_json`` segments."""
+    if not segments:
+        return []
     subtitles: List[Dict[str, Any]] = []
     current_chars: List[str] = []
     start_time = segments[0]["start"]
@@ -59,7 +64,25 @@ def generate_srt_file(segments: List[Dict[str, Any]], output_path: str,
             if not is_last:
                 current_chars = []
                 start_time = segments[i + 1]["start"]
+    return subtitles
 
+
+def compose_vtt(subtitles: List[Dict[str, Any]]) -> str:
+    """subtitles → WebVTT text (same cues as SRT, '.' ms separator,
+    no block numbers)."""
+    blocks = ["WEBVTT\n"]
+    for sub in subtitles:
+        start = _fmt_time(sub["start"]).replace(",", ".")
+        end = _fmt_time(sub["end"]).replace(",", ".")
+        blocks.append(f"{start} --> {end}\n{sub['content']}\n")
+    return "\n".join(blocks)
+
+
+def generate_srt_file(segments: List[Dict[str, Any]], output_path: str,
+                      max_chars_per_line: int = 30):
+    """segments: [{'char', 'start'}] → write an .srt file; returns the path."""
+    if not segments:
+        return None
     with open(output_path, "w", encoding="utf-8") as f:
-        f.write(compose_srt(subtitles))
+        f.write(compose_srt(split_subtitles(segments)))
     return output_path

@@ -66,6 +66,116 @@ def _post(url, data, content_type="audio/wav"):
         return resp.status, json.loads(resp.read().decode("utf-8"))
 
 
+def _multipart(fields, file_bytes, filename="a.wav",
+               file_ctype="audio/wav"):
+    """Build a multipart/form-data body + content-type header."""
+    boundary = "funasrboundary42"
+    parts = []
+    for k, v in fields.items():
+        parts.append(f"--{boundary}\r\nContent-Disposition: form-data; "
+                     f'name="{k}"\r\n\r\n{v}\r\n'.encode())
+    parts.append(f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f'name="file"; filename="{filename}"\r\n'
+                 f"Content-Type: {file_ctype}\r\n\r\n".encode())
+    parts.append(file_bytes)
+    parts.append(f"\r\n--{boundary}--\r\n".encode())
+    return b"".join(parts), f"multipart/form-data; boundary={boundary}"
+
+
+def _post_openai(base, fields, wav, raw=False):
+    body, ctype = _multipart(fields, wav)
+    req = urllib.request.Request(base + "/v1/audio/transcriptions",
+                                 data=body, method="POST",
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        data = resp.read()
+        return resp.status, (data.decode("utf-8") if raw
+                             else json.loads(data.decode("utf-8")))
+
+
+class TestOpenAICompat:
+    """POST /v1/audio/transcriptions — the OpenAI audio API surface."""
+
+    def test_json_default(self, served_engine):
+        status, body = _post_openai(served_engine,
+                                    {"model": "fun-asr"}, _wav_bytes())
+        assert status == 200
+        assert set(body) == {"text"}
+        assert isinstance(body["text"], str)
+
+    def test_text_format(self, served_engine):
+        wav = _wav_bytes(seed=3)
+        _, js = _post_openai(served_engine, {"temperature": "0"}, wav)
+        status, txt = _post_openai(
+            served_engine, {"temperature": "0", "response_format": "text"},
+            wav, raw=True)
+        assert status == 200
+        assert txt.rstrip("\n") == js["text"]
+
+    def test_verbose_json_segments(self, served_engine):
+        status, body = _post_openai(
+            served_engine,
+            {"temperature": "0", "response_format": "verbose_json",
+             "language": "zh"},
+            _wav_bytes(seed=4))
+        assert status == 200
+        assert body["task"] == "transcribe"
+        assert body["language"] == "zh"
+        assert body["duration"] > 0
+        for seg in body["segments"]:
+            assert set(seg) == {"id", "start", "end", "text"}
+            assert seg["end"] >= seg["start"] >= 0
+
+    def test_srt_and_vtt(self, served_engine):
+        wav = _wav_bytes(seed=5)
+        _, srt = _post_openai(
+            served_engine, {"temperature": "0", "response_format": "srt"},
+            wav, raw=True)
+        _, vtt = _post_openai(
+            served_engine, {"temperature": "0", "response_format": "vtt"},
+            wav, raw=True)
+        assert vtt.startswith("WEBVTT")
+        if srt.strip():                    # random weights may emit no text
+            assert " --> " in srt and "," in srt.split(" --> ")[0]
+        if "-->" in vtt:
+            assert "." in vtt.split(" --> ")[0].splitlines()[-1]
+
+    def test_prompt_feeds_context(self, served_engine):
+        status, body = _post_openai(
+            served_engine,
+            {"temperature": "0", "prompt": "术语表：功放"},
+            _wav_bytes(seed=6))
+        assert status == 200 and isinstance(body["text"], str)
+
+    def test_missing_file_400(self, served_engine):
+        body, ctype = _multipart({"model": "x"}, b"")
+        # strip the file part entirely
+        body = body.split(b'name="file"')[0] + b"--funasrboundary42--\r\n"
+        req = urllib.request.Request(
+            served_engine + "/v1/audio/transcriptions", data=body,
+            method="POST", headers={"Content-Type": ctype})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 400
+        err = json.loads(e.value.read().decode())
+        assert err["error"]["type"] == "invalid_request_error"
+
+    def test_bad_format_400(self, served_engine):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_openai(served_engine, {"response_format": "yaml"},
+                         _wav_bytes())
+        assert e.value.code == 400
+
+    def test_non_multipart_400(self, served_engine):
+        req = urllib.request.Request(
+            served_engine + "/v1/audio/transcriptions",
+            data=_wav_bytes(), method="POST",
+            headers={"Content-Type": "audio/wav"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 400
+
+
 class TestServer:
     def test_health(self, served_engine):
         with urllib.request.urlopen(served_engine + "/v1/health",
