@@ -369,6 +369,7 @@ class GGUFWriter:
         self.kv: List[Tuple[str, Any, Optional[GGUFValueType]]] = []
         self.tensors: List[Tuple[str, np.ndarray, GGMLType, Optional[np.ndarray]]] = []
         self._raw: dict = {}
+        self._qw: dict = {}            # imatrix rows for weighted quant
         if arch is not None:
             self.add_kv("general.architecture", arch)
 
@@ -426,12 +427,17 @@ class GGUFWriter:
 
     # -- tensors -----------------------------------------------------------
     def add_tensor(self, name: str, array: np.ndarray,
-                   ggml_type: Optional[GGMLType] = None):
+                   ggml_type: Optional[GGMLType] = None,
+                   qw: Optional[np.ndarray] = None):
         """Add a tensor. array dtype decides the storage type unless given.
 
         For Q8_0, pass a float array with ggml_type=GGMLType.Q8_0 (it will be
         quantized), or call :meth:`add_tensor_q8_0` with split (q, d).
+        ``qw``: per-input-channel importance row (an imatrix entry) —
+        forwarded to the block quantizer's weighted scale search.
         """
+        if qw is not None:
+            self._qw[name] = np.asarray(qw, np.float32)
         array = np.asarray(array)
         if ggml_type is None:
             ggml_type = {
@@ -477,8 +483,10 @@ class GGUFWriter:
                     q, d = q8_0_quantize(np.asarray(arr, dtype=np.float32))
                     raw = q8_0_to_blocks(q, d).tobytes()
             elif gtype in _QUANTIZERS:
-                raw = _QUANTIZERS[gtype](
-                    np.asarray(arr, dtype=np.float32)).tobytes()
+                qw = self._qw.get(name)
+                arr32 = np.asarray(arr, dtype=np.float32)
+                raw = (_QUANTIZERS[gtype](arr32) if qw is None
+                       else _QUANTIZERS[gtype](arr32, qw)).tobytes()
             elif gtype == GGMLType.BF16:
                 from .quant_np import bf16_quantize
                 raw = bf16_quantize(

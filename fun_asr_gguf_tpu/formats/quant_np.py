@@ -170,14 +170,26 @@ def _f16_bytes(v: np.ndarray) -> np.ndarray:
     return v.astype(np.float16).view(np.uint8).reshape(-1, 2)
 
 
-def q4_0_quantize(x: np.ndarray) -> np.ndarray:
+def q4_0_quantize(x: np.ndarray, qw=None) -> np.ndarray:
     """Quantize to the q4_0 byte stream, bit-exact with ggml.
 
     d = signed-absmax / -8; q = trunc(x/d + 8.5) clipped to [0, 15]
     (ggml's quantize_row_q4_0_ref rounding), quantized against the
     unrounded f32 scale.
+
+    ``qw`` (imatrix row, per input channel): the weighted make_qx scale
+    search replaces the absmax scale (ggml quantize_row_q4_0_impl with
+    quant_weights) — same byte format, importance-aware rounding.
     """
+    if qw is not None:
+        qwb = _expand_qw(qw, x).reshape(-1, Q8_0_BLOCK)
     x = np.asarray(x, dtype=np.float32).reshape(-1, Q8_0_BLOCK)
+    if qw is not None:
+        w = _imatrix_weights(qwb, x, (x * x).mean(axis=1, keepdims=True))
+        scale, L = _make_qx_quants(x, 8, w)
+        return np.concatenate(
+            [_f16_bytes(scale.astype(np.float32)[:, None]),
+             _pack_nibbles(L.astype(np.uint8))], axis=1).reshape(-1)
     d = _signed_absmax(x) / -8.0
     with np.errstate(divide="ignore", invalid="ignore"):
         inv = np.where(d == 0, 0.0, 1.0 / d)
@@ -186,8 +198,27 @@ def q4_0_quantize(x: np.ndarray) -> np.ndarray:
                           axis=1).reshape(-1)
 
 
-def q4_1_quantize(x: np.ndarray) -> np.ndarray:
-    """q4_1 byte stream: d = (max-min)/15, m = min; q = trunc((x-m)/d + .5)."""
+def _q41_style_weighted(x, qw, nmax: int, with_high: bool) -> np.ndarray:
+    """Weighted q4_1/q5_1 encoder: make_qkx2 (scale, min) search with
+    imatrix weights; same block layout, better rounding."""
+    qwb = _expand_qw(qw, x).reshape(-1, Q8_0_BLOCK)
+    xb = np.asarray(x, np.float32).reshape(-1, Q8_0_BLOCK)
+    w = _imatrix_weights(qwb, xb, (xb * xb).mean(axis=1, keepdims=True))
+    scale, the_min, L = _make_qkx2_quants(xb, w, nmax)
+    q = L.astype(np.uint8)
+    parts = [_f16_bytes(scale.astype(np.float32)[:, None]),
+             _f16_bytes((-the_min).astype(np.float32)[:, None])]
+    if with_high:
+        parts.append(_pack_high_bits(q))
+    parts.append(_pack_nibbles(q))
+    return np.concatenate(parts, axis=1).reshape(-1)
+
+
+def q4_1_quantize(x: np.ndarray, qw=None) -> np.ndarray:
+    """q4_1 byte stream: d = (max-min)/15, m = min; q = trunc((x-m)/d + .5).
+    ``qw``: weighted asymmetric (scale, min) search (make_qkx2 family)."""
+    if qw is not None:
+        return _q41_style_weighted(x, qw, nmax=15, with_high=False)
     x = np.asarray(x, dtype=np.float32).reshape(-1, Q8_0_BLOCK)
     mx = x.max(axis=1, keepdims=True)
     mn = x.min(axis=1, keepdims=True)
@@ -200,8 +231,18 @@ def q4_1_quantize(x: np.ndarray) -> np.ndarray:
                           axis=1).reshape(-1)
 
 
-def q5_0_quantize(x: np.ndarray) -> np.ndarray:
-    """q5_0 byte stream: d = signed-absmax / -16; 5-bit values, bit 4 in qh."""
+def q5_0_quantize(x: np.ndarray, qw=None) -> np.ndarray:
+    """q5_0 byte stream: d = signed-absmax / -16; 5-bit values, bit 4 in qh.
+    ``qw``: weighted scale search, as :func:`q4_0_quantize`."""
+    if qw is not None:
+        qwb = _expand_qw(qw, x).reshape(-1, Q8_0_BLOCK)
+        xb = np.asarray(x, dtype=np.float32).reshape(-1, Q8_0_BLOCK)
+        w = _imatrix_weights(qwb, xb, (xb * xb).mean(axis=1, keepdims=True))
+        scale, L = _make_qx_quants(xb, 16, w)
+        q = L.astype(np.uint8)
+        return np.concatenate(
+            [_f16_bytes(scale.astype(np.float32)[:, None]),
+             _pack_high_bits(q), _pack_nibbles(q)], axis=1).reshape(-1)
     x = np.asarray(x, dtype=np.float32).reshape(-1, Q8_0_BLOCK)
     d = _signed_absmax(x) / -16.0
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -212,8 +253,11 @@ def q5_0_quantize(x: np.ndarray) -> np.ndarray:
         axis=1).reshape(-1)
 
 
-def q5_1_quantize(x: np.ndarray) -> np.ndarray:
-    """q5_1 byte stream: d = (max-min)/31, m = min; bit 4 in qh."""
+def q5_1_quantize(x: np.ndarray, qw=None) -> np.ndarray:
+    """q5_1 byte stream: d = (max-min)/31, m = min; bit 4 in qh.
+    ``qw``: weighted asymmetric (scale, min) search (make_qkx2 family)."""
+    if qw is not None:
+        return _q41_style_weighted(x, qw, nmax=31, with_high=True)
     x = np.asarray(x, dtype=np.float32).reshape(-1, Q8_0_BLOCK)
     mx = x.max(axis=1, keepdims=True)
     mn = x.min(axis=1, keepdims=True)
@@ -756,12 +800,14 @@ def _row_chunked(impl, n_out: int, chunk: int):
     return run
 
 
-def _make_qx_quants_impl(x: np.ndarray, nmax: int):
+def _make_qx_quants_impl(x: np.ndarray, nmax: int, qw=None):
     """Symmetric per-group scale search (ggml make_qx_quants, rmse_type 1).
 
     x: [G, n] float32. Returns (scale [G], L [G, n] ints in [0, 2*nmax-1]).
     Tries iscale = -(nmax + 0.1*is)/signed_absmax for is in {0, ±1..±9},
-    keeping the candidate maximizing (Σw·x·L)²/Σw·L² with w = x².
+    keeping the candidate maximizing (Σw·x·L)²/Σw·L² with w = x² — or
+    w = ``qw`` [G, n] when given (the imatrix path: callers pass
+    importance·sqrt(σ²+x²), ggml's quantize_row_*_impl recipe).
     """
     x = x.astype(np.float32)
     g, n = x.shape
@@ -776,7 +822,8 @@ def _make_qx_quants_impl(x: np.ndarray, nmax: int):
               ).astype(np.float32)                      # [G, 19]
     lcand = np.clip(_nearest_int(iscale[:, :, None] * x[:, None, :]),
                     -nmax, nmax - 1)                    # [G, 19, n]
-    w = (x * x)[:, None, :]
+    w = ((x * x) if qw is None
+         else qw.astype(np.float32))[:, None, :]
     sumlx = np.sum(w * x[:, None, :] * lcand, axis=2, dtype=np.float32)
     suml2 = np.sum(w * lcand * lcand, axis=2, dtype=np.float32)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -792,9 +839,26 @@ def _make_qx_quants_impl(x: np.ndarray, nmax: int):
     return scale, L + nmax
 
 
-def _make_qx_quants(x: np.ndarray, nmax: int):
-    return _row_chunked(lambda c: _make_qx_quants_impl(c, nmax),
-                        2, 65536)(x)
+def _make_qx_quants(x: np.ndarray, nmax: int, qw=None):
+    if qw is None:
+        return _row_chunked(lambda c: _make_qx_quants_impl(c, nmax),
+                            2, 65536)(x)
+    return _row_chunked(lambda c, w: _make_qx_quants_impl(c, nmax, w),
+                        2, 65536)(x, qw)
+
+
+def _expand_qw(qw, x) -> "np.ndarray":
+    """Per-input-channel importance [k] (an imatrix row) broadcast to the
+    tensor's shape, f32. Callers reshape it in lockstep with x."""
+    return np.broadcast_to(np.asarray(qw, np.float32),
+                           np.asarray(x).shape).astype(np.float32)
+
+
+def _imatrix_weights(qw_blocks: np.ndarray, x_blocks: np.ndarray,
+                     sigma2: np.ndarray) -> np.ndarray:
+    """ggml's quantize_row_*_impl weighting: w = qw * sqrt(sigma2 + x^2),
+    with sigma2 the block-scope mean square (broadcast over the block)."""
+    return qw_blocks * np.sqrt(sigma2 + x_blocks * x_blocks)
 
 
 def _make_qkx2_quants_impl(x: np.ndarray, weights: np.ndarray, nmax: int,
@@ -881,17 +945,24 @@ def _pack_kquant_scale_min(sc6: np.ndarray, mn6: np.ndarray) -> np.ndarray:
     return np.concatenate([a, b, c], axis=1)
 
 
-def _kq45_header(x32: np.ndarray, nmax: int):
+def _kq45_header(x32: np.ndarray, nmax: int, qw32=None):
     """Shared q4_K/q5_K header math: per-32-value scale/min search, 6-bit
     requantized table, fp16 super scales, final L. x32: [nb, 8, 32].
 
     Group weights follow ggml quantize_row_q4_K_ref: sigma2 is the mean
     square over the WHOLE 256-value superblock, w = sqrt(sigma2) + |x|.
+    With an imatrix (``qw32`` [nb, 8, 32]) the weights become
+    qw·sqrt(2·sigma2 + x²) — ggml quantize_row_q4_K_impl.
     """
     nb = x32.shape[0]
     flat = x32.reshape(nb * 8, 32)
-    av = np.sqrt((x32.astype(np.float32) ** 2).mean(axis=(1, 2)))
-    w = np.repeat(av, 8)[:, None] + np.abs(flat)
+    if qw32 is not None:
+        sigma2 = 2.0 * (x32.astype(np.float32) ** 2).mean(axis=(1, 2))
+        w = _imatrix_weights(qw32.reshape(nb * 8, 32), flat,
+                             np.repeat(sigma2, 8)[:, None])
+    else:
+        av = np.sqrt((x32.astype(np.float32) ** 2).mean(axis=(1, 2)))
+        w = np.repeat(av, 8)[:, None] + np.abs(flat)
     scales, mins, _ = _make_qkx2_quants(flat, w, nmax)
     scales = scales.reshape(nb, 8)
     mins = mins.reshape(nb, 8)
@@ -923,23 +994,28 @@ def _pack_group_nibbles(q: np.ndarray) -> np.ndarray:
     return (pairs[:, :, 0] | (pairs[:, :, 1] << 4)).reshape(nb, 128)
 
 
-def q4_k_quantize(x: np.ndarray) -> np.ndarray:
+def q4_k_quantize(x: np.ndarray, qw=None) -> np.ndarray:
     """Quantize to the 144-byte q4_K superblock stream (ggml
     quantize_row_q4_K_ref algorithm; layout per
-    :func:`q4_k_dequantize_blocks`)."""
+    :func:`q4_k_dequantize_blocks`). ``qw``: imatrix row → importance-
+    weighted scale/min search (quantize_row_q4_K_impl)."""
+    qw32 = None if qw is None else \
+        _expand_qw(qw, x).reshape(-1, 8, 32)
     x32 = np.asarray(x, np.float32).reshape(-1, 8, 32)
-    d, dmin, table, q = _kq45_header(x32, 15)
+    d, dmin, table, q = _kq45_header(x32, 15, qw32)
     return np.concatenate([
         d.view(np.uint8).reshape(-1, 2), dmin.view(np.uint8).reshape(-1, 2),
         table, _pack_group_nibbles(q)], axis=1).reshape(-1)
 
 
-def q5_k_quantize(x: np.ndarray) -> np.ndarray:
+def q5_k_quantize(x: np.ndarray, qw=None) -> np.ndarray:
     """Quantize to the 176-byte q5_K superblock stream (high bit of each
     5-bit value in the 32-byte qh section; layout per
-    :func:`q5_k_dequantize_blocks`)."""
+    :func:`q5_k_dequantize_blocks`). ``qw``: as :func:`q4_k_quantize`."""
+    qw32 = None if qw is None else \
+        _expand_qw(qw, x).reshape(-1, 8, 32)
     x32 = np.asarray(x, np.float32).reshape(-1, 8, 32)
-    d, dmin, table, q = _kq45_header(x32, 31)
+    d, dmin, table, q = _kq45_header(x32, 31, qw32)
     nb = q.shape[0]
     # qh bit b of byte j = bit 4 of value [group b, pos j]
     highs = ((q >> 4) & 1).astype(np.uint8)                # [nb, 8, 32]
@@ -951,14 +1027,22 @@ def q5_k_quantize(x: np.ndarray) -> np.ndarray:
         table, qh, _pack_group_nibbles(q & 0x0F)], axis=1).reshape(-1)
 
 
-def q6_k_quantize(x: np.ndarray) -> np.ndarray:
+def q6_k_quantize(x: np.ndarray, qw=None) -> np.ndarray:
     """Quantize to the 210-byte q6_K superblock stream (ggml
     quantize_row_q6_K: per-16 symmetric scale search + int8 super-scaled
-    scales; layout per :func:`q6_k_dequantize_blocks`)."""
+    scales; layout per :func:`q6_k_dequantize_blocks`). ``qw``: imatrix
+    row → weighted search (quantize_row_q6_K_impl)."""
+    qw16 = None if qw is None else _expand_qw(qw, x).reshape(-1, 16, 16)
     x16 = np.asarray(x, np.float32).reshape(-1, 16, 16)
     nb = x16.shape[0]
     flat = x16.reshape(nb * 16, 16)
-    scales, _ = _make_qx_quants(flat, 32)
+    if qw16 is None:
+        scales, _ = _make_qx_quants(flat, 32)
+    else:
+        sigma2 = 2.0 * (x16 ** 2).mean(axis=(1, 2))
+        w = _imatrix_weights(qw16.reshape(nb * 16, 16), flat,
+                             np.repeat(sigma2, 16)[:, None])
+        scales, _ = _make_qx_quants(flat, 32, w)
     scales = scales.reshape(nb, 16)
     idx = np.argmax(np.abs(scales), axis=1)
     max_scale = scales[np.arange(nb), idx]                 # signed
@@ -1046,12 +1130,17 @@ def _iq4_pack_nibbles(idx: np.ndarray) -> np.ndarray:
     return (idx[:, :16] | (idx[:, 16:] << 4)).astype(np.uint8)
 
 
-def iq4_nl_quantize(x: np.ndarray) -> np.ndarray:
+def iq4_nl_quantize(x: np.ndarray, qw=None) -> np.ndarray:
     """Quantize to the 18-byte IQ4_NL block stream (f16 d + 16 nibble
-    bytes into the shared non-linear codebook)."""
+    bytes into the shared non-linear codebook). ``qw``: imatrix row →
+    importance-weighted codebook scale fit."""
+    qwb = None if qw is None else _expand_qw(qw, x).reshape(-1, 32)
     x = np.asarray(x, np.float32).reshape(-1, 32)
-    d, idx = _iq4_fit_scale(x, np.sqrt((x * x).mean(axis=1, keepdims=True))
-                            + np.abs(x))
+    if qwb is None:
+        w = np.sqrt((x * x).mean(axis=1, keepdims=True)) + np.abs(x)
+    else:
+        w = _imatrix_weights(qwb, x, (x * x).mean(axis=1, keepdims=True))
+    d, idx = _iq4_fit_scale(x, w)
     d16 = d.astype(np.float16)
     # re-assign against the rounded stored scale so encode/decode agree
     df = d16.astype(np.float32)
@@ -1063,14 +1152,22 @@ def iq4_nl_quantize(x: np.ndarray) -> np.ndarray:
                            _iq4_pack_nibbles(idx)], axis=1).reshape(-1)
 
 
-def iq4_xs_quantize(x: np.ndarray) -> np.ndarray:
+def iq4_xs_quantize(x: np.ndarray, qw=None) -> np.ndarray:
     """Quantize to the 136-byte IQ4_XS superblock stream: per-32-group
     codebook scales, requantized through a 6-bit (−32..31) table under an
-    f16 super scale (layout per :func:`iq4_xs_dequantize_blocks`)."""
+    f16 super scale (layout per :func:`iq4_xs_dequantize_blocks`).
+    ``qw``: imatrix row → importance-weighted scale fit."""
+    qw32 = None if qw is None else _expand_qw(qw, x).reshape(-1, 8, 32)
     x32 = np.asarray(x, np.float32).reshape(-1, 8, 32)
     nb = x32.shape[0]
     flat = x32.reshape(nb * 8, 32)
-    w = np.sqrt((flat * flat).mean(axis=1, keepdims=True)) + np.abs(flat)
+    if qw32 is None:
+        w = np.sqrt((flat * flat).mean(axis=1, keepdims=True)) \
+            + np.abs(flat)
+    else:
+        sigma2 = 2.0 * (x32 ** 2).mean(axis=(1, 2))
+        w = _imatrix_weights(qw32.reshape(nb * 8, 32), flat,
+                             np.repeat(sigma2, 8)[:, None])
     g_scale, _ = _iq4_fit_scale(flat, w)
     g_scale = g_scale.reshape(nb, 8)
     idxm = np.argmax(np.abs(g_scale), axis=1)
@@ -1099,15 +1196,22 @@ def iq4_xs_quantize(x: np.ndarray) -> np.ndarray:
         sl, qs], axis=1).reshape(-1)
 
 
-def q2_k_quantize(x: np.ndarray) -> np.ndarray:
+def q2_k_quantize(x: np.ndarray, qw=None) -> np.ndarray:
     """Quantize to the 84-byte q2_K superblock stream (ggml
     quantize_row_q2_K_ref: per-16 asymmetric scale/min search with |x|
     weights, nmax 3, rmin −0.5, 15 steps, mad error; 4-bit scale/min
     nibbles under f16 super scales)."""
+    qw16 = None if qw is None else _expand_qw(qw, x).reshape(-1, 16, 16)
     x16 = np.asarray(x, np.float32).reshape(-1, 16, 16)
     nb = x16.shape[0]
     flat = x16.reshape(nb * 16, 16)
-    scales, mins, _ = _make_qkx2_quants(flat, np.abs(flat), 3,
+    if qw16 is None:
+        w2 = np.abs(flat)
+    else:
+        sigma2 = 2.0 * (x16 ** 2).mean(axis=(1, 2))
+        w2 = _imatrix_weights(qw16.reshape(nb * 16, 16), flat,
+                              np.repeat(sigma2, 16)[:, None])
+    scales, mins, _ = _make_qkx2_quants(flat, w2, 3,
                                         rmin=-0.5, rdelta=0.1, nstep=15,
                                         use_mad=True)
     scales = scales.reshape(nb, 16)
@@ -1139,16 +1243,23 @@ def q2_k_quantize(x: np.ndarray) -> np.ndarray:
         dmin.view(np.uint8).reshape(-1, 2)], axis=1).reshape(-1)
 
 
-def q3_k_quantize(x: np.ndarray) -> np.ndarray:
+def q3_k_quantize(x: np.ndarray, qw=None) -> np.ndarray:
     """Quantize to the 110-byte q3_K superblock stream: per-16 symmetric
     scale search (the make_qx_quants family; ggml's q3 variant adds a
     coordinate-descent refinement — same format either way), 6-bit
     signed scales under an f16 super scale, values in [−4, 3] with the
     high bit mask inverted (layout per :func:`q3_k_dequantize_blocks`)."""
+    qw16 = None if qw is None else _expand_qw(qw, x).reshape(-1, 16, 16)
     x16 = np.asarray(x, np.float32).reshape(-1, 16, 16)
     nb = x16.shape[0]
     flat = x16.reshape(nb * 16, 16)
-    scales, _ = _make_qx_quants(flat, 4)
+    if qw16 is None:
+        scales, _ = _make_qx_quants(flat, 4)
+    else:
+        sigma2 = 2.0 * (x16 ** 2).mean(axis=(1, 2))
+        w = _imatrix_weights(qw16.reshape(nb * 16, 16), flat,
+                             np.repeat(sigma2, 16)[:, None])
+        scales, _ = _make_qx_quants(flat, 4, w)
     scales = scales.reshape(nb, 16)
     idx = np.argmax(np.abs(scales), axis=1)
     smax = scales[np.arange(nb), idx]

@@ -29,7 +29,16 @@ QUANT_TYPES = {
 }
 
 
-def quantize_gguf(in_path: str, out_path: str, ttype: str = "q8_0"):
+def quantize_gguf(in_path: str, out_path: str, ttype: str = "q8_0",
+                  imatrix: str = None):
+    """``imatrix``: path to an .npz from ``tools/imatrix.py`` — tensors
+    with a matching row get the importance-weighted scale search (the
+    llama-quantize --imatrix behavior); others quantize as before."""
+    qw_map = {}
+    if imatrix:
+        from .imatrix import load_imatrix
+        qw_map = load_imatrix(imatrix)
+    n_weighted = 0
     r = GGUFReader(in_path)
     arch = r.fields.get("general.architecture", "unknown")
     w = GGUFWriter(out_path, arch=arch)
@@ -52,7 +61,14 @@ def quantize_gguf(in_path: str, out_path: str, ttype: str = "q8_0"):
                        and info.name.endswith(".weight")
                        and "norm" not in info.name)
         if quantizable and gtype is not None:
-            w.add_tensor(info.name, arr, ggml_type=gtype)
+            qw = qw_map.get(info.name)
+            if qw is not None and len(qw) != arr.shape[-1]:
+                print(f"warning: imatrix row for {info.name} has "
+                      f"{len(qw)} channels, tensor has {arr.shape[-1]} "
+                      "— ignoring")
+                qw = None
+            w.add_tensor(info.name, arr, ggml_type=gtype, qw=qw)
+            n_weighted += qw is not None
             n_converted += 1
         elif quantizable and ttype == "f16":
             w.add_tensor(info.name, arr.astype(np.float16))
@@ -63,7 +79,9 @@ def quantize_gguf(in_path: str, out_path: str, ttype: str = "q8_0"):
         else:
             w.add_tensor(info.name, arr.astype(np.float32))
     w.write()
-    print(f"{out_path}: {n_converted}/{len(r.tensors)} tensors -> {ttype}")
+    extra = f" ({n_weighted} imatrix-weighted)" if qw_map else ""
+    print(f"{out_path}: {n_converted}/{len(r.tensors)} tensors -> "
+          f"{ttype}{extra}")
 
 
 def main():
@@ -72,8 +90,11 @@ def main():
     ap.add_argument("output")
     ap.add_argument("--type", default="q8_0",
                     choices=sorted(QUANT_TYPES) + ["f16", "bf16"])
+    ap.add_argument("--imatrix", default=None,
+                    help=".npz from tools/imatrix.py: importance-weighted "
+                         "rounding for matching tensors")
     args = ap.parse_args()
-    quantize_gguf(args.input, args.output, args.type)
+    quantize_gguf(args.input, args.output, args.type, imatrix=args.imatrix)
 
 
 if __name__ == "__main__":
