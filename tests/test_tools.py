@@ -440,3 +440,105 @@ class TestConvertEndian:
         self._make_gguf(le)
         assert main([le, be, "--quiet"]) == 0
         assert "big-endian" in capsys.readouterr().out
+
+
+class TestGGUFSplit:
+    """llama-gguf-split equivalent: shard scheme + byte-exact merge."""
+
+    def _make(self, tmp_path, n_tensors=7):
+        from fun_asr_gguf_tpu.formats.gguf import (GGMLType, GGUFValueType,
+                                                   GGUFWriter)
+        path = str(tmp_path / "model.gguf")
+        w = GGUFWriter(path, arch="qwen3")
+        w.add_kv("general.name", "split-me")
+        w.add_kv("qwen3.block_count", 3, GGUFValueType.UINT32)
+        rng = np.random.default_rng(3)
+        for i in range(n_tensors):
+            w.add_tensor(f"blk.{i}.w", rng.normal(
+                size=(4, 64)).astype(np.float32),
+                ggml_type=GGMLType.Q8_0 if i % 2 else GGMLType.F32)
+        w.write()
+        return path
+
+    def test_split_merge_roundtrip_bit_exact(self, tmp_path):
+        import hashlib
+
+        from fun_asr_gguf_tpu.tools.gguf_split import main
+        src = self._make(tmp_path)
+        prefix = str(tmp_path / "shards" / "model")
+        assert main(["split", src, prefix, "--max-tensors", "3"]) == 0
+        shard1 = prefix + "-00001-of-00003.gguf"
+        assert os.path.exists(shard1)
+        assert os.path.exists(prefix + "-00003-of-00003.gguf")
+
+        r1 = GGUFReader(shard1)
+        assert r1.fields["split.no"] == 0
+        assert r1.fields["split.count"] == 3
+        assert r1.fields["split.tensors.count"] == 7
+        assert r1.fields["general.name"] == "split-me"
+        r2 = GGUFReader(prefix + "-00002-of-00003.gguf")
+        assert "general.name" not in r2.fields   # first shard only
+        assert r2.fields["split.no"] == 1
+
+        merged = str(tmp_path / "merged.gguf")
+        assert main(["merge", shard1, merged]) == 0
+        a, b = GGUFReader(src), GGUFReader(merged)
+        assert a.tensor_names() == b.tensor_names()
+        assert {k: v for k, v in a.fields.items()} == \
+               {k: v for k, v in b.fields.items()}
+        for name in a.tensor_names():
+            ta, tb = a.tensor_info(name), b.tensor_info(name)
+            assert ta.ggml_type == tb.ggml_type and ta.shape == tb.shape
+            assert hashlib.sha256(bytes(a.tensor_raw(name))).digest() == \
+                   hashlib.sha256(bytes(b.tensor_raw(name))).digest()
+
+    def test_split_by_size(self, tmp_path):
+        from fun_asr_gguf_tpu.tools.gguf_split import main, shard_paths
+        src = self._make(tmp_path)
+        prefix = str(tmp_path / "bysize" / "model")
+        assert main(["split", src, prefix, "--max-size", "2K"]) == 0
+        shards = sorted(os.listdir(tmp_path / "bysize"))
+        assert len(shards) > 2          # 2 KiB forces several shards
+        paths = shard_paths(str(tmp_path / "bysize" / shards[0]))
+        assert [os.path.basename(p) for p in paths] == shards
+        # no shard's tensor payload exceeds the limit
+        for p in paths:
+            r = GGUFReader(p)
+            assert sum(t.nbytes for t in r.tensors) <= 2048
+
+    def test_refuses_single_shard(self, tmp_path):
+        from fun_asr_gguf_tpu.tools.gguf_split import main
+        src = self._make(tmp_path, n_tensors=2)
+        assert main(["split", src, str(tmp_path / "x"),
+                     "--max-tensors", "128"]) == 1
+
+    def test_merge_detects_missing_shard(self, tmp_path):
+        from fun_asr_gguf_tpu.tools.gguf_split import main
+        src = self._make(tmp_path)
+        prefix = str(tmp_path / "gap" / "model")
+        assert main(["split", src, prefix, "--max-tensors", "3"]) == 0
+        os.remove(prefix + "-00002-of-00003.gguf")
+        with pytest.raises(FileNotFoundError):
+            main(["merge", prefix + "-00001-of-00003.gguf",
+                  str(tmp_path / "m.gguf")])
+
+
+class TestTokenizeCLI:
+    """llama-tokenize equivalent over the byte-fallback tokenizer."""
+
+    def test_encode_decode_roundtrip(self, tmp_path, capsys):
+        from fun_asr_gguf_tpu.tools.tokenize import main
+        assert main(["--model", str(tmp_path), "--prompt", "hi",
+                     "--ids", "--show-count"]) == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        ids = eval(out[0])
+        assert out[-1].endswith(f"{len(ids)}")
+        assert main(["--model", str(tmp_path), "--decode",
+                     ",".join(map(str, ids))]) == 0
+        assert capsys.readouterr().out.strip() == "hi"
+
+    def test_piece_listing(self, tmp_path, capsys):
+        from fun_asr_gguf_tpu.tools.tokenize import main
+        assert main(["--model", str(tmp_path), "--prompt", "ab"]) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert all("->" in ln for ln in lines)
