@@ -76,7 +76,23 @@ from .datatypes import (  # noqa: E402
     Statistics,
     CTCResult,
 )
-from .engine import FunASREngine, create_asr_engine  # noqa: E402
+# The engine pulls in the full JAX model stack; import it lazily (PEP 562)
+# so format-only consumers (gguf_split/gguf_edit/tokenize CLIs, readers)
+# don't initialize a JAX backend — on this platform that dials the remote
+# TPU tunnel — just to touch a file format.
+_LAZY_ENGINE = {"FunASREngine", "create_asr_engine"}
+
+
+def __getattr__(name):
+    if name in _LAZY_ENGINE:
+        from . import engine
+        return getattr(engine, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY_ENGINE))
+
 
 __all__ = [
     "logger",

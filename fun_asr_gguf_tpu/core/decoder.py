@@ -200,14 +200,14 @@ class LLMDecoder:
             # decode step (plus K-lane sampling when T > 0), so drafting
             # below ~spec_min_accept emitted tokens/round is slower than
             # plain decode — abandon the draft and continue un-drafted.
-            # Deferred while `forbid` is pending (a probabilistic
-            # rejection's residual exclusion must be honored first).
+            # A pending `forbid` (probabilistic rejection at the chunk
+            # boundary) rides along: spec_to_gen hands it to the plain
+            # chunk's first draw, which consumes it exactly.
             if draft_ids is not None:
                 rounds = int(np.asarray(state.rounds)[0])
                 min_acc = getattr(models.config, "spec_min_accept", 1.35)
                 if (rounds >= 8 and min_acc > 0
-                        and generated / rounds < min_acc
-                        and int(np.asarray(state.forbid)[0]) < 0):
+                        and generated / rounds < min_acc):
                     from ..models.speculative import spec_to_gen
                     logger.info(
                         "speculation off: %.2f tokens/round < %.2f "

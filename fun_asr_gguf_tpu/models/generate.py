@@ -23,7 +23,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.sampling import sample_token
+from ..ops.sampling import sample_residual, sample_token
 from .config import Qwen3Config
 from .qwen3 import (KVCache, embed_tokens, qwen3_decode_step, qwen3_prefill)
 
@@ -42,6 +42,11 @@ class GenState(NamedTuple):
     n_gen: jnp.ndarray         # [B] i32 — counted (non-stop) tokens
     done: jnp.ndarray          # [B] bool
     aborted: jnp.ndarray       # [B] bool
+    forbid: jnp.ndarray        # [B] i32 — token id excluded from the NEXT
+    #   draw only (-1: none). Set by spec_to_gen when the speculation
+    #   guardrail converts mid-rejection: the abandoned verify round's
+    #   residual exclusion (Leviathan et al.) must be honored by the
+    #   first plain draw or the output distribution is biased.
     prompt_slots: int          # static: P
 
     @property
@@ -72,6 +77,7 @@ def prefill_init(params, embeds, attn_mask, rng, cfg: Qwen3Config,
         n_gen=jnp.zeros((b,), jnp.int32),
         done=jnp.zeros((b,), bool),
         aborted=jnp.zeros((b,), bool),
+        forbid=jnp.full((b,), -1, jnp.int32),
         prompt_slots=p,
     )
 
@@ -114,8 +120,11 @@ def generate_chunk(params, state: GenState, cfg: Qwen3Config,
     def body(carry):
         t, state, buf = carry
         rng, sub = jax.random.split(state.rng)
-        token = sample_token(state.logits, sub, temperature, top_p, top_k,
-                             greedy=greedy)
+        # sample_residual == sample_token when forbid is -1 (the steady
+        # state); a pending exclusion from a guardrail conversion is
+        # consumed by exactly one draw
+        token = sample_residual(state.logits, sub, temperature, top_p,
+                                top_k, state.forbid, greedy=greedy)
 
         active = ~state.done
         is_stop = jnp.zeros((b,), bool)
@@ -151,7 +160,7 @@ def generate_chunk(params, state: GenState, cfg: Qwen3Config,
             kv=kv, logits=logits, prompt_len=state.prompt_len,
             valid_from=state.valid_from, step=state.step + 1, rng=rng,
             ring=ring, n_gen=n_gen, done=done, aborted=aborted,
-            prompt_slots=p)
+            forbid=jnp.full((b,), -1, jnp.int32), prompt_slots=p)
         return t + 1, new_state, buf
 
     _, state, tokens_buf = jax.lax.while_loop(

@@ -44,7 +44,10 @@ from .config import Qwen3Config
 from .generate import FUSE_DISTINCT, RING, GenState, _distinct_count
 from .qwen3 import KVCache, embed_tokens, qwen3_verify_step
 
-NEG_BIG = jnp.int32(2 ** 30)
+# plain int (not a jnp scalar): a module-level device constant would
+# initialize the JAX backend at import time, which dials the remote TPU
+# even for format-only CLI tools that merely import the package
+NEG_BIG = 2 ** 30
 
 
 class SpecState(NamedTuple):
@@ -74,7 +77,8 @@ def spec_init(state: GenState) -> SpecState:
     return SpecState(
         kv=state.kv,
         logits=state.logits,
-        forbid=jnp.full((b,), -1, jnp.int32),
+        forbid=state.forbid,     # normally -1; carries over a pending
+        #   residual exclusion from a prior guardrail conversion
         prompt_len=state.prompt_len,
         valid_from=state.valid_from,
         slot_next=jnp.full((b,), state.prompt_slots, jnp.int32),
@@ -119,6 +123,13 @@ def spec_to_gen(state: SpecState) -> GenState:
         n_gen=state.n_gen,
         done=state.done,
         aborted=state.aborted,
+        # a conversion mid-rejection hands the residual exclusion to the
+        # plain chunk's first draw (generate_chunk consumes it exactly via
+        # sample_residual) — so the guardrail never has to defer on a
+        # pending forbid, which at T > 0 with low acceptance is pending at
+        # essentially EVERY chunk boundary (each round ends rejected) and
+        # used to postpone the auto-off indefinitely
+        forbid=state.forbid,
         prompt_slots=state.prompt_slots,
     )
 

@@ -556,3 +556,29 @@ class TestGGUFEmbeddedVocab:
         assert r.fields["tokenizer.ggml.eos_token_id"] == 151645
         tok = QwenTokenizer.from_gguf(path)
         assert tok.encode("<|im_end|>") == [151645]
+
+
+class TestLazyPackageImport:
+    """Importing the package (or its format layer) must not pull in jax:
+    on the TPU platform backend init dials the remote chip, which a
+    format-only CLI (gguf_split / gguf_edit / tokenize) must never do."""
+
+    def test_format_layer_imports_without_jax(self):
+        import subprocess
+        import sys
+        code = (
+            "import sys\n"
+            "import fun_asr_gguf_tpu\n"
+            "from fun_asr_gguf_tpu.formats.gguf import GGUFReader\n"
+            "from fun_asr_gguf_tpu.tools import gguf_split, tokenize\n"
+            "assert 'jax' not in sys.modules, 'jax imported eagerly'\n"
+            "assert fun_asr_gguf_tpu.create_asr_engine is not None\n"
+            "assert 'jax' in sys.modules  # lazy attr loads the stack\n"
+        )
+        import os
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+        proc = subprocess.run([sys.executable, "-c", code], env=env,
+                              capture_output=True, text=True, timeout=300)
+        assert proc.returncode == 0, proc.stderr
