@@ -43,6 +43,18 @@ N_GEN = 12 if _TINY else 253      # full: generated tokens in reference run
 _partial = {"metric": "rtf_60s_e2e", "value": -1.0, "unit": "ratio",
             "vs_baseline": 0.0, "status": "incomplete"}
 
+# per-label relative spread of the repeated long-point timing samples
+# ((max-min)/min over the t2 repetitions) — tunnel variance is ±10-15%
+# run-to-run, and without a spread field round-over-round deltas in
+# BENCH_r{N}.json are indistinguishable from noise (VERDICT r2 weak #4)
+_spread = {}
+
+
+def _record_spread(label, samples):
+    lo = min(samples)
+    if lo > 0 and len(samples) > 1:
+        _spread[label] = round((max(samples) - lo) / lo * 100, 1)
+
 
 def _emit_and_exit(*_args):
     print(json.dumps(_partial))
@@ -131,7 +143,9 @@ def main():
             return time.perf_counter() - t0
 
         t1 = min(total(n1) for _ in range(3))
-        t2 = min(total(n2) for _ in range(3))
+        t2s = [total(n2) for _ in range(3)]
+        t2 = min(t2s)
+        _record_spread(label, t2s)
         if t2 <= t1:                # timing noise swamped the measurement
             log(f"{label}: degenerate timing t({n1})={t1:.3f} t({n2})={t2:.3f}"
                 " — falling back to single-point estimate")
@@ -223,7 +237,9 @@ def main():
 
         n1, n2 = 1, n_chunks_full
         t1 = min(total(n1, 10 + i) for i in range(2))
-        t2 = min(total(n2, 20 + i) for i in range(2))
+        t2s = [total(n2, 20 + i) for i in range(3)]
+        t2 = min(t2s)
+        _record_spread(label, t2s)
         if n2 == n1 or t2 <= t1:    # timing noise swamped the measurement
             log(f"{label}: degenerate timing t({n1})={t1:.3f} t({n2})={t2:.3f}"
                 " — falling back to single-point estimate")
@@ -392,7 +408,9 @@ def main():
 
             n1, n2 = 1, n_chunks_full
             t1 = min(total_spec(n1, 30 + i)[0] for i in range(2))
-            t2, n_emitted = min(total_spec(n2, 40 + i) for i in range(2))
+            t2samp = [total_spec(n2, 40 + i) for i in range(2)]
+            t2, n_emitted = min(t2samp)
+            _record_spread(label, [t for t, _ in t2samp])
             if n2 > n1 and t2 > t1:
                 per = (t2 - t1) / ((n2 - n1) * chunk)
                 log(f"{label}: t({n1*chunk}tok)={t1:.3f}s "
@@ -710,6 +728,9 @@ def main():
         "llm_bf16_mb": round(tree_bytes(llm_packed) / 1e6, 1),
         "llm_int8_mb": round(tree_bytes(llm_int8) / 1e6, 1),
         "llm_q8_0_mb": round(tree_bytes(qparams) / 1e6, 1),
+        # per-label (max-min)/min % over repeated long-point samples —
+        # how much of any round-over-round delta is plain tunnel noise
+        "timing_spread_pct": _spread,
         "device": str(dev),
     }
     signal.alarm(0)

@@ -364,8 +364,12 @@ class _ShapeOnly:
 class GGUFWriter:
     """Single-pass GGUF v3 writer."""
 
-    def __init__(self, path: str, arch: Optional[str] = "qwen3"):
+    def __init__(self, path: str, arch: Optional[str] = "qwen3",
+                 alignment: int = DEFAULT_ALIGNMENT):
+        if alignment < 1:
+            raise ValueError(f"general.alignment must be >= 1, got {alignment}")
         self.path = path
+        self.alignment = int(alignment)
         self.kv: List[Tuple[str, Any, Optional[GGUFValueType]]] = []
         self.tensors: List[Tuple[str, np.ndarray, GGMLType, Optional[np.ndarray]]] = []
         self._raw: dict = {}
@@ -466,7 +470,7 @@ class GGUFWriter:
 
     # -- serialize ---------------------------------------------------------
     def write(self):
-        alignment = DEFAULT_ALIGNMENT
+        alignment = self.alignment
         self.add_kv("general.alignment", alignment, GGUFValueType.UINT32)
 
         payloads: List[bytes] = []

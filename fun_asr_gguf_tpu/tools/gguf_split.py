@@ -72,7 +72,8 @@ def plan_shards(reader: GGUFReader, max_tensors: int = 0,
 
 def write_shard(reader: GGUFReader, names: List[str], path: str,
                 no: int, count: int, first: bool):
-    w = GGUFWriter(path, arch=None)
+    # carry the source's (possibly non-default) alignment into every shard
+    w = GGUFWriter(path, arch=None, alignment=reader.alignment)
     if first:
         for key, value in reader.fields.items():
             if key in SPLIT_KEYS or key == "general.alignment":
@@ -94,6 +95,10 @@ def cmd_split(args) -> int:
     r = GGUFReader(args.path)
     if args.max_tensors is not None and args.max_size:
         print("pick one of --max-tensors / --max-size", file=sys.stderr)
+        return 2
+    if args.max_tensors is not None and args.max_tensors < 1:
+        print(f"--max-tensors must be >= 1 (got {args.max_tensors})",
+              file=sys.stderr)
         return 2
     max_size = parse_size(args.max_size) if args.max_size else 0
     max_tensors = 0 if max_size else (
@@ -146,7 +151,7 @@ def cmd_merge(args) -> int:
               file=sys.stderr)
         return 1
 
-    w = GGUFWriter(args.out, arch=None)
+    w = GGUFWriter(args.out, arch=None, alignment=first.alignment)
     for key, value in first.fields.items():
         if key in SPLIT_KEYS or key == "general.alignment":
             continue
@@ -158,6 +163,18 @@ def cmd_merge(args) -> int:
         if no != i:
             print(f"{paths[i]}: split.no={no}, expected {i}",
                   file=sys.stderr)
+            return 1
+        # a foreign shard in position N>1 must not be silently accepted:
+        # every shard has to agree with the first on the split totals
+        r_count = int(r.fields.get("split.count", count))
+        if r_count != count:
+            print(f"{paths[i]}: split.count={r_count}, expected {count}",
+                  file=sys.stderr)
+            return 1
+        r_total = int(r.fields.get("split.tensors.count", total))
+        if total >= 0 and r_total != total:
+            print(f"{paths[i]}: split.tensors.count={r_total}, "
+                  f"expected {total}", file=sys.stderr)
             return 1
         for t in r.tensors:
             w.add_tensor_raw(t.name, r.tensor_raw(t.name), t.shape,

@@ -39,11 +39,13 @@ def main(argv=None) -> int:
     g.add_argument("--prompt", help="text to tokenize")
     g.add_argument("--file", help="UTF-8 file to tokenize")
     g.add_argument("--stdin", action="store_true")
+    # --decode is an input mode too: combining it with --prompt/--file/
+    # --stdin would silently ignore the encode input
+    g.add_argument("--decode", metavar="IDS",
+                   help="reverse: comma-separated ids -> text")
     ap.add_argument("--ids", action="store_true",
                     help="print the bare id list")
     ap.add_argument("--show-count", action="store_true")
-    ap.add_argument("--decode", metavar="IDS",
-                    help="reverse: comma-separated ids -> text")
     args = ap.parse_args(argv)
 
     tok = load_tokenizer(args.model)

@@ -522,6 +522,49 @@ class TestGGUFSplit:
             main(["merge", prefix + "-00001-of-00003.gguf",
                   str(tmp_path / "m.gguf")])
 
+    def test_rejects_nonpositive_max_tensors(self, tmp_path):
+        from fun_asr_gguf_tpu.tools.gguf_split import main
+        src = self._make(tmp_path)
+        assert main(["split", src, str(tmp_path / "x"),
+                     "--max-tensors", "0"]) == 2
+        assert main(["split", src, str(tmp_path / "x"),
+                     "--max-tensors", "-3"]) == 2
+
+    def test_custom_alignment_preserved(self, tmp_path):
+        from fun_asr_gguf_tpu.formats.gguf import GGMLType, GGUFWriter
+        from fun_asr_gguf_tpu.tools.gguf_split import main
+        path = str(tmp_path / "aligned.gguf")
+        w = GGUFWriter(path, arch="qwen3", alignment=64)
+        rng = np.random.default_rng(5)
+        for i in range(4):
+            w.add_tensor(f"blk.{i}.w",
+                         rng.normal(size=(4, 64)).astype(np.float32),
+                         ggml_type=GGMLType.F32)
+        w.write()
+        assert GGUFReader(path).alignment == 64
+        prefix = str(tmp_path / "al" / "model")
+        assert main(["split", path, prefix, "--max-tensors", "2"]) == 0
+        assert GGUFReader(prefix + "-00001-of-00002.gguf").alignment == 64
+        merged = str(tmp_path / "al_merged.gguf")
+        assert main(["merge", prefix + "-00001-of-00002.gguf", merged]) == 0
+        assert GGUFReader(merged).alignment == 64
+
+    def test_merge_rejects_foreign_shard(self, tmp_path):
+        import shutil
+
+        from fun_asr_gguf_tpu.tools.gguf_split import main
+        src = self._make(tmp_path)
+        prefix = str(tmp_path / "ok" / "model")
+        assert main(["split", src, prefix, "--max-tensors", "3"]) == 0
+        other = str(tmp_path / "other" / "model")
+        assert main(["split", src, other, "--max-tensors", "4"]) == 0
+        # shard 2 of a 2-way split dropped into slot 2 of the 3-way split:
+        # split.no matches (1) but split.count disagrees (2 vs 3)
+        shutil.copy(other + "-00002-of-00002.gguf",
+                    prefix + "-00002-of-00003.gguf")
+        assert main(["merge", prefix + "-00001-of-00003.gguf",
+                     str(tmp_path / "m.gguf")]) == 1
+
 
 class TestTokenizeCLI:
     """llama-tokenize equivalent over the byte-fallback tokenizer."""
@@ -542,3 +585,12 @@ class TestTokenizeCLI:
         assert main(["--model", str(tmp_path), "--prompt", "ab"]) == 0
         lines = capsys.readouterr().out.strip().splitlines()
         assert all("->" in ln for ln in lines)
+
+    def test_decode_excludes_encode_inputs(self, tmp_path):
+        # --decode is an input mode: combining it with --prompt must be a
+        # usage error, not a silent prompt drop
+        from fun_asr_gguf_tpu.tools.tokenize import main
+        with pytest.raises(SystemExit) as exc:
+            main(["--model", str(tmp_path), "--prompt", "hi",
+                  "--decode", "1,2"])
+        assert exc.value.code == 2
