@@ -649,81 +649,222 @@ class TestEndToEndEquivalence:
         self._check_equivalence(setup, md, torch_hybrid, wav, buf, n_valid)
 
     def _check_equivalence(self, setup, md, torch_hybrid, wav, buf, n_valid):
-        """Engine transcribe(wav) vs the reference-style torch pipeline on
-        ``buf`` (the same samples the engine loads): identical CTC text,
-        identical greedy token ids, identical final text."""
-        from fun_asr_gguf_tpu.ctc import decode_ctc
-        from fun_asr_gguf_tpu.formats.ctc_vocab import load_ctc_tokens
-        from fun_asr_gguf_tpu.frontend import audio_token_length
-        from fun_asr_gguf_tpu.hotword.manager import reset_hotword_manager
-
         ckpt, cfg, hf = setup
+        _engine_torch_equivalence(
+            md, torch_hybrid, hf, ckpt, wav, buf, n_valid,
+            engine_kwargs=dict(segment_pad_seconds=4.0,
+                               prefill_buckets=(192,)))
+
+
+def _engine_torch_equivalence(md, hybrid, hf, ckpt, wav, buf, n_valid, *,
+                              n_new=24, engine_kwargs=None):
+    """Engine transcribe(wav) vs the reference-style torch pipeline on
+    ``buf`` (the same samples the engine loads): identical CTC text,
+    identical greedy token ids, identical final text."""
+    from fun_asr_gguf_tpu.ctc import decode_ctc
+    from fun_asr_gguf_tpu.formats.ctc_vocab import load_ctc_tokens
+    from fun_asr_gguf_tpu.frontend import audio_token_length
+    from fun_asr_gguf_tpu.hotword.manager import reset_hotword_manager
+
+    reset_hotword_manager()
+    from fun_asr_gguf_tpu import create_asr_engine
+    kwargs = dict(checkpoint_dir=ckpt, verbose=False,
+                  compute_dtype="float32", n_predict=n_new,
+                  speculative=False)
+    kwargs.update(engine_kwargs or {})
+    eng = create_asr_engine(**kwargs)
+    try:
+        res = eng.transcribe(wav, verbose=False, temperature=0.0)
+
+        # ---- reference-style torch pipeline on the same weights ----
+        wrapper = _torch_wrapper(md, hybrid)
+        with torch.no_grad():
+            enc_t, final_t = wrapper(
+                torch.from_numpy(buf)[None, None, :],
+                torch.tensor([n_valid], dtype=torch.long))
+            ctc_idx = md.CTCHeadExportWrapper(hybrid)(
+                enc_t)[0].numpy()
+
+        id2tok = load_ctc_tokens(os.path.join(ckpt, "tokens.txt"))
+        ctc_text_t, _, _ = decode_ctc(ctc_idx, id2tok)
+        assert res.ctc_text == ctc_text_t
+
+        # prompt identical to the engine's (no hotwords present)
+        p_embd, s_embd, _, _, _ = \
+            eng.models.prompt_builder.build_prompt([], None, None)
+        tl = audio_token_length(n_valid)
+        audio_embd_t = final_t[0, :tl].numpy()
+        full_embd = np.concatenate(
+            [p_embd, audio_embd_t, s_embd], axis=0).astype(np.float32)
+
+        stop_set = set(eng.models.stop_tokens) | {eng.models.eos_token}
+        with torch.no_grad():
+            hf_ids = hf.generate(
+                inputs_embeds=torch.from_numpy(full_embd)[None],
+                attention_mask=torch.ones(1, full_embd.shape[0],
+                                          dtype=torch.long),
+                do_sample=False, max_new_tokens=n_new,
+                eos_token_id=sorted(stop_set), pad_token_id=0,
+            )[0].numpy().tolist()
+
+        # (a) my generate stack on the SAME embeds → identical ids
+        my_ids = _engine_greedy_ids(eng, full_embd, n_new=n_new)
+        assert my_ids[:len(hf_ids)] == hf_ids
+
+        # (b) engine text == HF text (engine uses its own JAX audio
+        # embeds — cosine ≈ 1 vs torch — so the greedy path must land
+        # on the same tokens)
+        gen_ids = [t for t in hf_ids if t not in stop_set]
+        hf_text = eng.models.tokenizer.decode(gen_ids).strip()
+        assert res.text == hf_text
+    finally:
+        eng.cleanup()
         reset_hotword_manager()
-        from fun_asr_gguf_tpu import create_asr_engine
-        eng = create_asr_engine(
-            checkpoint_dir=ckpt, verbose=False, compute_dtype="float32",
-            segment_pad_seconds=4.0, n_predict=24, prefill_buckets=(192,),
-            speculative=False)
-        try:
-            res = eng.transcribe(wav, verbose=False, temperature=0.0)
 
-            # ---- reference-style torch pipeline on the same weights ----
-            wrapper = _torch_wrapper(md, torch_hybrid)
-            with torch.no_grad():
-                enc_t, final_t = wrapper(
-                    torch.from_numpy(buf)[None, None, :],
-                    torch.tensor([n_valid], dtype=torch.long))
-                ctc_idx = md.CTCHeadExportWrapper(torch_hybrid)(
-                    enc_t)[0].numpy()
 
-            id2tok = load_ctc_tokens(os.path.join(ckpt, "tokens.txt"))
-            ctc_text_t, _, _ = decode_ctc(ctc_idx, id2tok)
-            assert res.ctc_text == ctc_text_t
+def _engine_greedy_ids(eng, full_embd, n_new):
+    state = eng.models.prefill(full_embd, rng_seed=0)
+    out = []
+    while len(out) < n_new:
+        state, tokens = eng.models.generate(
+            state, temperature=0.0, top_p=1.0, top_k=50,
+            chunk_len=eng.models._default_chunk_len(),
+            limit=min(eng.models._default_chunk_len(),
+                      n_new - len(out)))
+        toks = [t for t in np.asarray(tokens)[0].tolist() if t >= 0]
+        out.extend(toks)
+        if bool(np.asarray(state.done)[0]):
+            break
+    return out
 
-            # prompt identical to the engine's (no hotwords present)
-            p_embd, s_embd, _, _, _ = \
-                eng.models.prompt_builder.build_prompt([], None, None)
-            tl = audio_token_length(n_valid)
-            audio_embd_t = final_t[0, :tl].numpy()
-            full_embd = np.concatenate(
-                [p_embd, audio_embd_t, s_embd], axis=0).astype(np.float32)
 
-            stop_set = set(eng.models.stop_tokens) | {eng.models.eos_token}
-            with torch.no_grad():
-                hf_ids = hf.generate(
-                    inputs_embeds=torch.from_numpy(full_embd)[None],
-                    attention_mask=torch.ones(1, full_embd.shape[0],
-                                              dtype=torch.long),
-                    do_sample=False, max_new_tokens=24,
-                    eos_token_id=sorted(stop_set), pad_token_id=0,
-                )[0].numpy().tolist()
+class TestTinyEndToEndEquivalence:
+    """The same engine-vs-torch E2E equivalence as
+    :class:`TestEndToEndEquivalence`, at reduced width, in the DEFAULT
+    gate: a tiny SANM hybrid (560→64, 2+1 layers) + a tiny Qwen3 decode
+    through the full engine pipeline vs the reference-style torch
+    pipeline (``model_definition.py`` modules) on the same weights.
+    Asserts identical CTC text, identical greedy ids vs HF ``generate``,
+    identical final text — so every default ``pytest -q`` run exercises
+    the encoder-parity and greedy-id-equality paths end-to-end
+    (the full-size twin stays behind ``--runslow``)."""
 
-            # (a) my generate stack on the SAME embeds → identical ids
-            my_ids = self._engine_greedy_ids(eng, full_embd, n_new=24)
-            assert my_ids[:len(hf_ids)] == hf_ids
+    D, HEADS, FFN, KERNEL = 64, 4, 128, 11
 
-            # (b) engine text == HF text (engine uses its own JAX audio
-            # embeds — cosine ≈ 1 vs torch — so the greedy path must land
-            # on the same tokens)
-            gen_ids = [t for t in hf_ids if t not in stop_set]
-            hf_text = eng.models.tokenizer.decode(gen_ids).strip()
-            assert res.text == hf_text
-        finally:
-            eng.cleanup()
-            reset_hotword_manager()
+    @pytest.fixture(scope="class")
+    def setup(self, md, tmp_path_factory):
+        import base64
 
-    @staticmethod
-    def _engine_greedy_ids(eng, full_embd, n_new):
-        state = eng.models.prefill(full_embd, rng_seed=0)
-        out = []
-        while len(out) < n_new:
-            state, tokens = eng.models.generate(
-                state, temperature=0.0, top_p=1.0, top_k=50,
-                chunk_len=eng.models._default_chunk_len(),
-                limit=min(eng.models._default_chunk_len(),
-                          n_new - len(out)))
-            toks = [t for t in np.asarray(tokens)[0].tolist() if t >= 0]
-            out.extend(toks)
-            if bool(np.asarray(state.done)[0]):
-                break
-        return out
+        from fun_asr_gguf_tpu.models.config import (AdaptorConfig,
+                                                    CTCHeadConfig,
+                                                    EncoderConfig,
+                                                    HybridConfig,
+                                                    Qwen3Config)
+        from fun_asr_gguf_tpu.models.loaders import (load_encoder_from_pt,
+                                                     save_checkpoint)
+        from fun_asr_gguf_tpu.tools.convert import qwen3_params_from_hf_state
+
+        torch.manual_seed(7)
+        D, H, F, K = self.D, self.HEADS, self.FFN, self.KERNEL
+        IN = 560                    # the real frontend's LFR feature width
+
+        def sanm(in_size):
+            return md.EncoderLayerSANM(
+                in_size, D,
+                md.MultiHeadedAttentionSANM(H, in_size, D, 0.0, K),
+                md.PositionwiseFeedForward(D, F, 0.0), 0.0)
+
+        class TinyEncoder(torch.nn.Module):
+            """SenseVoiceEncoderSmall.forward at reduced width — a real
+            forward() so EncoderExportWrapperPaddable can call it."""
+
+            def __init__(s):
+                super().__init__()
+                s.embed = md.SinusoidalPositionEncoder()
+                s.encoders0 = torch.nn.ModuleList([sanm(IN)])
+                s.encoders = torch.nn.ModuleList([sanm(D)])
+                s.tp_encoders = torch.nn.ModuleList([sanm(D)])
+                s.after_norm = md.LayerNorm(D)
+                s.tp_norm = md.LayerNorm(D)
+
+            def forward(s, x, mask):
+                x = s.embed(x * (D ** 0.5), mask)
+                for layer in s.encoders0:
+                    x, _ = layer(x, mask)
+                for layer in s.encoders:
+                    x, _ = layer(x, mask)
+                x = s.after_norm(x)
+                if mask is not None:
+                    x = x * mask.unsqueeze(-1)
+                for layer in s.tp_encoders:
+                    x, _ = layer(x, mask)
+                x = s.tp_norm(x)
+                if mask is not None:
+                    x = x * mask.unsqueeze(-1)
+                return x
+
+        class TinyHybrid(torch.nn.Module):
+            def __init__(s):
+                super().__init__()
+                s.audio_encoder = TinyEncoder()
+                s.audio_adaptor = md.CorrectTransformerAdaptor(
+                    1, D, D, 96, 2)
+                s.ctc_decoder = md.CorrectTransformerAdaptor(
+                    1, D, D, 96, 2)
+                s.ctc_proj = md.CTC(257, D)
+
+            def encode(s, x, mask):
+                return s.audio_encoder(x, mask)
+
+        hybrid = TinyHybrid().eval()
+        pt = str(tmp_path_factory.mktemp("tiny_sd") / "model.pt")
+        torch.save(hybrid.state_dict(), pt)
+        enc_cfg = EncoderConfig(input_size=IN, d_model=D, heads=H,
+                                ffn_dim=F, num_blocks=2, tp_blocks=1,
+                                kernel_size=K)
+        ad_cfg = AdaptorConfig(in_dim=D, out_dim=D, ffn_dim=96, n_layers=2)
+        ctc_cfg = CTCHeadConfig(
+            adaptor=AdaptorConfig(in_dim=D, out_dim=D, ffn_dim=96,
+                                  n_layers=2),
+            vocab_size=257)
+        enc_p, ada_p, ctc_p = load_encoder_from_pt(
+            pt, enc_cfg=enc_cfg, ad_cfg=ad_cfg, ctc_cfg=ctc_cfg,
+            dtype=jnp.float32)
+
+        llm_cfg = Qwen3Config.tiny(vocab_size=4096)
+        assert llm_cfg.hidden == D, "adaptor out must equal LLM hidden"
+        hf = _hf_qwen3(llm_cfg, seed=9)
+        sd16 = {k: v.detach().half().float()
+                for k, v in hf.state_dict().items()}
+        hf.load_state_dict(sd16, strict=False)
+        llm_params = qwen3_params_from_hf_state(
+            {k: v.numpy() for k, v in sd16.items()}, llm_cfg)
+
+        cfg = HybridConfig(encoder=enc_cfg, adaptor=ad_cfg, ctc=ctc_cfg,
+                           llm=llm_cfg)
+        ckpt = str(tmp_path_factory.mktemp("tiny_ckpt") / "model")
+        save_checkpoint(ckpt, cfg, enc_p, ada_p, ctc_p,
+                        jax.tree_util.tree_map(jnp.asarray, llm_params),
+                        quantize_q8_0=False)
+        lines = []
+        for i in range(ctc_cfg.vocab_size):
+            tok = ("<blk>" if i == ctc_cfg.vocab_size - 1 else
+                   base64.b64encode(f"<{i}>".encode()).decode())
+            lines.append(f"{tok} {i}")
+        with open(os.path.join(ckpt, "tokens.txt"), "w",
+                  encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        return ckpt, hybrid, hf
+
+    def test_tiny_engine_matches_torch_pipeline(self, setup, md, tmp_path):
+        from fun_asr_gguf_tpu.audio import write_wav
+        ckpt, hybrid, hf = setup
+        n_valid = int(16000 * 1.5)
+        window = 16000 * 2
+        buf = _mk_audio(window, n_valid, seed=33)
+        wav = str(tmp_path / "tiny.wav")
+        write_wav(wav, buf[:n_valid], 16000)
+        _engine_torch_equivalence(
+            md, hybrid, hf, ckpt, wav, buf, n_valid, n_new=16,
+            engine_kwargs=dict(segment_pad_seconds=2.0,
+                               prefill_buckets=(128,)))
