@@ -100,12 +100,34 @@ class Qwen3Config:
     arch: str = "qwen3"          # GGUF general.architecture on export
     qk_norm: bool = True         # per-head RMSNorm on q/k (qwen3, gemma-like)
     attn_bias: bool = False      # q/k/v projection biases (qwen2 family)
+    # -- sparse MoE MLP (Qwen3-MoE family; reference converter registers
+    # Qwen3MoeForCausalLM at convert_hf_to_gguf.py:4328) --
+    n_experts: int = 0           # 0 = dense MLP
+    n_experts_per_tok: int = 0   # router top-k
+    moe_ffn_dim: int = 0         # per-expert intermediate size
+    norm_topk_prob: bool = True  # renormalize the top-k routing probs
+
+    @property
+    def is_moe(self) -> bool:
+        return self.n_experts > 0
 
     @staticmethod
     def tiny(vocab_size: int = 512):
         return Qwen3Config(hidden=64, n_layers=2, q_heads=4, kv_heads=2,
                            head_dim=16, ffn_dim=128, vocab_size=vocab_size,
                            rope_theta=1e4)
+
+    @staticmethod
+    def tiny_moe(vocab_size: int = 512, n_experts: int = 8,
+                 n_experts_per_tok: int = 2):
+        """Qwen3-MoE-shaped tiny config (softmax top-k router, no shared
+        expert, qk-norm like dense qwen3)."""
+        return Qwen3Config(hidden=64, n_layers=2, q_heads=4, kv_heads=2,
+                           head_dim=16, ffn_dim=128, vocab_size=vocab_size,
+                           rope_theta=1e4, arch="qwen3moe",
+                           n_experts=n_experts,
+                           n_experts_per_tok=n_experts_per_tok,
+                           moe_ffn_dim=96)
 
     @staticmethod
     def tiny_qwen2(vocab_size: int = 512):
@@ -135,6 +157,15 @@ class Qwen3Config:
     def qwen3_4b():
         return Qwen3Config(hidden=2560, n_layers=36, q_heads=32, kv_heads=8,
                            head_dim=128, ffn_dim=9728, vocab_size=151936)
+
+    @staticmethod
+    def qwen3_30b_a3b():
+        """Qwen3-30B-A3B MoE decoder (128 experts, top-8, 3B active) —
+        the expert-parallel stretch config."""
+        return Qwen3Config(hidden=2048, n_layers=48, q_heads=32, kv_heads=4,
+                           head_dim=128, ffn_dim=6144, vocab_size=151936,
+                           arch="qwen3moe", n_experts=128,
+                           n_experts_per_tok=8, moe_ffn_dim=768)
 
 
 @dataclass(frozen=True)

@@ -78,7 +78,15 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
     has_head = "output.weight" in names
     q_heads = int(g("attention.head_count", 16))
     hidden = int(g("embedding_length", hidden))
+    moe = {}
+    if int(g("expert_count", 0)):
+        moe = dict(
+            n_experts=int(g("expert_count", 0)),
+            n_experts_per_tok=int(g("expert_used_count", 0)),
+            moe_ffn_dim=int(g("expert_feed_forward_length", 0)),
+            norm_topk_prob=bool(g("norm_topk_prob", True)))
     return Qwen3Config(
+        **moe,
         hidden=hidden,
         n_layers=int(g("block_count", 28)),
         q_heads=q_heads,
@@ -150,10 +158,29 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
         "k_w": stack(lambda i: mat(f"blk.{i}.attn_k.weight")),
         "v_w": stack(lambda i: mat(f"blk.{i}.attn_v.weight")),
         "o_w": stack(lambda i: mat(f"blk.{i}.attn_output.weight")),
-        "gate_w": stack(lambda i: mat(f"blk.{i}.ffn_gate.weight")),
-        "up_w": stack(lambda i: mat(f"blk.{i}.ffn_up.weight")),
-        "down_w": stack(lambda i: mat(f"blk.{i}.ffn_down.weight")),
     }
+    if cfg.is_moe:
+        # llama.cpp MoE layout: ffn_gate_inp (router) + stacked 3-D
+        # ffn_{gate,up,down}_exps. Experts dequantize on load (the engine
+        # re-quantizes to int8); the 2-D Pallas q8_0 path doesn't apply.
+        def e3(name, swap):
+            a = r.tensor(name).astype(np.float32)      # [E, n, k]
+            return jnp.asarray(np.swapaxes(a, -1, -2) if swap else a,
+                               dtype)
+        layers["router_w"] = stack(
+            lambda i: jnp.asarray(t(f"blk.{i}.ffn_gate_inp.weight"), dtype))
+        layers["moe_gate_w"] = stack(
+            lambda i: e3(f"blk.{i}.ffn_gate_exps.weight", True))
+        layers["moe_up_w"] = stack(
+            lambda i: e3(f"blk.{i}.ffn_up_exps.weight", True))
+        layers["moe_down_w"] = stack(
+            lambda i: e3(f"blk.{i}.ffn_down_exps.weight", True))
+    else:
+        layers.update({
+            "gate_w": stack(lambda i: mat(f"blk.{i}.ffn_gate.weight")),
+            "up_w": stack(lambda i: mat(f"blk.{i}.ffn_up.weight")),
+            "down_w": stack(lambda i: mat(f"blk.{i}.ffn_down.weight")),
+        })
     if cfg.qk_norm:
         layers["q_norm"] = vstack("blk.{}.attn_q_norm.weight")
         layers["k_norm"] = vstack("blk.{}.attn_k_norm.weight")
@@ -193,6 +220,11 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
     w.add_kv(f"{arch}.rope.freq_base", float(cfg.rope_theta))
     w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", float(cfg.rms_eps))
     w.add_kv(f"{arch}.context_length", cfg.max_position)
+    if cfg.is_moe:
+        w.add_kv(f"{arch}.expert_count", cfg.n_experts)
+        w.add_kv(f"{arch}.expert_used_count", cfg.n_experts_per_tok)
+        w.add_kv(f"{arch}.expert_feed_forward_length", cfg.moe_ffn_dim)
+        w.add_kv(f"{arch}.norm_topk_prob", cfg.norm_topk_prob)
 
     if tokenizer_json:
         from ..formats.tokenizer import gguf_vocab_from_tokenizer_json
@@ -214,6 +246,15 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
     def mat(name, arr2d):
         """our [in, out] -> gguf [out, in]; q8_0 blocks run along `in`."""
         a = np.asarray(arr2d, dtype=np.float32).T
+        if quantize_q8_0 and a.shape[-1] % 32 == 0:
+            w.add_tensor(name, a, ggml_type=GGMLType.Q8_0)
+        else:
+            w.add_tensor(name, a.astype(np.float16))
+
+    def mat3(name, arr3d):
+        """stacked expert weights [E, in, out] -> gguf [E, out, in]."""
+        a = np.ascontiguousarray(
+            np.swapaxes(np.asarray(arr3d, np.float32), -1, -2))
         if quantize_q8_0 and a.shape[-1] % 32 == 0:
             w.add_tensor(name, a, ggml_type=GGMLType.Q8_0)
         else:
@@ -249,9 +290,15 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         mat(f"blk.{i}.attn_k.weight", L["k_w"][i])
         mat(f"blk.{i}.attn_v.weight", L["v_w"][i])
         mat(f"blk.{i}.attn_output.weight", L["o_w"][i])
-        mat(f"blk.{i}.ffn_gate.weight", L["gate_w"][i])
-        mat(f"blk.{i}.ffn_up.weight", L["up_w"][i])
-        mat(f"blk.{i}.ffn_down.weight", L["down_w"][i])
+        if cfg.is_moe:
+            mat(f"blk.{i}.ffn_gate_inp.weight", L["router_w"][i])
+            mat3(f"blk.{i}.ffn_gate_exps.weight", L["moe_gate_w"][i])
+            mat3(f"blk.{i}.ffn_up_exps.weight", L["moe_up_w"][i])
+            mat3(f"blk.{i}.ffn_down_exps.weight", L["moe_down_w"][i])
+        else:
+            mat(f"blk.{i}.ffn_gate.weight", L["gate_w"][i])
+            mat(f"blk.{i}.ffn_up.weight", L["up_w"][i])
+            mat(f"blk.{i}.ffn_down.weight", L["down_w"][i])
     if not cfg.tie_embeddings:
         mat("output.weight", flat["lm_head"])
     w.write()

@@ -345,6 +345,10 @@ def _proj(x, w, pre: bool = False):
 
 _MATMUL_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w",
                 "qkv_w", "gate_up_w")
+# stacked expert weights [L, E, k, n]: shape-agnostic quantizers (int8 /
+# int4) handle them; the 2-D Pallas q8_0 kernels do not (router_w stays
+# dense — it is tiny and feeds a f32 softmax)
+_MOE_MATMUL_KEYS = ("moe_gate_w", "moe_up_w", "moe_down_w")
 
 
 def _q8_mode() -> str:
@@ -398,7 +402,7 @@ def quantize_qwen3_params_int8(params, keys=None, donate: bool = False):
 
     src = params["layers"]
     layers = dict(src)
-    for key in (keys or _MATMUL_KEYS):
+    for key in (keys or _MATMUL_KEYS + _MOE_MATMUL_KEYS):
         w = layers.get(key)
         if w is None or isinstance(w, (QuantTensor, BlockQuant, Int8Weight)):
             continue
@@ -479,7 +483,8 @@ def pack_qwen3_params(params):
         return jnp.concatenate(ws, axis=-1)
 
     layers["qkv_w"] = cat(("q_w", "k_w", "v_w"))
-    layers["gate_up_w"] = cat(("gate_w", "up_w"))
+    if "gate_w" in layers:          # MoE layers have expert MLPs instead
+        layers["gate_up_w"] = cat(("gate_w", "up_w"))
     if "q_b" in layers:   # qwen2-family biases ride along, fused likewise
         layers["qkv_b"] = jnp.concatenate(
             [layers.pop(k) for k in ("q_b", "k_b", "v_b")], axis=-1)
@@ -530,6 +535,10 @@ def fuse_qwen3_params_q8(params):
     if "q8_fused" in params:
         return params
     layers = dict(params["layers"])
+    if "router_w" in layers:
+        raise ValueError(
+            "fuse_qwen3_params_q8 does not support MoE layers — use the "
+            "int8/bf16 paths for qwen3moe decoders")
     if "qkv_b" in layers or "q_b" in layers:
         raise ValueError(
             "fuse_qwen3_params_q8 supports bias-free archs only (qwen3/"
@@ -570,6 +579,10 @@ def fuse_qwen3_params_q8i(params):
         raise ValueError("params already use the perm-space (q8_fused) "
                          "convention; build q8i from unfused packed params")
     layers = dict(params["layers"])
+    if "router_w" in layers:
+        raise ValueError(
+            "fuse_qwen3_params_q8i does not support MoE layers — use the "
+            "int8/bf16 paths for qwen3moe decoders")
     for key in ("qkv_w", "o_w", "gate_up_w", "down_w"):
         w = layers.get(key)
         if isinstance(w, QuantTensor):
@@ -657,6 +670,102 @@ def _mlp(x, lp, pre: bool = False):
     # elementwise pairing is aligned and the product lands in down_w's
     # expected (permuted) contraction order
     return _proj(jax.nn.silu(gate) * up, lp["down_w"], pre)
+
+
+def _moe_dense(w, dtype):
+    """Dense view of stacked expert weights [..., E, k, n] (the
+    Int8Weight dequant is an elementwise producer XLA fuses into the
+    consuming einsum's weight reads — no materialized bf16 copy)."""
+    if isinstance(w, Int8Weight):
+        return w.w8.astype(dtype) * w.scale.astype(dtype)
+    return w.astype(dtype)
+
+
+def _moe_gather(w, idx):
+    """Select expert slices by routing index: idx [N, K] → [N, K, k, n]."""
+    if isinstance(w, Int8Weight):
+        return Int8Weight(w8=w.w8[idx], scale=w.scale[idx])
+    return w[idx]
+
+
+def _moe_mlp(x, lp, cfg: Qwen3Config):
+    """Sparse-MoE MLP block (Qwen3-MoE: softmax router over all experts,
+    top-k selection, optional renormalization of the selected probs, no
+    shared expert — ``Qwen3MoeSparseMoeBlock``; the reference converter
+    registers the family at ``convert_hf_to_gguf.py:4328``).
+
+    Two execution strategies, chosen statically by token count:
+
+    * **gather** (decode/verify: few tokens): pull the top-k experts'
+      weight slices per token and batch the per-token expert MLPs — HBM
+      reads only the ACTIVE experts' bytes, which is what makes MoE
+      decode cheap (k/E of the weight traffic);
+    * **dense dispatch** (prefill/training: many tokens): run every
+      expert over every token and combine with the routing weights —
+      one pass over all expert weights (which ≥E/k tokens activate
+      almost surely anyway) using full-size MXU matmuls instead of N·k
+      scattered slices. This form is also what expert-parallel sharding
+      partitions (each device computes its expert shard, psum combines).
+    """
+    lead, h = x.shape[:-1], x.shape[-1]
+    xf = x.reshape(-1, h)
+    n = xf.shape[0]
+    k = cfg.n_experts_per_tok
+    logits = jnp.dot(xf.astype(jnp.float32),
+                     lp["router_w"].astype(jnp.float32),
+                     preferred_element_type=jnp.float32)       # [N, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, k)                       # [N, K]
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+
+    gw, uw, dw = lp["moe_gate_w"], lp["moe_up_w"], lp["moe_down_w"]
+    if n * k <= cfg.n_experts:
+        g_sel = _moe_dense(_moe_gather(gw, topi), x.dtype)     # [N,K,h,f]
+        u_sel = _moe_dense(_moe_gather(uw, topi), x.dtype)
+        d_sel = _moe_dense(_moe_gather(dw, topi), x.dtype)     # [N,K,f,h]
+        g = jnp.einsum("nh,nkhf->nkf", xf, g_sel,
+                       preferred_element_type=jnp.float32)
+        u = jnp.einsum("nh,nkhf->nkf", xf, u_sel,
+                       preferred_element_type=jnp.float32)
+        a = (jax.nn.silu(g) * u).astype(x.dtype)
+        y = jnp.einsum("nkf,nkfh->nkh", a, d_sel,
+                       preferred_element_type=jnp.float32)     # [N,K,h]
+        out = jnp.einsum("nkh,nk->nh", y, topv,
+                         preferred_element_type=jnp.float32)
+    else:
+        out = _moe_dense_dispatch(xf, topv, topi, gw, uw, dw, cfg)
+    return out.reshape(*lead, h).astype(x.dtype)
+
+
+def _moe_dense_dispatch(xf, topv, topi, gw, uw, dw, cfg: Qwen3Config,
+                        expert_offset: int = 0, n_local: Optional[int] = None):
+    """All-experts-over-all-tokens form: xf [N, h] → [N, h] f32.
+
+    ``expert_offset``/``n_local`` restrict to an expert shard (expert
+    parallelism: each device holds E/ep experts, combines with psum —
+    routing weights for non-local experts contribute zero here)."""
+    n_local = n_local or cfg.n_experts
+    onehot = jax.nn.one_hot(topi - expert_offset, n_local,
+                            dtype=jnp.float32)                 # [N,K,El]
+    cw = jnp.einsum("nke,nk->ne", onehot, topv)                # [N, El]
+    dt = xf.dtype
+    g = jnp.einsum("nh,ehf->enf", xf, _moe_dense(gw, dt),
+                   preferred_element_type=jnp.float32)
+    u = jnp.einsum("nh,ehf->enf", xf, _moe_dense(uw, dt),
+                   preferred_element_type=jnp.float32)
+    a = (jax.nn.silu(g) * u).astype(dt)
+    y = jnp.einsum("enf,efh->enh", a, _moe_dense(dw, dt),
+                   preferred_element_type=jnp.float32)         # [E,N,h]
+    return jnp.einsum("enh,ne->nh", y, cw,
+                      preferred_element_type=jnp.float32)
+
+
+def _mlp_block(h, lp, cfg: Qwen3Config, pre: bool = False):
+    """MLP dispatcher: sparse MoE when the layer carries a router."""
+    if "router_w" in lp:
+        return _moe_mlp(h, lp, cfg)
+    return _mlp(h, lp, pre)
 
 
 def _fused_mlp_call(attn_heads, x, lp, cfg: Qwen3Config, eps):
@@ -791,7 +900,7 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
         probs = jax.nn.softmax(scores, axis=-1)
         x = x + _attn_out(_gqa_mix(probs, v, cfg), lp, cfg, fused)
         h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
-        x = x + _mlp(h, lp, fused)
+        x = x + _mlp_block(h, lp, cfg, fused)
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(
@@ -871,7 +980,7 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         else:
             x = x + _attn_out(heads, lp, cfg)
             h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
-            x = x + _mlp(h, lp)
+            x = x + _mlp_block(h, lp, cfg)
         return (x, K, V), jnp.int32(0)
 
     fused_i = "q8i_fused" in params
@@ -1009,7 +1118,7 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
         else:
             x = x + _attn_out(heads, lp, cfg)
             h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
-            x = x + _mlp(h, lp)
+            x = x + _mlp_block(h, lp, cfg)
         return (x, K, V), jnp.int32(0)
 
     fused_i = "q8i_fused" in params
@@ -1100,7 +1209,7 @@ def qwen3_forward_logits(params, embeds, attn_mask, cfg: Qwen3Config):
         probs = jax.nn.softmax(scores, axis=-1)
         x = x + _attn_out(_gqa_mix(probs, v, cfg), lp, cfg, fused)
         h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
-        x = x + _mlp(h, lp, fused)
+        x = x + _mlp_block(h, lp, cfg, fused)
         return x, None
 
     x, _ = jax.lax.scan(
@@ -1211,10 +1320,20 @@ def init_qwen3_params(rng, cfg: Qwen3Config, dtype=jnp.float32):
         "k_w": norm(keys[1], (n, h, kd), s_h),
         "v_w": norm(keys[2], (n, h, kd), s_h),
         "o_w": norm(keys[3], (n, qd, h), s_q),
-        "gate_w": norm(keys[4], (n, h, cfg.ffn_dim), s_h),
-        "up_w": norm(keys[5], (n, h, cfg.ffn_dim), s_h),
-        "down_w": norm(keys[6], (n, cfg.ffn_dim, h), s_f),
     }
+    if cfg.is_moe:
+        e, f = cfg.n_experts, cfg.moe_ffn_dim
+        mkeys = jax.random.split(keys[4], 4)
+        layers["router_w"] = norm(mkeys[0], (n, h, e), s_h)
+        layers["moe_gate_w"] = norm(mkeys[1], (n, e, h, f), s_h)
+        layers["moe_up_w"] = norm(mkeys[2], (n, e, h, f), s_h)
+        layers["moe_down_w"] = norm(mkeys[3], (n, e, f, h), f ** -0.5)
+    else:
+        layers.update({
+            "gate_w": norm(keys[4], (n, h, cfg.ffn_dim), s_h),
+            "up_w": norm(keys[5], (n, h, cfg.ffn_dim), s_h),
+            "down_w": norm(keys[6], (n, cfg.ffn_dim, h), s_f),
+        })
     if cfg.qk_norm:
         layers["q_norm"] = jnp.ones((n, cfg.head_dim), dtype)
         layers["k_norm"] = jnp.ones((n, cfg.head_dim), dtype)

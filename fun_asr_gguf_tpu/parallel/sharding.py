@@ -16,6 +16,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _COL_PARALLEL = ("q_w", "k_w", "v_w", "gate_w", "up_w",
                  "qkv_w", "gate_up_w")
 _ROW_PARALLEL = ("o_w", "down_w")
+_MOE_EXPERT = ("moe_gate_w", "moe_up_w", "moe_down_w")
 
 
 def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
@@ -68,11 +69,26 @@ def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
                               scale=P(None, "tp", None))
         return P(None, "tp", None)
 
+    def moe_spec(key):
+        """Expert parallelism: stacked expert weights [L, E, k, n] shard
+        the EXPERT axis over 'tp' (each device holds E/tp experts; the
+        dense-dispatch einsums contract the expert axis, so GSPMD runs
+        each shard locally and psums the combine — see
+        models.qwen3._moe_dense_dispatch)."""
+        from ..models.qwen3 import Int8Weight
+        w = params["layers"].get(key) if params is not None else None
+        if isinstance(w, Int8Weight):
+            return Int8Weight(w8=P(None, "tp", None, None),
+                              scale=P(None, "tp", None, None))
+        return P(None, "tp", None, None)
+
     if params is not None:
         matmul_keys = tuple(k for k in params["layers"]
                             if k in _COL_PARALLEL + _ROW_PARALLEL)
+        moe_keys = tuple(k for k in params["layers"] if k in _MOE_EXPERT)
     else:
         matmul_keys = ("q_w", "k_w", "v_w", "gate_w", "up_w") + _ROW_PARALLEL
+        moe_keys = ()
     norm_keys = ("input_ln", "post_ln", "q_norm", "k_norm")
     # qwen2-family attention biases: [L, out] — column-split with their
     # projection's output channels
@@ -88,6 +104,10 @@ def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
         layers[key] = P(None, "tp")
     for key in matmul_keys:
         layers[key] = wspec(key)
+    for key in moe_keys:
+        layers[key] = moe_spec(key)
+    if params is not None and "router_w" in params["layers"]:
+        layers["router_w"] = repl       # tiny; feeds a replicated top-k
     spec = {"layers": layers, "final_ln": repl, "embed": repl}
     if params is not None and "lm_head" in params:
         spec["lm_head"] = repl
@@ -137,6 +157,46 @@ def encoder_param_sharding(mesh: Mesh, params) -> Dict:
     return jax.tree_util.tree_map(
         lambda p: NamedSharding(mesh, p), specs,
         is_leaf=lambda x: isinstance(x, P))
+
+
+def moe_ep_dispatch(xf, topv, topi, gw, uw, dw, cfg, mesh: Mesh,
+                    axis: str = "tp"):
+    """Explicit expert-parallel MoE dispatch (shard_map form).
+
+    Each device holds E/ep experts (expert axis sharded over ``axis``),
+    computes the dense dispatch for its local shard with the routing
+    one-hot masked to local expert ids, and a psum combines the
+    contributions — tokens routed to remote experts contribute zero
+    locally. This is the decode-friendly EP form (no weight all-gather);
+    the GSPMD path gets the same collective from the einsum contraction
+    over the sharded expert axis.
+
+    xf [N, h] activations, topv/topi [N, K] routing, gw/uw/dw stacked
+    expert weights [E, k, n] (single layer). Returns [N, h] f32.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..models.qwen3 import _moe_dense_dispatch
+    ep = mesh.shape[axis]
+    if cfg.n_experts % ep:
+        raise ValueError(f"n_experts={cfg.n_experts} not divisible by "
+                         f"mesh axis {axis}={ep}")
+    n_local = cfg.n_experts // ep
+
+    def local_fn(xf, topv, topi, gw, uw, dw):
+        idx = jax.lax.axis_index(axis)
+        out = _moe_dense_dispatch(
+            xf, topv, topi, gw, uw, dw, cfg,
+            expert_offset=idx * n_local, n_local=n_local)
+        return jax.lax.psum(out, axis)
+
+    wspec = P(axis, None, None)
+    return shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), wspec, wspec, wspec),
+        out_specs=P(),
+        check_rep=False,
+    )(xf, topv, topi, gw, uw, dw)
 
 
 def replicated(mesh: Mesh, params):

@@ -56,10 +56,29 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
         "k_w": stack("model.layers.{}.self_attn.k_proj.weight"),
         "v_w": stack("model.layers.{}.self_attn.v_proj.weight"),
         "o_w": stack("model.layers.{}.self_attn.o_proj.weight"),
-        "gate_w": stack("model.layers.{}.mlp.gate_proj.weight"),
-        "up_w": stack("model.layers.{}.mlp.up_proj.weight"),
-        "down_w": stack("model.layers.{}.mlp.down_proj.weight"),
     }
+    if cfg.is_moe:
+        # Qwen3-MoE sparse block: mlp.gate (router) + per-expert
+        # gate/up/down projections (reference converter merges the same
+        # expert stacks, convert_hf_to_gguf.py Qwen2MoeModel.modify_tensors)
+        def estack(fmt):
+            return np.stack([
+                np.stack([t(fmt.format(i, e))
+                          for e in range(cfg.n_experts)])
+                for i in range(cfg.n_layers)])
+        layers["router_w"] = stack("model.layers.{}.mlp.gate.weight")
+        layers["moe_gate_w"] = estack(
+            "model.layers.{}.mlp.experts.{}.gate_proj.weight")
+        layers["moe_up_w"] = estack(
+            "model.layers.{}.mlp.experts.{}.up_proj.weight")
+        layers["moe_down_w"] = estack(
+            "model.layers.{}.mlp.experts.{}.down_proj.weight")
+    else:
+        layers.update({
+            "gate_w": stack("model.layers.{}.mlp.gate_proj.weight"),
+            "up_w": stack("model.layers.{}.mlp.up_proj.weight"),
+            "down_w": stack("model.layers.{}.mlp.down_proj.weight"),
+        })
     if cfg.qk_norm:
         layers["q_norm"] = stack_vec(
             "model.layers.{}.self_attn.q_norm.weight")
@@ -82,6 +101,7 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
 # HF `architectures[0]` → (gguf arch, qk_norm, attn_bias)
 _HF_ARCHS = {
     "Qwen3ForCausalLM": ("qwen3", True, False),
+    "Qwen3MoeForCausalLM": ("qwen3moe", True, False),
     "Qwen2ForCausalLM": ("qwen2", False, True),
     "LlamaForCausalLM": ("llama", False, False),
     "MistralForCausalLM": ("llama", False, False),
@@ -95,7 +115,21 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
             f"unsupported HF architecture {hf_arch!r}; supported: "
             f"{sorted(_HF_ARCHS)}")
     arch, qk_norm, attn_bias = _HF_ARCHS[hf_arch]
+    moe = {}
+    if arch == "qwen3moe":
+        if (config.get("mlp_only_layers") or
+                config.get("decoder_sparse_step", 1) != 1):
+            raise ValueError(
+                "qwen3moe with dense interleaved layers (mlp_only_layers/"
+                "decoder_sparse_step) is not supported — all layers must "
+                "be sparse")
+        moe = dict(
+            n_experts=config["num_experts"],
+            n_experts_per_tok=config["num_experts_per_tok"],
+            moe_ffn_dim=config["moe_intermediate_size"],
+            norm_topk_prob=bool(config.get("norm_topk_prob", True)))
     return Qwen3Config(
+        **moe,
         hidden=config["hidden_size"],
         n_layers=config["num_hidden_layers"],
         q_heads=config["num_attention_heads"],

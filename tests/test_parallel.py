@@ -391,3 +391,65 @@ class TestInt4TP:
         mesh = make_mesh(dp=4, tp=2)
         sharded = run(shard_llm_params(params, mesh))
         np.testing.assert_array_equal(single, sharded)
+
+
+class TestExpertParallel:
+    """Expert parallelism for the qwen3moe stretch decoder: expert stacks
+    shard E/tp; GSPMD (einsum contraction over the sharded expert axis)
+    and the explicit shard_map dispatch must both match single-device."""
+
+    def _moe(self, tp=2):
+        cfg = Qwen3Config.tiny_moe(vocab_size=64, n_experts=4 * tp,
+                                   n_experts_per_tok=2)
+        params = init_qwen3_params(jax.random.PRNGKey(11), cfg)
+        return cfg, params
+
+    def test_gspmd_ep_prefill_matches_single(self):
+        cfg, params = self._moe()
+        rng = np.random.default_rng(11)
+        ids = rng.integers(0, cfg.vocab_size, size=(2, 8))
+        e = params["embed"][jnp.asarray(ids)].astype(jnp.float32)
+        m = jnp.ones((2, 8), jnp.float32)
+        ref, _ = qwen3_prefill(params, e, m, cfg)
+        mesh = make_mesh(dp=4, tp=2)
+        sharded = shard_llm_params(params, mesh)
+        got, _ = jax.jit(lambda p, a, b: qwen3_prefill(p, a, b, cfg))(
+            sharded, e, m)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_shard_map_dispatch_matches_moe_mlp(self):
+        from fun_asr_gguf_tpu.models.qwen3 import _moe_mlp
+        from fun_asr_gguf_tpu.parallel.sharding import moe_ep_dispatch
+        cfg, params = self._moe()
+        lp = {k: v[0] for k, v in params["layers"].items()}
+        rng = np.random.default_rng(12)
+        xf = jnp.asarray(rng.normal(size=(6, cfg.hidden)).astype(np.float32))
+        logits = xf @ lp["router_w"]
+        topv, topi = jax.lax.top_k(jax.nn.softmax(logits, axis=-1),
+                                   cfg.n_experts_per_tok)
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+        mesh = make_mesh(dp=4, tp=2)
+        ep = moe_ep_dispatch(xf, topv, topi, lp["moe_gate_w"],
+                             lp["moe_up_w"], lp["moe_down_w"], cfg, mesh,
+                             axis="tp")
+        ref = _moe_mlp(xf, lp, cfg)
+        np.testing.assert_allclose(np.asarray(ep), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_int8_ep_prefill_matches_single(self):
+        from fun_asr_gguf_tpu.models.qwen3 import (
+            pack_qwen3_params, quantize_qwen3_params_int8)
+        cfg, params = self._moe()
+        params = quantize_qwen3_params_int8(pack_qwen3_params(params))
+        rng = np.random.default_rng(13)
+        ids = rng.integers(0, cfg.vocab_size, size=(2, 8))
+        e = params["embed"][jnp.asarray(ids)].astype(jnp.float32)
+        m = jnp.ones((2, 8), jnp.float32)
+        ref, _ = qwen3_prefill(params, e, m, cfg)
+        mesh = make_mesh(dp=4, tp=2)
+        sharded = shard_llm_params(params, mesh)
+        got, _ = jax.jit(lambda p, a, b: qwen3_prefill(p, a, b, cfg))(
+            sharded, e, m)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
