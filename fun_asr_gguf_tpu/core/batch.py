@@ -14,6 +14,7 @@ Aborted rows (repetition fuse) are retried individually with the
 reference's +0.3-temperature policy (``core/decoder.py:201-211``).
 """
 
+import logging
 import time
 from typing import List, Optional
 
@@ -29,6 +30,8 @@ from ..models.audio_encoder import audio_encoder_forward
 from ..models.generate import generate_chunk, prefill_init
 from .decoder import ABORT_MARKER, StreamDecoder
 from .model_manager import ModelManager
+
+logger = logging.getLogger("fun_asr_gguf_tpu.core.batch")
 
 
 def pad_streams_to_bucket(streams: List[RecognitionStream],
@@ -197,6 +200,22 @@ class BatchStreamDecoder:
             from ..models.speculative import spec_generate_chunk, spec_init
             state = spec_init(state)
             draft_dev = models.put_batch(drafts)
+            # batch-aware acceptance guardrail: a batched verify round
+            # costs ~(1 + spec_accept_slope*B) plain decode steps
+            # (measured on v5e — experiments/spec_batch_crossover.py:
+            # cost ratio 1.02/1.39/1.51/2.03 at b=1/2/4/8), so drafting
+            # pays only while the batch emits more than that many tokens
+            # per round per row. Below threshold, keep the SAME spec
+            # program but drop to spec_k=0 with an empty draft — a plain
+            # decoder with per-row KV slots (spec_to_gen needs uniform
+            # slots, which a batch mid-decode no longer has).
+            slope = getattr(models.config, "spec_accept_slope", 0.13)
+            min_acc = max(getattr(models.config, "spec_min_accept", 1.35),
+                          1.0 + slope * b) \
+                if getattr(models.config, "spec_min_accept", 1.35) > 0 else 0
+            spec_k = models.config.spec_k
+            emitted_total = 0
+            first_chunk = True
             while True:
                 # budget by state.n_gen (stop tokens are NOT counted, the
                 # reference single-stream semantics) — raw emitted-token
@@ -204,18 +223,25 @@ class BatchStreamDecoder:
                 n_gen = np.asarray(state.n_gen).astype(np.int64)
                 todo = np.minimum(chunk_len,
                                   models.config.n_predict - n_gen)
+                if first_chunk and spec_k > 0:
+                    # probe: cap the first spec chunk so a bad batch of
+                    # drafts is abandoned after ≤16 emissions per row
+                    # (same policy as core/decoder.py's single stream)
+                    todo = np.minimum(todo, 16)
+                    first_chunk = False
                 state, tokens = spec_generate_chunk(
                     models.llm_params, state, draft_dev,
                     models.hybrid_cfg.llm,
                     jnp.asarray(temperature, jnp.float32),
                     jnp.asarray(top_p, jnp.float32), top_k,
-                    spec_k=models.config.spec_k, chunk_len=chunk_len,
+                    spec_k=spec_k, chunk_len=chunk_len,
                     stop_tokens=models.stop_tokens,
                     limit=jnp.asarray(todo, jnp.int32),
                     greedy=(temperature <= 0))
                 toks_np = np.asarray(tokens)
                 token_chunks.append(toks_np)
                 n_emit = (toks_np >= 0).sum(axis=1)
+                emitted_total += int(n_emit.sum())
                 done = np.asarray(state.done)
                 active = ~done & (np.asarray(state.n_gen)
                                   < models.config.n_predict)
@@ -223,6 +249,17 @@ class BatchStreamDecoder:
                     break
                 if not np.any(n_emit[active] > 0):
                     break   # safety: no forward progress should be impossible
+                if spec_k > 0 and min_acc:
+                    rounds = int(np.asarray(state.rounds).max())
+                    if (rounds >= 8
+                            and emitted_total / (rounds * b) < min_acc):
+                        logger.info(
+                            "batched speculation off: %.2f tokens/round/row"
+                            " < %.2f (b=%d, %d rounds)",
+                            emitted_total / (rounds * b), min_acc, b,
+                            rounds)
+                        spec_k = 0
+                        draft_dev = jnp.full_like(draft_dev, -1)
         else:
             generated = 0
             while generated < models.config.n_predict:

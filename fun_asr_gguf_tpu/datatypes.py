@@ -148,6 +148,13 @@ class ASREngineConfig:
                                              # per-verify-round rate (a
                                              # round costs ~1 decode step);
                                              # 0 disables the guardrail
+    spec_accept_slope: float = 0.13          # batched decode: a verify
+                                             # round costs ~(1 + slope*B)
+                                             # plain steps (measured v5e,
+                                             # experiments/spec_batch_
+                                             # crossover.py), so the per-
+                                             # row accept threshold scales
+                                             # with batch size
 
 
 # ==================== CTC ====================

@@ -341,15 +341,21 @@ def spec_generate_chunk(params, state: SpecState, draft_ids,
 
         # probabilistic rejection → exclude that id from the next draw;
         # validity/budget rejections resample unconstrained
-        rej_i = jnp.clip(a, 0, spec_k - 1)
-        rej_was_valid = jnp.take_along_axis(
-            d_valid, rej_i[:, None], axis=1)[:, 0] & (a < spec_k)
-        forbid = jnp.where(
-            active,
-            jnp.where(rej_was_valid & (temperature > 0),
-                      jnp.take_along_axis(d_tok, rej_i[:, None],
-                                          axis=1)[:, 0], -1),
-            state.forbid)      # paused rows keep their pending exclusion
+        if spec_k == 0:
+            # no drafting at all (the batched guardrail's fallback mode:
+            # one pending token per round = plain decode with per-row KV
+            # slots); an inbound exclusion is consumed by the pending draw
+            forbid = jnp.where(active, -1, state.forbid)
+        else:
+            rej_i = jnp.clip(a, 0, spec_k - 1)
+            rej_was_valid = jnp.take_along_axis(
+                d_valid, rej_i[:, None], axis=1)[:, 0] & (a < spec_k)
+            forbid = jnp.where(
+                active,
+                jnp.where(rej_was_valid & (temperature > 0),
+                          jnp.take_along_axis(d_tok, rej_i[:, None],
+                                              axis=1)[:, 0], -1),
+                state.forbid)  # paused rows keep their pending exclusion
 
         # 5. next-round logits = after the last consumed token (index a);
         # in cache mode also select that lane's candidates for the next

@@ -252,6 +252,57 @@ class TestSpecGreedyEquivalence:
         _, out = self._spec_tokens(draft, n=9)
         assert out == ref[:9]
 
+    def test_spec_k0_is_plain_decode(self):
+        """spec_k=0 (the batched guardrail's fallback mode) emits exactly
+        the standard greedy transcript: one pending token per verify
+        round, no drafting."""
+        rng = np.random.default_rng(2)
+        _, ref = greedy_reference(init_state(rng, seed=3), 16)
+        rng = np.random.default_rng(2)
+        st = spec_init(init_state(rng, seed=3))
+        out = []
+        while len(out) < 16:
+            st, toks = spec_generate_chunk(
+                PARAMS, st, pad_draft([]), CFG, jnp.asarray(0.0),
+                jnp.asarray(1.0), 50, spec_k=0, chunk_len=8,
+                stop_tokens=STOPS,
+                limit=jnp.asarray(min(8, 16 - len(out)), jnp.int32))
+            got = [int(t) for t in np.asarray(toks)[0] if t >= 0]
+            out.extend(got)
+            if bool(np.asarray(st.done)[0]) or not got:
+                break
+        assert out == ref[:len(out)] and len(out) >= 8
+        # every round consumed exactly one KV slot (no draft writes)
+        st_np = np.asarray(st.rounds)[0]
+        assert int(np.asarray(st.slot_next)[0]) - st.prompt_slots == \
+            int(st_np)
+
+    def test_mid_stream_k0_fallback_keeps_transcript(self):
+        """The batched guardrail's conversion — continue the SAME SpecState
+        with spec_k=0 and a holes draft — must preserve the greedy
+        transcript across the switch point."""
+        rng = np.random.default_rng(2)
+        _, ref = greedy_reference(init_state(rng, seed=3), 24)
+        rng = np.random.default_rng(2)
+        st = spec_init(init_state(rng, seed=3))
+        draft = pad_draft([5, 5, 5, 11, 13])     # garbage → low acceptance
+        st, toks = spec_generate_chunk(
+            PARAMS, st, draft, CFG, jnp.asarray(0.0), jnp.asarray(1.0),
+            50, spec_k=4, chunk_len=8, stop_tokens=STOPS,
+            limit=jnp.asarray(8, jnp.int32))
+        out = [int(t) for t in np.asarray(toks)[0] if t >= 0]
+        holes = jnp.full_like(draft, -1)
+        while len(out) < 24:
+            st, toks = spec_generate_chunk(
+                PARAMS, st, holes, CFG, jnp.asarray(0.0), jnp.asarray(1.0),
+                50, spec_k=0, chunk_len=8, stop_tokens=STOPS,
+                limit=jnp.asarray(min(8, 24 - len(out)), jnp.int32))
+            got = [int(t) for t in np.asarray(toks)[0] if t >= 0]
+            out.extend(got)
+            if bool(np.asarray(st.done)[0]) or not got:
+                break
+        assert out == ref[:len(out)] and len(out) >= 16
+
 
 class TestSpecSampledEquivalence:
     """Temperature > 0: outputs are samples from the same distribution.
