@@ -68,11 +68,17 @@ class BatchStreamDecoder:
                        context: Optional[str] = None,
                        temperature: float = 0.3, top_p: float = 1.0,
                        top_k: int = 50,
-                       n_real: Optional[int] = None) -> List[DecodeResult]:
+                       n_real: Optional[int] = None,
+                       on_chunk=None) -> List[DecodeResult]:
         """``n_real``: when the caller padded the batch to a bucket
         (:func:`pad_streams_to_bucket`), the number of leading real rows.
         Device time is attributed to real rows only, and pad rows skip
-        the abort-retry path."""
+        the abort-retry path.
+
+        ``on_chunk``: optional callback invoked with each generation
+        chunk's token array [B, chunk] (-1 padded) as it leaves the
+        device — lets the caller stream text (e.g. the first long-audio
+        segment) while later tokens are still decoding."""
         models = self.models
         b = len(streams)
         if n_real is None:
@@ -240,6 +246,8 @@ class BatchStreamDecoder:
                     greedy=(temperature <= 0))
                 toks_np = np.asarray(tokens)
                 token_chunks.append(toks_np)
+                if on_chunk is not None:
+                    on_chunk(toks_np)
                 n_emit = (toks_np >= 0).sum(axis=1)
                 emitted_total += int(n_emit.sum())
                 done = np.asarray(state.done)
@@ -272,7 +280,10 @@ class BatchStreamDecoder:
                     stop_tokens=models.stop_tokens,
                     limit=jnp.asarray(todo, jnp.int32),
                     greedy=(temperature <= 0))
-                token_chunks.append(np.asarray(tokens))
+                toks_np = np.asarray(tokens)
+                token_chunks.append(toks_np)
+                if on_chunk is not None:
+                    on_chunk(toks_np)
                 generated += todo
                 if bool(np.all(np.asarray(state.done))):
                     break

@@ -229,9 +229,34 @@ class TranscriptionOrchestrator:
                                                  int(e_s * sr)])
                 streams.append(stream)
             padded, n_real = pad_streams_to_bucket(streams, sr)
+            # latency-to-first-text: stream segment 1's tokens to the
+            # console as each device chunk lands, instead of sitting
+            # silent until every segment finishes (the text reprints
+            # below once merged offsets/headers are known)
+            on_chunk = None
+            if g0 == 0 and self.models.tokenizer is not None:
+                from ..formats.tokenizer import StreamTextDecoder
+                s0, e0 = segments_info[0]
+                reporter.set_segment(1, n_total)
+                reporter.print(
+                    f"\n--- 分段 [{s0:.1f}s - {e0:.1f}s] (实时) ---",
+                    force=True)
+                live = StreamTextDecoder(self.models.tokenizer, reporter)
+                stop_set = set(self.models.stop_tokens) | {
+                    self.models.eos_token}
+
+                def on_chunk(toks, _live=live, _stops=stop_set):
+                    for t in toks[0].tolist():
+                        if t >= 0 and t not in _stops:
+                            _live.push(t)
+
             results = self._batch_decoder.decode_streams(
                 padded, language, context, temperature=temperature,
-                top_p=top_p, top_k=top_k, n_real=n_real)
+                top_p=top_p, top_k=top_k, n_real=n_real,
+                on_chunk=on_chunk)
+            if g0 == 0 and on_chunk is not None:
+                live.flush()
+                reporter.print("", force=True)
             decoded.extend(results[:n_real])
 
         for idx, ((s_s, e_s), d_res) in enumerate(zip(segments_info,

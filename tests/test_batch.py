@@ -123,6 +123,35 @@ class TestParallelSegments:
                                 temperature=0.0, parallel_segments=True)
         assert isinstance(res.text, str)
 
+    def test_first_segment_streams_before_batch_finishes(self, engine,
+                                                         tmp_path):
+        """Latency-to-first-text: segment 1's tokens must reach the
+        decode loop's on_chunk callback while later chunks are still
+        decoding (the orchestrator wires this to the console reporter)."""
+        from fun_asr_gguf_tpu.core.batch import (BatchStreamDecoder,
+                                                 pad_streams_to_bucket)
+        from fun_asr_gguf_tpu.datatypes import RecognitionStream
+        sr = 16000
+        rng = np.random.default_rng(23)
+        streams = []
+        for i in range(3):
+            s = RecognitionStream()
+            s.accept_waveform(sr, rng.normal(size=sr) * 0.05)
+            streams.append(s)
+        padded, n_real = pad_streams_to_bucket(streams, sr)
+        seen = []
+        dec = BatchStreamDecoder(engine.models)
+        results = dec.decode_streams(padded, temperature=0.0,
+                                     n_real=n_real,
+                                     on_chunk=lambda t: seen.append(t))
+        assert seen, "on_chunk never fired"
+        # the callback's row-0 tokens reassemble to result 0's ids
+        stops = set(engine.models.stop_tokens) | {engine.models.eos_token}
+        toks = [int(t) for chunk in seen for t in chunk[0].tolist()
+                if t >= 0 and t not in stops]
+        txt = engine.models.tokenizer.decode(toks).strip()
+        assert engine.models.apply_rules(txt) == results[0].text
+
 
 class TestBatchInt8KV:
     def test_batched_int8_kv_deterministic(self, engine):
