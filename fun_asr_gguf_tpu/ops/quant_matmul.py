@@ -1660,3 +1660,360 @@ def matmul_any(x: jnp.ndarray,
                                x_preblocked=x_preblocked)
         return out.reshape(*lead, out.shape[-1])
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# All-layers decode megakernel: the WHOLE q8_0 decode step in one call
+# ---------------------------------------------------------------------------
+#
+# The per-layer megacall chain still pays two structural costs the staged
+# grid can't remove (measured, experiments/q8_probe.py): ~5 us/layer of
+# pallas_call boundary, and the XLA attention ops between calls
+# serializing against the next call's weight DMA. Folding ATTENTION INTO
+# the kernel removes both: ONE pallas_call walks all 28 layers — per layer
+# [qkv row-chunks][attention S-chunks][o k-chunks][gate_up][down] — then
+# streams the fused lm_head's vocab chunks, so the whole step's weight +
+# KV traffic rides a single pipelined grid (pure-stream ceiling measured
+# 644 GB/s, experiments/q8_bw_probe.py).
+#
+# Attention runs in natural head order (GQA per-kv-head 2-row q slices,
+# online softmax over cache chunks, the current token's k/v as the
+# always-visible init term — validated against XLA in
+# experiments/q8_mega_probes.py P12); the merged output enters perm space
+# in-kernel via the (64,32)->(32,64) transpose (= block_permute for
+# k=2048). The KV cache is HEAD-MAJOR [L, KH, S, D] so per-head chunk
+# slices are contiguous; the kernel RETURNS the new per-layer k/v rows
+# and the caller scatters them at `slot` (no in-kernel HBM writes).
+
+def q8_mega_cs(s_len: int) -> int:
+    """Cache chunk length: largest 128-multiple divisor of S up to 512.
+    0 when S admits none (caller falls back / repads)."""
+    for cs in (512, 384, 256, 128):
+        if s_len % cs == 0:
+            return cs
+    return 0
+
+
+def _q8_decode_all_kernel(
+        x0_ref, nhb0_ref, post_ref, nnext_ref, qn_ref, kn_ref,
+        cos_ref, sin_ref, bias_ref, k_ref, v_ref,
+        qq_ref, qd_ref, oq_ref, od_ref, gq_ref, gd_ref, dq_ref, dd_ref,
+        hq_ref, hd_ref,
+        logits_ref, ks_ref, vs_ref,
+        qkv_s, xm_s, res_s, h1_s, nhb_s, acc_s, gu_s, act_s,
+        q_s, m_s, l_s, aat_s,
+        *, eps, plan, dims):
+    ko, ng, kd, nqc, nhc, A = plan
+    qd, h, f2, ffn, nq, kh, qh, hd_dim, cs = dims
+    spl = nqc + A + ko + ng + kd
+    s = pl.program_id(0)
+    total_layer_steps = pl.num_programs(0) - nhc
+    sF = jnp.minimum(s, total_layer_steps - 1)
+    st = jax.lax.rem(sF, spl)
+    cko, cng, ckd = qd // ko, f2 // ng, ffn // kd
+    cnq = nq // nqc
+    f = f2 // 2
+    scale = hd_dim ** -0.5
+    group = qh // kh
+
+    @pl.when(s == 0)
+    def _():
+        res_s[:] = x0_ref[:]
+        nhb_s[:] = nhb0_ref[:]
+
+    # ---- qkv row-chunks (this layer's projection, from nhb) ----
+    @pl.when((st < nqc) & (s < total_layer_steps))
+    def _():
+        c = st
+        dexp = jnp.concatenate(
+            [qd_ref[0].astype(jnp.bfloat16)] * BLOCK, axis=1)
+        deq = qq_ref[0].astype(jnp.bfloat16) * dexp
+        part = jax.lax.dot_general(
+            nhb_s[:], deq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [1, cnq]
+        qkv_s[:, pl.ds(c * cnq, cnq)] = part
+
+    # ---- attention S-chunks ----
+    for c in range(A):
+        @pl.when((st == nqc + c) & (s < total_layer_steps))
+        def _(c=c):
+            if c == 0:
+                # split heads, qk-norm, rope, current-token init
+                qkv = qkv_s[:]
+                q = qkv[:, :qd].reshape(qh, hd_dim)
+                k_cur = qkv[:, qd:qd + kh * hd_dim].reshape(kh, hd_dim)
+                v_cur = qkv[:, qd + kh * hd_dim:].reshape(kh, hd_dim)
+                qvar = jnp.mean(q * q, axis=-1, keepdims=True)
+                q = (q * jax.lax.rsqrt(qvar + eps)
+                     ) * qn_ref[:].astype(jnp.float32)
+                kvar = jnp.mean(k_cur * k_cur, axis=-1, keepdims=True)
+                k_cur = (k_cur * jax.lax.rsqrt(kvar + eps)
+                         ) * kn_ref[:].astype(jnp.float32)
+                half = hd_dim // 2
+                cosr = cos_ref[:]
+                sinr = sin_ref[:]
+
+                def rope(x):
+                    rot = jnp.concatenate([-x[:, half:], x[:, :half]],
+                                          axis=1)
+                    return x * cosr + rot * sinr
+
+                q = rope(q)
+                k_cur = rope(k_cur)
+                q_s[:] = q
+                ks_ref[0] = k_cur.astype(ks_ref.dtype)
+                vs_ref[0] = v_cur.astype(vs_ref.dtype)
+                for hh in range(kh):
+                    qhh = q[2 * hh:2 * hh + 2, :]
+                    s_cur = jnp.sum(
+                        qhh * k_cur[hh:hh + 1, :], axis=1,
+                        keepdims=True) * scale
+                    m_s[2 * hh:2 * hh + 2, :] = jnp.broadcast_to(
+                        s_cur, (group, hd_dim))
+                    l_s[2 * hh:2 * hh + 2, :] = jnp.ones(
+                        (group, hd_dim), jnp.float32)
+                    aat_s[2 * hh:2 * hh + 2, :] = jnp.broadcast_to(
+                        v_cur[hh:hh + 1, :], (group, hd_dim))
+
+            q = q_s[:]
+            for hh in range(kh):
+                qhh = q[2 * hh:2 * hh + 2, :]
+                khh = k_ref[0, hh].astype(jnp.float32)   # [CS, D]
+                vhh = v_ref[0, hh].astype(jnp.float32)
+                sc = jax.lax.dot_general(
+                    qhh, khh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                sc = sc + bias_ref[:]
+                m_prev = m_s[2 * hh:2 * hh + 2, 0:1]
+                m_new = jnp.maximum(
+                    m_prev, jnp.max(sc, axis=1, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(sc - m_new)
+                l_new = (l_s[2 * hh:2 * hh + 2, 0:1] * alpha
+                         + jnp.sum(p, axis=1, keepdims=True))
+                aat_s[2 * hh:2 * hh + 2, :] = (
+                    aat_s[2 * hh:2 * hh + 2, :] * alpha
+                    + jax.lax.dot_general(
+                        p, vhh, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                m_s[2 * hh:2 * hh + 2, :] = jnp.broadcast_to(
+                    m_new, (group, hd_dim))
+                l_s[2 * hh:2 * hh + 2, :] = jnp.broadcast_to(
+                    l_new, (group, hd_dim))
+
+            if c == A - 1:
+                out = aat_s[:] / l_s[:]                  # [QH, D]
+                # natural merged -> perm space (= block_permute, k=qd):
+                # [QH, D] -> [qd/32, 32] -> T -> [32, qd/32] -> [1, qd]
+                xm_s[:] = (out.reshape(qd // BLOCK, BLOCK).T
+                           .reshape(1, qd).astype(jnp.bfloat16))
+
+    # ---- o k-chunks ----
+    for c in range(ko):
+        @pl.when((st == nqc + A + c) & (s < total_layer_steps))
+        def _(c=c):
+            part = _deq_chunk_dot(xm_s[:, c * cko:(c + 1) * cko],
+                                  oq_ref[0], od_ref[0])
+            if c == 0:
+                acc_s[:] = part
+            else:
+                acc_s[:] += part
+            if c == ko - 1:
+                h1 = acc_s[:] + res_s[:]
+                var = jnp.mean(h1 * h1, axis=-1, keepdims=True)
+                nh = (h1 * jax.lax.rsqrt(var + eps)
+                      ) * post_ref[:].astype(jnp.float32)
+                h1_s[:] = h1
+                nhb_s[:] = nh.astype(jnp.bfloat16)
+
+    # ---- gate_up row-chunks ----
+    for c in range(ng):
+        @pl.when((st == nqc + A + ko + c) & (s < total_layer_steps))
+        def _(c=c):
+            dexp = jnp.concatenate(
+                [gd_ref[0].astype(jnp.bfloat16)] * BLOCK, axis=1)
+            deq = gq_ref[0].astype(jnp.bfloat16) * dexp
+            gu_s[:, c * cng:(c + 1) * cng] = jax.lax.dot_general(
+                nhb_s[:], deq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if c == ng - 1:
+                gu = gu_s[:]
+                act_s[:] = (jax.nn.silu(gu[:, :f]) * gu[:, f:]
+                            ).astype(jnp.bfloat16)
+
+    # ---- down k-chunks (+ next layer's input norm / final norm) ----
+    for c in range(kd):
+        @pl.when((st == nqc + A + ko + ng + c) & (s < total_layer_steps))
+        def _(c=c):
+            part = _deq_chunk_dot(act_s[:, c * ckd:(c + 1) * ckd],
+                                  dq_ref[0], dd_ref[0])
+            if c == 0:
+                acc_s[:] = part
+            else:
+                acc_s[:] += part
+            if c == kd - 1:
+                x_new = acc_s[:] + h1_s[:]
+                res_s[:] = x_new
+                var = jnp.mean(x_new * x_new, axis=-1, keepdims=True)
+                nh = (x_new * jax.lax.rsqrt(var + eps)
+                      ) * nnext_ref[:].astype(jnp.float32)
+                nhb_s[:] = nh.astype(jnp.bfloat16)
+
+    # ---- lm_head vocab chunks (after all layers; nhb = final norm) ----
+    @pl.when(s >= total_layer_steps)
+    def _():
+        dexp = jnp.concatenate(
+            [hd_ref[0].astype(jnp.bfloat16)] * BLOCK, axis=1)
+        deq = hq_ref[0].astype(jnp.bfloat16) * dexp
+        logits_ref[:] = jax.lax.dot_general(
+            nhb_s[:], deq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def q8_decode_all_fused(x0_perm, nhb0, post_lns, norms_next, q_norms,
+                        k_norms, cos, sin, bias_row, kv_k, kv_v,
+                        qkv_w: QuantTensor, o_w: QuantTensor,
+                        gu_w: QuantTensor, down_w: QuantTensor,
+                        head_w: QuantTensor, eps: float,
+                        interpret: bool = False):
+    """One full q8_0 decode step (all layers + attention + lm_head) in a
+    single staged Pallas call.
+
+    x0_perm [1, H] f32 (embed, perm space); nhb0 [1, H] bf16
+    (= input_ln_0(x0), perm); post_lns/norms_next [L, H] perm
+    (norms_next[l] = input_ln_{l+1}, last = final_ln); q_norms/k_norms
+    [L, D]; cos/sin [1, D] f32 for THIS position; bias_row [1, S] f32
+    (0 where cache slot visible: valid_from <= j < slot); kv_k/kv_v
+    [L, KH, S, D] head-major cache (bf16/f32); weights: stacked perm-space
+    QuantTensors (the fuse_qwen3_params_q8 convention), head_w the
+    quantize_lm_head QuantTensor [VP, H].
+
+    Returns (logits [1, VP] f32, k_new [L, KH, D], v_new [L, KH, D]) —
+    the caller scatters k_new/v_new into the cache at `slot`, or None
+    when the shapes don't admit the staged plan (caller falls back to
+    the per-layer megacall path).
+    """
+    L, nq, h = qkv_w.q.shape
+    qd = o_w.q.shape[-1]
+    f2 = gu_w.q.shape[-2]
+    ffn = down_w.q.shape[-1]
+    vp = head_w.q.shape[-2]
+    kh, s_len, hd_dim = kv_k.shape[1], kv_k.shape[2], kv_k.shape[3]
+    qh = qd // hd_dim
+    if qh // kh != 2:
+        return None                     # per-head loop is written for GQA 2
+    cs = q8_mega_cs(s_len)
+    if not cs:
+        return None
+    A = s_len // cs
+    plan_l = _mega_stage_plan(1, qd, h, f2, ffn, nq)
+    plan_h = _mega_stage_plan(1, qd, h, f2, ffn, vp)
+    if plan_l is None or plan_h is None or plan_h[3] == 0:
+        return None
+    ko, ng, kd, nqc = plan_l
+    nhc = plan_h[3]
+    if (vp // nhc) * h > 4 << 20:
+        return None
+    cnq, cnv = nq // nqc, vp // nhc
+    spl = nqc + A + ko + ng + kd
+    total = L * spl + nhc
+    cko, cng, ckd = qd // ko, f2 // ng, ffn // kd
+
+    def clamp(v, lo, hi):
+        return jnp.minimum(jnp.maximum(v, lo), hi)
+
+    def lay(s):
+        return jnp.minimum(s, L * spl - 1) // spl
+
+    def stg(s):
+        sF = jnp.minimum(s, L * spl - 1)
+        return sF - (sF // spl) * spl
+
+    in_specs = [
+        pl.BlockSpec((1, h), lambda s: (0, 0)),                  # x0
+        pl.BlockSpec((1, h), lambda s: (0, 0)),                  # nhb0
+        pl.BlockSpec((1, h), lambda s: (lay(s), 0)),             # post_ln
+        pl.BlockSpec((1, h), lambda s: (lay(s), 0)),             # norms_next
+        pl.BlockSpec((1, hd_dim), lambda s: (lay(s), 0)),        # q_norm
+        pl.BlockSpec((1, hd_dim), lambda s: (lay(s), 0)),        # k_norm
+        pl.BlockSpec((1, hd_dim), lambda s: (0, 0)),             # cos
+        pl.BlockSpec((1, hd_dim), lambda s: (0, 0)),             # sin
+        pl.BlockSpec((1, cs),
+                     lambda s: (0, clamp(stg(s) - nqc, 0, A - 1))),
+        pl.BlockSpec((1, kh, cs, hd_dim),
+                     lambda s: (lay(s), 0,
+                                clamp(stg(s) - nqc, 0, A - 1), 0)),
+        pl.BlockSpec((1, kh, cs, hd_dim),
+                     lambda s: (lay(s), 0,
+                                clamp(stg(s) - nqc, 0, A - 1), 0)),
+        pl.BlockSpec((1, cnq, h),
+                     lambda s: (lay(s), clamp(stg(s), 0, nqc - 1), 0)),
+        pl.BlockSpec((1, cnq, h // BLOCK),
+                     lambda s: (lay(s), clamp(stg(s), 0, nqc - 1), 0)),
+        pl.BlockSpec((1, h, cko),
+                     lambda s: (lay(s), 0,
+                                clamp(stg(s) - nqc - A, 0, ko - 1))),
+        pl.BlockSpec((1, h, qd // BLOCK), lambda s: (lay(s), 0, 0)),
+        pl.BlockSpec((1, cng, h),
+                     lambda s: (lay(s),
+                                clamp(stg(s) - nqc - A - ko, 0, ng - 1),
+                                0)),
+        pl.BlockSpec((1, cng, h // BLOCK),
+                     lambda s: (lay(s),
+                                clamp(stg(s) - nqc - A - ko, 0, ng - 1),
+                                0)),
+        pl.BlockSpec((1, h, ckd),
+                     lambda s: (lay(s), 0,
+                                clamp(stg(s) - nqc - A - ko - ng, 0,
+                                      kd - 1))),
+        pl.BlockSpec((1, h, ffn // BLOCK), lambda s: (lay(s), 0, 0)),
+        pl.BlockSpec((1, cnv, h),
+                     lambda s: (0, clamp(s - L * spl, 0, nhc - 1), 0)),
+        pl.BlockSpec((1, cnv, h // BLOCK),
+                     lambda s: (0, clamp(s - L * spl, 0, nhc - 1), 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, cnv),
+                     lambda s: (0, clamp(s - L * spl, 0, nhc - 1))),
+        pl.BlockSpec((1, kh, hd_dim), lambda s: (lay(s), 0, 0)),
+        pl.BlockSpec((1, kh, hd_dim), lambda s: (lay(s), 0, 0)),
+    ]
+    out_shape = (jax.ShapeDtypeStruct((1, vp), jnp.float32),
+                 jax.ShapeDtypeStruct((L, kh, hd_dim), jnp.float32),
+                 jax.ShapeDtypeStruct((L, kh, hd_dim), jnp.float32))
+    scratch = [
+        pltpu.VMEM((1, nq), jnp.float32),     # qkv_s
+        pltpu.VMEM((1, qd), jnp.bfloat16),    # xm_s (perm merged)
+        pltpu.VMEM((1, h), jnp.float32),      # res_s
+        pltpu.VMEM((1, h), jnp.float32),      # h1_s
+        pltpu.VMEM((1, h), jnp.bfloat16),     # nhb_s
+        pltpu.VMEM((1, h), jnp.float32),      # acc_s
+        pltpu.VMEM((1, f2), jnp.float32),     # gu_s
+        pltpu.VMEM((1, ffn), jnp.bfloat16),   # act_s
+        pltpu.VMEM((qh, hd_dim), jnp.float32),    # q_s
+        pltpu.VMEM((qh, hd_dim), jnp.float32),    # m_s
+        pltpu.VMEM((qh, hd_dim), jnp.float32),    # l_s
+        pltpu.VMEM((qh, hd_dim), jnp.float32),    # aat_s
+    ]
+    kern = functools.partial(
+        _q8_decode_all_kernel, eps=eps,
+        plan=(ko, ng, kd, nqc, nhc, A),
+        dims=(qd, h, f2, ffn, nq, kh, qh, hd_dim, cs))
+    wbytes = (nq * h + h * qd + f2 * h + h * ffn) * L + vp * h
+    cost = pl.CostEstimate(
+        flops=2 * (wbytes + L * 2 * s_len * kh * hd_dim),
+        bytes_accessed=wbytes + wbytes // BLOCK * 4
+        + L * 2 * s_len * kh * hd_dim * 2,
+        transcendentals=L * (ffn + 2 * s_len))
+    return pl.pallas_call(
+        kern,
+        grid=(total,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(x0_perm, nhb0, post_lns, norms_next, q_norms, k_norms, cos, sin,
+      bias_row, kv_k, kv_v, qkv_w.q, qkv_w.d, o_w.q, o_w.d, gu_w.q,
+      gu_w.d, down_w.q, down_w.d, head_w.q[None], head_w.d[None])
