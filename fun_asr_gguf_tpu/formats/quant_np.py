@@ -1207,13 +1207,21 @@ def q2_k_quantize(x: np.ndarray, qw=None) -> np.ndarray:
     flat = x16.reshape(nb * 16, 16)
     if qw16 is None:
         w2 = np.abs(flat)
+        scales, mins, _ = _make_qkx2_quants(flat, w2, 3,
+                                            rmin=-0.5, rdelta=0.1,
+                                            nstep=15, use_mad=True)
     else:
+        # ggml's imatrix variant (quantize_row_q2_K_impl) searches with
+        # weighted MSE over a wider sweep, NOT the ref path's
+        # mad/15-step settings — using those with imatrix weights was
+        # measured to make held-out PPL WORSE than unweighted
+        # (experiments/imatrix_ppl.py)
         sigma2 = 2.0 * (x16 ** 2).mean(axis=(1, 2))
         w2 = _imatrix_weights(qw16.reshape(nb * 16, 16), flat,
                               np.repeat(sigma2, 16)[:, None])
-    scales, mins, _ = _make_qkx2_quants(flat, w2, 3,
-                                        rmin=-0.5, rdelta=0.1, nstep=15,
-                                        use_mad=True)
+        scales, mins, _ = _make_qkx2_quants(flat, w2, 3,
+                                            rmin=-0.9, rdelta=0.05,
+                                            nstep=36, use_mad=False)
     scales = scales.reshape(nb, 16)
     mins = mins.reshape(nb, 16)
     max_scale = scales.max(axis=1)
