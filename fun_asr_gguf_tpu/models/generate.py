@@ -63,8 +63,17 @@ def prefill_init(params, embeds, attn_mask, rng, cfg: Qwen3Config,
     capacity (>= P + n_predict); ``kv_int8`` stores the cache int8.
     """
     b, p, _ = embeds.shape
-    logits, kv = qwen3_prefill(params, embeds, attn_mask, cfg,
-                               kv_max_len=max_len, kv_int8=kv_int8)
+    if "q8_mega" in params and b == 1 and not kv_int8:
+        # the all-layers megakernel decodes from a HEAD-MAJOR cache
+        # [L, kh, S, D] whose S must chunk into 128-multiples
+        max_len = max_len + (-max_len % 256)
+        logits, kv = qwen3_prefill(params, embeds, attn_mask, cfg,
+                                   kv_max_len=max_len, kv_int8=False)
+        kv = KVCache(k=jnp.transpose(kv.k[:, 0], (0, 2, 1, 3)),
+                     v=jnp.transpose(kv.v[:, 0], (0, 2, 1, 3)))
+    else:
+        logits, kv = qwen3_prefill(params, embeds, attn_mask, cfg,
+                                   kv_max_len=max_len, kv_int8=kv_int8)
     prompt_len = jnp.sum(attn_mask, axis=1).astype(jnp.int32)
     return GenState(
         kv=kv,

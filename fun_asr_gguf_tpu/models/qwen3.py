@@ -560,6 +560,43 @@ def fuse_qwen3_params_q8(params):
     return out
 
 
+def fuse_qwen3_params_q8_mega(params, cfg: Qwen3Config):
+    """Adopt the all-layers megakernel decode convention.
+
+    On top of :func:`fuse_qwen3_params_q8` (+ a quantized lm_head), adds
+    the precomputed ``norms_next`` stack (layer l's "next" input rmsnorm;
+    the last slot is the final norm — the megakernel applies it inside
+    layer L-1's down-stage so the fused head streams right after) and the
+    ``q8_mega`` marker. Only marks params the kernel can actually serve
+    (staged plan exists, GQA group 2, Pallas head present) — otherwise
+    returns the input unchanged and the decode step keeps the per-layer
+    megacall path.
+    """
+    from ..ops.quant_matmul import _mega_stage_plan
+    if "q8_mega" in params:
+        return params
+    layers = params["layers"]
+    head = params.get("lm_head_q")
+    if (not isinstance(head, QuantTensor)
+            or "q8_fused" not in params
+            or cfg.q_heads != 2 * cfg.kv_heads):
+        return params
+    qd = cfg.q_heads * cfg.head_dim
+    nq = layers["qkv_w"].q.shape[-2]
+    f2 = layers["gate_up_w"].q.shape[-2]
+    vp = head.q.shape[-2]
+    plan_l = _mega_stage_plan(1, qd, cfg.hidden, f2, cfg.ffn_dim, nq)
+    plan_h = _mega_stage_plan(1, qd, cfg.hidden, f2, cfg.ffn_dim, vp)
+    if plan_l is None or plan_h is None or plan_h[3] == 0 \
+            or (vp // plan_h[3]) * cfg.hidden > 4 << 20:
+        return params
+    out = dict(params)
+    out["norms_next"] = jnp.concatenate(
+        [layers["input_ln"][1:], params["final_ln"][None]], axis=0)
+    out["q8_mega"] = jnp.zeros((0,), jnp.int8)     # static marker
+    return out
+
+
 def fuse_qwen3_params_q8i(params):
     """Adopt the int8-dot decode convention (megacall v3).
 
@@ -982,6 +1019,43 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
             h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
             x = x + _mlp_block(h, lp, cfg)
         return (x, K, V), jnp.int32(0)
+
+    if ("q8_mega" in params and b == 1
+            and not isinstance(kv.k, QuantKV) and kv.k.ndim == 4):
+        # all-layers megakernel: 28 layers + attention + lm_head in ONE
+        # pallas call over a head-major [L, kh, S, D] cache (see
+        # ops.quant_matmul.q8_decode_all_fused). The cache is NOT yet
+        # written for this token: the kernel attends the current k/v
+        # in-register and returns the rows, scattered here at `slot`.
+        from ..ops.quant_matmul import q8_decode_all_fused
+        layers = params["layers"]
+        x0 = token_embed.astype(jnp.float32)              # [1, H] perm
+        nhb0 = rms_norm(x0, layers["input_ln"][0],
+                        cfg.rms_eps).astype(jnp.bfloat16)
+        mc, ms = rope_cos_sin(position, cfg.head_dim, cfg.rope_theta,
+                              jnp.float32)                # [1, D]
+        s_len = kv.k.shape[2]
+        jj = jnp.arange(s_len)
+        mbias = jnp.where((jj >= valid_from[0]) & (jj < slot), 0.0,
+                          NEG_INF).astype(jnp.float32)[None]
+        out = q8_decode_all_fused(
+            x0, nhb0, layers["post_ln"], params["norms_next"],
+            layers["q_norm"], layers["k_norm"], mc, ms, mbias,
+            kv.k, kv.v, layers["qkv_w"], layers["o_w"],
+            layers["gate_up_w"], layers["down_w"], params["lm_head_q"],
+            cfg.rms_eps)
+        if out is None:
+            raise ValueError(
+                "q8_mega params with a cache the megakernel cannot chunk "
+                f"(S={s_len}); build the cache via prefill_init")
+        mlogits, kn, vn = out
+        ks = jax.lax.dynamic_update_slice(
+            kv.k, kn[:, :, None, :].astype(kv.k.dtype),
+            (zero, zero, slot, zero))
+        vs = jax.lax.dynamic_update_slice(
+            kv.v, vn[:, :, None, :].astype(kv.v.dtype),
+            (zero, zero, slot, zero))
+        return mlogits[:, :cfg.vocab_size], KVCache(k=ks, v=vs)
 
     fused_i = "q8i_fused" in params
     logits = None                    # set in-branch when the head fuses

@@ -1697,8 +1697,8 @@ def q8_mega_cs(s_len: int) -> int:
 def _q8_decode_all_kernel(
         x0_ref, nhb0_ref, post_ref, nnext_ref, qn_ref, kn_ref,
         cos_ref, sin_ref, bias_ref, k_ref, v_ref,
-        qq_ref, qd_ref, oq_ref, od_ref, gq_ref, gd_ref, dq_ref, dd_ref,
-        hq_ref, hd_ref,
+        qq_ref, qd_ref, oq_ref, od_ref, e_ref, gq_ref, gd_ref, dq_ref,
+        dd_ref, hq_ref, hd_ref,
         logits_ref, ks_ref, vs_ref,
         qkv_s, xm_s, res_s, h1_s, nhb_s, acc_s, gu_s, act_s,
         q_s, m_s, l_s, aat_s,
@@ -1745,10 +1745,10 @@ def _q8_decode_all_kernel(
                 v_cur = qkv[:, qd + kh * hd_dim:].reshape(kh, hd_dim)
                 qvar = jnp.mean(q * q, axis=-1, keepdims=True)
                 q = (q * jax.lax.rsqrt(qvar + eps)
-                     ) * qn_ref[:].astype(jnp.float32)
+                     ) * qn_ref[0].astype(jnp.float32)
                 kvar = jnp.mean(k_cur * k_cur, axis=-1, keepdims=True)
                 k_cur = (k_cur * jax.lax.rsqrt(kvar + eps)
-                         ) * kn_ref[:].astype(jnp.float32)
+                         ) * kn_ref[0].astype(jnp.float32)
                 half = hd_dim // 2
                 cosr = cos_ref[:]
                 sinr = sin_ref[:]
@@ -1802,18 +1802,31 @@ def _q8_decode_all_kernel(
                     l_new, (group, hd_dim))
 
             if c == A - 1:
+                # merged heads stay in NATURAL lane order ([QH,D] →
+                # [1, qd] is a supported flatten; the perm-space cast
+                # [QH,D]→[qd/32,32] is a lane-shrinking shape cast
+                # Mosaic rejects on hardware) — the o-stage consumes
+                # natural-k weights with an E-matmul scale expansion
                 out = aat_s[:] / l_s[:]                  # [QH, D]
-                # natural merged -> perm space (= block_permute, k=qd):
-                # [QH, D] -> [qd/32, 32] -> T -> [32, qd/32] -> [1, qd]
-                xm_s[:] = (out.reshape(qd // BLOCK, BLOCK).T
-                           .reshape(1, qd).astype(jnp.bfloat16))
+                xm_s[:] = out.reshape(1, qd).astype(jnp.bfloat16)
 
-    # ---- o k-chunks ----
+    # ---- o k-chunks (NATURAL k order; scale expansion lane j ↦
+    # d[j // 32] is interleave-shaped, which lane concat can't build —
+    # an MXU dot against the constant 0/1 expansion matrix E can) ----
+    nbo = cko // BLOCK
     for c in range(ko):
         @pl.when((st == nqc + A + c) & (s < total_layer_steps))
         def _(c=c):
-            part = _deq_chunk_dot(xm_s[:, c * cko:(c + 1) * cko],
-                                  oq_ref[0], od_ref[0])
+            d_chunk = od_ref[0][:, c * nbo:(c + 1) * nbo]
+            dexp = jax.lax.dot_general(
+                d_chunk.astype(jnp.bfloat16), e_ref[:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [h, cko]
+            deq = oq_ref[0].astype(jnp.bfloat16) * dexp.astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                xm_s[:, c * cko:(c + 1) * cko], deq,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
             if c == 0:
                 acc_s[:] = part
             else:
@@ -1822,7 +1835,7 @@ def _q8_decode_all_kernel(
                 h1 = acc_s[:] + res_s[:]
                 var = jnp.mean(h1 * h1, axis=-1, keepdims=True)
                 nh = (h1 * jax.lax.rsqrt(var + eps)
-                      ) * post_ref[:].astype(jnp.float32)
+                      ) * post_ref[0].astype(jnp.float32)
                 h1_s[:] = h1
                 nhb_s[:] = nh.astype(jnp.bfloat16)
 
@@ -1856,7 +1869,7 @@ def _q8_decode_all_kernel(
                 res_s[:] = x_new
                 var = jnp.mean(x_new * x_new, axis=-1, keepdims=True)
                 nh = (x_new * jax.lax.rsqrt(var + eps)
-                      ) * nnext_ref[:].astype(jnp.float32)
+                      ) * nnext_ref[0].astype(jnp.float32)
                 nhb_s[:] = nh.astype(jnp.bfloat16)
 
     # ---- lm_head vocab chunks (after all layers; nhb = final norm) ----
@@ -1875,7 +1888,7 @@ def q8_decode_all_fused(x0_perm, nhb0, post_lns, norms_next, q_norms,
                         qkv_w: QuantTensor, o_w: QuantTensor,
                         gu_w: QuantTensor, down_w: QuantTensor,
                         head_w: QuantTensor, eps: float,
-                        interpret: bool = False):
+                        interpret: bool = None):
     """One full q8_0 decode step (all layers + attention + lm_head) in a
     single staged Pallas call.
 
@@ -1893,7 +1906,13 @@ def q8_decode_all_fused(x0_perm, nhb0, post_lns, norms_next, q_norms,
     when the shapes don't admit the staged plan (caller falls back to
     the per-layer megacall path).
     """
+    if interpret is None:
+        interpret = not _on_tpu()     # CPU tests run the interpreter
     L, nq, h = qkv_w.q.shape
+    # o_w contracts the attention output in NATURAL lane order (the
+    # other stages keep the block-transposed convention): undo the
+    # storage permutation here — a trace-time relabel of the int8 bytes
+    o_q_nat = block_unpermute(o_w.q)
     qd = o_w.q.shape[-1]
     f2 = gu_w.q.shape[-2]
     ffn = down_w.q.shape[-1]
@@ -1932,10 +1951,10 @@ def q8_decode_all_fused(x0_perm, nhb0, post_lns, norms_next, q_norms,
     in_specs = [
         pl.BlockSpec((1, h), lambda s: (0, 0)),                  # x0
         pl.BlockSpec((1, h), lambda s: (0, 0)),                  # nhb0
-        pl.BlockSpec((1, h), lambda s: (lay(s), 0)),             # post_ln
-        pl.BlockSpec((1, h), lambda s: (lay(s), 0)),             # norms_next
-        pl.BlockSpec((1, hd_dim), lambda s: (lay(s), 0)),        # q_norm
-        pl.BlockSpec((1, hd_dim), lambda s: (lay(s), 0)),        # k_norm
+        pl.BlockSpec((1, 1, h), lambda s: (lay(s), 0, 0)),       # post_ln
+        pl.BlockSpec((1, 1, h), lambda s: (lay(s), 0, 0)),       # norms_next
+        pl.BlockSpec((1, 1, hd_dim), lambda s: (lay(s), 0, 0)),  # q_norm
+        pl.BlockSpec((1, 1, hd_dim), lambda s: (lay(s), 0, 0)),  # k_norm
         pl.BlockSpec((1, hd_dim), lambda s: (0, 0)),             # cos
         pl.BlockSpec((1, hd_dim), lambda s: (0, 0)),             # sin
         pl.BlockSpec((1, cs),
@@ -1953,7 +1972,10 @@ def q8_decode_all_fused(x0_perm, nhb0, post_lns, norms_next, q_norms,
         pl.BlockSpec((1, h, cko),
                      lambda s: (lay(s), 0,
                                 clamp(stg(s) - nqc - A, 0, ko - 1))),
+        # full scale row per layer (a 32-lane chunked block violates the
+        # 128-lane block rule); the kernel slices the chunk in-register
         pl.BlockSpec((1, h, qd // BLOCK), lambda s: (lay(s), 0, 0)),
+        pl.BlockSpec((cko // BLOCK, cko), lambda s: (0, 0)),     # E
         pl.BlockSpec((1, cng, h),
                      lambda s: (lay(s),
                                 clamp(stg(s) - nqc - A - ko, 0, ng - 1),
@@ -2005,7 +2027,7 @@ def q8_decode_all_fused(x0_perm, nhb0, post_lns, norms_next, q_norms,
         bytes_accessed=wbytes + wbytes // BLOCK * 4
         + L * 2 * s_len * kh * hd_dim * 2,
         transcendentals=L * (ffn + 2 * s_len))
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kern,
         grid=(total,),
         in_specs=in_specs,
@@ -2014,6 +2036,13 @@ def q8_decode_all_fused(x0_perm, nhb0, post_lns, norms_next, q_norms,
         scratch_shapes=scratch,
         cost_estimate=cost,
         interpret=interpret,
-    )(x0_perm, nhb0, post_lns, norms_next, q_norms, k_norms, cos, sin,
-      bias_row, kv_k, kv_v, qkv_w.q, qkv_w.d, o_w.q, o_w.d, gu_w.q,
-      gu_w.d, down_w.q, down_w.d, head_w.q[None], head_w.d[None])
+    )
+    nbo = cko // BLOCK
+    e_mat = (jax.lax.broadcasted_iota(jnp.int32, (nbo, cko), 1) // BLOCK
+             == jax.lax.broadcasted_iota(jnp.int32, (nbo, cko), 0)
+             ).astype(jnp.bfloat16)
+    return call(x0_perm, nhb0, post_lns[:, None], norms_next[:, None],
+                q_norms[:, None], k_norms[:, None], cos, sin,
+                bias_row, kv_k, kv_v, qkv_w.q, qkv_w.d, o_q_nat, o_w.d,
+                e_mat, gu_w.q, gu_w.d, down_w.q, down_w.d,
+                head_w.q[None], head_w.d[None])

@@ -146,6 +146,51 @@ class TestMegaKernel:
         np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
         assert int(got.argmax()) == int(ref.argmax())
 
+    def test_generate_chunk_matches_nonmega(self, mega_setup):
+        """End-to-end integration: prefill_init + generate_chunk with the
+        q8_mega marker (head-major cache + megakernel decode steps) emits
+        the same greedy tokens as the per-layer megacall params."""
+        from fun_asr_gguf_tpu.models.generate import (generate_chunk,
+                                                      prefill_init)
+        from fun_asr_gguf_tpu.models.qwen3 import fuse_qwen3_params_q8_mega
+        cfg, params, qp = mega_setup
+        mega = fuse_qwen3_params_q8_mega(qp, cfg)
+        assert "q8_mega" in mega, "mini config must admit the megakernel"
+        rng = np.random.default_rng(3)
+        p = 8
+        embeds = qp["embed"][jnp.asarray(
+            rng.integers(0, cfg.vocab_size, size=p))][None].astype(
+            jnp.float32)
+        mask = jnp.ones((1, p), jnp.float32)
+
+        def run(pp):
+            st = prefill_init(pp, embeds, mask, jax.random.PRNGKey(5),
+                              cfg, max_len=p + 12)
+            st, toks = generate_chunk(pp, st, cfg, jnp.asarray(0.0),
+                                      jnp.asarray(1.0), 50, chunk_len=6,
+                                      stop_tokens=(), fuse_enabled=False,
+                                      greedy=True)
+            st, toks2 = generate_chunk(pp, st, cfg, jnp.asarray(0.0),
+                                       jnp.asarray(1.0), 50, chunk_len=6,
+                                       stop_tokens=(), fuse_enabled=False,
+                                       greedy=True)
+            return ([int(t) for t in np.asarray(toks)[0]]
+                    + [int(t) for t in np.asarray(toks2)[0]])
+
+        base = run(qp)
+        got = run(mega)
+        assert got == base
+
+    def test_fuse_mega_skips_tiny_shapes(self):
+        from fun_asr_gguf_tpu.models.qwen3 import fuse_qwen3_params_q8_mega
+        cfg = Qwen3Config.tiny(vocab_size=512)
+        params = init_qwen3_params(jax.random.PRNGKey(0), cfg)
+        qp = fuse_qwen3_params_q8(pack_qwen3_params(
+            quantize_qwen3_params(params, mode="pallas")))
+        qp = quantize_lm_head(qp, cfg, mode="pallas")
+        out = fuse_qwen3_params_q8_mega(qp, cfg)
+        assert "q8_mega" not in out      # no staged plan at tiny widths
+
     def test_rejects_unsupported_shapes(self, mega_setup):
         cfg, params, qp = mega_setup
         layers = qp["layers"]
