@@ -36,15 +36,15 @@ def fetch(x):
     return float(jax.device_get(jnp.sum(x.astype(jnp.float32))))
 
 
-def two_point(jfn, args, n1=4, n2=16):
+def two_point(jfn, args, n1=8, n2=56):
     def run(n, salt):
         t0 = time.perf_counter()
         fetch(jfn(args, jnp.float32(salt), iters=n))
         return time.perf_counter() - t0
     for i, n in enumerate((n1, n2)):
         run(n, 100 + i)
-    t1 = min(run(n1, 10 + i) for i in range(3))
-    t2 = min(run(n2, 20 + i) for i in range(3))
+    t1 = min(run(n1, 10 + i) for i in range(5))
+    t2 = min(run(n2, 20 + i) for i in range(5))
     per = max((t2 - t1) / (n2 - n1), 1e-9)
     print(f"  t({n1})={t1*1e3:.2f}ms t({n2})={t2*1e3:.2f}ms -> "
           f"{per*1e3:.3f} ms/step ({1/per:.0f} tok/s)")

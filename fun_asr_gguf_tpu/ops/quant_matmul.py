@@ -1721,17 +1721,19 @@ def _q8_decode_all_kernel(
         res_s[:] = x0_ref[:]
         nhb_s[:] = nhb0_ref[:]
 
-    # ---- qkv row-chunks (this layer's projection, from nhb) ----
-    @pl.when((st < nqc) & (s < total_layer_steps))
-    def _():
-        c = st
-        dexp = jnp.concatenate(
-            [qd_ref[0].astype(jnp.bfloat16)] * BLOCK, axis=1)
-        deq = qq_ref[0].astype(jnp.bfloat16) * dexp
-        part = jax.lax.dot_general(
-            nhb_s[:], deq, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [1, cnq]
-        qkv_s[:, pl.ds(c * cnq, cnq)] = part
+    # ---- qkv row-chunks (this layer's projection, from nhb);
+    # statically unrolled so the scratch store is a static lane slice
+    # (a traced pl.ds offset store hits Mosaic's slow unaligned path) ----
+    for c in range(nqc):
+        @pl.when((st == c) & (s < total_layer_steps))
+        def _(c=c):
+            dexp = jnp.concatenate(
+                [qd_ref[0].astype(jnp.bfloat16)] * BLOCK, axis=1)
+            deq = qq_ref[0].astype(jnp.bfloat16) * dexp
+            part = jax.lax.dot_general(
+                nhb_s[:], deq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [1, cnq]
+            qkv_s[:, c * cnq:(c + 1) * cnq] = part
 
     # ---- attention S-chunks ----
     for c in range(A):
@@ -1775,13 +1777,18 @@ def _q8_decode_all_kernel(
                     aat_s[2 * hh:2 * hh + 2, :] = jnp.broadcast_to(
                         v_cur[hh:hh + 1, :], (group, hd_dim))
 
-            q = q_s[:]
+            # dots run on bf16 operands with f32 accumulation (an f32
+            # MXU dot runs at a fraction of the bf16 rate; the cache is
+            # bf16 anyway, and XLA's attention computes scores from
+            # bf16 k with f32 accum too)
+            q = q_s[:].astype(jnp.bfloat16)
             for hh in range(kh):
                 qhh = q[2 * hh:2 * hh + 2, :]
-                khh = k_ref[0, hh].astype(jnp.float32)   # [CS, D]
-                vhh = v_ref[0, hh].astype(jnp.float32)
+                khh = k_ref[0, hh]                       # [CS, D] bf16
+                vhh = v_ref[0, hh]
                 sc = jax.lax.dot_general(
-                    qhh, khh, (((1,), (1,)), ((), ())),
+                    qhh, khh.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
                 sc = sc + bias_ref[:]
                 m_prev = m_s[2 * hh:2 * hh + 2, 0:1]
@@ -1794,7 +1801,8 @@ def _q8_decode_all_kernel(
                 aat_s[2 * hh:2 * hh + 2, :] = (
                     aat_s[2 * hh:2 * hh + 2, :] * alpha
                     + jax.lax.dot_general(
-                        p, vhh, (((1,), (0,)), ((), ())),
+                        p.astype(jnp.bfloat16), vhh.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32))
                 m_s[2 * hh:2 * hh + 2, :] = jnp.broadcast_to(
                     m_new, (group, hd_dim))
