@@ -91,6 +91,27 @@ def main():
     log = lambda *a: print("[bench]", *a, file=sys.stderr, flush=True)
     log("device:", dev)
 
+    # persistent compile cache: the driver runs the bench twice per
+    # round; the second run (and any rerun this round) skips the
+    # multi-minute remote compiles entirely
+    cache_dir = os.environ.get("FUNASR_BENCH_CACHE",
+                               "/tmp/funasr_bench_xla_cache")
+    if cache_dir:
+        # a run killed mid-write can leave a truncated entry that
+        # SEGFAULTS the next run's cache read (observed with the test
+        # cache) — an "unclean shutdown" sentinel wipes the dir first
+        sentinel = os.path.join(cache_dir, ".bench_running")
+        if os.path.exists(sentinel):
+            import shutil
+            shutil.rmtree(cache_dir, ignore_errors=True)
+        os.makedirs(cache_dir, exist_ok=True)
+        open(sentinel, "w").close()
+        import atexit
+        atexit.register(lambda: os.path.exists(sentinel)
+                        and os.remove(sentinel))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     cfg = HybridConfig.tiny() if _TINY \
         else HybridConfig()  # full-size Fun-ASR-Nano (SenseVoice+Qwen3-0.6B)
     audio_cfg = AudioEncoderConfig(frontend=FrontendConfig(),
@@ -645,6 +666,21 @@ def main():
             kv_int8=True)
         _partial[f"generate_tokens_per_s_batch{B16}_kv8"] = round(
             B16 / per_step_16kv, 1)
+        # b=32: the cache-read-dominated regime (VERDICT r3 item 4's
+        # measuring stick) — aggregate throughput + the kv8 pair
+        B32 = B16 * 2
+        prompt32 = jnp.concatenate(
+            [prompt + jnp.bfloat16(i * 1e-3) for i in range(B32)], axis=0)
+        mask32 = jnp.ones((B32, N_PROMPT), jnp.float32)
+        per_step_32 = measure_generation(
+            llm_int8, f"generate[int8,b{B32}]", prompt32, mask32)
+        _partial[f"generate_tokens_per_s_batch{B32}"] = round(
+            B32 / per_step_32, 1)
+        per_step_32kv = measure_generation(
+            llm_int8, f"generate[int8,b{B32},kv8]", prompt32, mask32,
+            kv_int8=True)
+        _partial[f"generate_tokens_per_s_batch{B32}_kv8"] = round(
+            B32 / per_step_32kv, 1)
     except Exception as e:
         log("int8-KV generation failed:", e)
 
@@ -711,6 +747,10 @@ def main():
             f"generate_tokens_per_s_batch{B16}"),
         f"generate_tokens_per_s_batch{B16}_kv8": _partial.get(
             f"generate_tokens_per_s_batch{B16}_kv8"),
+        f"generate_tokens_per_s_batch{B16 * 2}": _partial.get(
+            f"generate_tokens_per_s_batch{B16 * 2}"),
+        f"generate_tokens_per_s_batch{B16 * 2}_kv8": _partial.get(
+            f"generate_tokens_per_s_batch{B16 * 2}_kv8"),
         "llm_int4_mb": _partial.get("llm_int4_mb"),
         "gen_vs_baseline": round(gen_tps / REF_GEN_TOKS_PER_S, 2),
         "total_s": round(total, 4),

@@ -238,6 +238,50 @@ def _kv_layer_slice(K, l, dtype):
     return jax.lax.dynamic_index_in_dim(K, l, 0, keepdims=False)
 
 
+def _flash_decode_wanted(b: int, t: int) -> bool:
+    """Gate for the fused Pallas decode-attention kernel.
+
+    Default OFF: two kernel designs (per-head small dots; E-matrix
+    block-diagonal single-dot, see ops/flash_decode.py) were measured
+    20-50% SLOWER than the XLA path at b=16/32 on v5e
+    (experiments/flash_decode_ab.py; docs/PERFORMANCE.md "Flash-decode"
+    section) -- decode attention is a batched-small-GEMM workload whose
+    XLA einsums already run near the cache-read floor, and Mosaic's
+    per-grid-cell cost (B cells x 28 layers/step) has no fusion win to
+    hide behind. ``FUNASR_FLASH_DECODE=1`` forces the kernel on for
+    experiments.
+    """
+    import os
+    return os.environ.get("FUNASR_FLASH_DECODE", "0") == "1"
+
+
+def _attend_cache_flash(q, K, V, l, bias, cfg):
+    """Route one layer's decode attention through the fused Pallas
+    kernel (ops/flash_decode.py). Returns None when the shapes fall
+    outside the kernel's tiling gate — caller falls back to XLA."""
+    b, t = q.shape[0], q.shape[1]
+    if not _flash_decode_wanted(b, t):
+        return None
+    from ..ops.flash_decode import (flash_decode_attention,
+                                    flash_decode_supported)
+    quant = isinstance(K, QuantKV)
+    arr = K.q if quant else K
+    s, kh, hd = arr.shape[2], arr.shape[3], arr.shape[4]
+    if not flash_decode_supported(b, t, s, kh, hd, quant):
+        return None
+    qs = (q.astype(jnp.float32) * cfg.head_dim ** -0.5).astype(q.dtype)
+    bias3 = jnp.broadcast_to(bias[:, 0], (b, t, s))
+    if quant:
+        kq = jax.lax.dynamic_index_in_dim(K.q, l, 0, keepdims=False)
+        ks = jax.lax.dynamic_index_in_dim(K.s, l, 0, keepdims=False)
+        vq = jax.lax.dynamic_index_in_dim(V.q, l, 0, keepdims=False)
+        vs = jax.lax.dynamic_index_in_dim(V.s, l, 0, keepdims=False)
+        return flash_decode_attention(qs, kq, vq, bias3, ks, vs)
+    k_cache = jax.lax.dynamic_index_in_dim(K, l, 0, keepdims=False)
+    v_cache = jax.lax.dynamic_index_in_dim(V, l, 0, keepdims=False)
+    return flash_decode_attention(qs, k_cache, v_cache, bias3)
+
+
 def _attend_cache(q, K, V, l, bias, cfg):
     """Attention of q [B,T,qh,hd] over layer ``l`` of a stacked cache.
 
@@ -248,7 +292,13 @@ def _attend_cache(q, K, V, l, bias, cfg):
     and K's scale multiplies the [.., s] score row; V's scale folds
     into the probabilities before the mix dot. Numerically this is at
     least as accurate as dequant-then-dot (one fewer bf16 rounding on
-    the K side)."""
+    the K side).
+
+    Batched serving routes through the fused Pallas flash-decode
+    kernel instead (same numerics class; see ops/flash_decode.py)."""
+    flash = _attend_cache_flash(q, K, V, l, bias, cfg)
+    if flash is not None:
+        return flash
     if isinstance(K, QuantKV):
         kq = jax.lax.dynamic_index_in_dim(K.q, l, 0, keepdims=False)
         ks = jax.lax.dynamic_index_in_dim(K.s, l, 0, keepdims=False)
