@@ -9,6 +9,23 @@ host-platform virtual devices; the real-chip path is exercised by bench.py.
 import os
 import sys
 
+# Raise the main-thread stack ceiling: XLA:CPU's compiler and executable
+# (de)serializers walk program graphs recursively on the calling thread,
+# and the spec-decode while_loop programs have crashed the suite with
+# rc=139/134 at the default 8 MiB soft limit late in a long run (Linux
+# grows the main stack on demand up to the soft limit, so raising it at
+# startup extends the headroom for the whole process).
+try:
+    import resource
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 * 1024 * 1024
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        _new = _want if _hard == resource.RLIM_INFINITY \
+            else min(_want, _hard)
+        resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
+except (ImportError, ValueError, OSError):
+    pass
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -26,13 +43,48 @@ jax.config.update("jax_platforms", "cpu")
 # (set it empty to disable).
 _cache = os.environ.get("FUNASR_TEST_CACHE", "/tmp/funasr_test_xla_cache")
 if _cache:
+    # a run killed mid-write can leave a truncated entry that SEGFAULTS
+    # later runs' cache reads (observed: rc=139 in
+    # jax compilation_cache.get_executable_and_time after a timed-out
+    # suite) — an "unclean shutdown" sentinel wipes the dir first
+    _sentinel = os.path.join(_cache, ".suite_running")
+    if os.path.exists(_sentinel):
+        import shutil
+        shutil.rmtree(_cache, ignore_errors=True)
     os.makedirs(_cache, exist_ok=True)
+    open(_sentinel, "w").close()
+    import atexit
+    atexit.register(lambda: os.path.exists(_sentinel)
+                    and os.remove(_sentinel))
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     # the cache refuses single-device processes by default
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+_TESTS_RUN = {"n": 0}
+
+
+def pytest_runtest_teardown(item, nextitem):
+    """Periodically drop compiled executables.
+
+    XLA:CPU segfaults (rc=139/134) compiling/loading large while_loop
+    programs late in a long suite run — at whichever heavy compile
+    comes ~400 tests in, across three distinct crash sites (raw
+    backend_compile_and_load, cache serialize, cache deserialize),
+    while any module alone passes. The trigger tracks CUMULATIVE
+    compiled-code state, not a specific program (isolating one test
+    just moved the crash to the next big compile). Freeing the jit
+    caches every N tests keeps the process under the threshold; the
+    persistent on-disk cache makes the forced recompiles cheap.
+    """
+    _TESTS_RUN["n"] += 1
+    if _TESTS_RUN["n"] % 60 == 0:
+        import gc
+        jax.clear_caches()
+        gc.collect()
 
 
 def pytest_addoption(parser):

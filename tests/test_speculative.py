@@ -23,6 +23,9 @@ PARAMS = init_qwen3_params(jax.random.PRNGKey(0), CFG)
 STOPS = (96,)
 
 
+_SUBPROC_ENV = "FUNASR_SPEC_SUBPROC"
+
+
 def make_prompt(rng, b, p, lengths):
     embeds = rng.normal(size=(b, p, CFG.hidden)).astype(np.float32) * 0.05
     mask = np.zeros((b, p), np.float32)
@@ -428,6 +431,29 @@ class TestSpecToGen:
     emitted-tokens-per-round rate drops below break-even)."""
 
     def test_mid_stream_conversion_matches_pure_greedy(self):
+        # XLA:CPU segfaults (rc=139/134) compiling THIS test's programs
+        # late in a long suite — at three different crash sites across
+        # runs (cache deserialize, cache serialize, raw
+        # backend_compile_and_load), while the module alone always
+        # passes; a 512 MiB pre-exec stack and disabling the persistent
+        # cache did not help. Run the body in a fresh interpreter: the
+        # coverage is identical and a compiler crash becomes a test
+        # failure instead of killing the whole suite.
+        import os
+        import subprocess
+        import sys
+        if os.environ.get(_SUBPROC_ENV) != "1":
+            test_id = (os.path.abspath(__file__)
+                       + "::TestSpecToGen"
+                       + "::test_mid_stream_conversion_matches_pure_greedy")
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", "-q",
+                 "-p", "no:cacheprovider", test_id],
+                env={**os.environ, _SUBPROC_ENV: "1"},
+                capture_output=True, text=True, timeout=900)
+            assert r.returncode == 0, \
+                f"subprocess rc={r.returncode}\n{r.stdout}\n{r.stderr}"
+            return
         from fun_asr_gguf_tpu.models.speculative import spec_to_gen
         rng = np.random.default_rng(11)
         n_total = 24
