@@ -71,6 +71,8 @@ TOKEN_TYPE_NORMAL = 1
 TOKEN_TYPE_UNKNOWN = 2
 TOKEN_TYPE_CONTROL = 3
 TOKEN_TYPE_USER_DEFINED = 4
+TOKEN_TYPE_UNUSED = 5
+TOKEN_TYPE_BYTE = 6
 
 
 def qwen_tokenizer_spec(vocab: dict, merges: List[str],
@@ -267,6 +269,75 @@ class StreamTextDecoder:
         return remaining
 
 
+SPECIAL_TOKEN_TYPES = ("bos", "eos", "unk", "sep", "pad", "cls", "mask")
+
+
+def special_vocab_kvs(hf_dir: str, tokens: Sequence[str]) -> dict:
+    """Special-token ids, add_bos/eos flags and the chat template as
+    ``tokenizer.*`` GGUF KVs, from a HF checkpoint directory.
+
+    Behavioral port of the reference's ``SpecialVocab``
+    (``fun_asr_gguf/gguf/vocab.py:50-330``): token *contents* come from
+    tokenizer_config.json (string or ``{"content": ...}`` forms) and
+    resolve to ids against the vocab; explicit ``<typ>_token_id``
+    entries in config.json fill the gaps; ``add_bos_token`` /
+    ``add_eos_token`` and ``chat_template`` pass through.
+    """
+    kvs: dict = {}
+    by_content = {t: i for i, t in enumerate(tokens)}
+
+    def _read(name):
+        p = os.path.join(hf_dir, name)
+        if os.path.isfile(p):
+            with open(p, encoding="utf-8") as f:
+                return json.load(f)
+        return {}
+
+    tok_cfg = _read("tokenizer_config.json")
+    cfg = _read("config.json")
+
+    for typ in SPECIAL_TOKEN_TYPES:
+        tid = None
+        content = tok_cfg.get(f"{typ}_token")
+        if isinstance(content, dict):
+            content = content.get("content")
+        if isinstance(content, str):
+            tid = by_content.get(content)
+        if tid is None:
+            cand = cfg.get(f"{typ}_token_id",
+                           cfg.get("text_config", {}).get(f"{typ}_token_id"))
+            if isinstance(cand, int) and 0 <= cand < len(tokens):
+                tid = cand
+        if tid is not None:
+            key = {"bos": "bos_token_id", "eos": "eos_token_id",
+                   "unk": "unknown_token_id", "sep": "separator_token_id",
+                   "pad": "padding_token_id", "cls": "cls_token_id",
+                   "mask": "mask_token_id"}[typ]
+            kvs[f"tokenizer.ggml.{key}"] = tid
+    for typ in ("bos", "eos"):
+        flag = tok_cfg.get(f"add_{typ}_token")
+        if isinstance(flag, bool):
+            kvs[f"tokenizer.ggml.add_{typ}_token"] = flag
+    template = tok_cfg.get("chat_template")
+    if isinstance(template, str):
+        kvs["tokenizer.chat_template"] = template
+    return kvs
+
+
+def tokenizer_from_gguf(gguf_path: str) -> BaseTokenizer:
+    """Build the right runtime for a GGUF's embedded vocab by its
+    ``tokenizer.ggml.model`` key: ``gpt2`` (byte-BPE, Qwen-family) →
+    :class:`QwenTokenizer`; ``llama`` (SentencePiece) →
+    :class:`~.spm.SpmTokenizer` — the same dispatch llama.cpp's
+    ``llm_load_vocab`` performs."""
+    from .gguf import GGUFReader
+    model = GGUFReader(gguf_path).fields.get("tokenizer.ggml.model")
+    if model == "llama":
+        from .spm import SpmTokenizer
+        return SpmTokenizer.from_gguf(gguf_path)
+    return QwenTokenizer.from_gguf(gguf_path)
+
+
 def load_tokenizer(path: Optional[str]) -> BaseTokenizer:
     """Load the best available tokenizer for a checkpoint.
 
@@ -280,15 +351,23 @@ def load_tokenizer(path: Optional[str]) -> BaseTokenizer:
             cand = os.path.join(cand, "tokenizer.json")
         if os.path.exists(cand):
             return QwenTokenizer(cand)
+        # a raw SentencePiece checkpoint (llama/mistral family)
+        spm_cand = path if path.endswith(".model") else (
+            os.path.join(path, "tokenizer.model") if os.path.isdir(path)
+            else "")
+        if spm_cand and os.path.exists(spm_cand):
+            from .spm import SpmTokenizer, gguf_vocab_from_spm
+            tokens, scores, types, model = gguf_vocab_from_spm(spm_cand)
+            return SpmTokenizer(tokens, scores, types, unk_id=model.unk_id,
+                                bos_id=model.bos_id, eos_id=model.eos_id)
         # no tokenizer.json: a llama.cpp GGUF carries its own vocab
         base = path if os.path.isdir(path) else os.path.dirname(path)
         if os.path.isdir(base):
             for name in sorted(os.listdir(base)):
                 if name.endswith(".gguf"):
                     try:
-                        return QwenTokenizer.from_gguf(
-                            os.path.join(base, name))
-                    except (ValueError, OSError):
+                        return tokenizer_from_gguf(os.path.join(base, name))
+                    except (ValueError, OSError, KeyError):
                         continue
     return ByteTokenizer()
 

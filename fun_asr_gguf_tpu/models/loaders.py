@@ -200,13 +200,18 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
 
 def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
                        quantize_q8_0: bool = True,
-                       tokenizer_json: str = None):
+                       tokenizer_json: str = None,
+                       tokenizer_model: str = None,
+                       hf_dir: str = None):
     """Export our params as a llama.cpp-compatible qwen3 GGUF.
 
     With ``tokenizer_json``, the vocab/merges embed as
     ``tokenizer.ggml.*`` KVs (llama.cpp layout) so the file is
     self-contained — loadable without a separate tokenizer.json
-    (QwenTokenizer.from_gguf / llama.cpp itself).
+    (QwenTokenizer.from_gguf / llama.cpp itself). ``tokenizer_model``
+    embeds a SentencePiece vocab instead (llama/mistral family;
+    tokens + scores + token types, ``tokenizer.ggml.model = llama`` —
+    reference ``gguf/vocab.py:431-503`` SentencePieceVocab semantics).
     """
     arch = cfg.arch
     w = GGUFWriter(path, arch=arch)
@@ -226,6 +231,19 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         w.add_kv(f"{arch}.expert_feed_forward_length", cfg.moe_ffn_dim)
         w.add_kv(f"{arch}.norm_topk_prob", cfg.norm_topk_prob)
 
+    if hf_dir:
+        # general.* naming heuristics (reference gguf/metadata.py
+        # equivalent): decompose the checkpoint name, size-label from
+        # the actual weight count, model-card license/tags
+        from ..formats.metadata import metadata_kvs
+        n_params = sum(int(np.prod(v.shape))
+                       for v in jax.tree_util.tree_leaves(params))
+        for key, val in metadata_kvs(hf_dir, total_params=n_params,
+                                     experts=cfg.n_experts).items():
+            w.add_kv(key, val)
+
+    tok_kvs = {}
+    tokens = None
     if tokenizer_json:
         from ..formats.tokenizer import gguf_vocab_from_tokenizer_json
         tokens, types, merges = gguf_vocab_from_tokenizer_json(
@@ -237,11 +255,31 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         w.add_kv("tokenizer.ggml.merges", merges)
         by_content = {t: i for i, t in enumerate(tokens)}
         if "<|im_end|>" in by_content:
-            w.add_kv("tokenizer.ggml.eos_token_id",
-                     by_content["<|im_end|>"])
+            tok_kvs["tokenizer.ggml.eos_token_id"] = by_content["<|im_end|>"]
         if "<|endoftext|>" in by_content:
-            w.add_kv("tokenizer.ggml.padding_token_id",
-                     by_content["<|endoftext|>"])
+            tok_kvs["tokenizer.ggml.padding_token_id"] = \
+                by_content["<|endoftext|>"]
+    elif tokenizer_model:
+        from ..formats.spm import gguf_vocab_from_spm
+        tokens, scores, types, spm = gguf_vocab_from_spm(tokenizer_model)
+        w.add_kv("tokenizer.ggml.model", "llama")
+        w.add_kv("tokenizer.ggml.tokens", tokens)
+        w.add_kv("tokenizer.ggml.scores", [float(s) for s in scores])
+        w.add_kv("tokenizer.ggml.token_type", types)
+        tok_kvs["tokenizer.ggml.unknown_token_id"] = spm.unk_id
+        tok_kvs["tokenizer.ggml.bos_token_id"] = spm.bos_id
+        tok_kvs["tokenizer.ggml.eos_token_id"] = spm.eos_id
+        if spm.pad_id >= 0:
+            tok_kvs["tokenizer.ggml.padding_token_id"] = spm.pad_id
+    if tokens is not None:
+        if hf_dir:
+            # declared special ids / chat template take precedence over
+            # the convention-based defaults above (SpecialVocab parity:
+            # reference gguf/vocab.py:50-330)
+            from ..formats.tokenizer import special_vocab_kvs
+            tok_kvs.update(special_vocab_kvs(hf_dir, tokens))
+        for key, val in tok_kvs.items():
+            w.add_kv(key, val)
 
     def mat(name, arr2d):
         """our [in, out] -> gguf [out, in]; q8_0 blocks run along `in`."""

@@ -205,11 +205,19 @@ def convert(model_dir: str, out_dir: str, outtype: str = "q8_0",
         sd = extract_llm_from_model_pt(model_pt)
     params = qwen3_params_from_hf_state(sd, llm_cfg)
     tok_json = os.path.join(hf_dir, "tokenizer.json")
+    tok_spm = os.path.join(hf_dir, "tokenizer.model")
     dec = os.path.join(out_dir, "decoder.gguf")
     save_qwen3_to_gguf(dec, params, llm_cfg,
                        quantize_q8_0=(outtype == "q8_0"),
                        tokenizer_json=(tok_json if os.path.exists(tok_json)
-                                       else None))
+                                       else None),
+                       # llama/mistral SPM checkpoints carry a
+                       # tokenizer.model instead of a tokenizer.json
+                       tokenizer_model=(tok_spm
+                                        if os.path.exists(tok_spm)
+                                        and not os.path.exists(tok_json)
+                                        else None),
+                       hf_dir=hf_dir)
     if outtype not in ("q8_0", "f16"):
         # other targets (k-quants, iq4, ternary, mxfp4, bf16) go through
         # the generic requantizer over the f16 export
@@ -221,7 +229,8 @@ def convert(model_dir: str, out_dir: str, outtype: str = "q8_0",
     print(f"decoder.gguf ({outtype})")
 
     # 4. tokenizer + config
-    for name in ("tokenizer.json", "tokenizer_config.json"):
+    for name in ("tokenizer.json", "tokenizer_config.json",
+                 "tokenizer.model", "added_tokens.json"):
         src = os.path.join(hf_dir, name)
         if os.path.exists(src):
             shutil.copy(src, os.path.join(out_dir, name))
