@@ -106,6 +106,20 @@ class Qwen3Config:
     n_experts_per_tok: int = 0   # router top-k
     moe_ffn_dim: int = 0         # per-expert intermediate size
     norm_topk_prob: bool = True  # renormalize the top-k routing probs
+    # -- Gemma family (gemma3 text; reference converter registers
+    # Gemma3Model at convert_hf_to_gguf.py:5896). Norm weights are
+    # stored SHIFTED (+1, the llama.cpp GGUF convention), so rms_norm
+    # stays the plain multiply everywhere. --
+    post_norms: bool = False      # sandwich norms (post-attn + post-ffn)
+    act: str = "silu"             # MLP gate activation; gemma: gelu_tanh
+    embed_scale: float = 1.0      # gemma scales embeddings by sqrt(hidden)
+    attn_scale: float = 0.0       # 0 → head_dim**-0.5; gemma3:
+    #                               query_pre_attn_scalar**-0.5
+    sliding_window: int = 0       # 0 = all layers attend globally
+    sliding_pattern: int = 0      # every Nth layer is global (gemma3: 6)
+    rope_local_theta: float = 1e4  # sliding layers' rope base
+    rope_global_scale: float = 1.0  # linear position scale, global layers
+    final_softcap: float = 0.0    # cap·tanh(logits/cap) when > 0
 
     @property
     def is_moe(self) -> bool:

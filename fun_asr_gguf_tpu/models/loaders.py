@@ -85,14 +85,35 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
             n_experts_per_tok=int(g("expert_used_count", 0)),
             moe_ffn_dim=int(g("expert_feed_forward_length", 0)),
             norm_topk_prob=bool(g("norm_topk_prob", True)))
+    head_dim = int(g("attention.key_length", hidden // q_heads))
+    gemma = {}
+    if str(arch).startswith("gemma"):
+        # llama.cpp hardcodes the gemma3 local rope base (10k) and the
+        # 5-local:1-global pattern; our exporter also writes them as
+        # explicit KVs for lossless round-trips
+        gemma = dict(
+            post_norms=True,
+            act="gelu_tanh",
+            embed_scale=float(hidden) ** 0.5,
+            attn_scale=float(g("attention.query_pre_attn_scalar", 256))
+            ** -0.5,
+            sliding_window=int(g("attention.sliding_window", 0)),
+            sliding_pattern=int(g("attention.sliding_window_pattern",
+                                  6 if g("attention.sliding_window", 0)
+                                  else 0)),
+            rope_local_theta=float(g("rope.local_freq_base", 1e4)),
+            rope_global_scale=float(g("rope.scaling.factor", 1.0)),
+            final_softcap=float(g("final_logit_softcapping", 0.0)),
+        )
     return Qwen3Config(
         **moe,
+        **gemma,
         hidden=hidden,
         n_layers=int(g("block_count", 28)),
         q_heads=q_heads,
         kv_heads=int(g("attention.head_count_kv", 8)),
         # llama GGUFs typically omit key_length: head_dim = hidden/heads
-        head_dim=int(g("attention.key_length", hidden // q_heads)),
+        head_dim=head_dim,
         ffn_dim=int(g("feed_forward_length", 3072)),
         vocab_size=int(vocab),
         rope_theta=float(g("rope.freq_base", 1e6)),
@@ -184,6 +205,9 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
     if cfg.qk_norm:
         layers["q_norm"] = vstack("blk.{}.attn_q_norm.weight")
         layers["k_norm"] = vstack("blk.{}.attn_k_norm.weight")
+    if cfg.post_norms:
+        layers["attn_post_ln"] = vstack("blk.{}.post_attention_norm.weight")
+        layers["ffn_post_ln"] = vstack("blk.{}.post_ffw_norm.weight")
     if cfg.attn_bias:
         layers["q_b"] = vstack("blk.{}.attn_q.bias")
         layers["k_b"] = vstack("blk.{}.attn_k.bias")
@@ -230,6 +254,18 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         w.add_kv(f"{arch}.expert_used_count", cfg.n_experts_per_tok)
         w.add_kv(f"{arch}.expert_feed_forward_length", cfg.moe_ffn_dim)
         w.add_kv(f"{arch}.norm_topk_prob", cfg.norm_topk_prob)
+    if cfg.post_norms:
+        # standard llama.cpp keys + explicit extras (llama.cpp hardcodes
+        # the gemma3 pattern/local-theta; we round-trip them losslessly)
+        w.add_kv(f"{arch}.attention.sliding_window", cfg.sliding_window)
+        w.add_kv(f"{arch}.attention.sliding_window_pattern",
+                 cfg.sliding_pattern)
+        w.add_kv(f"{arch}.attention.query_pre_attn_scalar",
+                 float(cfg.attn_scale ** -2) if cfg.attn_scale else 256.0)
+        w.add_kv(f"{arch}.rope.local_freq_base", cfg.rope_local_theta)
+        w.add_kv(f"{arch}.rope.scaling.factor", cfg.rope_global_scale)
+        if cfg.final_softcap:
+            w.add_kv(f"{arch}.final_logit_softcapping", cfg.final_softcap)
 
     if hf_dir:
         # general.* naming heuristics (reference gguf/metadata.py
@@ -317,6 +353,11 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
                          np.asarray(L["q_norm"][i], np.float32))
             w.add_tensor(f"blk.{i}.attn_k_norm.weight",
                          np.asarray(L["k_norm"][i], np.float32))
+        if "attn_post_ln" in L:
+            w.add_tensor(f"blk.{i}.post_attention_norm.weight",
+                         np.asarray(L["attn_post_ln"][i], np.float32))
+            w.add_tensor(f"blk.{i}.post_ffw_norm.weight",
+                         np.asarray(L["ffn_post_ln"][i], np.float32))
         if "q_b" in L:
             w.add_tensor(f"blk.{i}.attn_q.bias",
                          np.asarray(L["q_b"][i], np.float32))

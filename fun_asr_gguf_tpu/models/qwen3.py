@@ -269,7 +269,7 @@ def _attend_cache_flash(q, K, V, l, bias, cfg):
     s, kh, hd = arr.shape[2], arr.shape[3], arr.shape[4]
     if not flash_decode_supported(b, t, s, kh, hd, quant):
         return None
-    qs = (q.astype(jnp.float32) * cfg.head_dim ** -0.5).astype(q.dtype)
+    qs = (q.astype(jnp.float32) * _attn_scale(cfg)).astype(q.dtype)
     bias3 = jnp.broadcast_to(bias[:, 0], (b, t, s))
     if quant:
         kq = jax.lax.dynamic_index_in_dim(K.q, l, 0, keepdims=False)
@@ -745,7 +745,7 @@ def _attn_out(attn_heads, lp, cfg: Qwen3Config, pre: bool = False):
     return _proj(merged, lp["o_w"], pre)
 
 
-def _mlp(x, lp, pre: bool = False):
+def _mlp(x, lp, pre: bool = False, act: str = "silu"):
     if "gate_up_w" in lp:
         gu = _proj(x, lp["gate_up_w"], pre)
         f = gu.shape[-1] // 2
@@ -753,10 +753,12 @@ def _mlp(x, lp, pre: bool = False):
     else:
         gate = _proj(x, lp["gate_w"], pre)
         up = _proj(x, lp["up_w"], pre)
+    gate = (jax.nn.gelu(gate, approximate=True) if act == "gelu_tanh"
+            else jax.nn.silu(gate))
     # pre: gate/up channel orders are half-permuted identically, so the
     # elementwise pairing is aligned and the product lands in down_w's
     # expected (permuted) contraction order
-    return _proj(jax.nn.silu(gate) * up, lp["down_w"], pre)
+    return _proj(gate * up, lp["down_w"], pre)
 
 
 def _moe_dense(w, dtype):
@@ -852,7 +854,7 @@ def _mlp_block(h, lp, cfg: Qwen3Config, pre: bool = False):
     """MLP dispatcher: sparse MoE when the layer carries a router."""
     if "router_w" in lp:
         return _moe_mlp(h, lp, cfg)
-    return _mlp(h, lp, pre)
+    return _mlp(h, lp, pre, act=cfg.act)
 
 
 def _fused_mlp_call(attn_heads, x, lp, cfg: Qwen3Config, eps):
@@ -922,6 +924,34 @@ def _q8i_layer_call(attn_heads, x_col, lp, lp_next, cfg: Qwen3Config, eps,
         lp_next["qkv_w"] if with_qkv else None, eps, with_qkv=with_qkv)
 
 
+def _attn_scale(cfg: Qwen3Config) -> float:
+    """Query scale: head_dim**-0.5, or the arch override (gemma3's
+    query_pre_attn_scalar**-0.5 arrives as cfg.attn_scale)."""
+    return cfg.attn_scale if cfg.attn_scale else cfg.head_dim ** -0.5
+
+
+def _global_layer_flags(cfg: Qwen3Config):
+    """[L] bool: which layers attend globally. All of them unless the
+    arch interleaves sliding-window layers (gemma3: every Nth global)."""
+    l = jnp.arange(cfg.n_layers)
+    if not cfg.sliding_pattern:
+        return jnp.ones((cfg.n_layers,), bool)
+    return (l + 1) % cfg.sliding_pattern == 0
+
+
+def _dual_rope(positions, cfg: Qwen3Config, dtype):
+    """(cos_g, sin_g, cos_l, sin_l): global layers use rope_theta with
+    linear position scaling; sliding layers use rope_local_theta."""
+    posf = positions.astype(jnp.float32)
+    cos_g, sin_g = rope_cos_sin(posf / cfg.rope_global_scale,
+                                cfg.head_dim, cfg.rope_theta, dtype)
+    if not cfg.sliding_pattern:
+        return cos_g, sin_g, cos_g, sin_g
+    cos_l, sin_l = rope_cos_sin(posf, cfg.head_dim,
+                                cfg.rope_local_theta, dtype)
+    return cos_g, sin_g, cos_l, sin_l
+
+
 def _gqa_scores(q, k, cfg: Qwen3Config):
     """q [B,T,qh,D], k [B,S,kh,D] → scores [B,qh,T,S] (f32, scaled)."""
     group = cfg.q_heads // cfg.kv_heads
@@ -930,7 +960,7 @@ def _gqa_scores(q, k, cfg: Qwen3Config):
     qg = q.reshape(b, t, cfg.kv_heads, group, cfg.head_dim)
     scores = jnp.einsum("btkgd,bskd->bkgts", qg, k,
                         preferred_element_type=jnp.float32)
-    scores = scores * (cfg.head_dim ** -0.5)
+    scores = scores * _attn_scale(cfg)
     return scores.reshape(b, cfg.q_heads, t, s)
 
 
@@ -961,13 +991,16 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
     b, p, _ = embeds.shape
     kv_max_len = kv_max_len or p
     fused = "q8_fused" in params
+    if cfg.embed_scale != 1.0:
+        embeds = embeds * jnp.asarray(cfg.embed_scale, embeds.dtype)
     x = block_permute(embeds) if fused else embeds
     prompt_len = jnp.sum(attn_mask, axis=1).astype(jnp.int32)     # [B]
     shift = p - prompt_len                                        # [B]
     positions = (jnp.arange(p, dtype=jnp.int32)[None, :] - shift[:, None])
     positions = jnp.maximum(positions, 0)
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, x.dtype)
+    cos, sin, cos_l, sin_l = _dual_rope(positions, cfg, x.dtype)
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    cos_l, sin_l = cos_l[:, :, None, :], sin_l[:, :, None, :]
 
     # causal + padding mask [B, 1, P, P]
     i = jnp.arange(p)[:, None]
@@ -975,23 +1008,42 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
     causal = (j <= i)[None, None, :, :]
     pad = attn_mask[:, None, None, :] > 0
     bias = jnp.where(causal & pad, 0.0, NEG_INF).astype(jnp.float32)
+    if cfg.sliding_pattern:
+        near = ((i - j) < cfg.sliding_window)[None, None, :, :]
+        bias_l = jnp.where(causal & pad & near, 0.0,
+                           NEG_INF).astype(jnp.float32)
+    else:
+        bias_l = bias
 
     dense, quant = _split_quant_layers(params["layers"])
+    gflags = _global_layer_flags(cfg)
 
     def layer(x, xs):
-        l, lp_dense = xs
+        l, g, lp_dense = xs
+        if cfg.sliding_pattern:    # static: qwen-family skips the selects
+            lcos, lsin = jnp.where(g, cos, cos_l), jnp.where(g, sin, sin_l)
+            lbias = jnp.where(g, bias, bias_l)
+        else:
+            lcos, lsin, lbias = cos, sin, bias
         lp = _layer_params(lp_dense, quant, l)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
-        q, k, v = _qkv(h, lp, cfg, cos, sin, fused)
-        scores = _gqa_scores(q, k, cfg) + bias
+        q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
+        scores = _gqa_scores(q, k, cfg) + lbias
         probs = jax.nn.softmax(scores, axis=-1)
-        x = x + _attn_out(_gqa_mix(probs, v, cfg), lp, cfg, fused)
+        attn = _attn_out(_gqa_mix(probs, v, cfg), lp, cfg, fused)
+        if cfg.post_norms:
+            attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
+        x = x + attn
         h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
-        x = x + _mlp_block(h, lp, cfg, fused)
+        mlp = _mlp_block(h, lp, cfg, fused)
+        if cfg.post_norms:
+            mlp = rms_norm(mlp, lp["ffn_post_ln"], cfg.rms_eps)
+        x = x + mlp
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(
-        layer, x, (jnp.arange(cfg.n_layers, dtype=jnp.int32), dense))
+        layer, x, (jnp.arange(cfg.n_layers, dtype=jnp.int32), gflags,
+                   dense))
 
     kv_dtype = x.dtype
     pad_len = kv_max_len - p
@@ -1024,17 +1076,26 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
     """
     b = token_embed.shape[0]
     fused = "q8_fused" in params
+    if cfg.embed_scale != 1.0:
+        token_embed = token_embed * jnp.asarray(cfg.embed_scale,
+                                                token_embed.dtype)
     if fused:
         token_embed = block_permute(token_embed)
     x = token_embed[:, None, :]                                   # [B,1,H]
-    cos, sin = rope_cos_sin(position[:, None], cfg.head_dim,
-                            cfg.rope_theta, x.dtype)
+    cos, sin, cos_l, sin_l = _dual_rope(position[:, None], cfg, x.dtype)
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    cos_l, sin_l = cos_l[:, :, None, :], sin_l[:, :, None, :]
 
     s = kv.max_len
     j = jnp.arange(s, dtype=jnp.int32)[None, :]
     visible = (j >= valid_from[:, None]) & (j <= slot)
     bias = jnp.where(visible, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
+    if cfg.sliding_pattern:
+        near = j > (slot - cfg.sliding_window)
+        bias_l = jnp.where(visible & near, 0.0, NEG_INF
+                           ).astype(jnp.float32)[:, None, None, :]
+    else:
+        bias_l = bias
 
     dense, quant = _split_quant_layers(params["layers"])
     zero = jnp.asarray(0, jnp.int32)
@@ -1045,7 +1106,7 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
     # more HBM traffic than the weights themselves — measured 4.0 vs
     # 1.9 ms/step on v5e. As carry, each layer writes only its one new
     # [B,1,kh,D] entry in place and reads its slice for attention.
-    def attn_core(q, k, v, K, V, l):
+    def attn_core(q, k, v, K, V, l, lbias=None):
         def upd(big, new):
             return jax.lax.dynamic_update_slice(
                 big, new[None].astype(big.dtype),
@@ -1053,21 +1114,33 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
 
         K = _kv_store(K, k, upd)
         V = _kv_store(V, v, upd)
-        return _attend_cache(q, K, V, l, bias, cfg), K, V
+        lbias = bias if lbias is None else lbias
+        return _attend_cache(q, K, V, l, lbias, cfg), K, V
 
     def layer(carry, inputs):
         x, K, V = carry
-        l, lp_dense = inputs
+        l, g, lp_dense = inputs
+        if cfg.sliding_pattern:    # static: qwen-family skips the selects
+            lcos, lsin = jnp.where(g, cos, cos_l), jnp.where(g, sin, sin_l)
+            lbias = jnp.where(g, bias, bias_l)
+        else:
+            lcos, lsin, lbias = cos, sin, bias
         lp = _layer_params(lp_dense, quant, l)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
-        q, k, v = _qkv(h, lp, cfg, cos, sin, fused)
-        heads, K, V = attn_core(q, k, v, K, V, l)
+        q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
+        heads, K, V = attn_core(q, k, v, K, V, l, lbias)
         if fused:
             x = _fused_mlp_call(heads, x, lp, cfg, cfg.rms_eps)
         else:
-            x = x + _attn_out(heads, lp, cfg)
+            attn = _attn_out(heads, lp, cfg)
+            if cfg.post_norms:
+                attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
+            x = x + attn
             h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
-            x = x + _mlp_block(h, lp, cfg)
+            mlp = _mlp_block(h, lp, cfg)
+            if cfg.post_norms:
+                mlp = rms_norm(mlp, lp["ffn_post_ln"], cfg.rms_eps)
+            x = x + mlp
         return (x, K, V), jnp.int32(0)
 
     if ("q8_mega" in params and b == 1
@@ -1156,15 +1229,17 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
     elif quant and _unroll_decode():
         # static layer indices: each kernel's index_map bakes in its layer,
         # so weights stream copy-free with no scalar-prefetch plumbing.
+        gflags = _global_layer_flags(cfg)
         carry = (x, kv.k, kv.v)
         for l in range(cfg.n_layers):
             dense_l = {key: w[l] for key, w in dense.items()}
-            carry, _ = layer(carry, (l, dense_l))
+            carry, _ = layer(carry, (l, gflags[l], dense_l))
         x, ks, vs = carry
     else:
         (x, ks, vs), _ = jax.lax.scan(
             layer, (x, kv.k, kv.v),
-            (jnp.arange(cfg.n_layers, dtype=jnp.int32), dense))
+            (jnp.arange(cfg.n_layers, dtype=jnp.int32),
+             _global_layer_flags(cfg), dense))
     if logits is None:
         x = rms_norm(x, params["final_ln"], cfg.rms_eps)
         logits = _logits(params, x[:, 0, :], cfg)
@@ -1195,9 +1270,13 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
     """
     b, t, _ = token_embeds.shape
     fused = "q8_fused" in params
+    if cfg.embed_scale != 1.0:
+        token_embeds = token_embeds * jnp.asarray(cfg.embed_scale,
+                                                  token_embeds.dtype)
     x = block_permute(token_embeds) if fused else token_embeds
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, x.dtype)
+    cos, sin, cos_l, sin_l = _dual_rope(positions, cfg, x.dtype)
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    cos_l, sin_l = cos_l[:, :, None, :], sin_l[:, :, None, :]
 
     s = kv.max_len
     j = jnp.arange(s, dtype=jnp.int32)[None, None, :]             # [1,1,S]
@@ -1206,6 +1285,12 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
                & (j <= slots[:, None, None] + i))                 # [B,T,S]
     bias = jnp.where(visible, 0.0, NEG_INF).astype(
         jnp.float32)[:, None, :, :]                               # [B,1,T,S]
+    if cfg.sliding_pattern:
+        near = j > (slots[:, None, None] + i - cfg.sliding_window)
+        bias_l = jnp.where(visible & near, 0.0, NEG_INF).astype(
+            jnp.float32)[:, None, :, :]
+    else:
+        bias_l = bias
 
     rows = jnp.arange(b)[:, None]                                 # [B,1]
     cols = slots[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # [B,T]
@@ -1225,24 +1310,36 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
 
     # stacked KV as scan CARRY (see qwen3_decode_step: the ys path
     # re-writes the whole cache every pass)
-    def attn_core(q, k, v, K, V, l):
+    def attn_core(q, k, v, K, V, l, lbias=None):
         K = _kv_store(K, k, lambda big, new: write_kv(big, new, l))
         V = _kv_store(V, v, lambda big, new: write_kv(big, new, l))
-        return _attend_cache(q, K, V, l, bias, cfg), K, V
+        lbias = bias if lbias is None else lbias
+        return _attend_cache(q, K, V, l, lbias, cfg), K, V
 
     def layer(carry, inputs):
         x, K, V = carry
-        l, lp_dense = inputs
+        l, g, lp_dense = inputs
+        if cfg.sliding_pattern:    # static: qwen-family skips the selects
+            lcos, lsin = jnp.where(g, cos, cos_l), jnp.where(g, sin, sin_l)
+            lbias = jnp.where(g, bias, bias_l)
+        else:
+            lcos, lsin, lbias = cos, sin, bias
         lp = _layer_params(lp_dense, quant, l)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
-        q, k, v = _qkv(h, lp, cfg, cos, sin, fused)
-        heads, K, V = attn_core(q, k, v, K, V, l)
+        q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
+        heads, K, V = attn_core(q, k, v, K, V, l, lbias)
         if fused:
             x = _fused_mlp_call(heads, x, lp, cfg, cfg.rms_eps)
         else:
-            x = x + _attn_out(heads, lp, cfg)
+            attn = _attn_out(heads, lp, cfg)
+            if cfg.post_norms:
+                attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
+            x = x + attn
             h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
-            x = x + _mlp_block(h, lp, cfg)
+            mlp = _mlp_block(h, lp, cfg)
+            if cfg.post_norms:
+                mlp = rms_norm(mlp, lp["ffn_post_ln"], cfg.rms_eps)
+            x = x + mlp
         return (x, K, V), jnp.int32(0)
 
     fused_i = "q8i_fused" in params
@@ -1290,15 +1387,17 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
                     x = _fused_mlp_call(heads, x, lps[l], cfg, cfg.rms_eps)
         ks, vs = K, V
     elif quant and _unroll_decode():
+        gflags = _global_layer_flags(cfg)
         carry = (x, kv.k, kv.v)
         for l in range(cfg.n_layers):
             dense_l = {key: w[l] for key, w in dense.items()}
-            carry, _ = layer(carry, (l, dense_l))
+            carry, _ = layer(carry, (l, gflags[l], dense_l))
         x, ks, vs = carry
     else:
         (x, ks, vs), _ = jax.lax.scan(
             layer, (x, kv.k, kv.v),
-            (jnp.arange(cfg.n_layers, dtype=jnp.int32), dense))
+            (jnp.arange(cfg.n_layers, dtype=jnp.int32),
+             _global_layer_flags(cfg), dense))
     if logits is None:
         x = rms_norm(x, params["final_ln"], cfg.rms_eps)
         logits = _logits(params, x, cfg)                          # [B,T,V]
@@ -1310,34 +1409,55 @@ def qwen3_forward_logits(params, embeds, attn_mask, cfg: Qwen3Config):
     logits [B,T,vocab] f32 with causal+padding masking."""
     b, p, _ = embeds.shape
     fused = "q8_fused" in params
+    if cfg.embed_scale != 1.0:
+        embeds = embeds * jnp.asarray(cfg.embed_scale, embeds.dtype)
     x = block_permute(embeds) if fused else embeds
     prompt_len = jnp.sum(attn_mask, axis=1).astype(jnp.int32)
     shift = p - prompt_len
     positions = jnp.maximum(
         jnp.arange(p, dtype=jnp.int32)[None, :] - shift[:, None], 0)
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, x.dtype)
+    cos, sin, cos_l, sin_l = _dual_rope(positions, cfg, x.dtype)
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    cos_l, sin_l = cos_l[:, :, None, :], sin_l[:, :, None, :]
     i = jnp.arange(p)[:, None]
     j = jnp.arange(p)[None, :]
-    bias = jnp.where((j <= i)[None, None] & (attn_mask[:, None, None, :] > 0),
-                     0.0, NEG_INF).astype(jnp.float32)
+    causal_pad = (j <= i)[None, None] & (attn_mask[:, None, None, :] > 0)
+    bias = jnp.where(causal_pad, 0.0, NEG_INF).astype(jnp.float32)
+    if cfg.sliding_pattern:
+        near = ((i - j) < cfg.sliding_window)[None, None]
+        bias_l = jnp.where(causal_pad & near, 0.0,
+                           NEG_INF).astype(jnp.float32)
+    else:
+        bias_l = bias
 
     dense, quant = _split_quant_layers(params["layers"])
 
     def layer(x, xs):
-        l, lp_dense = xs
+        l, g, lp_dense = xs
+        if cfg.sliding_pattern:    # static: qwen-family skips the selects
+            lcos, lsin = jnp.where(g, cos, cos_l), jnp.where(g, sin, sin_l)
+            lbias = jnp.where(g, bias, bias_l)
+        else:
+            lcos, lsin, lbias = cos, sin, bias
         lp = _layer_params(lp_dense, quant, l)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
-        q, k, v = _qkv(h, lp, cfg, cos, sin, fused)
-        scores = _gqa_scores(q, k, cfg) + bias
+        q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
+        scores = _gqa_scores(q, k, cfg) + lbias
         probs = jax.nn.softmax(scores, axis=-1)
-        x = x + _attn_out(_gqa_mix(probs, v, cfg), lp, cfg, fused)
+        attn = _attn_out(_gqa_mix(probs, v, cfg), lp, cfg, fused)
+        if cfg.post_norms:
+            attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
+        x = x + attn
         h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
-        x = x + _mlp_block(h, lp, cfg, fused)
+        mlp = _mlp_block(h, lp, cfg, fused)
+        if cfg.post_norms:
+            mlp = rms_norm(mlp, lp["ffn_post_ln"], cfg.rms_eps)
+        x = x + mlp
         return x, None
 
     x, _ = jax.lax.scan(
-        layer, x, (jnp.arange(cfg.n_layers, dtype=jnp.int32), dense))
+        layer, x, (jnp.arange(cfg.n_layers, dtype=jnp.int32),
+                   _global_layer_flags(cfg), dense))
     x = rms_norm(x, params["final_ln"], cfg.rms_eps)
     return _logits(params, x, cfg)
 
@@ -1386,6 +1506,16 @@ def lm_head_q8dot(params):
 
 
 def _logits(params, x, cfg: Qwen3Config):
+    """x [..., hidden] → logits [..., vocab] f32, with the arch's final
+    softcap (gemma) applied when configured."""
+    out = _logits_raw(params, x, cfg)
+    if cfg.final_softcap:
+        cap = jnp.float32(cfg.final_softcap)
+        out = cap * jnp.tanh(out / cap)
+    return out
+
+
+def _logits_raw(params, x, cfg: Qwen3Config):
     """x [..., hidden] → logits [..., vocab] f32 (quantized head if built).
     In fused-q8 mode x arrives in perm space; the q8 head contracts it
     directly, other heads get it unpermuted first."""
@@ -1466,6 +1596,9 @@ def init_qwen3_params(rng, cfg: Qwen3Config, dtype=jnp.float32):
         layers["q_b"] = norm(bkeys[0], (n, qd), 0.02)
         layers["k_b"] = norm(bkeys[1], (n, kd), 0.02)
         layers["v_b"] = norm(bkeys[2], (n, kd), 0.02)
+    if cfg.post_norms:
+        layers["attn_post_ln"] = jnp.ones((n, h), dtype)
+        layers["ffn_post_ln"] = jnp.ones((n, h), dtype)
     params = {
         "layers": layers,
         "final_ln": jnp.ones((h,), dtype),

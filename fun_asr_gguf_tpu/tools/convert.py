@@ -48,9 +48,22 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
         return np.stack([sd[fmt.format(i)].astype(np.float32)
                          for i in range(cfg.n_layers)])
 
+    # gemma stores zero-centered norm weights (RMSNorm multiplies by
+    # 1+w); shifting at load keeps rms_norm a plain multiply everywhere
+    # (the same +1 the reference converter bakes into GGUF exports,
+    # convert_hf_to_gguf.py:5898 norm_shift)
+    shift = 1.0 if cfg.post_norms else 0.0
+
+    def nvec(fmt):
+        return stack_vec(fmt) + shift
+
     layers = {
-        "input_ln": stack_vec("model.layers.{}.input_layernorm.weight"),
-        "post_ln": stack_vec(
+        "input_ln": nvec("model.layers.{}.input_layernorm.weight"),
+        # gemma's pre-FFN norm lives under a different HF name; in the
+        # llama family post_attention_layernorm IS the pre-FFN norm
+        "post_ln": nvec(
+            "model.layers.{}.pre_feedforward_layernorm.weight"
+            if cfg.post_norms else
             "model.layers.{}.post_attention_layernorm.weight"),
         "q_w": stack("model.layers.{}.self_attn.q_proj.weight"),
         "k_w": stack("model.layers.{}.self_attn.k_proj.weight"),
@@ -80,17 +93,22 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
             "down_w": stack("model.layers.{}.mlp.down_proj.weight"),
         })
     if cfg.qk_norm:
-        layers["q_norm"] = stack_vec(
+        layers["q_norm"] = nvec(
             "model.layers.{}.self_attn.q_norm.weight")
-        layers["k_norm"] = stack_vec(
+        layers["k_norm"] = nvec(
             "model.layers.{}.self_attn.k_norm.weight")
+    if cfg.post_norms:
+        layers["attn_post_ln"] = nvec(
+            "model.layers.{}.post_attention_layernorm.weight")
+        layers["ffn_post_ln"] = nvec(
+            "model.layers.{}.post_feedforward_layernorm.weight")
     if cfg.attn_bias:
         layers["q_b"] = stack_vec("model.layers.{}.self_attn.q_proj.bias")
         layers["k_b"] = stack_vec("model.layers.{}.self_attn.k_proj.bias")
         layers["v_b"] = stack_vec("model.layers.{}.self_attn.v_proj.bias")
     params = {
         "layers": layers,
-        "final_ln": sd["model.norm.weight"].astype(np.float32),
+        "final_ln": sd["model.norm.weight"].astype(np.float32) + shift,
         "embed": sd["model.embed_tokens.weight"].astype(np.float32),
     }
     if "lm_head.weight" in sd and not cfg.tie_embeddings:
@@ -105,6 +123,11 @@ _HF_ARCHS = {
     "Qwen2ForCausalLM": ("qwen2", False, True),
     "LlamaForCausalLM": ("llama", False, False),
     "MistralForCausalLM": ("llama", False, False),
+    # gemma3 text (reference converter: Gemma3Model at
+    # convert_hf_to_gguf.py:5896): qk-norm, no attention biases,
+    # sandwich norms / GeGLU / sliding-window handled via config flags
+    "Gemma3ForCausalLM": ("gemma3", True, False),
+    "Gemma3TextModel": ("gemma3", True, False),
 }
 
 
@@ -128,8 +151,36 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
             n_experts_per_tok=config["num_experts_per_tok"],
             moe_ffn_dim=config["moe_intermediate_size"],
             norm_topk_prob=bool(config.get("norm_topk_prob", True)))
+    gemma = {}
+    if arch == "gemma3":
+        # sliding pattern: every Nth layer is global. HF expresses this
+        # as layer_types or sliding_window_pattern; both map to N.
+        pattern = config.get("sliding_window_pattern")
+        if not pattern and (lt := config.get("layer_types")):
+            fulls = [i for i, t in enumerate(lt) if t == "full_attention"]
+            pattern = (fulls[0] + 1) if fulls else 0
+        rs = config.get("rope_scaling") or {}
+        gemma = dict(
+            post_norms=True,
+            act="gelu_tanh",
+            embed_scale=float(config["hidden_size"]) ** 0.5,
+            attn_scale=float(config.get("query_pre_attn_scalar", 256))
+            ** -0.5,
+            sliding_window=int(config.get("sliding_window", 0) or 0),
+            sliding_pattern=int(pattern or 0),
+            rope_local_theta=float(
+                config.get("rope_local_base_freq", 1e4)),
+            rope_global_scale=float(rs.get("factor", 1.0))
+            if rs.get("rope_type", rs.get("type")) == "linear" else 1.0,
+            final_softcap=float(
+                config.get("final_logit_softcapping") or 0.0),
+        )
+        if config.get("attn_logit_softcapping"):
+            raise ValueError("attention logit softcapping (gemma2) is "
+                             "not supported; gemma3-family only")
     return Qwen3Config(
         **moe,
+        **gemma,
         hidden=config["hidden_size"],
         n_layers=config["num_hidden_layers"],
         q_heads=config["num_attention_heads"],
