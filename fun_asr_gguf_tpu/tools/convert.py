@@ -218,6 +218,39 @@ def load_hf_safetensors_dir(hf_dir: str) -> Dict[str, np.ndarray]:
     return sd
 
 
+def convert_llm(hf_dir: str, out_path: str, outtype: str = "q8_0"):
+    """Standalone HF decoder dir → one llama.cpp-compatible GGUF file.
+
+    The direct equivalent of the reference's
+    ``convert_hf_to_gguf.py <dir> --outfile x.gguf --outtype ...`` for
+    the archs this decode graph runs (qwen3 / qwen2 / llama / mistral /
+    qwen3moe / gemma3): weights + embedded vocab (BPE from
+    tokenizer.json or SentencePiece from tokenizer.model) + special
+    tokens / chat template + general.* naming metadata.
+    """
+    with open(os.path.join(hf_dir, "config.json")) as f:
+        cfg = qwen3_config_from_hf(json.load(f))
+    sd = load_hf_safetensors_dir(hf_dir)
+    if not sd:
+        raise FileNotFoundError(f"no .safetensors files in {hf_dir}")
+    params = qwen3_params_from_hf_state(sd, cfg)
+    tok_json = os.path.join(hf_dir, "tokenizer.json")
+    tok_spm = os.path.join(hf_dir, "tokenizer.model")
+    save_qwen3_to_gguf(
+        out_path, params, cfg, quantize_q8_0=(outtype == "q8_0"),
+        tokenizer_json=tok_json if os.path.exists(tok_json) else None,
+        tokenizer_model=(tok_spm if os.path.exists(tok_spm)
+                         and not os.path.exists(tok_json) else None),
+        hf_dir=hf_dir)
+    if outtype not in ("q8_0", "f16"):
+        from .quantize import quantize_gguf
+        tmp = out_path + ".f16"
+        os.replace(out_path, tmp)
+        quantize_gguf(tmp, out_path, outtype)
+        os.remove(tmp)
+    print(f"{out_path} ({outtype})")
+
+
 def convert(model_dir: str, out_dir: str, outtype: str = "q8_0",
             hf_llm_dir: Optional[str] = None):
     """Produce a complete checkpoint directory from reference artifacts."""
@@ -303,8 +336,15 @@ def main():
                     choices=sorted(QUANT_TYPES) + ["f16", "bf16"])
     ap.add_argument("--hf-llm-dir", default=None,
                     help="optional HF Qwen3 dir overriding model.pt llm.*")
+    ap.add_argument("--llm-only", action="store_true",
+                    help="treat --model-dir as a standalone HF decoder "
+                         "dir and write one GGUF to --out "
+                         "(convert_hf_to_gguf equivalent)")
     args = ap.parse_args()
-    convert(args.model_dir, args.out, args.outtype, args.hf_llm_dir)
+    if args.llm_only:
+        convert_llm(args.model_dir, args.out, args.outtype)
+    else:
+        convert(args.model_dir, args.out, args.outtype, args.hf_llm_dir)
 
 
 if __name__ == "__main__":
