@@ -89,7 +89,8 @@ def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
     else:
         matmul_keys = ("q_w", "k_w", "v_w", "gate_w", "up_w") + _ROW_PARALLEL
         moe_keys = ()
-    norm_keys = ("input_ln", "post_ln", "q_norm", "k_norm")
+    norm_keys = ("input_ln", "post_ln", "q_norm", "k_norm",
+                 "attn_post_ln", "ffn_post_ln")   # gemma sandwich norms
     # qwen2-family attention biases: [L, out] — column-split with their
     # projection's output channels
     bias_keys = ("q_b", "k_b", "v_b", "qkv_b")

@@ -56,6 +56,28 @@ class TestTPDecodeParity:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_sharded_gemma_prefill_matches_single(self):
+        """gemma's sandwich norms sit AFTER the row-parallel o_proj /
+        down_proj psums; GSPMD must preserve that ordering."""
+        from dataclasses import replace
+        cfg = replace(Qwen3Config.tiny(vocab_size=64),
+                      arch="gemma3", post_norms=True, act="gelu_tanh",
+                      embed_scale=8.0, attn_scale=0.25,
+                      sliding_window=4, sliding_pattern=2,
+                      rope_local_theta=1e4)
+        params = init_qwen3_params(jax.random.PRNGKey(3), cfg)
+        rng = np.random.default_rng(3)
+        e = jnp.asarray(rng.normal(size=(1, 6, cfg.hidden)),
+                        jnp.float32) * 0.1
+        m = jnp.ones((1, 6), jnp.float32)
+        ref, _ = qwen3_prefill(params, e, m, cfg)
+        mesh = make_mesh(dp=4, tp=2)
+        sharded = shard_llm_params(params, mesh)
+        out, _ = jax.jit(qwen3_prefill, static_argnames=("cfg",))(
+            sharded, e, m, cfg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_sharded_generation_matches_single(self):
         cfg = Qwen3Config.tiny(vocab_size=64)
         params = init_qwen3_params(jax.random.PRNGKey(1), cfg)
