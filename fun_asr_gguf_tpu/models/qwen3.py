@@ -589,6 +589,11 @@ def fuse_qwen3_params_q8(params):
         raise ValueError(
             "fuse_qwen3_params_q8 does not support MoE layers — use the "
             "int8/bf16 paths for qwen3moe decoders")
+    if "attn_post_ln" in layers:
+        raise ValueError(
+            "fuse_qwen3_params_q8 does not support sandwich-norm archs "
+            "(gemma) — the megacall chain has no post-attention/post-ffn "
+            "norm stage; use the int8/bf16 paths")
     if "qkv_b" in layers or "q_b" in layers:
         raise ValueError(
             "fuse_qwen3_params_q8 supports bias-free archs only (qwen3/"
@@ -666,6 +671,10 @@ def fuse_qwen3_params_q8i(params):
         raise ValueError("params already use the perm-space (q8_fused) "
                          "convention; build q8i from unfused packed params")
     layers = dict(params["layers"])
+    if "attn_post_ln" in layers:
+        raise ValueError(
+            "fuse_qwen3_params_q8i does not support sandwich-norm archs "
+            "(gemma); use the int8/bf16 paths")
     if "router_w" in layers:
         raise ValueError(
             "fuse_qwen3_params_q8i does not support MoE layers — use the "
