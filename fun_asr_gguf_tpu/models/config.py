@@ -181,6 +181,30 @@ class Qwen3Config:
                            arch="qwen3moe", n_experts=128,
                            n_experts_per_tok=8, moe_ffn_dim=768)
 
+    @staticmethod
+    def gemma3_1b():
+        """Gemma3-1B text decoder (HF google/gemma-3-1b-pt hparams)."""
+        return Qwen3Config(
+            hidden=1152, n_layers=26, q_heads=4, kv_heads=1, head_dim=256,
+            ffn_dim=6912, vocab_size=262144, rope_theta=1e6,
+            max_position=32768, arch="gemma3", qk_norm=True,
+            post_norms=True, act="gelu_tanh", embed_scale=1152.0 ** 0.5,
+            attn_scale=256.0 ** -0.5, sliding_window=512,
+            sliding_pattern=6, rope_local_theta=1e4)
+
+    @staticmethod
+    def gemma3_4b():
+        """Gemma3-4B text decoder (HF google/gemma-3-4b-pt text tower;
+        global layers use 8x linear rope scaling)."""
+        return Qwen3Config(
+            hidden=2560, n_layers=34, q_heads=8, kv_heads=4, head_dim=256,
+            ffn_dim=10240, vocab_size=262208, rope_theta=1e6,
+            max_position=131072, arch="gemma3", qk_norm=True,
+            post_norms=True, act="gelu_tanh", embed_scale=2560.0 ** 0.5,
+            attn_scale=256.0 ** -0.5, sliding_window=1024,
+            sliding_pattern=6, rope_local_theta=1e4,
+            rope_global_scale=8.0)
+
 
 @dataclass(frozen=True)
 class HybridConfig:

@@ -219,6 +219,14 @@ class TestStretchConfigs:
             assert big.kv_heads % tp == 0 or tp > big.kv_heads
             assert big.ffn_dim % tp == 0
             assert huge.ffn_dim % tp == 0
+        g1 = Qwen3Config.gemma3_1b()
+        g4 = Qwen3Config.gemma3_4b()
+        for g in (g1, g4):
+            assert g.post_norms and g.sliding_pattern == 6
+            assert g.embed_scale == pytest.approx(g.hidden ** 0.5)
+            for tp in (2, 4, 8):
+                assert g.ffn_dim % tp == 0
+        assert g4.rope_global_scale == 8.0
 
 
 class TestTrainCheckpoint:
