@@ -242,6 +242,26 @@ def test_generate_chunk_matches_stepwise(pair):
     assert got == want
 
 
+def test_int8_quantized_close_to_fp32(pair):
+    """The serving default (per-channel int8 weights) must track the
+    fp32 gemma logits closely."""
+    from fun_asr_gguf_tpu.models.qwen3 import (qwen3_forward_logits,
+                                               quantize_qwen3_params_int8)
+
+    _model, cfg, params = pair
+    qp = quantize_qwen3_params_int8(params)
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, cfg.vocab_size, size=(1, 16))
+    mask = jnp.ones(ids.shape, jnp.float32)
+    a = np.asarray(qwen3_forward_logits(
+        params, params["embed"][jnp.asarray(ids)], mask, cfg))
+    b = np.asarray(qwen3_forward_logits(
+        qp, params["embed"][jnp.asarray(ids)], mask, cfg))
+    cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999
+    assert np.array_equal(a[0, -1].argmax(), b[0, -1].argmax())
+
+
 def test_final_softcap_applied():
     from fun_asr_gguf_tpu.models.config import Qwen3Config
     from fun_asr_gguf_tpu.models.qwen3 import _logits, init_qwen3_params
