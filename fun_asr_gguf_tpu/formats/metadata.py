@@ -30,13 +30,20 @@ _SCALE = {"K": 1e3, "M": 1e6, "B": 1e9, "T": 1e12}
 
 
 def size_label(total_params: int, experts: int = 0,
+               per_expert_params: int = 0,
                active_params: int = 0) -> str:
     """Parameter count → naming-convention size label.
 
+    The MoE convention sizes ExN models by shared + ONE expert's
+    params (Mixtral-8x7B is ~47B total), so the ``Nx`` prefix is only
+    emitted when ``per_expert_params`` is known — prefixing the total
+    would overstate the size N-fold.
+
     >>> size_label(596_049_920)
     '0.6B'
-    >>> size_label(30_532_122_624, experts=128, active_params=3_300_000_000)
-    '128x30.5B-A3.3B'  # doctest: +SKIP
+    >>> size_label(46_700_000_000, experts=8,
+    ...            per_expert_params=5_610_000_000)
+    '8x7.4B'
     """
     def _fmt(n: int) -> str:
         for suffix in ("T", "B", "M", "K"):
@@ -46,9 +53,11 @@ def size_label(total_params: int, experts: int = 0,
                         if v < 10 else f"{round(v)}") + suffix
         return str(n)
 
-    label = _fmt(abs(total_params))
-    if experts > 0:
-        label = f"{experts}x{label}"
+    if experts > 0 and per_expert_params > 0:
+        shared = max(total_params - experts * per_expert_params, 0)
+        label = f"{experts}x{_fmt(shared + per_expert_params)}"
+    else:
+        label = _fmt(abs(total_params))
     if active_params > 0:
         label += f"-A{_fmt(abs(active_params))}"
     return label
@@ -168,7 +177,8 @@ def load_model_card(model_dir: str) -> Dict:
 def metadata_kvs(model_dir: Optional[str] = None,
                  model_id: Optional[str] = None,
                  total_params: int = 0,
-                 experts: int = 0) -> Dict[str, object]:
+                 experts: int = 0,
+                 per_expert_params: int = 0) -> Dict[str, object]:
     """Assemble the ``general.*`` KV dict for a GGUF export.
 
     model_id defaults to the checkpoint directory's name; model-card
@@ -196,8 +206,9 @@ def metadata_kvs(model_dir: Optional[str] = None,
     if size:
         kvs["general.size_label"] = size
     elif total_params > 0:
-        kvs["general.size_label"] = size_label(total_params,
-                                               experts=experts)
+        kvs["general.size_label"] = size_label(
+            total_params, experts=experts,
+            per_expert_params=per_expert_params)
     for card_key, kv_key in (("license", "general.license"),
                              ("license_name", "general.license.name"),
                              ("license_link", "general.license.link"),

@@ -135,8 +135,10 @@ def gguf_vocab_from_spm(model_path: str,
     """tokenizer.model (+ optional added_tokens.json) → the llama.cpp
     GGUF vocab triple (tokens, scores, token_types).
 
-    Added tokens must extend the base vocab contiguously (the same
-    check the reference applies at ``vocab.py:435-466``); they are
+    Added tokens must extend the base vocab contiguously after ids
+    already inside the base vocab are dropped (the same filter + check
+    the reference applies at ``vocab.py:435-466`` — HF repos routinely
+    restate <unk>/<s>/</s> in added_tokens.json); new entries are
     emitted as USER_DEFINED with score -1000.0, matching
     ``SentencePieceVocab.added_tokens``.
     """
@@ -155,6 +157,10 @@ def gguf_vocab_from_spm(model_path: str,
             added = json.load(f)
     if added:
         base = len(tokens)
+        # ids already inside the base vocab are restatements, not
+        # extensions — drop them (reference vocab.py:447-452)
+        added = {t: i for t, i in added.items() if i >= base}
+    if added:
         expected = list(range(base, base + len(added)))
         actual = sorted(added.values())
         if expected != actual:
@@ -209,10 +215,10 @@ class SpmTokenizer(BaseTokenizer):
             key=len, reverse=True)
 
     @classmethod
-    def from_gguf(cls, gguf_path: str) -> "SpmTokenizer":
+    def from_gguf(cls, gguf_path: str, reader=None) -> "SpmTokenizer":
         """Build from GGUF ``tokenizer.ggml.*`` KVs (model == llama)."""
         from .gguf import GGUFReader
-        r = GGUFReader(gguf_path)
+        r = reader if reader is not None else GGUFReader(gguf_path)
         if r.fields.get("tokenizer.ggml.model") != "llama":
             raise ValueError(f"{gguf_path}: not an SPM (llama) vocab")
         tokens = list(r.fields["tokenizer.ggml.tokens"])
@@ -299,14 +305,18 @@ class SpmTokenizer(BaseTokenizer):
                         nf.append((False, part))
             frags = nf
         ids: List[int] = []
-        first_text = True
+        # llama.cpp's llm_tokenizer_spm space-prefixes a text fragment
+        # at the start AND after every special token (is_prev_special),
+        # so "</s><s>again" tokenizes "again" as "\u2581again"
+        prev_special = True
         for is_sp, frag in frags:
             if is_sp:
                 ids.append(self._index[frag])
+                prev_special = True
                 continue
-            if first_text and self.add_space_prefix:
+            if prev_special and self.add_space_prefix:
                 frag = " " + frag
-            first_text = False
+            prev_special = False
             ids.extend(self._encode_fragment(
                 frag.replace(" ", SPM_SPACE)))
         return ids

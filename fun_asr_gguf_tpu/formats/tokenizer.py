@@ -113,7 +113,7 @@ class QwenTokenizer(BaseTokenizer):
         self._init_from(Tokenizer.from_file(tokenizer_json_path))
 
     @classmethod
-    def from_gguf(cls, gguf_path: str) -> "QwenTokenizer":
+    def from_gguf(cls, gguf_path: str, reader=None) -> "QwenTokenizer":
         """Build from the vocab embedded in a llama.cpp GGUF
         (``tokenizer.ggml.tokens/merges/token_type`` KVs) — the same
         self-contained loading ``llama.dll`` does, so a stock llama.cpp
@@ -127,7 +127,7 @@ class QwenTokenizer(BaseTokenizer):
         import json as _json
         from tokenizers import Tokenizer
         from .gguf import GGUFReader
-        r = GGUFReader(gguf_path)
+        r = reader if reader is not None else GGUFReader(gguf_path)
         tokens = r.fields.get("tokenizer.ggml.tokens")
         merges = r.fields.get("tokenizer.ggml.merges")
         if tokens is None or merges is None:
@@ -331,11 +331,11 @@ def tokenizer_from_gguf(gguf_path: str) -> BaseTokenizer:
     :class:`~.spm.SpmTokenizer` — the same dispatch llama.cpp's
     ``llm_load_vocab`` performs."""
     from .gguf import GGUFReader
-    model = GGUFReader(gguf_path).fields.get("tokenizer.ggml.model")
-    if model == "llama":
+    reader = GGUFReader(gguf_path)
+    if reader.fields.get("tokenizer.ggml.model") == "llama":
         from .spm import SpmTokenizer
-        return SpmTokenizer.from_gguf(gguf_path)
-    return QwenTokenizer.from_gguf(gguf_path)
+        return SpmTokenizer.from_gguf(gguf_path, reader=reader)
+    return QwenTokenizer.from_gguf(gguf_path, reader=reader)
 
 
 def load_tokenizer(path: Optional[str]) -> BaseTokenizer:

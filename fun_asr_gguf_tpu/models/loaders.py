@@ -87,7 +87,15 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
             norm_topk_prob=bool(g("norm_topk_prob", True)))
     head_dim = int(g("attention.key_length", hidden // q_heads))
     gemma = {}
-    if str(arch).startswith("gemma"):
+    if str(arch).startswith("gemma") and str(arch) != "gemma3":
+        # gemma (v1) lacks the sandwich-norm tensors this graph expects
+        # and gemma2 needs attention-logit softcapping + a different
+        # sliding pattern — loading them with gemma3 semantics would be
+        # silently wrong
+        raise ValueError(
+            f"unsupported arch {arch!r}: only gemma3 of the gemma "
+            "family is implemented")
+    if str(arch) == "gemma3":
         # llama.cpp hardcodes the gemma3 local rope base (10k) and the
         # 5-local:1-global pattern; our exporter also writes them as
         # explicit KVs for lossless round-trips
@@ -274,8 +282,13 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         from ..formats.metadata import metadata_kvs
         n_params = sum(int(np.prod(v.shape))
                        for v in jax.tree_util.tree_leaves(params))
+        # MoE size labels need shared+one-expert params: one expert is
+        # 3 matmuls of [hidden, moe_ffn] per layer
+        per_expert = (3 * cfg.hidden * cfg.moe_ffn_dim * cfg.n_layers
+                      if cfg.is_moe else 0)
         for key, val in metadata_kvs(hf_dir, total_params=n_params,
-                                     experts=cfg.n_experts).items():
+                                     experts=cfg.n_experts,
+                                     per_expert_params=per_expert).items():
             w.add_kv(key, val)
 
     tok_kvs = {}

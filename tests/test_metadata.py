@@ -47,8 +47,14 @@ def test_size_label_formatting():
     assert size_label(1_100_048_384) == "1.1B"
     assert size_label(68_000_000_000) == "68B"
     assert size_label(52_000_000) == "52M"
+    # MoE: ExN sizes by shared + ONE expert (Mixtral-8x7B is 47B total:
+    # ~1.8B shared + 8 x ~5.6B expert MLPs -> each "replica" ~7.4B)
+    assert size_label(46_700_000_000, experts=8,
+                      per_expert_params=5_610_000_000) == "8x7.4B"
+    # without the per-expert split the Nx prefix would overstate Nx:
+    # fall back to the plain total
     assert size_label(30_532_122_624, experts=128,
-                      active_params=3_300_000_000) == "128x31B-A3.3B"
+                      active_params=3_300_000_000) == "31B-A3.3B"
 
 
 def test_metadata_kvs_and_model_card(tmp_path):

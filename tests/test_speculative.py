@@ -446,10 +446,17 @@ class TestSpecToGen:
             test_id = (os.path.abspath(__file__)
                        + "::TestSpecToGen"
                        + "::test_mid_stream_conversion_matches_pure_greedy")
+            # the child must NOT share the parent's persistent compile
+            # cache: conftest's unclean-shutdown sentinel would make the
+            # child wipe the live cache dir out from under the parent
+            # (and then clear the sentinel the parent still needs)
             r = subprocess.run(
                 [sys.executable, "-m", "pytest", "-q",
                  "-p", "no:cacheprovider", test_id],
-                env={**os.environ, _SUBPROC_ENV: "1"},
+                env={**os.environ, _SUBPROC_ENV: "1",
+                     "FUNASR_TEST_CACHE": os.environ.get(
+                         "FUNASR_TEST_CACHE",
+                         "/tmp/funasr_test_xla_cache") + "_sub"},
                 capture_output=True, text=True, timeout=900)
             assert r.returncode == 0, \
                 f"subprocess rc={r.returncode}\n{r.stdout}\n{r.stderr}"

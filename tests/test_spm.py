@@ -116,6 +116,31 @@ def test_specials_split():
     assert ids[1:-1] == [IDS[SPM_SPACE + "he"], IDS["llo"]]
 
 
+def test_space_prefix_after_every_special():
+    """llama.cpp's llm_tokenizer_spm prefixes a space after EVERY
+    special token (is_prev_special), not only at the start — multi-turn
+    '</s><s>text' prompts must re-prefix."""
+    tok = _tok()
+    ids = tok.encode("<s>hello</s><s>hello")
+    mid = ids.index(IDS["</s>"])
+    assert ids[mid + 2:] == [IDS[SPM_SPACE + "he"], IDS["llo"]]
+
+
+def test_added_tokens_restating_base_ids_are_filtered(tmp_path):
+    """HF repos routinely restate <unk>/<s>/</s> in added_tokens.json
+    with their BASE ids; those are restatements, not extensions."""
+    import json as _json
+
+    mp = tmp_path / "tokenizer.model"
+    mp.write_bytes(b"".join(_piece(t, s, ty) for t, s, ty in PIECES)
+                   + _trainer())
+    (tmp_path / "added_tokens.json").write_text(_json.dumps(
+        {"<unk>": 0, "<s>": 1, "</s>": 2, "<extra>": len(PIECES)}))
+    tokens, scores, types, _ = gguf_vocab_from_spm(str(mp))
+    assert len(tokens) == len(PIECES) + 1
+    assert tokens[-1] == "<extra>"
+
+
 def test_decode_round_trip():
     tok = _tok()
     ids = tok.encode("hello")
