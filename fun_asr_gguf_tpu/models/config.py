@@ -10,6 +10,45 @@ model artifacts.
 from dataclasses import dataclass, field
 
 
+def yarn_rope_params(head_dim: int, rope_theta: float, factor: float,
+                     orig_max_position: int, beta_fast: float = 32.0,
+                     beta_slow: float = 1.0, rope_dim: int = 0,
+                     truncate: bool = True, attention_factor=None):
+    """YaRN inverse-frequency correction expressed as per-frequency
+    divisors of the plain rope (NTK-by-parts interpolation: HF
+    ``modeling_rope_utils._compute_yarn_parameters``; llama.cpp's
+    runtime yarn). Returns ``(factors, attn_factor)`` where
+    ``inv_freq_yarn = inv_freq_plain / factors`` — the exact
+    representation ``Qwen3Config.rope_factors_*`` carries, so YaRN
+    rides the longrope machinery unchanged."""
+    import math
+
+    import numpy as np
+
+    dim = rope_dim or head_dim
+
+    def correction_dim(num_rot):
+        return (dim * math.log(orig_max_position / (num_rot * 2 * math.pi))
+                ) / (2 * math.log(rope_theta))
+
+    low, high = correction_dim(beta_fast), correction_dim(beta_slow)
+    if truncate:
+        low, high = math.floor(low), math.ceil(high)
+    low, high = max(low, 0), min(high, dim - 1)
+    if low == high:
+        high += 0.001
+    ramp = np.clip((np.arange(dim // 2, dtype=np.float64) - low)
+                   / (high - low), 0.0, 1.0)
+    extrapolation = 1.0 - ramp            # 1 where plain rope survives
+    # inv_plain/inv_yarn with inv_yarn = interp*(1-ext) + plain*ext and
+    # interp = plain/factor  =>  divisor = factor/(1+(factor-1)*ext)
+    factors = factor / (1.0 + (factor - 1.0) * extrapolation)
+    if attention_factor is None:
+        attention_factor = (0.1 * math.log(factor) + 1.0
+                            if factor > 1.0 else 1.0)
+    return (tuple(float(f) for f in factors), float(attention_factor))
+
+
 @dataclass(frozen=True)
 class EncoderConfig:
     """SenseVoiceEncoderSmall (``model_definition.py:191-214``)."""
@@ -116,14 +155,53 @@ class Qwen3Config:
     attn_scale: float = 0.0       # 0 → head_dim**-0.5; gemma3:
     #                               query_pre_attn_scalar**-0.5
     sliding_window: int = 0       # 0 = all layers attend globally
-    sliding_pattern: int = 0      # every Nth layer is global (gemma3: 6)
+    sliding_pattern: int = 0      # every Nth layer is global (gemma3: 6;
+    #                               phi3: n_layers+1 — no global layers)
     rope_local_theta: float = 1e4  # sliding layers' rope base
     rope_global_scale: float = 1.0  # linear position scale, global layers
     final_softcap: float = 0.0    # cap·tanh(logits/cap) when > 0
+    # -- Phi-3 family (reference converter registers Phi3MiniModel at
+    # convert_hf_to_gguf.py:4651): longrope scaling + partial rotary.
+    # Factor tuples are per-frequency divisors of inv_freq (HF
+    # modeling_rope_utils._compute_longrope_parameters; llama.cpp
+    # rope_factors_short/long.weight tensors), len rope_dim/2. --
+    rope_dim: int = 0             # rotary dims per head (0 = head_dim)
+    rope_orig_max_position: int = 0   # longrope original context (0 = off)
+    rope_factors_short: tuple = ()
+    rope_factors_long: tuple = ()
+    rope_long_active: bool = False    # llama.cpp: long when n_ctx > orig
+    rope_attn_factor: float = 1.0     # cos/sin magnitude scale
+    # -- GPT-OSS family (reference converter registers GptOssModel at
+    # convert_hf_to_gguf.py:10123): attention sinks, biased projections
+    # and router, clamped SwiGLU experts, YaRN rope (expressed through
+    # the rope_factors_* machinery above — see yarn_rope_params). --
+    attn_sinks: bool = False      # per-head learned sink logits
+    attn_out_bias: bool = False   # o_proj bias
+    router_bias: bool = False     # router logit bias
+    router_scoring: str = "softmax_topk"  # or "topk_softmax" (gpt-oss)
+    moe_bias: bool = False        # per-expert gate/up/down biases
+    swiglu_limit: float = 7.0     # clamp for act="swiglu_oai"
+    rope_yarn_factor: float = 0.0  # YaRN context factor (0 = off)
+
+    def __post_init__(self):
+        # JSON checkpoint round-trips turn tuples into lists; coerce back
+        # so the (frozen) config stays hashable for jit static closure
+        for f in ("rope_factors_short", "rope_factors_long"):
+            v = getattr(self, f)
+            if isinstance(v, list):
+                object.__setattr__(self, f, tuple(float(x) for x in v))
 
     @property
     def is_moe(self) -> bool:
         return self.n_experts > 0
+
+    @property
+    def active_rope_factors(self) -> tuple:
+        """The longrope factor set in effect (llama.cpp picks long when
+        the serving context exceeds the original training context)."""
+        if self.rope_long_active and self.rope_factors_long:
+            return self.rope_factors_long
+        return self.rope_factors_short
 
     @staticmethod
     def tiny(vocab_size: int = 512):
@@ -158,6 +236,32 @@ class Qwen3Config:
                            head_dim=16, ffn_dim=128, vocab_size=vocab_size,
                            rope_theta=1e4, arch="llama", qk_norm=False,
                            attn_bias=False)
+
+    @staticmethod
+    def tiny_gptoss(vocab_size: int = 512, n_experts: int = 4,
+                    n_experts_per_tok: int = 2, yarn_factor: float = 4.0,
+                    orig_max: int = 64):
+        """GPT-OSS-shaped tiny config: attention sinks, full projection
+        biases, biased topk-softmax router, clamped-SwiGLU experts,
+        alternating sliding/global layers, YaRN rope."""
+        factors, af = yarn_rope_params(16, 1e4, yarn_factor, orig_max)
+        return Qwen3Config(hidden=64, n_layers=4, q_heads=4, kv_heads=2,
+                           head_dim=16, ffn_dim=96, vocab_size=vocab_size,
+                           rope_theta=1e4, arch="gpt-oss", qk_norm=False,
+                           attn_bias=True, attn_out_bias=True,
+                           attn_sinks=True, tie_embeddings=False,
+                           n_experts=n_experts,
+                           n_experts_per_tok=n_experts_per_tok,
+                           moe_ffn_dim=96, router_bias=True,
+                           router_scoring="topk_softmax", moe_bias=True,
+                           act="swiglu_oai",
+                           sliding_window=8, sliding_pattern=2,
+                           rope_local_theta=1e4,
+                           max_position=int(orig_max * yarn_factor),
+                           rope_orig_max_position=orig_max,
+                           rope_factors_short=factors,
+                           rope_attn_factor=af,
+                           rope_yarn_factor=yarn_factor)
 
     # -- stretch decoder presets (BASELINE.json configs[4]: larger
     # Qwen-class audio-LLM decoders with int8 TP across a TPU mesh) --

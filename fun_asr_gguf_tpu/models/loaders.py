@@ -113,9 +113,86 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
             rope_global_scale=float(g("rope.scaling.factor", 1.0)),
             final_softcap=float(g("final_logit_softcapping", 0.0)),
         )
+    oss = {}
+    if str(arch) == "gpt-oss":
+        # reference converter: GptOssModel (convert_hf_to_gguf.py:10123).
+        # YaRN rope is recomputed from its KVs into the per-frequency
+        # divisor form the decode graph consumes (yarn_rope_params).
+        from .config import yarn_rope_params
+        theta = float(g("rope.freq_base", 150000.0))
+        sw = int(g("attention.sliding_window", 0))
+        yf = float(g("rope.scaling.factor", 0.0) or 0.0)
+        orig = int(g("rope.scaling.original_context_length", 0))
+        factors, af = (), 1.0
+        if yf > 1.0 and orig:
+            factors, af = yarn_rope_params(head_dim, theta, yf, orig)
+            explicit = float(f.get(f"{arch}.rope.scaling.attn_factor",
+                                   0.0))
+            if explicit:
+                af = explicit
+        oss = dict(
+            attn_sinks="blk.0.attn_sinks.weight" in names,
+            attn_out_bias="blk.0.attn_output.bias" in names,
+            router_bias="blk.0.ffn_gate_inp.bias" in names,
+            router_scoring="topk_softmax",
+            moe_bias="blk.0.ffn_down_exps.bias" in names,
+            act="swiglu_oai",
+            n_experts=int(g("expert_count", 0)),
+            n_experts_per_tok=int(g("expert_used_count", 0)),
+            moe_ffn_dim=int(g("expert_feed_forward_length", 0)),
+            sliding_window=sw,
+            # gpt-oss alternates sliding/full: every 2nd layer global
+            sliding_pattern=2 if sw else 0,
+            rope_local_theta=theta,
+            rope_orig_max_position=orig,
+            rope_factors_short=factors,
+            rope_attn_factor=af,
+            rope_yarn_factor=yf,
+        )
+        moe = {}     # the generic expert_count block above is superseded
+    phi = {}
+    if str(arch) == "phi3":
+        # reference converter: Phi3MiniModel (convert_hf_to_gguf.py:4651)
+        # writes rope.dimension_count, rope.scaling.original_context_length
+        # and the longrope factor tensors; sliding_window=0 marks Phi-4.
+        # llama.cpp picks long factors when n_ctx > original and derives
+        # the attn factor sqrt(1 + ln(scale)/ln(orig)) — precomputed here
+        # (load_qwen3_from_gguf's n_ctx selects the active set).
+        import math
+        rd = int(g("rope.dimension_count", head_dim))
+        orig = int(g("rope.scaling.original_context_length", 0))
+        maxp = int(g("context_length", 4096))
+        sw = int(g("attention.sliding_window", 0))
+        short = long_ = ()
+        if "rope_factors_short.weight" in names:
+            short = tuple(float(x) for x in
+                          reader.tensor("rope_factors_short.weight"))
+        if "rope_factors_long.weight" in names:
+            long_ = tuple(float(x) for x in
+                          reader.tensor("rope_factors_long.weight"))
+        af = float(f.get(f"{arch}.rope.scaling.attn_factor", 0.0))
+        if not af:
+            scale = (maxp / orig) if orig else 1.0
+            af = (math.sqrt(1.0 + math.log(scale) / math.log(orig))
+                  if scale > 1.0 else 1.0)
+        nl = int(g("block_count", 28))
+        phi = dict(
+            rope_dim=0 if rd == head_dim else rd,
+            rope_orig_max_position=orig,
+            rope_factors_short=short,
+            rope_factors_long=long_,
+            rope_attn_factor=af if (short or long_) else 1.0,
+            sliding_window=sw,
+            # phi3 slides on EVERY layer: no layer index satisfies
+            # (l+1) % (n_layers+1) == 0, so none attends globally
+            sliding_pattern=(nl + 1) if sw else 0,
+            rope_local_theta=float(g("rope.freq_base", 1e4)),
+        )
     return Qwen3Config(
         **moe,
         **gemma,
+        **oss,
+        **phi,
         hidden=hidden,
         n_layers=int(g("block_count", 28)),
         q_heads=q_heads,
@@ -135,7 +212,8 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
 
 
 def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
-                         keep_quantized: bool = False
+                         keep_quantized: bool = False,
+                         n_ctx: Optional[int] = None
                          ) -> Tuple[dict, Qwen3Config, np.ndarray]:
     """Load a llama.cpp-format qwen3 GGUF (f32/f16/bf16/q8_0 tensors).
 
@@ -153,6 +231,13 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
 
     r = GGUFReader(path)
     cfg = qwen3_config_from_gguf(r)
+    if (n_ctx and cfg.rope_orig_max_position
+            and n_ctx > cfg.rope_orig_max_position
+            and cfg.rope_factors_long):
+        # llama.cpp longrope rule: serve contexts beyond the original
+        # training window with the long factor set
+        from dataclasses import replace
+        cfg = replace(cfg, rope_long_active=True)
 
     def t(name):  # dense-dequantized fetch, [out, in] -> [in, out]
         return np.ascontiguousarray(r.tensor(name).astype(np.float32).T)
@@ -165,6 +250,21 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
             return QuantTensor(q=block_permute(jnp.asarray(q)),
                                d=jnp.asarray(d.astype(np.float32)))
         return jnp.asarray(t(name), dtype)
+
+    def mat_rows(name, row_slices):
+        """Split a fused [out, in] tensor by output-row ranges (phi3's
+        attn_qkv / gate-up-in-ffn_up layouts). q8_0 blocks run along
+        ``in``, so a row split never crosses a block: the quantized
+        payload slices cleanly."""
+        info = r.tensor_info(name)
+        if keep_quantized and info.ggml_type == GGMLType.Q8_0:
+            q, d = r.tensor_q8_0(name)
+            return [QuantTensor(q=block_permute(jnp.asarray(q[a:b])),
+                                d=jnp.asarray(d[a:b].astype(np.float32)))
+                    for a, b in row_slices]
+        full = r.tensor(name).astype(np.float32)
+        return [jnp.asarray(np.ascontiguousarray(full[a:b].T), dtype)
+                for a, b in row_slices]
 
     def vec(name):
         return r.tensor(name).astype(np.float32)
@@ -180,14 +280,28 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
         return jnp.asarray(
             np.stack([vec(fmt.format(i)) for i in range(n)]), dtype)
 
+    names = set(r.tensor_names())
     layers = {
         "input_ln": vstack("blk.{}.attn_norm.weight"),
         "post_ln": vstack("blk.{}.ffn_norm.weight"),
-        "q_w": stack(lambda i: mat(f"blk.{i}.attn_q.weight")),
-        "k_w": stack(lambda i: mat(f"blk.{i}.attn_k.weight")),
-        "v_w": stack(lambda i: mat(f"blk.{i}.attn_v.weight")),
         "o_w": stack(lambda i: mat(f"blk.{i}.attn_output.weight")),
     }
+    if "blk.0.attn_qkv.weight" in names:
+        # phi3 layout: one fused [q; k; v] projection per layer
+        qd = cfg.q_heads * cfg.head_dim
+        kd = cfg.kv_heads * cfg.head_dim
+        qkv = [mat_rows(f"blk.{i}.attn_qkv.weight",
+                        [(0, qd), (qd, qd + kd), (qd + kd, qd + 2 * kd)])
+               for i in range(n)]
+        for j, key in enumerate(("q_w", "k_w", "v_w")):
+            layers[key] = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[p[j] for p in qkv])
+    else:
+        layers.update({
+            "q_w": stack(lambda i: mat(f"blk.{i}.attn_q.weight")),
+            "k_w": stack(lambda i: mat(f"blk.{i}.attn_k.weight")),
+            "v_w": stack(lambda i: mat(f"blk.{i}.attn_v.weight")),
+        })
     if cfg.is_moe:
         # llama.cpp MoE layout: ffn_gate_inp (router) + stacked 3-D
         # ffn_{gate,up,down}_exps. Experts dequantize on load (the engine
@@ -204,6 +318,16 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
             lambda i: e3(f"blk.{i}.ffn_up_exps.weight", True))
         layers["moe_down_w"] = stack(
             lambda i: e3(f"blk.{i}.ffn_down_exps.weight", True))
+    elif "blk.0.ffn_gate.weight" not in names:
+        # phi3 layout: ffn_up holds [gate; up] fused (llama.cpp
+        # LLM_FFN_SWIGLU splits it the same way, gate first)
+        fd = cfg.ffn_dim
+        gu = [mat_rows(f"blk.{i}.ffn_up.weight", [(0, fd), (fd, 2 * fd)])
+              for i in range(n)]
+        for j, key in enumerate(("gate_w", "up_w")):
+            layers[key] = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[p[j] for p in gu])
+        layers["down_w"] = stack(lambda i: mat(f"blk.{i}.ffn_down.weight"))
     else:
         layers.update({
             "gate_w": stack(lambda i: mat(f"blk.{i}.ffn_gate.weight")),
@@ -274,6 +398,19 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         w.add_kv(f"{arch}.rope.scaling.factor", cfg.rope_global_scale)
         if cfg.final_softcap:
             w.add_kv(f"{arch}.final_logit_softcapping", cfg.final_softcap)
+    if arch == "phi3":
+        # Phi3MiniModel KV set (reference convert_hf_to_gguf.py:4760-4785):
+        # rope dims, longrope original context, sliding window (0 marks
+        # Phi-4); the factor sets ship as tensors below
+        w.add_kv(f"{arch}.rope.dimension_count",
+                 cfg.rope_dim or cfg.head_dim)
+        w.add_kv(f"{arch}.attention.sliding_window", cfg.sliding_window)
+        if cfg.rope_orig_max_position:
+            w.add_kv(f"{arch}.rope.scaling.original_context_length",
+                     cfg.rope_orig_max_position)
+        if cfg.rope_attn_factor != 1.0:
+            w.add_kv(f"{arch}.rope.scaling.attn_factor",
+                     float(cfg.rope_attn_factor))
 
     if hf_dir:
         # general.* naming heuristics (reference gguf/metadata.py
@@ -355,6 +492,13 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         w.add_tensor("token_embd.weight", emb.astype(np.float16))
     w.add_tensor("output_norm.weight",
                  np.asarray(flat["final_ln"], np.float32))
+    if cfg.rope_factors_short:
+        w.add_tensor("rope_factors_short.weight",
+                     np.asarray(cfg.rope_factors_short, np.float32))
+    if cfg.rope_factors_long:
+        w.add_tensor("rope_factors_long.weight",
+                     np.asarray(cfg.rope_factors_long, np.float32))
+    fuse_phi3 = cfg.arch == "phi3"
     L = flat["layers"]
     for i in range(cfg.n_layers):
         w.add_tensor(f"blk.{i}.attn_norm.weight",
@@ -378,11 +522,25 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
                          np.asarray(L["k_b"][i], np.float32))
             w.add_tensor(f"blk.{i}.attn_v.bias",
                          np.asarray(L["v_b"][i], np.float32))
-        mat(f"blk.{i}.attn_q.weight", L["q_w"][i])
-        mat(f"blk.{i}.attn_k.weight", L["k_w"][i])
-        mat(f"blk.{i}.attn_v.weight", L["v_w"][i])
+        if fuse_phi3:
+            # llama.cpp phi3 layout: fused [q; k; v] and [gate; up]
+            mat(f"blk.{i}.attn_qkv.weight",
+                np.concatenate([np.asarray(L["q_w"][i], np.float32),
+                                np.asarray(L["k_w"][i], np.float32),
+                                np.asarray(L["v_w"][i], np.float32)],
+                               axis=1))
+        else:
+            mat(f"blk.{i}.attn_q.weight", L["q_w"][i])
+            mat(f"blk.{i}.attn_k.weight", L["k_w"][i])
+            mat(f"blk.{i}.attn_v.weight", L["v_w"][i])
         mat(f"blk.{i}.attn_output.weight", L["o_w"][i])
-        if cfg.is_moe:
+        if fuse_phi3:
+            mat(f"blk.{i}.ffn_up.weight",
+                np.concatenate([np.asarray(L["gate_w"][i], np.float32),
+                                np.asarray(L["up_w"][i], np.float32)],
+                               axis=1))
+            mat(f"blk.{i}.ffn_down.weight", L["down_w"][i])
+        elif cfg.is_moe:
             mat(f"blk.{i}.ffn_gate_inp.weight", L["router_w"][i])
             mat3(f"blk.{i}.ffn_gate_exps.weight", L["moe_gate_w"][i])
             mat3(f"blk.{i}.ffn_up_exps.weight", L["moe_up_w"][i])

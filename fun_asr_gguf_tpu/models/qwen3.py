@@ -255,6 +255,20 @@ def _flash_decode_wanted(b: int, t: int) -> bool:
     return os.environ.get("FUNASR_FLASH_DECODE", "0") == "1"
 
 
+def _attn_probs(scores, sinks=None):
+    """Softmax over the key axis, optionally against per-head sink
+    logits (gpt-oss): the sink joins the denominator as one extra
+    column and its probability mass is dropped — attention may "park"
+    on nothing (HF ``GptOssAttention`` eager semantics)."""
+    if sinks is None:
+        return jax.nn.softmax(scores, axis=-1)
+    b, qh, t, s = scores.shape
+    sk = jnp.broadcast_to(
+        sinks.astype(scores.dtype).reshape(1, qh, 1, 1), (b, qh, t, 1))
+    comb = jnp.concatenate([scores, sk], axis=-1)
+    return jax.nn.softmax(comb, axis=-1)[..., :s]
+
+
 def _attend_cache_flash(q, K, V, l, bias, cfg):
     """Route one layer's decode attention through the fused Pallas
     kernel (ops/flash_decode.py). Returns None when the shapes fall
@@ -282,7 +296,7 @@ def _attend_cache_flash(q, K, V, l, bias, cfg):
     return flash_decode_attention(qs, k_cache, v_cache, bias3)
 
 
-def _attend_cache(q, K, V, l, bias, cfg):
+def _attend_cache(q, K, V, l, bias, cfg, sinks=None):
     """Attention of q [B,T,qh,hd] over layer ``l`` of a stacked cache.
 
     For a QuantKV cache the per-(slot,head) scales COMMUTE out of the
@@ -296,9 +310,10 @@ def _attend_cache(q, K, V, l, bias, cfg):
 
     Batched serving routes through the fused Pallas flash-decode
     kernel instead (same numerics class; see ops/flash_decode.py)."""
-    flash = _attend_cache_flash(q, K, V, l, bias, cfg)
-    if flash is not None:
-        return flash
+    if sinks is None:    # the flash kernel has no sink column
+        flash = _attend_cache_flash(q, K, V, l, bias, cfg)
+        if flash is not None:
+            return flash
     if isinstance(K, QuantKV):
         kq = jax.lax.dynamic_index_in_dim(K.q, l, 0, keepdims=False)
         ks = jax.lax.dynamic_index_in_dim(K.s, l, 0, keepdims=False)
@@ -312,7 +327,7 @@ def _attend_cache(q, K, V, l, bias, cfg):
         scores = (scores.reshape(b, cfg.kv_heads, group, t, s)
                   * kscale[:, :, None, None, :]
                   ).reshape(b, cfg.q_heads, t, s) + bias
-        probs = jax.nn.softmax(scores, axis=-1)
+        probs = _attn_probs(scores, sinks)
         vscale = jnp.transpose(vs[..., 0].astype(jnp.float32), (0, 2, 1))
         probs = (probs.reshape(b, cfg.kv_heads, group, t, s)
                  * vscale[:, :, None, None, :]
@@ -321,7 +336,7 @@ def _attend_cache(q, K, V, l, bias, cfg):
     k_cache = _kv_layer_slice(K, l, q.dtype)
     v_cache = _kv_layer_slice(V, l, q.dtype)
     scores = _gqa_scores(q, k_cache, cfg) + bias
-    probs = jax.nn.softmax(scores, axis=-1)
+    probs = _attn_probs(scores, sinks)
     return _gqa_mix(probs, v_cache, cfg)
 
 
@@ -343,17 +358,38 @@ def init_kv_cache(cfg: Qwen3Config, batch: int, max_len: int,
 # RoPE (HF half-rotation convention)
 # ---------------------------------------------------------------------------
 
-def rope_cos_sin(positions, head_dim: int, theta: float, dtype):
-    """positions [...,] → (cos, sin) each [..., head_dim]."""
+def rope_cos_sin(positions, head_dim: int, theta: float, dtype,
+                 factors=None, attn_factor: float = 1.0):
+    """positions [...,] → (cos, sin) each [..., head_dim].
+
+    ``factors`` (len head_dim//2) divide each inverse frequency and
+    ``attn_factor`` scales the magnitudes — phi3 longrope semantics
+    (HF ``modeling_rope_utils._compute_longrope_parameters``; llama.cpp
+    ``rope_factors_{short,long}.weight`` + attn-factor correction)."""
     half = head_dim // 2
     inv_freq = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+    if factors is not None:
+        inv_freq = inv_freq / jnp.asarray(factors, jnp.float32)
     freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., half]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+    if attn_factor != 1.0:
+        cos, sin = cos * attn_factor, sin * attn_factor
+    return cos.astype(dtype), sin.astype(dtype)
 
 
 def apply_rope(x, cos, sin):
-    """x [..., T, H, D]; cos/sin broadcastable [..., T, 1, D]."""
+    """x [..., T, H, D]; cos/sin broadcastable [..., T, 1, d], d ≤ D.
+
+    d < D is partial rotary (phi3 ``rope.dimension_count``): the first d
+    dims rotate, the tail passes through unchanged."""
+    d = cos.shape[-1]
+    if d < x.shape[-1]:
+        xr, xp = x[..., :d], x[..., d:]
+        half = d // 2
+        x1, x2 = xr[..., :half], xr[..., half:]
+        rotated = jnp.concatenate([-x2, x1], axis=-1)
+        return jnp.concatenate([xr * cos + rotated * sin, xp], axis=-1)
     half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
@@ -634,7 +670,16 @@ def fuse_qwen3_params_q8_mega(params, cfg: Qwen3Config):
     head = params.get("lm_head_q")
     if (not isinstance(head, QuantTensor)
             or "q8_fused" not in params
-            or cfg.q_heads != 2 * cfg.kv_heads):
+            or "q_norm" not in layers
+            or cfg.q_heads != 2 * cfg.kv_heads
+            # the in-kernel rope is plain full-dim rope_theta: no sliding
+            # interleave, longrope factors, attn-factor or partial dims
+            # (phi3) and no linear position scale (gemma)
+            or cfg.sliding_pattern
+            or (cfg.rope_dim and cfg.rope_dim != cfg.head_dim)
+            or cfg.active_rope_factors
+            or cfg.rope_attn_factor != 1.0
+            or cfg.rope_global_scale != 1.0):
         return params
     qd = cfg.q_heads * cfg.head_dim
     nq = layers["qkv_w"].q.shape[-2]
@@ -751,7 +796,10 @@ def _attn_out(attn_heads, lp, cfg: Qwen3Config, pre: bool = False):
         # output channels are pre-permuted, so the result stays in perm
         # space (matches the residual stream)
         merged = block_permute(merged)
-    return _proj(merged, lp["o_w"], pre)
+    out = _proj(merged, lp["o_w"], pre)
+    if "o_b" in lp:                    # gpt-oss: bias on every projection
+        out = out + lp["o_b"].astype(out.dtype)
+    return out
 
 
 def _mlp(x, lp, pre: bool = False, act: str = "silu"):
@@ -812,12 +860,23 @@ def _moe_mlp(x, lp, cfg: Qwen3Config):
     logits = jnp.dot(xf.astype(jnp.float32),
                      lp["router_w"].astype(jnp.float32),
                      preferred_element_type=jnp.float32)       # [N, E]
-    probs = jax.nn.softmax(logits, axis=-1)
-    topv, topi = jax.lax.top_k(probs, k)                       # [N, K]
-    if cfg.norm_topk_prob:
-        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if "router_b" in lp:
+        logits = logits + lp["router_b"].astype(jnp.float32)
+    if cfg.router_scoring == "topk_softmax":
+        # gpt-oss: top-k over raw logits, softmax over the k survivors
+        # (``GptOssTopKRouter``)
+        topl, topi = jax.lax.top_k(logits, k)                  # [N, K]
+        topv = jax.nn.softmax(topl, axis=-1)
+    else:
+        # qwen3moe: softmax over ALL experts, then take the top-k
+        probs = jax.nn.softmax(logits, axis=-1)
+        topv, topi = jax.lax.top_k(probs, k)                   # [N, K]
+        if cfg.norm_topk_prob:
+            topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
 
     gw, uw, dw = lp["moe_gate_w"], lp["moe_up_w"], lp["moe_down_w"]
+    gb, ub, db = (lp.get("moe_gate_b"), lp.get("moe_up_b"),
+                  lp.get("moe_down_b"))
     if n * k <= cfg.n_experts:
         g_sel = _moe_dense(_moe_gather(gw, topi), x.dtype)     # [N,K,h,f]
         u_sel = _moe_dense(_moe_gather(uw, topi), x.dtype)
@@ -826,23 +885,47 @@ def _moe_mlp(x, lp, cfg: Qwen3Config):
                        preferred_element_type=jnp.float32)
         u = jnp.einsum("nh,nkhf->nkf", xf, u_sel,
                        preferred_element_type=jnp.float32)
-        a = (jax.nn.silu(g) * u).astype(x.dtype)
+        if gb is not None:
+            g = g + gb[topi].astype(jnp.float32)               # [N,K,f]
+            u = u + ub[topi].astype(jnp.float32)
+        a = _moe_act(g, u, cfg).astype(x.dtype)
         y = jnp.einsum("nkf,nkfh->nkh", a, d_sel,
                        preferred_element_type=jnp.float32)     # [N,K,h]
+        if db is not None:
+            y = y + db[topi].astype(jnp.float32)
         out = jnp.einsum("nkh,nk->nh", y, topv,
                          preferred_element_type=jnp.float32)
     else:
-        out = _moe_dense_dispatch(xf, topv, topi, gw, uw, dw, cfg)
+        out = _moe_dense_dispatch(xf, topv, topi, gw, uw, dw, cfg,
+                                  gb=gb, ub=ub, db=db)
     return out.reshape(*lead, h).astype(x.dtype)
 
 
+def _moe_act(g, u, cfg: Qwen3Config):
+    """Gated-MLP activation on f32 pre-activations.
+
+    ``swiglu_oai`` (gpt-oss, ``GptOssExperts``): clamp gate above at
+    +limit and up to ±limit, glu = g·sigmoid(1.702·g), out = (u+1)·glu.
+    Everything else: plain SiLU-gate."""
+    if cfg.act == "swiglu_oai":
+        lim = cfg.swiglu_limit
+        g = jnp.minimum(g, lim)
+        u = jnp.clip(u, -lim, lim)
+        return (u + 1.0) * (g * jax.nn.sigmoid(1.702 * g))
+    return jax.nn.silu(g) * u
+
+
 def _moe_dense_dispatch(xf, topv, topi, gw, uw, dw, cfg: Qwen3Config,
-                        expert_offset: int = 0, n_local: Optional[int] = None):
+                        expert_offset: int = 0,
+                        n_local: Optional[int] = None,
+                        gb=None, ub=None, db=None):
     """All-experts-over-all-tokens form: xf [N, h] → [N, h] f32.
 
     ``expert_offset``/``n_local`` restrict to an expert shard (expert
     parallelism: each device holds E/ep experts, combines with psum —
-    routing weights for non-local experts contribute zero here)."""
+    routing weights for non-local experts contribute zero here).
+    ``gb``/``ub``/``db`` are optional per-expert biases [E(_local), n]
+    (gpt-oss), applied inside each expert before the routing weight."""
     n_local = n_local or cfg.n_experts
     onehot = jax.nn.one_hot(topi - expert_offset, n_local,
                             dtype=jnp.float32)                 # [N,K,El]
@@ -852,9 +935,14 @@ def _moe_dense_dispatch(xf, topv, topi, gw, uw, dw, cfg: Qwen3Config,
                    preferred_element_type=jnp.float32)
     u = jnp.einsum("nh,ehf->enf", xf, _moe_dense(uw, dt),
                    preferred_element_type=jnp.float32)
-    a = (jax.nn.silu(g) * u).astype(dt)
+    if gb is not None:
+        g = g + gb[:, None, :].astype(jnp.float32)
+        u = u + ub[:, None, :].astype(jnp.float32)
+    a = _moe_act(g, u, cfg).astype(dt)
     y = jnp.einsum("enf,efh->enh", a, _moe_dense(dw, dt),
                    preferred_element_type=jnp.float32)         # [E,N,h]
+    if db is not None:
+        y = y + db[:, None, :].astype(jnp.float32)
     return jnp.einsum("enh,ne->nh", y, cw,
                       preferred_element_type=jnp.float32)
 
@@ -950,14 +1038,22 @@ def _global_layer_flags(cfg: Qwen3Config):
 
 def _dual_rope(positions, cfg: Qwen3Config, dtype):
     """(cos_g, sin_g, cos_l, sin_l): global layers use rope_theta with
-    linear position scaling; sliding layers use rope_local_theta."""
+    linear position scaling; sliding layers use rope_local_theta.
+
+    Longrope factors / attn-factor / partial rotary dims (phi3) apply to
+    both branches — for phi3 every layer is "sliding" with
+    rope_local_theta == rope_theta; gemma (the other sliding arch) never
+    carries factors, so the shared application is a no-op there."""
     posf = positions.astype(jnp.float32)
+    dim = cfg.rope_dim or cfg.head_dim
+    fac = cfg.active_rope_factors or None
+    af = cfg.rope_attn_factor
     cos_g, sin_g = rope_cos_sin(posf / cfg.rope_global_scale,
-                                cfg.head_dim, cfg.rope_theta, dtype)
+                                dim, cfg.rope_theta, dtype, fac, af)
     if not cfg.sliding_pattern:
         return cos_g, sin_g, cos_g, sin_g
-    cos_l, sin_l = rope_cos_sin(posf, cfg.head_dim,
-                                cfg.rope_local_theta, dtype)
+    cos_l, sin_l = rope_cos_sin(posf, dim,
+                                cfg.rope_local_theta, dtype, fac, af)
     return cos_g, sin_g, cos_l, sin_l
 
 
@@ -1038,7 +1134,7 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
         scores = _gqa_scores(q, k, cfg) + lbias
-        probs = jax.nn.softmax(scores, axis=-1)
+        probs = _attn_probs(scores, lp.get("sinks"))
         attn = _attn_out(_gqa_mix(probs, v, cfg), lp, cfg, fused)
         if cfg.post_norms:
             attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
@@ -1115,7 +1211,7 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
     # more HBM traffic than the weights themselves — measured 4.0 vs
     # 1.9 ms/step on v5e. As carry, each layer writes only its one new
     # [B,1,kh,D] entry in place and reads its slice for attention.
-    def attn_core(q, k, v, K, V, l, lbias=None):
+    def attn_core(q, k, v, K, V, l, lbias=None, sinks=None):
         def upd(big, new):
             return jax.lax.dynamic_update_slice(
                 big, new[None].astype(big.dtype),
@@ -1124,7 +1220,7 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         K = _kv_store(K, k, upd)
         V = _kv_store(V, v, upd)
         lbias = bias if lbias is None else lbias
-        return _attend_cache(q, K, V, l, lbias, cfg), K, V
+        return _attend_cache(q, K, V, l, lbias, cfg, sinks), K, V
 
     def layer(carry, inputs):
         x, K, V = carry
@@ -1137,7 +1233,8 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         lp = _layer_params(lp_dense, quant, l)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
-        heads, K, V = attn_core(q, k, v, K, V, l, lbias)
+        heads, K, V = attn_core(q, k, v, K, V, l, lbias,
+                                lp.get("sinks"))
         if fused:
             x = _fused_mlp_call(heads, x, lp, cfg, cfg.rms_eps)
         else:
@@ -1202,7 +1299,8 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         for l in range(cfg.n_layers):
             q, k, v = _qkv_post(qkv_raw.astype(x.dtype), lps[l], cfg,
                                 cos, sin)
-            heads, K, V = attn_core(q, k, v, K, V, l)
+            heads, K, V = attn_core(q, k, v, K, V, l,
+                                    sinks=lps[l].get("sinks"))
             wq = l + 1 < cfg.n_layers
             x_col, qkv_col = _q8i_layer_call(
                 heads, x_col, lps[l], lps[l + 1] if wq else None, cfg,
@@ -1223,7 +1321,8 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         K, V = kv.k, kv.v
         for l in range(cfg.n_layers):
             q, k, v = _qkv_post(qkv_raw, lps[l], cfg, cos, sin)
-            heads, K, V = attn_core(q, k, v, K, V, l)
+            heads, K, V = attn_core(q, k, v, K, V, l,
+                                    sinks=lps[l].get("sinks"))
             if l + 1 < cfg.n_layers:
                 x, qkv_raw = _fused_mlp_qkv_call(
                     heads, x, lps[l], lps[l + 1], cfg, cfg.rms_eps)
@@ -1319,11 +1418,11 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
 
     # stacked KV as scan CARRY (see qwen3_decode_step: the ys path
     # re-writes the whole cache every pass)
-    def attn_core(q, k, v, K, V, l, lbias=None):
+    def attn_core(q, k, v, K, V, l, lbias=None, sinks=None):
         K = _kv_store(K, k, lambda big, new: write_kv(big, new, l))
         V = _kv_store(V, v, lambda big, new: write_kv(big, new, l))
         lbias = bias if lbias is None else lbias
-        return _attend_cache(q, K, V, l, lbias, cfg), K, V
+        return _attend_cache(q, K, V, l, lbias, cfg, sinks), K, V
 
     def layer(carry, inputs):
         x, K, V = carry
@@ -1336,7 +1435,8 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
         lp = _layer_params(lp_dense, quant, l)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
-        heads, K, V = attn_core(q, k, v, K, V, l, lbias)
+        heads, K, V = attn_core(q, k, v, K, V, l, lbias,
+                                lp.get("sinks"))
         if fused:
             x = _fused_mlp_call(heads, x, lp, cfg, cfg.rms_eps)
         else:
@@ -1364,7 +1464,8 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
         for l in range(cfg.n_layers):
             q, k, v = _qkv_post(qkv_raw.astype(x.dtype), lps[l], cfg,
                                 cos, sin)
-            heads, K, V = attn_core(q, k, v, K, V, l)
+            heads, K, V = attn_core(q, k, v, K, V, l,
+                                    sinks=lps[l].get("sinks"))
             wq = l + 1 < cfg.n_layers
             x_col, qkv_col = _q8i_layer_call(
                 heads, x_col, lps[l], lps[l + 1] if wq else None, cfg,
@@ -1383,7 +1484,8 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
         K, V = kv.k, kv.v
         for l in range(cfg.n_layers):
             q, k, v = _qkv_post(qkv_raw, lps[l], cfg, cos, sin)
-            heads, K, V = attn_core(q, k, v, K, V, l)
+            heads, K, V = attn_core(q, k, v, K, V, l,
+                                    sinks=lps[l].get("sinks"))
             if l + 1 < cfg.n_layers:
                 x, qkv_raw = _fused_mlp_qkv_call(
                     heads, x, lps[l], lps[l + 1], cfg, cfg.rms_eps)
@@ -1452,7 +1554,7 @@ def qwen3_forward_logits(params, embeds, attn_mask, cfg: Qwen3Config):
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
         scores = _gqa_scores(q, k, cfg) + lbias
-        probs = jax.nn.softmax(scores, axis=-1)
+        probs = _attn_probs(scores, lp.get("sinks"))
         attn = _attn_out(_gqa_mix(probs, v, cfg), lp, cfg, fused)
         if cfg.post_norms:
             attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
@@ -1586,11 +1688,17 @@ def init_qwen3_params(rng, cfg: Qwen3Config, dtype=jnp.float32):
     }
     if cfg.is_moe:
         e, f = cfg.n_experts, cfg.moe_ffn_dim
-        mkeys = jax.random.split(keys[4], 4)
+        mkeys = jax.random.split(keys[4], 8)
         layers["router_w"] = norm(mkeys[0], (n, h, e), s_h)
         layers["moe_gate_w"] = norm(mkeys[1], (n, e, h, f), s_h)
         layers["moe_up_w"] = norm(mkeys[2], (n, e, h, f), s_h)
         layers["moe_down_w"] = norm(mkeys[3], (n, e, f, h), f ** -0.5)
+        if cfg.router_bias:
+            layers["router_b"] = norm(mkeys[4], (n, e), 0.02)
+        if cfg.moe_bias:
+            layers["moe_gate_b"] = norm(mkeys[5], (n, e, f), 0.02)
+            layers["moe_up_b"] = norm(mkeys[6], (n, e, f), 0.02)
+            layers["moe_down_b"] = norm(mkeys[7], (n, e, h), 0.02)
     else:
         layers.update({
             "gate_w": norm(keys[4], (n, h, cfg.ffn_dim), s_h),
@@ -1601,10 +1709,15 @@ def init_qwen3_params(rng, cfg: Qwen3Config, dtype=jnp.float32):
         layers["q_norm"] = jnp.ones((n, cfg.head_dim), dtype)
         layers["k_norm"] = jnp.ones((n, cfg.head_dim), dtype)
     if cfg.attn_bias:
-        bkeys = jax.random.split(keys[7], 3)
+        bkeys = jax.random.split(keys[7], 4)
         layers["q_b"] = norm(bkeys[0], (n, qd), 0.02)
         layers["k_b"] = norm(bkeys[1], (n, kd), 0.02)
         layers["v_b"] = norm(bkeys[2], (n, kd), 0.02)
+        if cfg.attn_out_bias:
+            layers["o_b"] = norm(bkeys[3], (n, h), 0.02)
+    if cfg.attn_sinks:
+        layers["sinks"] = norm(jax.random.split(keys[6], 1)[0],
+                               (n, cfg.q_heads), 1.0)
     if cfg.post_norms:
         layers["attn_post_ln"] = jnp.ones((n, h), dtype)
         layers["ffn_post_ln"] = jnp.ones((n, h), dtype)

@@ -65,11 +65,24 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
             "model.layers.{}.pre_feedforward_layernorm.weight"
             if cfg.post_norms else
             "model.layers.{}.post_attention_layernorm.weight"),
-        "q_w": stack("model.layers.{}.self_attn.q_proj.weight"),
-        "k_w": stack("model.layers.{}.self_attn.k_proj.weight"),
-        "v_w": stack("model.layers.{}.self_attn.v_proj.weight"),
         "o_w": stack("model.layers.{}.self_attn.o_proj.weight"),
     }
+    if "model.layers.0.self_attn.qkv_proj.weight" in sd:
+        # phi3 stores one fused [q; k; v] projection
+        # (reference Phi3MiniModel keeps it fused in GGUF too)
+        qd = cfg.q_heads * cfg.head_dim
+        kd = cfg.kv_heads * cfg.head_dim
+        qkv = [t("model.layers.{}.self_attn.qkv_proj.weight".format(i))
+               for i in range(cfg.n_layers)]          # [in, q+2k]
+        layers["q_w"] = np.stack([w[:, :qd] for w in qkv])
+        layers["k_w"] = np.stack([w[:, qd:qd + kd] for w in qkv])
+        layers["v_w"] = np.stack([w[:, qd + kd:] for w in qkv])
+    else:
+        layers.update({
+            "q_w": stack("model.layers.{}.self_attn.q_proj.weight"),
+            "k_w": stack("model.layers.{}.self_attn.k_proj.weight"),
+            "v_w": stack("model.layers.{}.self_attn.v_proj.weight"),
+        })
     if cfg.is_moe:
         # Qwen3-MoE sparse block: mlp.gate (router) + per-expert
         # gate/up/down projections (reference converter merges the same
@@ -86,6 +99,14 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
             "model.layers.{}.mlp.experts.{}.up_proj.weight")
         layers["moe_down_w"] = estack(
             "model.layers.{}.mlp.experts.{}.down_proj.weight")
+    elif "model.layers.0.mlp.gate_up_proj.weight" in sd:
+        # phi3 fused [gate; up] MLP input projection
+        fd = cfg.ffn_dim
+        gu = [t("model.layers.{}.mlp.gate_up_proj.weight".format(i))
+              for i in range(cfg.n_layers)]           # [in, 2*ffn]
+        layers["gate_w"] = np.stack([w[:, :fd] for w in gu])
+        layers["up_w"] = np.stack([w[:, fd:] for w in gu])
+        layers["down_w"] = stack("model.layers.{}.mlp.down_proj.weight")
     else:
         layers.update({
             "gate_w": stack("model.layers.{}.mlp.gate_proj.weight"),
@@ -128,6 +149,10 @@ _HF_ARCHS = {
     # sandwich norms / GeGLU / sliding-window handled via config flags
     "Gemma3ForCausalLM": ("gemma3", True, False),
     "Gemma3TextModel": ("gemma3", True, False),
+    # phi3 family (reference converter: Phi3MiniModel at
+    # convert_hf_to_gguf.py:4651): fused qkv/gate_up projections,
+    # longrope scaling, optional all-layer sliding window
+    "Phi3ForCausalLM": ("phi3", False, False),
 }
 
 
@@ -178,9 +203,45 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
         if config.get("attn_logit_softcapping"):
             raise ValueError("attention logit softcapping (gemma2) is "
                              "not supported; gemma3-family only")
+    phi = {}
+    if arch == "phi3":
+        import math
+        rs = config.get("rope_scaling") or {}
+        rtype = rs.get("rope_type", rs.get("type"))
+        if rs and rtype not in ("longrope", "su"):
+            raise ValueError(
+                f"phi3 rope scaling type {rtype!r} not supported "
+                "(longrope only)")
+        orig = int(config.get("original_max_position_embeddings", 0) or 0)
+        maxp = int(config.get("max_position_embeddings", 4096))
+        short = tuple(float(x) for x in rs.get("short_factor") or ())
+        long_ = tuple(float(x) for x in rs.get("long_factor") or ())
+        af = rs.get("attention_factor")
+        if af is None:
+            scale = (maxp / orig) if orig else 1.0
+            af = (math.sqrt(1.0 + math.log(scale) / math.log(orig))
+                  if scale > 1.0 else 1.0)
+        sw = config.get("sliding_window")
+        nl = config["num_hidden_layers"]
+        head_dim = config.get("head_dim",
+                              config["hidden_size"]
+                              // config["num_attention_heads"])
+        rot = int(head_dim * config.get("partial_rotary_factor", 1.0))
+        phi = dict(
+            rope_dim=0 if rot == head_dim else rot,
+            rope_orig_max_position=orig,
+            rope_factors_short=short,
+            rope_factors_long=long_,
+            rope_attn_factor=float(af) if (short or long_) else 1.0,
+            sliding_window=int(sw or 0),
+            # every layer slides (no global layers): see loaders.py
+            sliding_pattern=(nl + 1) if sw else 0,
+            rope_local_theta=float(config.get("rope_theta", 1e4)),
+        )
     return Qwen3Config(
         **moe,
         **gemma,
+        **phi,
         hidden=config["hidden_size"],
         n_layers=config["num_hidden_layers"],
         q_heads=config["num_attention_heads"],
@@ -224,7 +285,7 @@ def convert_llm(hf_dir: str, out_path: str, outtype: str = "q8_0"):
     The direct equivalent of the reference's
     ``convert_hf_to_gguf.py <dir> --outfile x.gguf --outtype ...`` for
     the archs this decode graph runs (qwen3 / qwen2 / llama / mistral /
-    qwen3moe / gemma3): weights + embedded vocab (BPE from
+    qwen3moe / gemma3 / phi3): weights + embedded vocab (BPE from
     tokenizer.json or SentencePiece from tokenizer.model) + special
     tokens / chat template + general.* naming metadata.
     """
