@@ -124,8 +124,18 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
         yf = float(g("rope.scaling.factor", 0.0) or 0.0)
         orig = int(g("rope.scaling.original_context_length", 0))
         factors, af = (), 1.0
-        if yf > 1.0 and orig:
+        if "rope_factors_short.weight" in names:
+            # explicit per-frequency divisors (our exports write them;
+            # covers YaRN variants the KV recompute can't express, e.g.
+            # HF truncate=False correction ranges)
+            factors = tuple(float(x) for x in
+                            reader.tensor("rope_factors_short.weight"))
+            if yf > 1.0:
+                import math
+                af = 0.1 * math.log(yf) + 1.0
+        elif yf > 1.0 and orig:
             factors, af = yarn_rope_params(head_dim, theta, yf, orig)
+        if factors:
             explicit = float(f.get(f"{arch}.rope.scaling.attn_factor",
                                    0.0))
             if explicit:
@@ -318,6 +328,18 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
             lambda i: e3(f"blk.{i}.ffn_up_exps.weight", True))
         layers["moe_down_w"] = stack(
             lambda i: e3(f"blk.{i}.ffn_down_exps.weight", True))
+        # gpt-oss carries a router bias + per-expert biases
+        # (reference converter: GptOssModel, convert_hf_to_gguf.py:10123)
+        if "blk.0.ffn_gate_inp.bias" in names:
+            layers["router_b"] = vstack("blk.{}.ffn_gate_inp.bias")
+        if "blk.0.ffn_gate_exps.bias" in names:
+            def estack_b(fmt):           # per-layer [E, n] → [L, E, n]
+                return jnp.asarray(
+                    np.stack([r.tensor(fmt.format(i)).astype(np.float32)
+                              for i in range(n)]), dtype)
+            layers["moe_gate_b"] = estack_b("blk.{}.ffn_gate_exps.bias")
+            layers["moe_up_b"] = estack_b("blk.{}.ffn_up_exps.bias")
+            layers["moe_down_b"] = estack_b("blk.{}.ffn_down_exps.bias")
     elif "blk.0.ffn_gate.weight" not in names:
         # phi3 layout: ffn_up holds [gate; up] fused (llama.cpp
         # LLM_FFN_SWIGLU splits it the same way, gate first)
@@ -344,6 +366,11 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
         layers["q_b"] = vstack("blk.{}.attn_q.bias")
         layers["k_b"] = vstack("blk.{}.attn_k.bias")
         layers["v_b"] = vstack("blk.{}.attn_v.bias")
+    # gpt-oss extras: per-head attention-sink logits + o_proj bias
+    if "blk.0.attn_sinks.weight" in names:
+        layers["sinks"] = vstack("blk.{}.attn_sinks.weight")
+    if "blk.0.attn_output.bias" in names:
+        layers["o_b"] = vstack("blk.{}.attn_output.bias")
     params = {
         "layers": layers,
         "final_ln": jnp.asarray(vec("output_norm.weight"), dtype),
@@ -398,6 +425,19 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         w.add_kv(f"{arch}.rope.scaling.factor", cfg.rope_global_scale)
         if cfg.final_softcap:
             w.add_kv(f"{arch}.final_logit_softcapping", cfg.final_softcap)
+    if arch == "gpt-oss":
+        # GptOssModel KV set (reference convert_hf_to_gguf.py:10123):
+        # sliding window + YaRN rope scaling; the loader recomputes the
+        # per-frequency divisors from these KVs (yarn_rope_params), so
+        # the explicit attn_factor keeps round-trips bit-faithful
+        w.add_kv(f"{arch}.attention.sliding_window", cfg.sliding_window)
+        if cfg.rope_yarn_factor:
+            w.add_kv(f"{arch}.rope.scaling.factor",
+                     float(cfg.rope_yarn_factor))
+            w.add_kv(f"{arch}.rope.scaling.original_context_length",
+                     cfg.rope_orig_max_position)
+            w.add_kv(f"{arch}.rope.scaling.attn_factor",
+                     float(cfg.rope_attn_factor))
     if arch == "phi3":
         # Phi3MiniModel KV set (reference convert_hf_to_gguf.py:4760-4785):
         # rope dims, longrope original context, sliding window (0 marks
@@ -522,6 +562,12 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
                          np.asarray(L["k_b"][i], np.float32))
             w.add_tensor(f"blk.{i}.attn_v.bias",
                          np.asarray(L["v_b"][i], np.float32))
+        if "sinks" in L:
+            w.add_tensor(f"blk.{i}.attn_sinks.weight",
+                         np.asarray(L["sinks"][i], np.float32))
+        if "o_b" in L:
+            w.add_tensor(f"blk.{i}.attn_output.bias",
+                         np.asarray(L["o_b"][i], np.float32))
         if fuse_phi3:
             # llama.cpp phi3 layout: fused [q; k; v] and [gate; up]
             mat(f"blk.{i}.attn_qkv.weight",
@@ -545,6 +591,16 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
             mat3(f"blk.{i}.ffn_gate_exps.weight", L["moe_gate_w"][i])
             mat3(f"blk.{i}.ffn_up_exps.weight", L["moe_up_w"][i])
             mat3(f"blk.{i}.ffn_down_exps.weight", L["moe_down_w"][i])
+            if "router_b" in L:
+                w.add_tensor(f"blk.{i}.ffn_gate_inp.bias",
+                             np.asarray(L["router_b"][i], np.float32))
+            if "moe_gate_b" in L:
+                w.add_tensor(f"blk.{i}.ffn_gate_exps.bias",
+                             np.asarray(L["moe_gate_b"][i], np.float32))
+                w.add_tensor(f"blk.{i}.ffn_up_exps.bias",
+                             np.asarray(L["moe_up_b"][i], np.float32))
+                w.add_tensor(f"blk.{i}.ffn_down_exps.bias",
+                             np.asarray(L["moe_down_b"][i], np.float32))
         else:
             mat(f"blk.{i}.ffn_gate.weight", L["gate_w"][i])
             mat(f"blk.{i}.ffn_up.weight", L["up_w"][i])

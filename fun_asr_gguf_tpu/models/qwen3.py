@@ -1036,6 +1036,17 @@ def _global_layer_flags(cfg: Qwen3Config):
     return (l + 1) % cfg.sliding_pattern == 0
 
 
+def _static_global_flags(cfg: Qwen3Config):
+    """Python-bool mirror of :func:`_global_layer_flags` for the UNROLLED
+    decode paths, where the layer index is static — lets each layer pick
+    its global vs sliding bias/rope at trace time (phi3-mini slides on
+    every layer; gpt-oss alternates)."""
+    if not cfg.sliding_pattern:
+        return [True] * cfg.n_layers
+    return [(l + 1) % cfg.sliding_pattern == 0
+            for l in range(cfg.n_layers)]
+
+
 def _dual_rope(positions, cfg: Qwen3Config, dtype):
     """(cos_g, sin_g, cos_l, sin_l): global layers use rope_theta with
     linear position scaling; sliding layers use rope_local_theta.
@@ -1296,10 +1307,13 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         qkv_raw = _proj(h0, lps[0]["qkv_w"])
         x_col = x.reshape(b, -1).T.astype(jnp.float32)
         K, V = kv.k, kv.v
+        sflags = _static_global_flags(cfg)
         for l in range(cfg.n_layers):
+            g = sflags[l]
             q, k, v = _qkv_post(qkv_raw.astype(x.dtype), lps[l], cfg,
-                                cos, sin)
+                                cos if g else cos_l, sin if g else sin_l)
             heads, K, V = attn_core(q, k, v, K, V, l,
+                                    bias if g else bias_l,
                                     sinks=lps[l].get("sinks"))
             wq = l + 1 < cfg.n_layers
             x_col, qkv_col = _q8i_layer_call(
@@ -1319,9 +1333,13 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         h0 = rms_norm(x, lps[0]["input_ln"], cfg.rms_eps)
         qkv_raw = _proj(h0, lps[0]["qkv_w"], True)
         K, V = kv.k, kv.v
+        sflags = _static_global_flags(cfg)
         for l in range(cfg.n_layers):
-            q, k, v = _qkv_post(qkv_raw, lps[l], cfg, cos, sin)
+            g = sflags[l]
+            q, k, v = _qkv_post(qkv_raw, lps[l], cfg,
+                                cos if g else cos_l, sin if g else sin_l)
             heads, K, V = attn_core(q, k, v, K, V, l,
+                                    bias if g else bias_l,
                                     sinks=lps[l].get("sinks"))
             if l + 1 < cfg.n_layers:
                 x, qkv_raw = _fused_mlp_qkv_call(
@@ -1461,10 +1479,13 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
         qkv_raw = _proj(h0, lps[0]["qkv_w"])
         x_col = x.reshape(b * t, -1).T.astype(jnp.float32)
         K, V = kv.k, kv.v
+        sflags = _static_global_flags(cfg)
         for l in range(cfg.n_layers):
+            g = sflags[l]
             q, k, v = _qkv_post(qkv_raw.astype(x.dtype), lps[l], cfg,
-                                cos, sin)
+                                cos if g else cos_l, sin if g else sin_l)
             heads, K, V = attn_core(q, k, v, K, V, l,
+                                    bias if g else bias_l,
                                     sinks=lps[l].get("sinks"))
             wq = l + 1 < cfg.n_layers
             x_col, qkv_col = _q8i_layer_call(
@@ -1482,9 +1503,13 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
         h0 = rms_norm(x, lps[0]["input_ln"], cfg.rms_eps)
         qkv_raw = _proj(h0, lps[0]["qkv_w"], True)
         K, V = kv.k, kv.v
+        sflags = _static_global_flags(cfg)
         for l in range(cfg.n_layers):
-            q, k, v = _qkv_post(qkv_raw, lps[l], cfg, cos, sin)
+            g = sflags[l]
+            q, k, v = _qkv_post(qkv_raw, lps[l], cfg,
+                                cos if g else cos_l, sin if g else sin_l)
             heads, K, V = attn_core(q, k, v, K, V, l,
+                                    bias if g else bias_l,
                                     sinks=lps[l].get("sinks"))
             if l + 1 < cfg.n_layers:
                 x, qkv_raw = _fused_mlp_qkv_call(

@@ -81,6 +81,14 @@ def pp_forward(params, embeds, attn_mask, cfg: Qwen3Config, mesh: Mesh,
     if cfg.n_layers % pp != 0:
         raise ValueError(f"{cfg.n_layers} layers not divisible into "
                          f"{pp} stages")
+    if cfg.sliding_pattern or cfg.post_norms or cfg.rope_global_scale != 1.0:
+        # _block applies one global-attention bias and one rope table to
+        # every layer; sliding-window interleaves (gemma3/phi3-mini/
+        # gpt-oss) and sandwich norms would be silently wrong here
+        raise NotImplementedError(
+            "pp_forward supports global-attention llama-family archs "
+            "only (no sliding-window pattern / sandwich norms / linear "
+            "rope position scaling)")
     mb = b // n_micro
 
     i = jnp.arange(t)[:, None]
@@ -99,10 +107,14 @@ def pp_forward(params, embeds, attn_mask, cfg: Qwen3Config, mesh: Mesh,
     shift = t - jnp.sum(flat_m, axis=1).astype(jnp.int32)          # [B]
     positions = jnp.maximum(
         jnp.arange(t, dtype=jnp.int32)[None, :] - shift[:, None], 0)
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
-                            embeds.dtype)
-    cos_mb = cos.reshape(n_micro, mb, t, 1, cfg.head_dim)
-    sin_mb = sin.reshape(n_micro, mb, t, 1, cfg.head_dim)
+    # longrope/YaRN factors, attn-factor and partial rotary dims (phi3 /
+    # gpt-oss) apply exactly as in the unsharded graph (_dual_rope)
+    rope_dim = cfg.rope_dim or cfg.head_dim
+    cos, sin = rope_cos_sin(positions, rope_dim, cfg.rope_theta,
+                            embeds.dtype, cfg.active_rope_factors or None,
+                            cfg.rope_attn_factor)
+    cos_mb = cos.reshape(n_micro, mb, t, 1, rope_dim)
+    sin_mb = sin.reshape(n_micro, mb, t, 1, rope_dim)
     bias = jnp.where(causal & (flat_m[:, None, None, :] > 0), 0.0,
                      NEG_INF).astype(jnp.float32)
     bias_mb = bias.reshape(n_micro, mb, 1, t, t)

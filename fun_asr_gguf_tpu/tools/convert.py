@@ -83,7 +83,32 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
             "k_w": stack("model.layers.{}.self_attn.k_proj.weight"),
             "v_w": stack("model.layers.{}.self_attn.v_proj.weight"),
         })
-    if cfg.is_moe:
+    if cfg.is_moe and "model.layers.0.mlp.experts.gate_up_proj" in sd:
+        # gpt-oss expert block: stacked fused tensors, gate/up channels
+        # INTERLEAVED along the last dim ([E, h, 2f], gate = [..., ::2] —
+        # ``GptOssExperts``); biases per expert; biased router
+        def egather(fmt, sl):
+            return np.stack([
+                np.ascontiguousarray(
+                    sd[fmt.format(i)].astype(np.float32)[..., sl])
+                for i in range(cfg.n_layers)])
+        every2, odd2 = slice(None, None, 2), slice(1, None, 2)
+        full = slice(None)
+        layers["router_w"] = stack("model.layers.{}.mlp.router.weight")
+        layers["router_b"] = stack_vec("model.layers.{}.mlp.router.bias")
+        layers["moe_gate_w"] = egather(
+            "model.layers.{}.mlp.experts.gate_up_proj", every2)
+        layers["moe_up_w"] = egather(
+            "model.layers.{}.mlp.experts.gate_up_proj", odd2)
+        layers["moe_gate_b"] = egather(
+            "model.layers.{}.mlp.experts.gate_up_proj_bias", every2)
+        layers["moe_up_b"] = egather(
+            "model.layers.{}.mlp.experts.gate_up_proj_bias", odd2)
+        layers["moe_down_w"] = egather(
+            "model.layers.{}.mlp.experts.down_proj", full)
+        layers["moe_down_b"] = egather(
+            "model.layers.{}.mlp.experts.down_proj_bias", full)
+    elif cfg.is_moe:
         # Qwen3-MoE sparse block: mlp.gate (router) + per-expert
         # gate/up/down projections (reference converter merges the same
         # expert stacks, convert_hf_to_gguf.py Qwen2MoeModel.modify_tensors)
@@ -127,6 +152,10 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
         layers["q_b"] = stack_vec("model.layers.{}.self_attn.q_proj.bias")
         layers["k_b"] = stack_vec("model.layers.{}.self_attn.k_proj.bias")
         layers["v_b"] = stack_vec("model.layers.{}.self_attn.v_proj.bias")
+    if cfg.attn_out_bias:
+        layers["o_b"] = stack_vec("model.layers.{}.self_attn.o_proj.bias")
+    if cfg.attn_sinks:
+        layers["sinks"] = stack_vec("model.layers.{}.self_attn.sinks")
     params = {
         "layers": layers,
         "final_ln": sd["model.norm.weight"].astype(np.float32) + shift,
@@ -153,6 +182,11 @@ _HF_ARCHS = {
     # convert_hf_to_gguf.py:4651): fused qkv/gate_up projections,
     # longrope scaling, optional all-layer sliding window
     "Phi3ForCausalLM": ("phi3", False, False),
+    # gpt-oss (reference converter: GptOssModel at
+    # convert_hf_to_gguf.py:10123): attention sinks, biased projections
+    # and router, interleaved fused gate_up experts, YaRN rope,
+    # alternating sliding/full attention
+    "GptOssForCausalLM": ("gpt-oss", False, True),
 }
 
 
@@ -203,6 +237,45 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
         if config.get("attn_logit_softcapping"):
             raise ValueError("attention logit softcapping (gemma2) is "
                              "not supported; gemma3-family only")
+    oss = {}
+    if arch == "gpt-oss":
+        from ..models.config import yarn_rope_params
+        rs = config.get("rope_scaling") or {}
+        theta = float(config.get("rope_theta", 150000.0))
+        hd = config.get("head_dim",
+                        config["hidden_size"]
+                        // config["num_attention_heads"])
+        yf = float(rs.get("factor", 0.0) or 0.0)
+        orig = int(rs.get("original_max_position_embeddings", 0) or 0)
+        factors, af = (), 1.0
+        if yf > 1.0 and orig:
+            factors, af = yarn_rope_params(
+                hd, theta, yf, orig,
+                beta_fast=float(rs.get("beta_fast", 32.0)),
+                beta_slow=float(rs.get("beta_slow", 1.0)),
+                # HF gpt-oss configs set truncate=False (no floor/ceil
+                # on the correction range); default matches HF's True
+                truncate=bool(rs.get("truncate", True)),
+                attention_factor=rs.get("attention_factor"))
+        sw = int(config.get("sliding_window", 0) or 0)
+        oss = dict(
+            attn_sinks=True, attn_out_bias=True, router_bias=True,
+            router_scoring="topk_softmax", moe_bias=True,
+            act="swiglu_oai",
+            swiglu_limit=float(config.get("swiglu_limit", 7.0)),
+            n_experts=config["num_local_experts"],
+            n_experts_per_tok=config["num_experts_per_tok"],
+            moe_ffn_dim=config["intermediate_size"],
+            sliding_window=sw,
+            # layer_types alternates sliding/full from layer 0:
+            # every 2nd layer attends globally
+            sliding_pattern=2 if sw else 0,
+            rope_local_theta=theta,
+            rope_orig_max_position=orig,
+            rope_factors_short=factors,
+            rope_attn_factor=af,
+            rope_yarn_factor=yf,
+        )
     phi = {}
     if arch == "phi3":
         import math
@@ -241,6 +314,7 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
     return Qwen3Config(
         **moe,
         **gemma,
+        **oss,
         **phi,
         hidden=config["hidden_size"],
         n_layers=config["num_hidden_layers"],

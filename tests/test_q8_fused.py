@@ -404,3 +404,74 @@ class TestFusedDecodeWiring:
         # unroll=True is the opt-in FUNASR_UNROLL_DECODE=1 variant; the
         # default scan wiring above stays in the quick suite
         self._steps(setup, unroll=True, monkeypatch=monkeypatch)
+
+
+class TestFusedSlidingWindow:
+    """phi3-mini-shaped configs (all-layer sliding window, no qk-norm,
+    no biases) pass fuse_qwen3_params_q8's structural checks, so the
+    UNROLLED megacall paths must apply the per-layer sliding bias —
+    regression for the fused decode silently attending the full cache
+    once generation crosses the window."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from fun_asr_gguf_tpu.models.config import Qwen3Config
+        from fun_asr_gguf_tpu.models import qwen3 as Q
+        cfg = Qwen3Config(
+            n_layers=2, hidden=128, q_heads=4, kv_heads=2, head_dim=32,
+            ffn_dim=256, vocab_size=512, rope_theta=1e4, rms_eps=1e-6,
+            tie_embeddings=True, qk_norm=False, arch="phi3",
+            sliding_window=6, sliding_pattern=3)   # layers 0,1 slide
+        params = Q.init_qwen3_params(jax.random.PRNGKey(0), cfg,
+                                     dtype=jnp.bfloat16)
+        qp = Q.pack_qwen3_params(Q.quantize_lm_head(
+            Q.quantize_qwen3_params(params), cfg))
+        emb = jax.random.normal(jax.random.PRNGKey(1), (1, 16, cfg.hidden),
+                                jnp.bfloat16) * 0.1
+        mask = jnp.ones((1, 16), jnp.float32)
+        # prefill 16 >> window 6: the decode/verify bias must exclude
+        # the early slots on sliding layers
+        _, kv = Q.qwen3_prefill(qp, emb, mask, cfg, kv_max_len=24)
+        tok = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.hidden),
+                                jnp.bfloat16) * 0.1
+        return Q, cfg, qp, kv, tok
+
+    def _run(self, setup, fuse, monkeypatch):
+        from dataclasses import replace
+        Q, cfg, qp, kv, tok = setup
+        fp = fuse(qp)
+        slot = jnp.asarray(16, jnp.int32)
+        pos = jnp.full((1,), 16, jnp.int32)
+        vf = jnp.zeros((1,), jnp.int32)
+        monkeypatch.setenv("FUNASR_UNROLL_DECODE", "0")
+        base, _ = Q.qwen3_decode_step(qp, kv, tok, slot, pos, vf, cfg)
+        monkeypatch.setenv("FUNASR_UNROLL_DECODE", "1")
+        got, _ = Q.qwen3_decode_step(fp, kv, tok, slot, pos, vf, cfg)
+        _close(got, base, tol=3e-2)
+        # negative control: the same fused params WITHOUT the window must
+        # land measurably elsewhere — proof the unrolled path actually
+        # applied the sliding bias rather than coincidentally agreeing
+        nocfg = replace(cfg, sliding_window=0, sliding_pattern=0)
+        noslide, _ = Q.qwen3_decode_step(fp, kv, tok, slot, pos, vf, nocfg)
+        scale = np.abs(np.asarray(base, np.float32)).max() + 1e-6
+        assert (np.abs(np.asarray(noslide, np.float32)
+                       - np.asarray(base, np.float32)).max() / scale
+                > 3e-2)
+        toks = jax.random.normal(jax.random.PRNGKey(3),
+                                 (1, 4, cfg.hidden), jnp.bfloat16) * 0.1
+        slots = jnp.full((1,), 16, jnp.int32)
+        poss = pos[:, None] + jnp.arange(4)[None, :]
+        monkeypatch.setenv("FUNASR_UNROLL_DECODE", "0")
+        vbase, _ = Q.qwen3_verify_step(qp, kv, toks, slots, poss, vf, cfg)
+        monkeypatch.setenv("FUNASR_UNROLL_DECODE", "1")
+        vgot, _ = Q.qwen3_verify_step(fp, kv, toks, slots, poss, vf, cfg)
+        _close(vgot, vbase, tol=3e-2)
+
+    def test_q8_fused_unrolled_honors_window(self, setup, monkeypatch):
+        Q = setup[0]
+        self._run(setup, Q.fuse_qwen3_params_q8, monkeypatch)
+
+    @pytest.mark.slow
+    def test_q8i_fused_unrolled_honors_window(self, setup, monkeypatch):
+        Q = setup[0]
+        self._run(setup, Q.fuse_qwen3_params_q8i, monkeypatch)
