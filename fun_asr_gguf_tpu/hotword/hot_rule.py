@@ -1,50 +1,66 @@
 # coding: utf-8
 """Regex rule-based correction.
 
-Behavioral port of the reference RuleCorrector
+Behavioral equivalent of the reference RuleCorrector
 (``fun_asr_gguf/hotword/hot_rule.py``): "pattern = replacement" lines,
-thread-safe updates, invalid patterns skipped silently. Provided for API
-parity (like the reference, the engine path does not wire it in by
-default). ``correct`` is an alias of ``substitute`` — the reference's
-``__main__`` calls a ``correct`` API that its class never defines.
+thread-safe hot-swappable rule set, invalid patterns skipped silently.
+Wired opt-in through the engine's ``rules_path`` (the reference ships
+the class unwired). ``correct`` aliases ``substitute`` — the reference's
+``__main__`` demo calls a ``correct`` API its class never defines.
+
+Unlike the reference (which re-parses and try/excepts every pattern on
+every call), rules compile ONCE at update time; ``substitute`` just runs
+the compiled chain.
 """
 
 import re
 from threading import Lock
-from typing import Dict
+from typing import Iterator, List, Tuple
 
 
 class RuleCorrector:
-    """Exact regex substitution rules."""
+    """Exact regex substitution rules, applied in file order."""
 
     def __init__(self):
-        self.patterns: Dict[str, str] = {}
+        self._rules: List[Tuple[re.Pattern, str]] = []
         self._lock = Lock()
 
-    def update_rules(self, rule_text: str) -> int:
-        new_patterns = {}
-        for line in rule_text.splitlines():
-            line = line.strip()
+    @staticmethod
+    def _parse(rule_text: str) -> Iterator[Tuple[str, str]]:
+        for raw in rule_text.splitlines():
+            line = raw.strip()
             if not line or line.startswith("#"):
                 continue
-            parts = line.split(" = ")
-            if len(parts) == 2:
-                new_patterns[parts[0].strip()] = parts[1].strip()
-        with self._lock:
-            self.patterns = new_patterns
-        return len(new_patterns)
+            pattern, sep, replacement = line.partition(" = ")
+            if sep:
+                yield pattern.strip(), replacement.strip()
 
-    def substitute(self, text: str) -> str:
-        if not text or not self.patterns:
-            return text
-        with self._lock:
-            patterns = dict(self.patterns)
-        result = text
-        for pattern, replacement in patterns.items():
+    def update_rules(self, rule_text: str) -> int:
+        """Replace the rule set (thread-safe). Returns the number of
+        rules that compiled; malformed regexes are dropped here so the
+        substitution hot path never sees them."""
+        compiled = []
+        for pattern, replacement in self._parse(rule_text):
             try:
-                result = re.sub(pattern, replacement, result)
+                compiled.append((re.compile(pattern), replacement))
             except re.error:
                 pass
-        return result
+        with self._lock:
+            self._rules = compiled
+        return len(compiled)
+
+    def substitute(self, text: str) -> str:
+        if not text:
+            return text
+        with self._lock:
+            rules = self._rules
+        for rx, replacement in rules:
+            try:
+                text = rx.sub(replacement, text)
+            except re.error:
+                # bad group reference in the replacement template only
+                # surfaces on first match — skip that rule, keep going
+                pass
+        return text
 
     correct = substitute
