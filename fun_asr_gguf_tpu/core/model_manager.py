@@ -148,6 +148,16 @@ class ModelManager:
             if self.config.fuse_projections:
                 from ..models.qwen3 import pack_qwen3_params
                 self.llm_params = pack_qwen3_params(self.llm_params)
+            if keep_q and self.config.fuse_projections:
+                # q8_0 perm-space megacall decode (one Pallas call per
+                # layer; sandwich norms + gelu gate ride the kernel for
+                # gemma). Archs the fuse cannot express (MoE experts,
+                # qwen2-family biases) keep the per-projection scan path.
+                from ..models.qwen3 import fuse_qwen3_params_q8
+                try:
+                    self.llm_params = fuse_qwen3_params_q8(self.llm_params)
+                except ValueError as e:
+                    logger.info("q8_0 megacall fuse unavailable: %s", e)
             if fmt == "int8":
                 from ..models.qwen3 import quantize_qwen3_params_int8
                 # donate: free each bf16 source as it quantizes (multi-GB

@@ -625,11 +625,6 @@ def fuse_qwen3_params_q8(params):
         raise ValueError(
             "fuse_qwen3_params_q8 does not support MoE layers — use the "
             "int8/bf16 paths for qwen3moe decoders")
-    if "attn_post_ln" in layers:
-        raise ValueError(
-            "fuse_qwen3_params_q8 does not support sandwich-norm archs "
-            "(gemma) — the megacall chain has no post-attention/post-ffn "
-            "norm stage; use the int8/bf16 paths")
     if "qkv_b" in layers or "q_b" in layers:
         raise ValueError(
             "fuse_qwen3_params_q8 supports bias-free archs only (qwen3/"
@@ -644,6 +639,12 @@ def fuse_qwen3_params_q8(params):
     layers["down_w"] = permute_out_channels(layers["down_w"])
     layers["input_ln"] = block_permute(layers["input_ln"])
     layers["post_ln"] = block_permute(layers["post_ln"])
+    if "attn_post_ln" in layers:
+        # sandwich norms (gemma3): rmsnorm is permutation-invariant and
+        # the extra stages are elementwise, so they ride the megacall in
+        # perm space (ops.quant_matmul sandwich rows)
+        layers["attn_post_ln"] = block_permute(layers["attn_post_ln"])
+        layers["ffn_post_ln"] = block_permute(layers["ffn_post_ln"])
     out = dict(params)
     out["layers"] = layers
     out["final_ln"] = block_permute(params["final_ln"])
@@ -957,13 +958,16 @@ def _mlp_block(h, lp, cfg: Qwen3Config, pre: bool = False):
 def _fused_mlp_call(attn_heads, x, lp, cfg: Qwen3Config, eps):
     """Megacall path (decode/verify: small token counts): one Pallas call
     for o_proj + residual + post-norm + gate_up + swiglu + down +
-    residual. x and the result ride in perm space."""
+    residual (plus the sandwich-norm stages and gelu gate for gemma).
+    x and the result ride in perm space."""
     b, t, h = x.shape
     merged = block_permute(_merge_heads(attn_heads, cfg))
     out = q8_mlp_fused(
         merged.reshape(b * t, -1).astype(jnp.bfloat16),
         x.reshape(b * t, h), lp["post_ln"],
-        lp["o_w"], lp["gate_up_w"], lp["down_w"], eps)
+        lp["o_w"], lp["gate_up_w"], lp["down_w"], eps,
+        attn_post_w=lp.get("attn_post_ln"),
+        ffn_post_w=lp.get("ffn_post_ln"), act=cfg.act)
     return out.reshape(b, t, h).astype(x.dtype)
 
 
@@ -977,7 +981,9 @@ def _fused_mlp_qkv_call(attn_heads, x, lp, lp_next, cfg: Qwen3Config, eps):
     out, qkv = q8_mlp_qkv_fused(
         merged.reshape(b * t, -1).astype(jnp.bfloat16),
         x.reshape(b * t, h), lp["post_ln"], lp_next["input_ln"],
-        lp["o_w"], lp["gate_up_w"], lp["down_w"], lp_next["qkv_w"], eps)
+        lp["o_w"], lp["gate_up_w"], lp["down_w"], lp_next["qkv_w"], eps,
+        attn_post_w=lp.get("attn_post_ln"),
+        ffn_post_w=lp.get("ffn_post_ln"), act=cfg.act)
     return (out.reshape(b, t, h).astype(x.dtype),
             qkv.reshape(b, t, -1).astype(x.dtype))
 
@@ -993,12 +999,18 @@ def _fused_head_call(attn_heads, x, lp, params, cfg: Qwen3Config, eps):
     head = params.get("lm_head_q")
     if not isinstance(head, QuantTensor):
         return None
+    if cfg.final_softcap:
+        # the fused head emits raw logits; softcap archs need the
+        # separate _logits path (cap·tanh applied after the matmul)
+        return None
     b, t, h = x.shape
     merged = block_permute(_merge_heads(attn_heads, cfg))
     res = q8_layer_head_fused(
         merged.reshape(b * t, -1).astype(jnp.bfloat16),
         x.reshape(b * t, h), lp["post_ln"], params["final_ln"],
-        lp["o_w"], lp["gate_up_w"], lp["down_w"], head, eps)
+        lp["o_w"], lp["gate_up_w"], lp["down_w"], head, eps,
+        attn_post_w=lp.get("attn_post_ln"),
+        ffn_post_w=lp.get("ffn_post_ln"), act=cfg.act)
     if res is None:
         return None
     _out, logits = res

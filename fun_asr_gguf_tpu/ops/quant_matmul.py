@@ -563,40 +563,65 @@ def _deq_dot_rows(x, q, d, lo: int, hi: int):
         preferred_element_type=jnp.float32)
 
 
-def _q8_mlp_fused_body(xm, res, pw, oq, od, gq, gd, dq, dd, o_ref, eps):
+def _rms_apply(x, w, eps):
+    """rmsnorm(x)·w in f32 — permutation-invariant (the mean runs over
+    ALL lanes), so it applies identically in perm space."""
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(var + eps)) * w.astype(jnp.float32)
+
+
+def _gate_act(g, u, act: str):
+    """Gated-MLP activation on f32 pre-activations (silu: qwen/llama;
+    gelu_tanh: gemma)."""
+    if act == "gelu_tanh":
+        return jax.nn.gelu(g, approximate=True) * u
+    return jax.nn.silu(g) * u
+
+
+def _q8_mlp_fused_body(xm, res, pw, oq, od, gq, gd, dq, dd, o_ref, eps,
+                       act="silu"):
+    """pw rows: [post_ln] — or [post_ln, attn_post_ln, ffn_post_ln] for
+    sandwich-norm archs (gemma3), where the attention/MLP branch outputs
+    are rms-normed BEFORE their residual adds."""
     h_dim = oq.shape[0]
     ffn = gq.shape[0] // 2
+    sandwich = pw.shape[0] == 3
     attn = _deq_dot_rows(xm, oq, od, 0, h_dim)            # [m, h] f32
+    if sandwich:
+        attn = _rms_apply(attn, pw[1], eps)
     h = attn + res.astype(jnp.float32)
-    var = jnp.mean(h * h, axis=-1, keepdims=True)
-    nh = (h * jax.lax.rsqrt(var + eps)
-          ) * pw[0].astype(jnp.float32)                   # perm space
+    nh = _rms_apply(h, pw[0], eps)                        # perm space
     nhb = nh.astype(jnp.bfloat16)
     g = _deq_dot_rows(nhb, gq, gd, 0, ffn)                # [m, ffn]
     u = _deq_dot_rows(nhb, gq, gd, ffn, 2 * ffn)
-    act = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
-    out = _deq_dot_rows(act, dq, dd, 0, h_dim)
+    a = _gate_act(g, u, act).astype(jnp.bfloat16)
+    out = _deq_dot_rows(a, dq, dd, 0, h_dim)
+    if sandwich:
+        out = _rms_apply(out, pw[2], eps)
     o_ref[:] = out + h
 
 
 def _q8_mlp_fused_kernel(xm_ref, res_ref, pw_ref, oq_ref, od_ref,
-                         gq_ref, gd_ref, dq_ref, dd_ref, o_ref, *, eps):
+                         gq_ref, gd_ref, dq_ref, dd_ref, o_ref, *, eps,
+                         act="silu"):
     _q8_mlp_fused_body(xm_ref[:], res_ref[:], pw_ref[:], oq_ref[0],
                        od_ref[0], gq_ref[0], gd_ref[0], dq_ref[0],
-                       dd_ref[0], o_ref, eps)
+                       dd_ref[0], o_ref, eps, act)
 
 
 def _q8_mlp_fused_kernel_dyn(l_ref, xm_ref, res_ref, pw_ref, oq_ref,
                              od_ref, gq_ref, gd_ref, dq_ref, dd_ref,
-                             o_ref, *, eps):
+                             o_ref, *, eps, act="silu"):
     _q8_mlp_fused_body(xm_ref[:], res_ref[:], pw_ref[:], oq_ref[0],
                        od_ref[0], gq_ref[0], gd_ref[0], dq_ref[0],
-                       dd_ref[0], o_ref, eps)
+                       dd_ref[0], o_ref, eps, act)
 
 
-def _q8_mlp_fused_ref(xm, res, pw, oq, oi, gq, gi, dq, di, eps):
+def _q8_mlp_fused_ref(xm, res, pw, oq, oi, gq, gi, dq, di, eps,
+                      apw=None, fpw=None, act="silu"):
     """jnp reference for the megacall (CPU tests / non-TPU): same perm-space
-    convention — inputs arrive permuted, weight rows are channel-permuted."""
+    convention — inputs arrive permuted, weight rows are channel-permuted.
+    ``apw``/``fpw``: sandwich-norm weights (gemma3), permuted."""
     def mm(xp, qt, idx):
         sl = QuantTensor(
             q=jax.lax.dynamic_index_in_dim(qt.q, idx, 0, keepdims=False),
@@ -605,19 +630,26 @@ def _q8_mlp_fused_ref(xm, res, pw, oq, oi, gq, gi, dq, di, eps):
         return jnp.dot(block_unpermute(xp).astype(jnp.bfloat16), deq,
                        preferred_element_type=jnp.float32)
     attn = mm(xm, oq, oi)
+    if apw is not None:
+        attn = _rms_apply(attn, apw, eps)
     h = attn + res.astype(jnp.float32)
-    var = jnp.mean(h * h, axis=-1, keepdims=True)
-    nh = (h * jax.lax.rsqrt(var + eps)) * pw.astype(jnp.float32)
+    nh = _rms_apply(h, pw, eps)
     gu = mm(nh.astype(jnp.bfloat16), gq, gi)
     ffn = gu.shape[-1] // 2
-    act = (jax.nn.silu(gu[:, :ffn]) * gu[:, ffn:]).astype(jnp.bfloat16)
-    return mm(act, dq, di) + h
+    a = _gate_act(gu[:, :ffn], gu[:, ffn:], act).astype(jnp.bfloat16)
+    out = mm(a, dq, di)
+    if fpw is not None:
+        out = _rms_apply(out, fpw, eps)
+    return out + h
 
 
 def q8_mlp_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
                  post_w: jnp.ndarray, o_w, gu_w, down_w, eps: float,
                  use_pallas: bool = None,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False,
+                 attn_post_w: jnp.ndarray = None,
+                 ffn_post_w: jnp.ndarray = None,
+                 act: str = "silu") -> jnp.ndarray:
     """One transformer layer's post-attention half in a single Pallas call.
 
     ``merged_perm [m, q_heads*head_dim]``: attention output, block-permuted;
@@ -626,6 +658,12 @@ def q8_mlp_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
     ``o_w/gu_w/down_w``: QuantTensor or IndexedQuant whose output channels
     were pre-permuted by :func:`permute_out_channels`. Returns the new
     residual [m, hidden] f32, in perm space.
+
+    ``attn_post_w``/``ffn_post_w`` (both or neither, permuted): sandwich
+    norms (gemma3) applied to the attention/MLP branch outputs before
+    their residual adds; ``act``: gate activation ("silu"/"gelu_tanh").
+    rmsnorm is permutation-invariant, so the sandwich stages run in perm
+    space natively.
     """
     if use_pallas is None:
         use_pallas = _on_tpu()
@@ -639,25 +677,31 @@ def q8_mlp_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
     ffn = dq.q.shape[2]
     if not use_pallas:
         return _q8_mlp_fused_ref(merged_perm, resid, post_w, oq, oi,
-                                 gq, gi, dq, di, eps)
+                                 gq, gi, dq, di, eps,
+                                 apw=attn_post_w, fpw=ffn_post_w, act=act)
 
     xm = merged_perm.astype(jnp.bfloat16)
-    pw = post_w.reshape(1, h)
+    if attn_post_w is not None:
+        pw = jnp.stack([post_w, attn_post_w, ffn_post_w])   # [3, h]
+    else:
+        pw = post_w.reshape(1, h)
     cost = pl.CostEstimate(
         flops=2 * m * (h * qd + f2 * h + h * ffn),
         bytes_accessed=(h * qd + f2 * h + h * ffn)          # int8 weights
         + (h * qd // BLOCK + f2 * h // BLOCK + h * ffn // BLOCK) * 4
         + m * (qd + h) * 2 + m * h * 4,
         transcendentals=m * ffn)
-    kern = functools.partial(_q8_mlp_fused_kernel, eps=eps)
-    kern_dyn = functools.partial(_q8_mlp_fused_kernel_dyn, eps=eps)
+    kern = functools.partial(_q8_mlp_fused_kernel, eps=eps, act=act)
+    kern_dyn = functools.partial(_q8_mlp_fused_kernel_dyn, eps=eps,
+                                 act=act)
+    pr = pw.shape[0]
     if isinstance(oi, int):
         if _staged_enabled():
             plan = _mega_stage_plan(m, qd, h, f2, ffn, 0)
             if plan:
                 return _q8_mega_staged_call(
                     xm, resid, pw, None, oq, oi, gq, gi, dq, di, None,
-                    None, eps, plan, interpret)
+                    None, eps, plan, interpret, act=act)
         _o, _g, _d = oi, gi, di
         return pl.pallas_call(
             kern,
@@ -665,7 +709,7 @@ def q8_mlp_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
             in_specs=[
                 pl.BlockSpec((m, qd), lambda i: (0, 0)),
                 pl.BlockSpec((m, h), lambda i: (0, 0)),
-                pl.BlockSpec((1, h), lambda i: (0, 0)),
+                pl.BlockSpec((pr, h), lambda i: (0, 0)),
                 pl.BlockSpec((1, h, qd), lambda i, _l=_o: (_l, 0, 0)),
                 pl.BlockSpec((1, h, qd // BLOCK), lambda i, _l=_o: (_l, 0, 0)),
                 pl.BlockSpec((1, f2, h), lambda i, _l=_g: (_l, 0, 0)),
@@ -687,7 +731,7 @@ def q8_mlp_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((m, qd), lambda i, l: (0, 0)),
             pl.BlockSpec((m, h), lambda i, l: (0, 0)),
-            pl.BlockSpec((1, h), lambda i, l: (0, 0)),
+            pl.BlockSpec((pr, h), lambda i, l: (0, 0)),
             pl.BlockSpec((1, h, qd), lambda i, l: (l[0], 0, 0)),
             pl.BlockSpec((1, h, qd // BLOCK), lambda i, l: (l[0], 0, 0)),
             pl.BlockSpec((1, f2, h), lambda i, l: (l[1], 0, 0)),
@@ -721,52 +765,56 @@ def q8_mlp_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
 
 
 def _q8_mlp_qkv_fused_body(xm, res, pw, nw, oq, od, gq, gd, dq, dd,
-                           qq, qd_, o_ref, qkv_ref, eps):
+                           qq, qd_, o_ref, qkv_ref, eps, act="silu"):
     h_dim = oq.shape[0]
     ffn = gq.shape[0] // 2
+    sandwich = pw.shape[0] == 3
     attn = _deq_dot_rows(xm, oq, od, 0, h_dim)            # [m, h] f32
+    if sandwich:
+        attn = _rms_apply(attn, pw[1], eps)
     h = attn + res.astype(jnp.float32)
-    var = jnp.mean(h * h, axis=-1, keepdims=True)
-    nh = (h * jax.lax.rsqrt(var + eps)
-          ) * pw[0].astype(jnp.float32)                   # perm space
+    nh = _rms_apply(h, pw[0], eps)                        # perm space
     nhb = nh.astype(jnp.bfloat16)
     g = _deq_dot_rows(nhb, gq, gd, 0, ffn)                # [m, ffn]
     u = _deq_dot_rows(nhb, gq, gd, ffn, 2 * ffn)
-    act = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
-    out = _deq_dot_rows(act, dq, dd, 0, h_dim) + h
+    a = _gate_act(g, u, act).astype(jnp.bfloat16)
+    mlp = _deq_dot_rows(a, dq, dd, 0, h_dim)
+    if sandwich:
+        mlp = _rms_apply(mlp, pw[2], eps)
+    out = mlp + h
     o_ref[:] = out
-    var2 = jnp.mean(out * out, axis=-1, keepdims=True)
-    nh2 = (out * jax.lax.rsqrt(var2 + eps)
-           ) * nw[0].astype(jnp.float32)
+    nh2 = _rms_apply(out, nw[0], eps)
     qkv_ref[:] = _deq_dot_rows(nh2.astype(jnp.bfloat16), qq, qd_,
                                0, qq.shape[0])
 
 
 def _q8_mlp_qkv_fused_kernel(xm_ref, res_ref, pw_ref, nw_ref, oq_ref,
                              od_ref, gq_ref, gd_ref, dq_ref, dd_ref,
-                             qq_ref, qd_ref, o_ref, qkv_ref, *, eps):
+                             qq_ref, qd_ref, o_ref, qkv_ref, *, eps,
+                             act="silu"):
     _q8_mlp_qkv_fused_body(
         xm_ref[:], res_ref[:], pw_ref[:], nw_ref[:], oq_ref[0], od_ref[0],
         gq_ref[0], gd_ref[0], dq_ref[0], dd_ref[0], qq_ref[0], qd_ref[0],
-        o_ref, qkv_ref, eps)
+        o_ref, qkv_ref, eps, act)
 
 
 def _q8_mlp_qkv_fused_kernel_dyn(l_ref, xm_ref, res_ref, pw_ref, nw_ref,
                                  oq_ref, od_ref, gq_ref, gd_ref, dq_ref,
                                  dd_ref, qq_ref, qd_ref, o_ref, qkv_ref,
-                                 *, eps):
+                                 *, eps, act="silu"):
     _q8_mlp_qkv_fused_body(
         xm_ref[:], res_ref[:], pw_ref[:], nw_ref[:], oq_ref[0], od_ref[0],
         gq_ref[0], gd_ref[0], dq_ref[0], dd_ref[0], qq_ref[0], qd_ref[0],
-        o_ref, qkv_ref, eps)
+        o_ref, qkv_ref, eps, act)
 
 
 def _q8_mlp_qkv_fused_ref(xm, res, pw, nw, oq, oi, gq, gi, dq, di,
-                          qq, qi, eps):
+                          qq, qi, eps, apw=None, fpw=None, act="silu"):
     """jnp reference (CPU tests / non-TPU): the v1 reference chain plus
     next-input_ln + qkv. nw arrives permuted (perm-space elementwise);
     the qkv weight contracts perm-space activations natively."""
-    out = _q8_mlp_fused_ref(xm, res, pw, oq, oi, gq, gi, dq, di, eps)
+    out = _q8_mlp_fused_ref(xm, res, pw, oq, oi, gq, gi, dq, di, eps,
+                            apw=apw, fpw=fpw, act=act)
     var2 = jnp.mean(out * out, axis=-1, keepdims=True)
     nh2 = (out * jax.lax.rsqrt(var2 + eps)) * nw.astype(jnp.float32)
     sl = QuantTensor(
@@ -781,15 +829,19 @@ def _q8_mlp_qkv_fused_ref(xm, res, pw, nw, oq, oi, gq, gi, dq, di,
 def q8_mlp_qkv_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
                      post_w: jnp.ndarray, next_in_w: jnp.ndarray,
                      o_w, gu_w, down_w, next_qkv_w, eps: float,
-                     use_pallas: bool = None, interpret: bool = False):
+                     use_pallas: bool = None, interpret: bool = False,
+                     attn_post_w: jnp.ndarray = None,
+                     ffn_post_w: jnp.ndarray = None,
+                     act: str = "silu"):
     """One layer's post-attention half PLUS the next layer's input_ln +
     qkv projection, in a single Pallas call.
 
-    Same contract as :func:`q8_mlp_fused` with two additions:
-    ``next_in_w [hidden]`` — the NEXT layer's input rmsnorm weight,
-    permuted; ``next_qkv_w`` — QuantTensor/IndexedQuant for the next
-    layer's packed qkv projection (natural output channels). Returns
-    ``(new_resid [m, hidden] f32 perm-space, qkv [m, n_qkv] f32)``.
+    Same contract as :func:`q8_mlp_fused` (incl. the sandwich-norm /
+    activation options) with two additions: ``next_in_w [hidden]`` — the
+    NEXT layer's input rmsnorm weight, permuted; ``next_qkv_w`` —
+    QuantTensor/IndexedQuant for the next layer's packed qkv projection
+    (natural output channels). Returns ``(new_resid [m, hidden] f32
+    perm-space, qkv [m, n_qkv] f32)``.
     """
     if use_pallas is None:
         use_pallas = _on_tpu()
@@ -806,10 +858,15 @@ def q8_mlp_qkv_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
     if not use_pallas:
         return _q8_mlp_qkv_fused_ref(merged_perm, resid, post_w, next_in_w,
                                      oq, oi, gq, gi, dq, di,
-                                     QuantTensor(q=qq.q, d=qq.d), qi, eps)
+                                     QuantTensor(q=qq.q, d=qq.d), qi, eps,
+                                     apw=attn_post_w, fpw=ffn_post_w,
+                                     act=act)
 
     xm = merged_perm.astype(jnp.bfloat16)
-    pw = post_w.reshape(1, h)
+    if attn_post_w is not None:
+        pw = jnp.stack([post_w, attn_post_w, ffn_post_w])   # [3, h]
+    else:
+        pw = post_w.reshape(1, h)
     nw = next_in_w.reshape(1, h)
     cost = pl.CostEstimate(
         flops=2 * m * (h * qd + f2 * h + h * ffn + nq * h),
@@ -819,15 +876,17 @@ def q8_mlp_qkv_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
         transcendentals=m * ffn)
     out_shape = (jax.ShapeDtypeStruct((m, h), jnp.float32),
                  jax.ShapeDtypeStruct((m, nq), jnp.float32))
-    kern = functools.partial(_q8_mlp_qkv_fused_kernel, eps=eps)
-    kern_dyn = functools.partial(_q8_mlp_qkv_fused_kernel_dyn, eps=eps)
+    kern = functools.partial(_q8_mlp_qkv_fused_kernel, eps=eps, act=act)
+    kern_dyn = functools.partial(_q8_mlp_qkv_fused_kernel_dyn, eps=eps,
+                                 act=act)
+    pr = pw.shape[0]
     if isinstance(oi, int):
         if _staged_enabled():
             plan = _mega_stage_plan(m, qd, h, f2, ffn, nq)
             if plan:
                 return _q8_mega_staged_call(
                     xm, resid, pw, nw, oq, oi, gq, gi, dq, di, qq, qi,
-                    eps, plan, interpret)
+                    eps, plan, interpret, act=act)
         _o, _g, _d, _q = oi, gi, di, qi
         return pl.pallas_call(
             kern,
@@ -835,7 +894,7 @@ def q8_mlp_qkv_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
             in_specs=[
                 pl.BlockSpec((m, qd), lambda i: (0, 0)),
                 pl.BlockSpec((m, h), lambda i: (0, 0)),
-                pl.BlockSpec((1, h), lambda i: (0, 0)),
+                pl.BlockSpec((pr, h), lambda i: (0, 0)),
                 pl.BlockSpec((1, h), lambda i: (0, 0)),
                 pl.BlockSpec((1, h, qd), lambda i, _l=_o: (_l, 0, 0)),
                 pl.BlockSpec((1, h, qd // BLOCK), lambda i, _l=_o: (_l, 0, 0)),
@@ -862,7 +921,7 @@ def q8_mlp_qkv_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((m, qd), lambda i, l: (0, 0)),
             pl.BlockSpec((m, h), lambda i, l: (0, 0)),
-            pl.BlockSpec((1, h), lambda i, l: (0, 0)),
+            pl.BlockSpec((pr, h), lambda i, l: (0, 0)),
             pl.BlockSpec((1, h), lambda i, l: (0, 0)),
             pl.BlockSpec((1, h, qd), lambda i, l: (l[0], 0, 0)),
             pl.BlockSpec((1, h, qd // BLOCK), lambda i, l: (l[0], 0, 0)),
@@ -891,7 +950,10 @@ def q8_mlp_qkv_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
 def q8_layer_head_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
                         post_w: jnp.ndarray, final_w: jnp.ndarray,
                         o_w, gu_w, down_w, head_w, eps: float,
-                        use_pallas: bool = None, interpret: bool = False):
+                        use_pallas: bool = None, interpret: bool = False,
+                        attn_post_w: jnp.ndarray = None,
+                        ffn_post_w: jnp.ndarray = None,
+                        act: str = "silu"):
     """LAST-layer megacall: the layer chain plus final-rmsnorm + lm_head
     logits in the same staged Pallas call.
 
@@ -925,7 +987,9 @@ def q8_layer_head_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
     if not use_pallas:
         return _q8_mlp_qkv_fused_ref(merged_perm, resid, post_w, final_w,
                                      oq, oi, gq, gi, dq, di,
-                                     QuantTensor(q=hq.q, d=hq.d), hi, eps)
+                                     QuantTensor(q=hq.q, d=hq.d), hi, eps,
+                                     apw=attn_post_w, fpw=ffn_post_w,
+                                     act=act)
     import os
     if os.environ.get("FUNASR_Q8_FUSED_HEAD", "0") == "0":
         # default OFF: an interleaved same-process A/B on v5e measured the
@@ -944,10 +1008,14 @@ def q8_layer_head_fused(merged_perm: jnp.ndarray, resid: jnp.ndarray,
     # working set in VMEM) — bail out on vocab sizes with no good divisor
     if nqc == 0 or (nv // nqc) * h > 4 << 20:
         return None
+    if attn_post_w is not None:
+        pw = jnp.stack([post_w, attn_post_w, ffn_post_w])
+    else:
+        pw = post_w.reshape(1, h)
     return _q8_mega_staged_call(
         merged_perm.astype(jnp.bfloat16), resid,
-        post_w.reshape(1, h), final_w.reshape(1, h),
-        oq, oi, gq, gi, dq, di, hq, hi, eps, plan, interpret)
+        pw, final_w.reshape(1, h),
+        oq, oi, gq, gi, dq, di, hq, hi, eps, plan, interpret, act=act)
 
 
 # ---------------------------------------------------------------------------
@@ -1029,12 +1097,13 @@ def _q8_mega_staged_kernel(xm_ref, res_ref, pw_ref, nw_ref,
                            oq_ref, od_ref, gq_ref, gd_ref, dq_ref, dd_ref,
                            qq_ref, qd_ref, o_ref, qkv_ref,
                            acc_ref, h1_ref, nhb_ref, gu_ref, act_ref,
-                           *, eps, plan, dims):
+                           *, eps, plan, dims, act="silu"):
     ko, ng, kd, nqc = plan
     qd, h, f2, ffn, nq = dims
     s = pl.program_id(0)
     cko, cng, ckd = qd // ko, f2 // ng, ffn // kd
     f = f2 // 2
+    sandwich = pw_ref.shape[0] == 3   # [post, attn_post, ffn_post] rows
 
     for c in range(ko):
         @pl.when(s == c)
@@ -1048,10 +1117,11 @@ def _q8_mega_staged_kernel(xm_ref, res_ref, pw_ref, nw_ref,
 
     @pl.when(s == ko - 1)
     def _():
-        h1 = acc_ref[:] + res_ref[:].astype(jnp.float32)
-        var = jnp.mean(h1 * h1, axis=-1, keepdims=True)
-        nh = (h1 * jax.lax.rsqrt(var + eps)
-              ) * pw_ref[:].astype(jnp.float32)
+        attn = acc_ref[:]
+        if sandwich:   # gemma: norm the attention branch BEFORE the add
+            attn = _rms_apply(attn, pw_ref[1:2], eps)
+        h1 = attn + res_ref[:].astype(jnp.float32)
+        nh = _rms_apply(h1, pw_ref[0:1], eps)
         h1_ref[:] = h1
         nhb_ref[:] = nh.astype(jnp.bfloat16)
 
@@ -1068,8 +1138,8 @@ def _q8_mega_staged_kernel(xm_ref, res_ref, pw_ref, nw_ref,
     @pl.when(s == ko + ng - 1)
     def _():
         gu = gu_ref[:]
-        act = jax.nn.silu(gu[:, :f]) * gu[:, f:]
-        act_ref[:] = act.astype(jnp.bfloat16)
+        act_ref[:] = _gate_act(gu[:, :f], gu[:, f:],
+                               act).astype(jnp.bfloat16)
 
     for c in range(kd):
         @pl.when(s == ko + ng + c)
@@ -1083,12 +1153,13 @@ def _q8_mega_staged_kernel(xm_ref, res_ref, pw_ref, nw_ref,
 
     @pl.when(s == ko + ng + kd - 1)
     def _():
-        out = acc_ref[:] + h1_ref[:]
+        mlp = acc_ref[:]
+        if sandwich:   # gemma: norm the MLP branch BEFORE the add
+            mlp = _rms_apply(mlp, pw_ref[2:3], eps)
+        out = mlp + h1_ref[:]
         o_ref[:] = out
         if nqc:
-            var = jnp.mean(out * out, axis=-1, keepdims=True)
-            nh2 = (out * jax.lax.rsqrt(var + eps)
-                   ) * nw_ref[:].astype(jnp.float32)
+            nh2 = _rms_apply(out, nw_ref[:], eps)
             nhb_ref[:] = nh2.astype(jnp.bfloat16)
 
     if nqc:
@@ -1107,8 +1178,9 @@ def _q8_mega_staged_kernel(xm_ref, res_ref, pw_ref, nw_ref,
 
 
 def _q8_mega_staged_call(xm, resid, pw, nw, oq, oi, gq, gi, dq, di,
-                         qq, qi, eps, plan, interpret):
-    """Build the staged pallas_call. qq/qi may be None (no-qkv variant)."""
+                         qq, qi, eps, plan, interpret, act="silu"):
+    """Build the staged pallas_call. qq/qi may be None (no-qkv variant).
+    ``pw``: [1, h] (standard) or [3, h] (sandwich norms, gemma)."""
     ko, ng, kd, nqc = plan
     m, qd = xm.shape
     h = oq.q.shape[1]
@@ -1118,6 +1190,7 @@ def _q8_mega_staged_call(xm, resid, pw, nw, oq, oi, gq, gi, dq, di,
     cko, cng, ckd = qd // ko, f2 // ng, ffn // kd
     steps = ko + ng + kd + nqc
     base = ko + ng + kd
+    pr = pw.shape[0]
 
     def clamp(v, lo, hi):
         return jnp.minimum(jnp.maximum(v, lo), hi)
@@ -1126,7 +1199,7 @@ def _q8_mega_staged_call(xm, resid, pw, nw, oq, oi, gq, gi, dq, di,
     in_specs = [
         pl.BlockSpec((m, qd), lambda s: (0, 0)),
         pl.BlockSpec((m, h), lambda s: (0, 0)),
-        pl.BlockSpec((1, h), lambda s: (0, 0)),
+        pl.BlockSpec((pr, h), lambda s: (0, 0)),
     ] + ([pl.BlockSpec((1, h), lambda s: (0, 0))] if nqc else []) + [
         pl.BlockSpec((1, h, cko),
                      lambda s, _l=_o: (_l, 0, clamp(s, 0, ko - 1))),
@@ -1149,7 +1222,7 @@ def _q8_mega_staged_call(xm, resid, pw, nw, oq, oi, gq, gi, dq, di,
     ]
     dims = (qd, h, f2, ffn, nq)
     kern = functools.partial(_q8_mega_staged_kernel, eps=eps,
-                             plan=plan, dims=dims)
+                             plan=plan, dims=dims, act=act)
     if nqc:
         cnq = nq // nqc
         in_specs += [
@@ -1183,7 +1256,7 @@ def _q8_mega_staged_call(xm, resid, pw, nw, oq, oi, gq, gi, dq, di,
             xm_ref, res_ref, pw_ref, pw_ref, oq_ref, od_ref, gq_ref,
             gd_ref, dq_ref, dd_ref, None, None, o_ref, None,
             acc_ref, h1_ref, nhb_ref, gu_ref, act_ref,
-            eps=eps, plan=plan, dims=dims)
+            eps=eps, plan=plan, dims=dims, act=act)
 
     return pl.pallas_call(
         kern_noqkv,

@@ -475,3 +475,126 @@ class TestFusedSlidingWindow:
     def test_q8i_fused_unrolled_honors_window(self, setup, monkeypatch):
         Q = setup[0]
         self._run(setup, Q.fuse_qwen3_params_q8i, monkeypatch)
+
+
+class TestSandwichMegacall:
+    """gemma3's sandwich norms (+ gelu_tanh gate) ride the megacall:
+    kernel-level parity vs an independent dense chain, staged-grid
+    parity in interpret mode, and the fused decode wiring on a
+    gemma-shaped tiny config."""
+
+    def _dense_sandwich_chain(self, t, eps=EPS):
+        def deq(w):
+            return dequantize_weight(quantize_weight(w))
+
+        def rms(x, w):
+            return (x * jax.lax.rsqrt(
+                jnp.mean(x * x, -1, keepdims=True) + eps)) * w
+
+        attn = rms(t["merged"] @ deq(t["o"]), t["apw"])
+        h1 = attn + t["resid"]
+        nh = rms(h1, t["post_w"])
+        gu = nh @ deq(t["gu"])
+        a = jax.nn.gelu(gu[:, :FFN], approximate=True) * gu[:, FFN:]
+        return rms(a @ deq(t["dn"]), t["fpw"]) + h1
+
+    def _mk_sandwich(self, seed):
+        t = _mk(seed)
+        rng = np.random.default_rng(seed + 100)
+        t["apw"] = jnp.asarray(1.0 + rng.normal(size=(H,)) * 0.1
+                               ).astype(jnp.float32)
+        t["fpw"] = jnp.asarray(1.0 + rng.normal(size=(H,)) * 0.1
+                               ).astype(jnp.float32)
+        return t
+
+    def test_ref_matches_dense_chain(self):
+        t = self._mk_sandwich(0)
+        o_q, gu_q, dn_q, _ = _fused_weights(t)
+        want = self._dense_sandwich_chain(t)
+        got = q8_mlp_fused(
+            block_permute(t["merged"]), block_permute(t["resid"]),
+            block_permute(t["post_w"]),
+            o_q, gu_q, dn_q, EPS, use_pallas=False,
+            attn_post_w=block_permute(t["apw"]),
+            ffn_post_w=block_permute(t["fpw"]), act="gelu_tanh")
+        _close(block_unpermute(got), want)
+
+    def test_staged_interpret_matches_ref(self, monkeypatch):
+        # h=256 shapes + a small stage target so _mega_stage_plan admits
+        # a multi-step grid; interpret mode runs the staged kernel on CPU
+        monkeypatch.setenv("FUNASR_Q8_STAGE_TARGET", "65536")
+        rng = np.random.default_rng(3)
+        m, qd, h, ffn = 2, 256, 256, 256
+
+        def w(k, n):
+            return jnp.asarray(
+                rng.normal(size=(k, n)).astype(np.float32) * 0.05)
+
+        t = {
+            "merged": jnp.asarray(
+                rng.normal(size=(m, qd)).astype(np.float32) * 0.3),
+            "resid": jnp.asarray(
+                rng.normal(size=(m, h)).astype(np.float32) * 0.3),
+            "post_w": jnp.asarray(
+                1.0 + rng.normal(size=(h,)) * 0.1).astype(jnp.float32),
+            "apw": jnp.asarray(
+                1.0 + rng.normal(size=(h,)) * 0.1).astype(jnp.float32),
+            "fpw": jnp.asarray(
+                1.0 + rng.normal(size=(h,)) * 0.1).astype(jnp.float32),
+            "o": w(qd, h), "gu": w(h, 2 * ffn), "dn": w(ffn, h),
+        }
+        o_q = permute_out_channels(quantize_weight(t["o"]))
+        gu_q = permute_out_channels(quantize_weight(t["gu"]), halves=2)
+        dn_q = permute_out_channels(quantize_weight(t["dn"]))
+        args = (block_permute(t["merged"]), block_permute(t["resid"]),
+                block_permute(t["post_w"]),
+                o_q, gu_q, dn_q, EPS)
+        kw = dict(attn_post_w=block_permute(t["apw"]),
+                  ffn_post_w=block_permute(t["fpw"]), act="gelu_tanh")
+        from fun_asr_gguf_tpu.ops.quant_matmul import _mega_stage_plan
+        assert _mega_stage_plan(m, qd, h, 2 * ffn, ffn, 0) is not None
+        ref = q8_mlp_fused(*args, use_pallas=False, **kw)
+        got = q8_mlp_fused(*args, use_pallas=True, interpret=True, **kw)
+        _close(got, ref)
+
+    def test_gemma_shaped_fused_decode_matches_plain(self, monkeypatch):
+        from dataclasses import replace
+
+        from fun_asr_gguf_tpu.models.config import Qwen3Config
+        from fun_asr_gguf_tpu.models import qwen3 as Q
+        cfg = Qwen3Config(
+            n_layers=2, hidden=128, q_heads=4, kv_heads=2, head_dim=32,
+            ffn_dim=256, vocab_size=512, rope_theta=1e4, rms_eps=1e-6,
+            tie_embeddings=True, arch="gemma3", qk_norm=True,
+            post_norms=True, act="gelu_tanh",
+            embed_scale=128.0 ** 0.5, attn_scale=32.0 ** -0.5,
+            sliding_window=6, sliding_pattern=2, rope_local_theta=1e4)
+        params = Q.init_qwen3_params(jax.random.PRNGKey(0), cfg,
+                                     dtype=jnp.bfloat16)
+        qp = Q.pack_qwen3_params(Q.quantize_lm_head(
+            Q.quantize_qwen3_params(params), cfg))
+        fp = Q.fuse_qwen3_params_q8(qp)         # no longer rejected
+        emb = jax.random.normal(jax.random.PRNGKey(1),
+                                (1, 12, cfg.hidden), jnp.bfloat16) * 0.1
+        mask = jnp.ones((1, 12), jnp.float32)
+        _, kv = Q.qwen3_prefill(qp, emb, mask, cfg, kv_max_len=20)
+        _, kvf = Q.qwen3_prefill(fp, emb, mask, cfg, kv_max_len=20)
+        tok = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.hidden),
+                                jnp.bfloat16) * 0.1
+        slot = jnp.asarray(12, jnp.int32)
+        pos = jnp.full((1,), 12, jnp.int32)
+        vf = jnp.zeros((1,), jnp.int32)
+        monkeypatch.setenv("FUNASR_UNROLL_DECODE", "0")
+        base, _ = Q.qwen3_decode_step(qp, kv, tok, slot, pos, vf, cfg)
+        monkeypatch.setenv("FUNASR_UNROLL_DECODE", "1")
+        got, _ = Q.qwen3_decode_step(fp, kvf, tok, slot, pos, vf, cfg)
+        _close(got, base, tol=3e-2)
+        toks = jax.random.normal(jax.random.PRNGKey(3),
+                                 (1, 3, cfg.hidden), jnp.bfloat16) * 0.1
+        slots = jnp.full((1,), 12, jnp.int32)
+        poss = pos[:, None] + jnp.arange(3)[None, :]
+        monkeypatch.setenv("FUNASR_UNROLL_DECODE", "0")
+        vbase, _ = Q.qwen3_verify_step(qp, kv, toks, slots, poss, vf, cfg)
+        monkeypatch.setenv("FUNASR_UNROLL_DECODE", "1")
+        vgot, _ = Q.qwen3_verify_step(fp, kvf, toks, slots, poss, vf, cfg)
+        _close(vgot, vbase, tol=3e-2)
