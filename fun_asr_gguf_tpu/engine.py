@@ -151,6 +151,19 @@ class FunASREngine:
             streams, language, context, temperature=temperature,
             top_p=top_p, top_k=top_k, n_real=n_real)
 
+    def create_streaming_session(self, language: Optional[str] = None,
+                                 context: Optional[str] = None,
+                                 partial_tokens: int = 48):
+        """True incremental transcription (TPU-native extension; the
+        reference buffers whole segments, ``nano_dataclass.py:30-69``):
+        ``session.feed(chunk)`` returns a growing provisional transcript
+        while audio is still arriving; ``session.finish()`` runs the
+        standard full-pipeline decode. See :mod:`.streaming`."""
+        from .streaming import StreamingSession
+        return StreamingSession(self.models, language=language,
+                                context=context,
+                                partial_tokens=partial_tokens)
+
     def transcribe_batch(self, audio_paths, language: Optional[str] = None,
                          context: Optional[str] = None,
                          temperature: float = 0.3, top_p: float = 1.0,
