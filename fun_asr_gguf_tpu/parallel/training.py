@@ -101,6 +101,94 @@ def make_train_step(cfg: HybridConfig, optimizer):
     return train_step
 
 
+def prompted_asr_loss(params, consts, batch, cfg: HybridConfig,
+                      n_audio: int):
+    """Joint CTC + LM loss with the ENGINE'S exact decode conditioning.
+
+    :func:`asr_loss` conditions the LM on ``[audio ++ tokens]``;
+    inference conditions on ``[prefix ++ audio ++ suffix ++ generated]``
+    (the ChatML embedding-injection prompt, ``prompt_utils.py``) with the
+    audio embeds trimmed to :func:`~..frontend.audio_token_length`. A
+    model trained with this loss transcribes through the UNMODIFIED
+    ``engine.transcribe`` path (the trained-pipeline quality gate,
+    tests/test_trained_e2e.py).
+
+    batch:
+      audio          [B, N]   float waveform (equal true lengths)
+      ilens          [B]      int32 valid samples
+      prefix_ids     [P]      int32 prompt prefix token ids
+      suffix_ids     [S]      int32 prompt suffix token ids
+      ctc_labels     [B, M]   int32 CTC targets
+      ctc_label_pad  [B, M]   1.0 where padding
+      tokens         [B, L]   int32 transcript tokens (+ stop token)
+      token_mask     [B, L]   1.0 valid
+
+    ``n_audio``: static audio-embed token count
+    (``audio_token_length(n_samples)``).
+    """
+    from ..frontend import FrontendConfig, compute_lfr_features
+    feats, fmask = compute_lfr_features(consts, batch["audio"],
+                                        batch["ilens"], FrontendConfig())
+    enc = encoder_forward(params["encoder"], feats, fmask, cfg.encoder)
+
+    ctc_logits = ctc_logits_forward(params["ctc"], enc, cfg.ctc)
+    ctc_losses = optax.ctc_loss(
+        ctc_logits.astype(jnp.float32),
+        (1.0 - fmask).astype(jnp.float32),
+        batch["ctc_labels"],
+        batch["ctc_label_pad"].astype(jnp.float32),
+        blank_id=cfg.ctc.vocab_size - 1)
+    ctc_l = jnp.mean(ctc_losses / jnp.maximum(
+        jnp.sum(1.0 - batch["ctc_label_pad"], axis=-1), 1.0))
+
+    audio_emb = adaptor_forward(params["adaptor"], enc, fmask,
+                                cfg.adaptor)[:, :n_audio]
+    embed = params["llm"]["embed"]
+    b = audio_emb.shape[0]
+    tokens = batch["tokens"]
+    token_mask = batch["token_mask"]
+
+    def bcast(ids):
+        e = embed[ids].astype(audio_emb.dtype)           # [K, H]
+        return jnp.broadcast_to(e[None], (b,) + e.shape)
+
+    pre, suf = bcast(batch["prefix_ids"]), bcast(batch["suffix_ids"])
+    tok_emb = embed[tokens].astype(audio_emb.dtype)
+    embeds = jnp.concatenate([pre, audio_emb, suf, tok_emb], axis=1)
+    ones = lambda k: jnp.ones((b, k), jnp.float32)
+    mask = jnp.concatenate(
+        [ones(pre.shape[1]), ones(n_audio), ones(suf.shape[1]),
+         token_mask], axis=1)
+    logits = qwen3_forward_logits(params["llm"], embeds, mask, cfg.llm)
+
+    start = pre.shape[1] + n_audio + suf.shape[1]
+    lm_logits = logits[:, start - 1:-1, :]               # predicts tokens[t]
+    logp = jax.nn.log_softmax(lm_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, tokens[:, :, None], axis=-1)[..., 0]
+    lm_l = jnp.sum(nll * token_mask) / jnp.maximum(jnp.sum(token_mask), 1.0)
+
+    loss = ctc_l + lm_l
+    return loss, {"loss": loss, "ctc_loss": ctc_l, "lm_loss": lm_l}
+
+
+def make_prompted_train_step(cfg: HybridConfig, optimizer, n_audio: int):
+    """Jitted train step for :func:`prompted_asr_loss` (consts = frontend
+    constants from ``make_frontend_constants``, passed through untrained)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, consts, batch
+                   ) -> Tuple[TrainState, Dict]:
+        grad_fn = jax.value_and_grad(prompted_asr_loss, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, consts, batch, cfg,
+                                      n_audio)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
 def param_shardings(mesh: Mesh, params) -> Dict:
     """Sharding pytree for the full hybrid param dict."""
     return {

