@@ -164,7 +164,10 @@ def main():
             return time.perf_counter() - t0
 
         t1 = min(total(n1) for _ in range(3))
-        t2s = [total(n2) for _ in range(3)]
+        # min-of-5 on the long point (VERDICT r3 #3a: headline fields get
+        # N>=5 samples; the tunnel's ms-scale latency spikes only ever ADD
+        # time, so min is the right estimator and the spread is reported)
+        t2s = [total(n2) for _ in range(5)]
         t2 = min(t2s)
         _record_spread(label, t2s)
         if t2 <= t1:                # timing noise swamped the measurement
@@ -201,10 +204,14 @@ def main():
     def ctc_fn(p, e, feed):
         return ctc_head_forward(p, e + feed.astype(dtype), cfg.ctc)
 
+    # ctc/prefill run ~3 ms/call: at a 10-call chain the total (~30 ms)
+    # sits inside the tunnel's latency jitter, which showed up as 19-78%
+    # spread in BENCH_r03 (VERDICT r3 #3b). 40-call chains push the
+    # measured window to >100 ms, where the same jitter is <10%.
     t_ctc = chain_per_call(
         lambda i, feed: ctc_fn(ctc_params,
                                enc + jnp.bfloat16((i + 1) * 1e-3), feed),
-        2, 10, "ctc")
+        8, 40, "ctc")
     _partial["ctc_ms"] = round(t_ctc * 1000, 2)
 
     # ---- LLM prefill ----
@@ -223,7 +230,7 @@ def main():
                           max_len=max_len)
         return st.logits
 
-    t_prefill = chain_per_call(prefill_call, 2, 10, "prefill")
+    t_prefill = chain_per_call(prefill_call, 8, 40, "prefill")
     _partial["prefill_ms"] = round(t_prefill * 1000, 2)
 
     # ---- generation: chunked decode, same shape as the engine path ----
@@ -258,7 +265,7 @@ def main():
 
         n1, n2 = 1, n_chunks_full
         t1 = min(total(n1, 10 + i) for i in range(2))
-        t2s = [total(n2, 20 + i) for i in range(3)]
+        t2s = [total(n2, 20 + i) for i in range(5)]   # min-of-5 (hygiene)
         t2 = min(t2s)
         _record_spread(label, t2s)
         if n2 == n1 or t2 <= t1:    # timing noise swamped the measurement
@@ -343,6 +350,7 @@ def main():
     per_tok_spec = float("inf")
     per_tok_spec_ceiling = float("inf")
     per_tok_spec_subst = float("inf")
+    per_tok_spec_t04 = float("inf")
     try:
         chunk = 4 if _TINY else 64
         ref_toks = []
@@ -590,6 +598,11 @@ def main():
 
             per_step_b8 = measure_generation(llm_int8, "generate[int8,b8]",
                                              prompt8, mask8)
+            # plain-b8 aggregate — the comparison baseline for both the
+            # spec_b8 lane and the engine-level BatchStreamDecoder below
+            # (BENCH_r03 measured it but never emitted it; VERDICT r3 #1)
+            _partial["generate_tokens_per_s_batch8"] = round(
+                B8 / per_step_b8, 1)
 
             # the engine's batched default: per-row CTC-draft speculation.
             # The b=8 verify kernel has its own bf16 reduction order, so
@@ -627,6 +640,129 @@ def main():
                 f"(reference 9.90s -> {9.90/long_audio_s:.1f}x)")
         except Exception as e:
             log("long-audio batched measurement failed:", e)
+
+    # ---- engine-level batched serving (VERDICT r3 #1): the REAL
+    # BatchStreamDecoder with its batch-aware acceptance guardrail, on
+    # hardware. Tiny encoder/CTC (generation throughput never reads
+    # them) + the full-size decoder; drafts come from the CTC transcript
+    # exactly as in production. On random weights draft acceptance is
+    # ~0, so this exercises the guardrail's spec->plain drop
+    # (core/batch.py:209-269) and the engine default must land at
+    # plain-b8 throughput, not at the losing always-spec number. ----
+    if not _TINY:
+        try:
+            import base64
+            import logging as _logging
+            import tempfile
+            from fun_asr_gguf_tpu import create_asr_engine
+            from fun_asr_gguf_tpu.core.batch import BatchStreamDecoder
+            from fun_asr_gguf_tpu.datatypes import RecognitionStream
+            from fun_asr_gguf_tpu.models.config import (AdaptorConfig,
+                                                        CTCHeadConfig,
+                                                        EncoderConfig)
+            from fun_asr_gguf_tpu.models.loaders import \
+                create_random_checkpoint
+
+            enc_t = EncoderConfig.tiny()
+            eng_cfg = HybridConfig(
+                encoder=enc_t,
+                adaptor=AdaptorConfig.tiny(in_dim=enc_t.d_model,
+                                           out_dim=cfg.llm.hidden),
+                ctc=CTCHeadConfig.tiny(d=enc_t.d_model, vocab_size=101),
+                llm=cfg.llm)
+            ckpt = os.path.join(tempfile.gettempdir(),
+                                "funasr_bench_engine_ckpt")
+            if not os.path.exists(os.path.join(ckpt, "decoder.gguf")):
+                log("engine[b8]: writing random checkpoint "
+                    "(full-size decoder)...")
+                t0 = time.perf_counter()
+                create_random_checkpoint(ckpt, eng_cfg, seed=0)
+                log(f"engine[b8]: checkpoint written "
+                    f"({time.perf_counter()-t0:.1f}s)")
+            tok_file = os.path.join(ckpt, "tokens.txt")
+            if not os.path.exists(tok_file):
+                rows = []
+                for i in range(eng_cfg.ctc.vocab_size):
+                    ch = (chr(ord("一") + i)
+                          if i < eng_cfg.ctc.vocab_size - 1 else "<blk>")
+                    rows.append(
+                        f"{base64.b64encode(ch.encode()).decode()} {i}")
+                with open(tok_file, "w", encoding="utf-8") as f:
+                    f.write("\n".join(rows) + "\n")
+
+            t0 = time.perf_counter()
+            eng = create_asr_engine(
+                ckpt, verbose=False, n_predict=N_GEN,
+                segment_pad_seconds=float(AUDIO_SECONDS),
+                hotwords_path=os.path.join(ckpt, "hot.txt"))
+            log(f"engine[b8]: init+warmup {time.perf_counter()-t0:.1f}s")
+
+            # catch the guardrail's spec->plain log line
+            drops = []
+
+            class _Catch(_logging.Handler):
+                def emit(self, record):
+                    if "speculation off" in record.getMessage():
+                        drops.append(record.getMessage())
+
+            batch_logger = _logging.getLogger("fun_asr_gguf_tpu.core.batch")
+            handler = _Catch()
+            batch_logger.addHandler(handler)
+            bd = BatchStreamDecoder(eng.models)
+            rng_a = np.random.default_rng(3)
+
+            def engine_run(n_rows):
+                streams = []
+                for _ in range(n_rows):
+                    s = RecognitionStream()
+                    s.accept_waveform(16000, rng_a.normal(
+                        size=16000 * AUDIO_SECONDS
+                    ).astype(np.float32) * 0.1)
+                    streams.append(s)
+                res = bd.decode_streams(streams, temperature=0.3)
+                t_gen8 = sum(r.timings.llm_generate for r in res)
+                n8 = sum(r.n_gen for r in res)
+                return n8, t_gen8
+
+            for rows, key in ((8, "generate_tokens_per_s_engine_b8"),
+                              (16, "generate_tokens_per_s_engine_b16")):
+                engine_run(rows)                    # compile
+                samples = [engine_run(rows) for _ in range(3)]
+                tps = [n / t for n, t in samples if t > 0 and n > 0]
+                if tps:
+                    _partial[key] = round(max(tps), 1)
+                    log(f"engine[b{rows}]: {max(tps):.0f} tok/s aggregate "
+                        f"(BatchStreamDecoder, guardrail active)")
+            _partial["engine_b8_guardrail_dropped"] = bool(drops)
+            log(f"engine[b8]: guardrail dropped spec_k->0: {bool(drops)}"
+                + (f" ({drops[0]})" if drops else ""))
+            batch_logger.removeHandler(handler)
+
+            # streaming first-text latency: session start + one 4 s chunk
+            # fed to the incremental decoder (prefix-KV extend + 16
+            # partial tokens), warm programs. The product metric VERDICT
+            # r3 #5 asks for — the reference cannot emit text before a
+            # full segment decodes.
+            try:
+                warm = eng.create_streaming_session(partial_tokens=16)
+                warm.feed(rng_a.normal(size=16000 * 4
+                                       ).astype(np.float32) * 0.1)
+                lat = []
+                for _ in range(5):
+                    sess = eng.create_streaming_session(partial_tokens=16)
+                    chunk = rng_a.normal(size=16000 * 4
+                                         ).astype(np.float32) * 0.1
+                    t0 = time.perf_counter()
+                    sess.feed(chunk)
+                    lat.append((time.perf_counter() - t0) * 1000.0)
+                _partial["latency_to_first_token_ms"] = round(min(lat), 1)
+                log(f"streaming: first-partial latency "
+                    f"{min(lat):.1f} ms (4 s chunk, warm)")
+            except Exception as e:
+                log("streaming latency measurement failed:", e)
+            eng.cleanup()
+        except Exception as e:
+            log("engine-level batched measurement failed:", e)
 
     def tree_bytes(tree):
         return int(sum(x.size * x.dtype.itemsize
@@ -684,16 +820,21 @@ def main():
     except Exception as e:
         log("int8-KV generation failed:", e)
 
-    # headline generation = the engine's default decode: CTC-draft
-    # speculation over int8 weights (falls back to plain decode)
-    # spec headline: the better of the two 15%-disagreement corruption
-    # models (holes / substitutions). Both are valid simulations of the
-    # same CTC/LLM disagreement rate; each is independently depressed by
-    # the random-weight acceptance noise (PERFORMANCE.md), so taking the
-    # max of two noisy lower bounds is still a lower bound on the
-    # trained-model engine
+    # headline generation = the ENGINE-DEFAULT decode (VERDICT r3 #3d):
+    # sampled (T=0.4) CTC-draft speculation WITH the acceptance guardrail,
+    # exactly what `engine.transcribe(path)` runs. The greedy fixed-draft
+    # lanes (85% spec, 100% ceiling) stay as secondary fields — they
+    # bracket what a trained model's CTC draft can buy, but they are not
+    # what a default engine call measures.
     per_tok_spec_eff = min(per_tok_spec, per_tok_spec_subst)
-    per_tok = min(per_tok_bf16, per_tok_int8, per_tok_q8, per_tok_spec_eff)
+    per_tok_best = min(per_tok_bf16, per_tok_int8, per_tok_q8,
+                       per_tok_spec_eff)
+    if np.isfinite(per_tok_spec_t04):
+        per_tok = per_tok_spec_t04
+    elif "generate_tokens_per_s_int8_sampled" in _partial:
+        per_tok = 1.0 / _partial["generate_tokens_per_s_int8_sampled"]
+    else:
+        per_tok = per_tok_best
     t_gen = per_tok * N_GEN
     gen_tps = 1.0 / per_tok
 
@@ -709,7 +850,10 @@ def main():
         "ctc_ms": round(t_ctc * 1000, 2),
         "prefill_ms": round(t_prefill * 1000, 2),
         "generate_ms": round(t_gen * 1000, 2),
+        # engine-default decode (sampled spec + guardrail); the fastest
+        # measured lane is generate_tokens_per_s_best
         "generate_tokens_per_s": round(gen_tps, 1),
+        "generate_tokens_per_s_best": round(1.0 / per_tok_best, 1),
         "generate_tokens_per_s_bf16": round(1.0 / per_tok_bf16, 1),
         "generate_tokens_per_s_int8": (round(1.0 / per_tok_int8, 1)
                                        if np.isfinite(per_tok_int8)
@@ -762,6 +906,19 @@ def main():
                              if long_audio_s else None),
         "generate_tokens_per_s_spec_b8": _partial.get(
             "generate_tokens_per_s_spec_b8"),
+        # plain-b8 (the baseline spec_b8 / engine_b8 must beat) and the
+        # REAL BatchStreamDecoder with its acceptance guardrail active
+        "generate_tokens_per_s_batch8": _partial.get(
+            "generate_tokens_per_s_batch8"),
+        "generate_tokens_per_s_engine_b8": _partial.get(
+            "generate_tokens_per_s_engine_b8"),
+        "generate_tokens_per_s_engine_b16": _partial.get(
+            "generate_tokens_per_s_engine_b16"),
+        "engine_b8_guardrail_dropped": _partial.get(
+            "engine_b8_guardrail_dropped"),
+        # streaming: session start + first 4 s chunk → first partial text
+        "latency_to_first_token_ms": _partial.get(
+            "latency_to_first_token_ms"),
         # HBM footprints (reference: ~400 MB encoder + ~1.2 GB q8_0 LLM,
         # README.md:132-141)
         "encoder_mb": round(tree_bytes(audio_params) / 1e6, 1),

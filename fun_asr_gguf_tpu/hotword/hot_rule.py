@@ -49,6 +49,12 @@ class RuleCorrector:
             self._rules = compiled
         return len(compiled)
 
+    @property
+    def patterns(self) -> dict:
+        """{pattern: replacement} view of the compiled rule set."""
+        with self._lock:
+            return {rx.pattern: repl for rx, repl in self._rules}
+
     def substitute(self, text: str) -> str:
         if not text:
             return text
