@@ -178,10 +178,33 @@ class Qwen3Config:
     attn_sinks: bool = False      # per-head learned sink logits
     attn_out_bias: bool = False   # o_proj bias
     router_bias: bool = False     # router logit bias
-    router_scoring: str = "softmax_topk"  # or "topk_softmax" (gpt-oss)
+    router_scoring: str = "softmax_topk"  # "topk_softmax" (gpt-oss) or
+    #                               "sigmoid" (deepseek3)
     moe_bias: bool = False        # per-expert gate/up/down biases
     swiglu_limit: float = 7.0     # clamp for act="swiglu_oai"
     rope_yarn_factor: float = 0.0  # YaRN context factor (0 = off)
+    # -- DeepSeek family (deepseek2/3; reference converter registers
+    # DeepseekV2Model / DeepseekV3 variants in convert_hf_to_gguf.py).
+    # MLA attention: low-rank compressed kv (+ optionally q), per-head
+    # keys split into a content part (qk_nope_dim) and a SHARED rotary
+    # part (qk_rope_dim); head_dim must equal qk_nope_dim + qk_rope_dim
+    # and rope_dim equals qk_rope_dim. v_head_dim may differ from
+    # head_dim (the cache pads v up to head_dim). --
+    q_lora_rank: int = 0          # 0 = dense q projection (V2-Lite)
+    kv_lora_rank: int = 0         # >0 switches attention to MLA
+    qk_nope_dim: int = 0          # per-head non-rotary key/query dims
+    qk_rope_dim: int = 0          # per-head rotary dims (shared k_pe)
+    v_head_dim: int = 0           # 0 = head_dim
+    rope_interleaved: bool = False  # deepseek ckpts store rope pairs
+    #                                 interleaved; deinterleave pre-rope
+    # MoE structure extras:
+    moe_first_dense: int = 0      # first k layers use a dense MLP
+    n_shared_experts: int = 0     # always-on experts (x moe_ffn_dim)
+    routed_scaling_factor: float = 1.0   # multiplies routing weights
+    # group-limited routing (deepseek3): pick topk_group groups by the
+    # sum of each group's top-2 scores, then top-k inside the survivors
+    n_group: int = 0
+    topk_group: int = 0
 
     def __post_init__(self):
         # JSON checkpoint round-trips turn tuples into lists; coerce back
@@ -262,6 +285,37 @@ class Qwen3Config:
                            rope_factors_short=factors,
                            rope_attn_factor=af,
                            rope_yarn_factor=yarn_factor)
+
+    @staticmethod
+    def tiny_deepseek_v2(vocab_size: int = 97):
+        """DeepSeek-V2-Lite-shaped tiny config: MLA without q
+        compression, softmax routing, one shared expert, first layer
+        dense."""
+        return Qwen3Config(
+            hidden=64, n_layers=3, q_heads=4, kv_heads=4,
+            head_dim=24, ffn_dim=96, vocab_size=vocab_size,
+            rope_theta=1e4, arch="deepseek2", qk_norm=False,
+            rope_dim=8, kv_lora_rank=32, qk_nope_dim=16, qk_rope_dim=8,
+            v_head_dim=16, rope_interleaved=True,
+            n_experts=4, n_experts_per_tok=2, moe_ffn_dim=48,
+            norm_topk_prob=False, moe_first_dense=1, n_shared_experts=1,
+            routed_scaling_factor=1.0)
+
+    @staticmethod
+    def tiny_deepseek_v3(vocab_size: int = 97):
+        """DeepSeek-V3-shaped tiny config: q compression, sigmoid
+        scoring with a selection-bias router and group-limited top-k."""
+        return Qwen3Config(
+            hidden=64, n_layers=3, q_heads=4, kv_heads=4,
+            head_dim=24, ffn_dim=96, vocab_size=vocab_size,
+            rope_theta=1e4, arch="deepseek2", qk_norm=False,
+            rope_dim=8, q_lora_rank=24, kv_lora_rank=32,
+            qk_nope_dim=16, qk_rope_dim=8, v_head_dim=16,
+            rope_interleaved=True,
+            n_experts=8, n_experts_per_tok=2, moe_ffn_dim=48,
+            norm_topk_prob=True, moe_first_dense=1, n_shared_experts=1,
+            router_scoring="sigmoid", router_bias=True,
+            routed_scaling_factor=2.5, n_group=4, topk_group=2)
 
     # -- stretch decoder presets (BASELINE.json configs[4]: larger
     # Qwen-class audio-LLM decoders with int8 TP across a TPU mesh) --

@@ -160,6 +160,48 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
             rope_yarn_factor=yf,
         )
         moe = {}     # the generic expert_count block above is superseded
+    dsk = {}
+    if str(arch) == "deepseek2":
+        # reference converter: DeepseekV2Model. MLA dims ride the
+        # standard key/value-length KVs (key = qk_nope + qk_rope);
+        # llama.cpp's expert_* KV family carries the MoE structure.
+        rp = int(g("rope.dimension_count", 0))
+        gating = int(g("expert_gating_func", 1))
+        k0 = int(g("leading_dense_block_count", 0))
+        factors, af = (), 1.0
+        yf = float(g("rope.scaling.factor", 0.0) or 0.0)
+        orig = int(g("rope.scaling.original_context_length", 0))
+        if "rope_factors_short.weight" in names:
+            factors = tuple(float(x) for x in
+                            reader.tensor("rope_factors_short.weight"))
+            af = float(f.get(f"{arch}.rope.scaling.attn_factor", 0.0)) \
+                or 1.0
+        dsk = dict(
+            q_lora_rank=int(g("attention.q_lora_rank", 0) or 0),
+            kv_lora_rank=int(g("attention.kv_lora_rank", 0)),
+            qk_nope_dim=head_dim - rp,
+            qk_rope_dim=rp,
+            v_head_dim=int(g("attention.value_length", head_dim)),
+            rope_dim=rp,
+            rope_interleaved=True,
+            n_experts=int(g("expert_count", 0)),
+            n_experts_per_tok=int(g("expert_used_count", 0)),
+            moe_ffn_dim=int(g("expert_feed_forward_length", 0)),
+            moe_first_dense=k0,
+            n_shared_experts=int(g("expert_shared_count", 0)),
+            routed_scaling_factor=float(g("expert_weights_scale", 1.0)),
+            norm_topk_prob=bool(g("expert_weights_norm", False)),
+            router_scoring=("sigmoid" if gating == 2
+                            else "softmax_topk"),
+            router_bias=f"blk.{k0}.exp_probs_b.bias" in names,
+            n_group=int(g("expert_group_count", 0)),
+            topk_group=int(g("expert_group_used_count", 0)),
+            rope_factors_short=factors,
+            rope_attn_factor=af,
+            rope_yarn_factor=yf,
+            rope_orig_max_position=orig,
+        )
+        moe = {}     # the generic expert_count block above is superseded
     phi = {}
     if str(arch) == "phi3":
         # reference converter: Phi3MiniModel (convert_hf_to_gguf.py:4651)
@@ -202,6 +244,7 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
         **moe,
         **gemma,
         **oss,
+        **dsk,
         **phi,
         hidden=hidden,
         n_layers=int(g("block_count", 28)),
@@ -296,7 +339,19 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
         "post_ln": vstack("blk.{}.ffn_norm.weight"),
         "o_w": stack(lambda i: mat(f"blk.{i}.attn_output.weight")),
     }
-    if "blk.0.attn_qkv.weight" in names:
+    if "blk.0.attn_kv_a_mqa.weight" in names:
+        # deepseek MLA layout (reference converter: DeepseekV2Model)
+        if "blk.0.attn_q_a.weight" in names:
+            layers["q_a_w"] = stack(lambda i: mat(f"blk.{i}.attn_q_a.weight"))
+            layers["q_a_norm"] = vstack("blk.{}.attn_q_a_norm.weight")
+            layers["q_b_w"] = stack(lambda i: mat(f"blk.{i}.attn_q_b.weight"))
+        else:
+            layers["q_w"] = stack(lambda i: mat(f"blk.{i}.attn_q.weight"))
+        layers["kv_a_w"] = stack(
+            lambda i: mat(f"blk.{i}.attn_kv_a_mqa.weight"))
+        layers["kv_a_norm"] = vstack("blk.{}.attn_kv_a_norm.weight")
+        layers["kv_b_w"] = stack(lambda i: mat(f"blk.{i}.attn_kv_b.weight"))
+    elif "blk.0.attn_qkv.weight" in names:
         # phi3 layout: one fused [q; k; v] projection per layer
         qd = cfg.q_heads * cfg.head_dim
         kd = cfg.kv_heads * cfg.head_dim
@@ -312,22 +367,51 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
             "k_w": stack(lambda i: mat(f"blk.{i}.attn_k.weight")),
             "v_w": stack(lambda i: mat(f"blk.{i}.attn_v.weight")),
         })
+    k0 = cfg.moe_first_dense if cfg.is_moe else 0
+    pre_mlp = {}
     if cfg.is_moe:
         # llama.cpp MoE layout: ffn_gate_inp (router) + stacked 3-D
         # ffn_{gate,up,down}_exps. Experts dequantize on load (the engine
         # re-quantizes to int8); the 2-D Pallas q8_0 path doesn't apply.
+        # deepseek: MoE tensors start at layer ``k0``
+        # (leading_dense_block_count); shexp = shared experts.
+        moe_rng = range(k0, n)
+
         def e3(name, swap):
             a = r.tensor(name).astype(np.float32)      # [E, n, k]
             return jnp.asarray(np.swapaxes(a, -1, -2) if swap else a,
                                dtype)
-        layers["router_w"] = stack(
+
+        def mstack(fn):
+            items = [fn(i) for i in moe_rng]
+            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                          *items)
+        layers["router_w"] = mstack(
             lambda i: jnp.asarray(t(f"blk.{i}.ffn_gate_inp.weight"), dtype))
-        layers["moe_gate_w"] = stack(
+        layers["moe_gate_w"] = mstack(
             lambda i: e3(f"blk.{i}.ffn_gate_exps.weight", True))
-        layers["moe_up_w"] = stack(
+        layers["moe_up_w"] = mstack(
             lambda i: e3(f"blk.{i}.ffn_up_exps.weight", True))
-        layers["moe_down_w"] = stack(
+        layers["moe_down_w"] = mstack(
             lambda i: e3(f"blk.{i}.ffn_down_exps.weight", True))
+        if f"blk.{k0}.ffn_gate_shexp.weight" in names:
+            layers["shared_gate_w"] = mstack(
+                lambda i: mat(f"blk.{i}.ffn_gate_shexp.weight"))
+            layers["shared_up_w"] = mstack(
+                lambda i: mat(f"blk.{i}.ffn_up_shexp.weight"))
+            layers["shared_down_w"] = mstack(
+                lambda i: mat(f"blk.{i}.ffn_down_shexp.weight"))
+        if f"blk.{k0}.exp_probs_b.bias" in names:
+            # deepseek3 e-score correction bias (selection only)
+            layers["router_b"] = jnp.asarray(
+                np.stack([r.tensor(f"blk.{i}.exp_probs_b.bias")
+                          .astype(np.float32) for i in moe_rng]), dtype)
+        for key, nm in (("gate_w", "ffn_gate"), ("up_w", "ffn_up"),
+                        ("down_w", "ffn_down")):
+            if k0:   # dense prefix layers
+                items = [mat(f"blk.{i}.{nm}.weight") for i in range(k0)]
+                pre_mlp[key] = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *items)
         # gpt-oss carries a router bias + per-expert biases
         # (reference converter: GptOssModel, convert_hf_to_gguf.py:10123)
         if "blk.0.ffn_gate_inp.bias" in names:
@@ -376,6 +460,21 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
         "final_ln": jnp.asarray(vec("output_norm.weight"), dtype),
         "embed": jnp.asarray(embed, dtype),
     }
+    if pre_mlp:
+        # heterogeneous stacks (deepseek leading dense layers): split
+        # the full-depth attention/norm stacks at k0; MoE keys already
+        # cover only the main stack
+        moe_keys = {"router_w", "router_b", "moe_gate_w", "moe_up_w",
+                    "moe_down_w", "moe_gate_b", "moe_up_b", "moe_down_b",
+                    "shared_gate_w", "shared_up_w", "shared_down_w"}
+        sl = lambda w, a, b: jax.tree_util.tree_map(lambda x: x[a:b], w)
+        pre = {key: sl(w, 0, k0) for key, w in layers.items()
+               if key not in moe_keys}
+        pre.update(pre_mlp)
+        params["layers"] = {key: (w if key in moe_keys
+                                  else sl(w, k0, n))
+                            for key, w in layers.items()}
+        params["layers_pre"] = pre
     if not cfg.tie_embeddings:
         params["lm_head"] = jnp.asarray(t("output.weight"), dtype)
     return params, cfg, embed
@@ -403,7 +502,8 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
     w.add_kv(f"{arch}.attention.head_count", cfg.q_heads)
     w.add_kv(f"{arch}.attention.head_count_kv", cfg.kv_heads)
     w.add_kv(f"{arch}.attention.key_length", cfg.head_dim)
-    w.add_kv(f"{arch}.attention.value_length", cfg.head_dim)
+    w.add_kv(f"{arch}.attention.value_length",
+             cfg.v_head_dim or cfg.head_dim)
     w.add_kv(f"{arch}.feed_forward_length", cfg.ffn_dim)
     w.add_kv(f"{arch}.rope.freq_base", float(cfg.rope_theta))
     w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", float(cfg.rms_eps))
@@ -425,6 +525,30 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         w.add_kv(f"{arch}.rope.scaling.factor", cfg.rope_global_scale)
         if cfg.final_softcap:
             w.add_kv(f"{arch}.final_logit_softcapping", cfg.final_softcap)
+    if arch == "deepseek2":
+        # DeepseekV2Model KV set (reference converter): MLA ranks, the
+        # leading dense prefix, shared experts, scoring family (gating
+        # func 1=softmax 2=sigmoid), group-limited routing, yarn rope
+        w.add_kv(f"{arch}.attention.q_lora_rank", cfg.q_lora_rank)
+        w.add_kv(f"{arch}.attention.kv_lora_rank", cfg.kv_lora_rank)
+        w.add_kv(f"{arch}.rope.dimension_count", cfg.qk_rope_dim)
+        w.add_kv(f"{arch}.leading_dense_block_count", cfg.moe_first_dense)
+        w.add_kv(f"{arch}.expert_shared_count", cfg.n_shared_experts)
+        w.add_kv(f"{arch}.expert_weights_scale",
+                 float(cfg.routed_scaling_factor))
+        w.add_kv(f"{arch}.expert_weights_norm", bool(cfg.norm_topk_prob))
+        w.add_kv(f"{arch}.expert_gating_func",
+                 2 if cfg.router_scoring == "sigmoid" else 1)
+        if cfg.n_group:
+            w.add_kv(f"{arch}.expert_group_count", cfg.n_group)
+            w.add_kv(f"{arch}.expert_group_used_count", cfg.topk_group)
+        if cfg.rope_yarn_factor:
+            w.add_kv(f"{arch}.rope.scaling.factor",
+                     float(cfg.rope_yarn_factor))
+            w.add_kv(f"{arch}.rope.scaling.original_context_length",
+                     cfg.rope_orig_max_position)
+            w.add_kv(f"{arch}.rope.scaling.attn_factor",
+                     float(cfg.rope_attn_factor))
     if arch == "gpt-oss":
         # GptOssModel KV set (reference convert_hf_to_gguf.py:10123):
         # sliding window + YaRN rope scaling; the loader recomputes the
@@ -539,72 +663,99 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         w.add_tensor("rope_factors_long.weight",
                      np.asarray(cfg.rope_factors_long, np.float32))
     fuse_phi3 = cfg.arch == "phi3"
-    L = flat["layers"]
+    L_main = flat["layers"]
+    L_pre = flat.get("layers_pre")
+    k0 = L_pre["input_ln"].shape[0] if L_pre is not None else 0
     for i in range(cfg.n_layers):
+        # heterogeneous stacks (deepseek): dense-prefix layers live in
+        # layers_pre with their own local index
+        L, li = (L_pre, i) if i < k0 else (L_main, i - k0)
         w.add_tensor(f"blk.{i}.attn_norm.weight",
-                     np.asarray(L["input_ln"][i], np.float32))
+                     np.asarray(L["input_ln"][li], np.float32))
         w.add_tensor(f"blk.{i}.ffn_norm.weight",
-                     np.asarray(L["post_ln"][i], np.float32))
+                     np.asarray(L["post_ln"][li], np.float32))
         if "q_norm" in L:
             w.add_tensor(f"blk.{i}.attn_q_norm.weight",
-                         np.asarray(L["q_norm"][i], np.float32))
+                         np.asarray(L["q_norm"][li], np.float32))
             w.add_tensor(f"blk.{i}.attn_k_norm.weight",
-                         np.asarray(L["k_norm"][i], np.float32))
+                         np.asarray(L["k_norm"][li], np.float32))
         if "attn_post_ln" in L:
             w.add_tensor(f"blk.{i}.post_attention_norm.weight",
-                         np.asarray(L["attn_post_ln"][i], np.float32))
+                         np.asarray(L["attn_post_ln"][li], np.float32))
             w.add_tensor(f"blk.{i}.post_ffw_norm.weight",
-                         np.asarray(L["ffn_post_ln"][i], np.float32))
+                         np.asarray(L["ffn_post_ln"][li], np.float32))
         if "q_b" in L:
             w.add_tensor(f"blk.{i}.attn_q.bias",
-                         np.asarray(L["q_b"][i], np.float32))
+                         np.asarray(L["q_b"][li], np.float32))
             w.add_tensor(f"blk.{i}.attn_k.bias",
-                         np.asarray(L["k_b"][i], np.float32))
+                         np.asarray(L["k_b"][li], np.float32))
             w.add_tensor(f"blk.{i}.attn_v.bias",
-                         np.asarray(L["v_b"][i], np.float32))
+                         np.asarray(L["v_b"][li], np.float32))
         if "sinks" in L:
             w.add_tensor(f"blk.{i}.attn_sinks.weight",
-                         np.asarray(L["sinks"][i], np.float32))
+                         np.asarray(L["sinks"][li], np.float32))
         if "o_b" in L:
             w.add_tensor(f"blk.{i}.attn_output.bias",
-                         np.asarray(L["o_b"][i], np.float32))
-        if fuse_phi3:
+                         np.asarray(L["o_b"][li], np.float32))
+        if "kv_a_w" in L:
+            # deepseek MLA (llama.cpp deepseek2 names)
+            if "q_a_w" in L:
+                mat(f"blk.{i}.attn_q_a.weight", L["q_a_w"][li])
+                w.add_tensor(f"blk.{i}.attn_q_a_norm.weight",
+                             np.asarray(L["q_a_norm"][li], np.float32))
+                mat(f"blk.{i}.attn_q_b.weight", L["q_b_w"][li])
+            else:
+                mat(f"blk.{i}.attn_q.weight", L["q_w"][li])
+            mat(f"blk.{i}.attn_kv_a_mqa.weight", L["kv_a_w"][li])
+            w.add_tensor(f"blk.{i}.attn_kv_a_norm.weight",
+                         np.asarray(L["kv_a_norm"][li], np.float32))
+            mat(f"blk.{i}.attn_kv_b.weight", L["kv_b_w"][li])
+        elif fuse_phi3:
             # llama.cpp phi3 layout: fused [q; k; v] and [gate; up]
             mat(f"blk.{i}.attn_qkv.weight",
-                np.concatenate([np.asarray(L["q_w"][i], np.float32),
-                                np.asarray(L["k_w"][i], np.float32),
-                                np.asarray(L["v_w"][i], np.float32)],
+                np.concatenate([np.asarray(L["q_w"][li], np.float32),
+                                np.asarray(L["k_w"][li], np.float32),
+                                np.asarray(L["v_w"][li], np.float32)],
                                axis=1))
         else:
-            mat(f"blk.{i}.attn_q.weight", L["q_w"][i])
-            mat(f"blk.{i}.attn_k.weight", L["k_w"][i])
-            mat(f"blk.{i}.attn_v.weight", L["v_w"][i])
-        mat(f"blk.{i}.attn_output.weight", L["o_w"][i])
+            mat(f"blk.{i}.attn_q.weight", L["q_w"][li])
+            mat(f"blk.{i}.attn_k.weight", L["k_w"][li])
+            mat(f"blk.{i}.attn_v.weight", L["v_w"][li])
+        mat(f"blk.{i}.attn_output.weight", L["o_w"][li])
         if fuse_phi3:
             mat(f"blk.{i}.ffn_up.weight",
-                np.concatenate([np.asarray(L["gate_w"][i], np.float32),
-                                np.asarray(L["up_w"][i], np.float32)],
+                np.concatenate([np.asarray(L["gate_w"][li], np.float32),
+                                np.asarray(L["up_w"][li], np.float32)],
                                axis=1))
-            mat(f"blk.{i}.ffn_down.weight", L["down_w"][i])
-        elif cfg.is_moe:
-            mat(f"blk.{i}.ffn_gate_inp.weight", L["router_w"][i])
-            mat3(f"blk.{i}.ffn_gate_exps.weight", L["moe_gate_w"][i])
-            mat3(f"blk.{i}.ffn_up_exps.weight", L["moe_up_w"][i])
-            mat3(f"blk.{i}.ffn_down_exps.weight", L["moe_down_w"][i])
+            mat(f"blk.{i}.ffn_down.weight", L["down_w"][li])
+        elif cfg.is_moe and i >= k0:
+            mat(f"blk.{i}.ffn_gate_inp.weight", L["router_w"][li])
+            mat3(f"blk.{i}.ffn_gate_exps.weight", L["moe_gate_w"][li])
+            mat3(f"blk.{i}.ffn_up_exps.weight", L["moe_up_w"][li])
+            mat3(f"blk.{i}.ffn_down_exps.weight", L["moe_down_w"][li])
+            if "shared_gate_w" in L:
+                mat(f"blk.{i}.ffn_gate_shexp.weight",
+                    L["shared_gate_w"][li])
+                mat(f"blk.{i}.ffn_up_shexp.weight", L["shared_up_w"][li])
+                mat(f"blk.{i}.ffn_down_shexp.weight",
+                    L["shared_down_w"][li])
             if "router_b" in L:
-                w.add_tensor(f"blk.{i}.ffn_gate_inp.bias",
-                             np.asarray(L["router_b"][i], np.float32))
+                # deepseek3's e-score bias vs gpt-oss's logit bias
+                name = ("exp_probs_b.bias" if arch == "deepseek2"
+                        else "ffn_gate_inp.bias")
+                w.add_tensor(f"blk.{i}.{name}",
+                             np.asarray(L["router_b"][li], np.float32))
             if "moe_gate_b" in L:
                 w.add_tensor(f"blk.{i}.ffn_gate_exps.bias",
-                             np.asarray(L["moe_gate_b"][i], np.float32))
+                             np.asarray(L["moe_gate_b"][li], np.float32))
                 w.add_tensor(f"blk.{i}.ffn_up_exps.bias",
-                             np.asarray(L["moe_up_b"][i], np.float32))
+                             np.asarray(L["moe_up_b"][li], np.float32))
                 w.add_tensor(f"blk.{i}.ffn_down_exps.bias",
-                             np.asarray(L["moe_down_b"][i], np.float32))
+                             np.asarray(L["moe_down_b"][li], np.float32))
         else:
-            mat(f"blk.{i}.ffn_gate.weight", L["gate_w"][i])
-            mat(f"blk.{i}.ffn_up.weight", L["up_w"][i])
-            mat(f"blk.{i}.ffn_down.weight", L["down_w"][i])
+            mat(f"blk.{i}.ffn_gate.weight", L["gate_w"][li])
+            mat(f"blk.{i}.ffn_up.weight", L["up_w"][li])
+            mat(f"blk.{i}.ffn_down.weight", L["down_w"][li])
     if not cfg.tie_embeddings:
         mat("output.weight", flat["lm_head"])
     w.write()

@@ -160,6 +160,22 @@ def _layer_params(dense_slice, quant, l):
     return lp
 
 
+def _pre_layer_count(params) -> int:
+    """Heterogeneous stacks (deepseek ``first_k_dense_replace``): depth
+    of the optional dense-MLP prefix stack ``layers_pre``; its layers
+    run before the uniform ``layers`` scan."""
+    pre = params.get("layers_pre")
+    return int(pre["input_ln"].shape[0]) if pre is not None else 0
+
+
+def _dense_layer_slice(dense, l):
+    """One layer's slice of a stacked dense dict. tree_map so NamedTuple
+    weights (Int8Weight/Int4Weight) slice their leading layer dim instead
+    of tuple-indexing their fields."""
+    return {key: jax.tree_util.tree_map(lambda x: x[l], w)
+            for key, w in dense.items()}
+
+
 def _unroll_decode(default: bool = False) -> bool:
     """Unroll the quantized decode over layers (static kernel indices).
 
@@ -434,7 +450,11 @@ _MATMUL_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w",
 # stacked expert weights [L, E, k, n]: shape-agnostic quantizers (int8 /
 # int4) handle them; the 2-D Pallas q8_0 kernels do not (router_w stays
 # dense — it is tiny and feeds a f32 softmax)
-_MOE_MATMUL_KEYS = ("moe_gate_w", "moe_up_w", "moe_down_w")
+_MOE_MATMUL_KEYS = ("moe_gate_w", "moe_up_w", "moe_down_w",
+                    "shared_gate_w", "shared_up_w", "shared_down_w")
+# MLA projections (deepseek): per-channel quantizers handle any [L,k,n];
+# the low-rank k dims (q_lora/kv_lora) need not divide the q8_0 block
+_MLA_MATMUL_KEYS = ("q_a_w", "q_b_w", "kv_a_w", "kv_b_w")
 
 
 def _q8_mode() -> str:
@@ -458,14 +478,20 @@ def quantize_qwen3_params(params, keys=None, mode=None):
     """
     mode = mode or _q8_mode()
     quant_fn = block_quantize_weight if mode == "xla" else quantize_weight
-    layers = dict(params["layers"])
-    for key in (keys or _MATMUL_KEYS):
-        w = layers.get(key)               # [L, k_in, n_out]
-        if w is None or isinstance(w, (QuantTensor, BlockQuant)):
-            continue
-        layers[key] = jax.vmap(quant_fn)(w)
+
+    def one_stack(src):
+        layers = dict(src)
+        for key in (keys or _MATMUL_KEYS):
+            w = layers.get(key)           # [L, k_in, n_out]
+            if w is None or isinstance(w, (QuantTensor, BlockQuant)):
+                continue
+            layers[key] = jax.vmap(quant_fn)(w)
+        return layers
+
     out = dict(params)
-    out["layers"] = layers
+    out["layers"] = one_stack(params["layers"])
+    if "layers_pre" in params:
+        out["layers_pre"] = one_stack(params["layers_pre"])
     return out
 
 
@@ -486,28 +512,35 @@ def quantize_qwen3_params_int8(params, keys=None, donate: bool = False):
         w8 = jnp.round(wf / jnp.where(s == 0, 1.0, s)).astype(jnp.int8)
         return Int8Weight(w8=w8, scale=s.astype(jnp.bfloat16))
 
-    src = params["layers"]
-    layers = dict(src)
-    for key in (keys or _MATMUL_KEYS + _MOE_MATMUL_KEYS):
-        w = layers.get(key)
-        if w is None or isinstance(w, (QuantTensor, BlockQuant, Int8Weight)):
-            continue
-        if donate:
-            src.pop(key, None)        # release the caller's bf16 reference
-        # quantize layer-by-layer: a whole-stack f32 transient would be
-        # 2x the bf16 weight bytes in HBM (OOMs a 4B model on one v5e);
-        # block per step so async dispatch can't pile up the transients
-        per = []
-        for i in range(w.shape[0]):
-            q = quant_one(w[i])
-            jax.block_until_ready(q.w8)
-            per.append(q)
-        del w
-        layers[key] = Int8Weight(
-            w8=jnp.stack([p.w8 for p in per]),
-            scale=jnp.stack([p.scale for p in per]))
+    def one_stack(src):
+        layers = dict(src)
+        for key in (keys or
+                    _MATMUL_KEYS + _MOE_MATMUL_KEYS + _MLA_MATMUL_KEYS):
+            w = layers.get(key)
+            if w is None or isinstance(w, (QuantTensor, BlockQuant,
+                                           Int8Weight)):
+                continue
+            if donate:
+                src.pop(key, None)    # release the caller's bf16 reference
+            # quantize layer-by-layer: a whole-stack f32 transient would
+            # be 2x the bf16 weight bytes in HBM (OOMs a 4B model on one
+            # v5e); block per step so async dispatch can't pile up the
+            # transients
+            per = []
+            for i in range(w.shape[0]):
+                q = quant_one(w[i])
+                jax.block_until_ready(q.w8)
+                per.append(q)
+            del w
+            layers[key] = Int8Weight(
+                w8=jnp.stack([p.w8 for p in per]),
+                scale=jnp.stack([p.scale for p in per]))
+        return layers
+
     out = dict(params)
-    out["layers"] = layers
+    out["layers"] = one_stack(params["layers"])
+    if "layers_pre" in params:
+        out["layers_pre"] = one_stack(params["layers_pre"])
     return out
 
 
@@ -548,34 +581,46 @@ def pack_qwen3_params(params):
     q8_0 rows are independent, so ``pack∘quantize == quantize∘pack``
     bit-exactly. Training keeps the unpacked layout (per-weight grads).
     """
-    layers = dict(params["layers"])
-    if "qkv_w" in layers:
-        return params
+    def one_stack(src):
+        if "qkv_w" in src or ("kv_a_w" in src and "gate_w" not in src):
+            return src      # already packed / nothing fusable (MLA MoE)
+        layers = dict(src)
 
-    def cat(keys):
-        ws = [layers.pop(k) for k in keys]
-        if isinstance(ws[0], QuantTensor):
-            return QuantTensor(
-                q=jnp.concatenate([w.q for w in ws], axis=-2),
-                d=jnp.concatenate([w.d for w in ws], axis=-2))
-        if isinstance(ws[0], Int8Weight):
-            return Int8Weight(
-                w8=jnp.concatenate([w.w8 for w in ws], axis=-1),
-                scale=jnp.concatenate([w.scale for w in ws], axis=-1))
-        if isinstance(ws[0], BlockQuant):
-            return BlockQuant(
-                q=jnp.concatenate([w.q for w in ws], axis=-1),
-                d=jnp.concatenate([w.d for w in ws], axis=-1))
-        return jnp.concatenate(ws, axis=-1)
+        def cat(keys):
+            ws = [layers.pop(k) for k in keys]
+            if isinstance(ws[0], QuantTensor):
+                return QuantTensor(
+                    q=jnp.concatenate([w.q for w in ws], axis=-2),
+                    d=jnp.concatenate([w.d for w in ws], axis=-2))
+            if isinstance(ws[0], Int8Weight):
+                return Int8Weight(
+                    w8=jnp.concatenate([w.w8 for w in ws], axis=-1),
+                    scale=jnp.concatenate([w.scale for w in ws], axis=-1))
+            if isinstance(ws[0], BlockQuant):
+                return BlockQuant(
+                    q=jnp.concatenate([w.q for w in ws], axis=-1),
+                    d=jnp.concatenate([w.d for w in ws], axis=-1))
+            return jnp.concatenate(ws, axis=-1)
 
-    layers["qkv_w"] = cat(("q_w", "k_w", "v_w"))
-    if "gate_w" in layers:          # MoE layers have expert MLPs instead
-        layers["gate_up_w"] = cat(("gate_w", "up_w"))
-    if "q_b" in layers:   # qwen2-family biases ride along, fused likewise
-        layers["qkv_b"] = jnp.concatenate(
-            [layers.pop(k) for k in ("q_b", "k_b", "v_b")], axis=-1)
+        if "kv_a_w" not in layers:  # MLA projections stay separate
+            layers["qkv_w"] = cat(("q_w", "k_w", "v_w"))
+        if "gate_w" in layers:      # MoE layers have expert MLPs instead
+            layers["gate_up_w"] = cat(("gate_w", "up_w"))
+        if "q_b" in layers:  # qwen2-family biases ride along, fused too
+            layers["qkv_b"] = jnp.concatenate(
+                [layers.pop(k) for k in ("q_b", "k_b", "v_b")], axis=-1)
+        return layers
+
+    new_main = one_stack(params["layers"])
+    new_pre = (one_stack(params["layers_pre"])
+               if "layers_pre" in params else None)
+    if new_main is params["layers"] and (
+            new_pre is None or new_pre is params["layers_pre"]):
+        return params                      # idempotent: same object
     out = dict(params)
-    out["layers"] = layers
+    out["layers"] = new_main
+    if new_pre is not None:
+        out["layers_pre"] = new_pre
     return out
 
 
@@ -759,6 +804,56 @@ def _qkv_post(qkv, lp, cfg: Qwen3Config, cos, sin):
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 
+def _deinterleave_pairs(x):
+    """[..., d] with rotary pairs stored interleaved (x0,y0,x1,y1,…) →
+    half-split (x0,x1,…,y0,y1,…) — deepseek checkpoints store the rope
+    dims interleaved (HF ``DeepseekV3Attention`` does the same reshuffle
+    before its standard half-rotation rope)."""
+    d = x.shape[-1]
+    return (x.reshape(*x.shape[:-1], d // 2, 2)
+            .swapaxes(-1, -2).reshape(*x.shape[:-1], d))
+
+
+def _mla_qkv(x, lp, cfg: Qwen3Config, cos, sin):
+    """Multi-head Latent Attention projections (deepseek2/3).
+
+    q: dense or low-rank (q_a → rmsnorm → q_b), per head
+    [qk_nope ++ qk_rope]; kv: low-rank ``kv_a`` whose tail ``qk_rope``
+    dims are a SHARED (single-head) rotary key, the rest rmsnormed and
+    expanded by ``kv_b`` into per-head [k_nope ++ v]. v (v_head_dim)
+    zero-pads up to head_dim so the standard cache/attention machinery
+    applies; :func:`_attn_out` slices the pad back off.
+    """
+    b, t, _ = x.shape
+    nope, rp, hd = cfg.qk_nope_dim, cfg.qk_rope_dim, cfg.head_dim
+    vd = cfg.v_head_dim or hd
+    if "q_a_w" in lp:
+        qa = rms_norm(_proj(x, lp["q_a_w"]), lp["q_a_norm"], cfg.rms_eps)
+        q = _proj(qa, lp["q_b_w"])
+    else:
+        q = _proj(x, lp["q_w"])
+    q = q.reshape(b, t, cfg.q_heads, nope + rp)
+    kv_a = _proj(x, lp["kv_a_w"])                 # [B,T, lora+rp]
+    c_kv = rms_norm(kv_a[..., :cfg.kv_lora_rank], lp["kv_a_norm"],
+                    cfg.rms_eps)
+    k_pe = kv_a[..., None, cfg.kv_lora_rank:]     # [B,T,1,rp] shared
+    kv = _proj(c_kv, lp["kv_b_w"]).reshape(b, t, cfg.q_heads, nope + vd)
+    k_nope, v = kv[..., :nope], kv[..., nope:]
+    q_nope, q_pe = q[..., :nope], q[..., nope:]
+    if cfg.rope_interleaved:
+        q_pe = _deinterleave_pairs(q_pe)
+        k_pe = _deinterleave_pairs(k_pe)
+    q_pe = apply_rope(q_pe, cos, sin)
+    k_pe = apply_rope(k_pe, cos, sin)
+    q = jnp.concatenate([q_nope, q_pe], axis=-1)
+    k = jnp.concatenate(
+        [k_nope, jnp.broadcast_to(k_pe, (b, t, cfg.q_heads, rp))],
+        axis=-1)
+    if vd < hd:     # pad v into the uniform cache head_dim
+        v = jnp.pad(v, [(0, 0)] * 3 + [(0, hd - vd)])
+    return q, k, v
+
+
 def _qkv(x, lp, cfg: Qwen3Config, cos, sin, pre: bool = False):
     """Project + qk-norm + rope. x [B, T, H] → q [B,T,qh,D], k/v [B,T,kh,D].
 
@@ -766,6 +861,8 @@ def _qkv(x, lp, cfg: Qwen3Config, cos, sin, pre: bool = False):
     separate ``q_w``/``k_w``/``v_w``. ``pre``: x arrives block-permuted.
     """
     b, t, _ = x.shape
+    if "kv_a_w" in lp:
+        return _mla_qkv(x, lp, cfg, cos, sin)
     if "qkv_w" in lp:
         return _qkv_post(_proj(x, lp["qkv_w"], pre), lp, cfg, cos, sin)
     q = _proj(x, lp["q_w"], pre)
@@ -791,6 +888,13 @@ def _merge_heads(attn_heads, cfg: Qwen3Config):
 
 
 def _attn_out(attn_heads, lp, cfg: Qwen3Config, pre: bool = False):
+    if cfg.v_head_dim and cfg.v_head_dim < cfg.head_dim:
+        # MLA: drop the v zero-pad before o_proj ([.., v_head_dim] rows)
+        attn_heads = attn_heads[..., :cfg.v_head_dim]
+        b, t = attn_heads.shape[0], attn_heads.shape[2]
+        merged = attn_heads.transpose(0, 2, 1, 3).reshape(
+            b, t, cfg.q_heads * cfg.v_head_dim)
+        return _proj(merged, lp["o_w"], pre)
     merged = _merge_heads(attn_heads, cfg)
     if pre:
         # fused-q8 convention: o_w contracts block-permuted lanes and its
@@ -861,19 +965,7 @@ def _moe_mlp(x, lp, cfg: Qwen3Config):
     logits = jnp.dot(xf.astype(jnp.float32),
                      lp["router_w"].astype(jnp.float32),
                      preferred_element_type=jnp.float32)       # [N, E]
-    if "router_b" in lp:
-        logits = logits + lp["router_b"].astype(jnp.float32)
-    if cfg.router_scoring == "topk_softmax":
-        # gpt-oss: top-k over raw logits, softmax over the k survivors
-        # (``GptOssTopKRouter``)
-        topl, topi = jax.lax.top_k(logits, k)                  # [N, K]
-        topv = jax.nn.softmax(topl, axis=-1)
-    else:
-        # qwen3moe: softmax over ALL experts, then take the top-k
-        probs = jax.nn.softmax(logits, axis=-1)
-        topv, topi = jax.lax.top_k(probs, k)                   # [N, K]
-        if cfg.norm_topk_prob:
-            topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    topv, topi = _moe_route(logits, lp, cfg)
 
     gw, uw, dw = lp["moe_gate_w"], lp["moe_up_w"], lp["moe_down_w"]
     gb, ub, db = (lp.get("moe_gate_b"), lp.get("moe_up_b"),
@@ -899,7 +991,62 @@ def _moe_mlp(x, lp, cfg: Qwen3Config):
     else:
         out = _moe_dense_dispatch(xf, topv, topi, gw, uw, dw, cfg,
                                   gb=gb, ub=ub, db=db)
+    if "shared_gate_w" in lp:
+        # deepseek shared experts: an always-on dense gated MLP added to
+        # the routed output (``DeepseekV2MLP`` at n_shared·moe_ffn width)
+        shared = _mlp(xf.astype(x.dtype),
+                      {"gate_w": lp["shared_gate_w"],
+                       "up_w": lp["shared_up_w"],
+                       "down_w": lp["shared_down_w"]}, act=cfg.act)
+        out = out + shared.astype(jnp.float32)
     return out.reshape(*lead, h).astype(x.dtype)
+
+
+def _moe_route(logits, lp, cfg: Qwen3Config):
+    """Routing logits [N, E] → (weights [N, K], indices [N, K]).
+
+    Three scoring families: softmax-then-topk (qwen3moe/deepseek2),
+    topk-then-softmax (gpt-oss), and sigmoid scores with a
+    selection-only correction bias + optional group-limited top-k
+    (deepseek3's ``DeepseekV3TopkRouter``: groups are ranked by the sum
+    of their top-2 biased scores, non-surviving groups zeroed before
+    selection; the WEIGHTS use the unbiased scores)."""
+    k = cfg.n_experts_per_tok
+    if cfg.router_scoring == "topk_softmax":
+        if "router_b" in lp:
+            logits = logits + lp["router_b"].astype(jnp.float32)
+        topl, topi = jax.lax.top_k(logits, k)                  # [N, K]
+        return jax.nn.softmax(topl, axis=-1), topi
+    if cfg.router_scoring == "sigmoid":
+        scores = jax.nn.sigmoid(logits)
+        choice = scores
+        if "router_b" in lp:     # e_score_correction_bias
+            choice = choice + lp["router_b"].astype(jnp.float32)
+        if cfg.n_group and cfg.topk_group:
+            n, e = choice.shape
+            per = e // cfg.n_group
+            grp = choice.reshape(n, cfg.n_group, per)
+            gscore = jnp.sum(jax.lax.top_k(grp, 2)[0], axis=-1)  # [N,G]
+            _, gi = jax.lax.top_k(gscore, cfg.topk_group)
+            keep = jnp.zeros((n, cfg.n_group), bool).at[
+                jnp.arange(n)[:, None], gi].set(True)
+            choice = jnp.where(
+                jnp.repeat(keep, per, axis=1), choice, 0.0)
+        _, topi = jax.lax.top_k(choice, k)
+        topv = jnp.take_along_axis(scores, topi, axis=-1)
+        if cfg.norm_topk_prob:
+            topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
+        return topv * cfg.routed_scaling_factor, topi
+    # softmax over ALL experts, then take the top-k
+    if "router_b" in lp:
+        logits = logits + lp["router_b"].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, k)                       # [N, K]
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if cfg.routed_scaling_factor != 1.0:
+        topv = topv * cfg.routed_scaling_factor
+    return topv, topi
 
 
 def _moe_act(g, u, cfg: Qwen3Config):
@@ -1146,14 +1293,15 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
     dense, quant = _split_quant_layers(params["layers"])
     gflags = _global_layer_flags(cfg)
 
-    def layer(x, xs):
+    def layer(x, xs, _quant=None):
         l, g, lp_dense = xs
         if cfg.sliding_pattern:    # static: qwen-family skips the selects
             lcos, lsin = jnp.where(g, cos, cos_l), jnp.where(g, sin, sin_l)
             lbias = jnp.where(g, bias, bias_l)
         else:
             lcos, lsin, lbias = cos, sin, bias
-        lp = _layer_params(lp_dense, quant, l)
+        lp = _layer_params(lp_dense, quant if _quant is None else _quant,
+                           l)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
         scores = _gqa_scores(q, k, cfg) + lbias
@@ -1169,9 +1317,23 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
         x = x + mlp
         return x, (k, v)
 
+    k0 = _pre_layer_count(params)
+    pre_kv = []
+    if k0:      # heterogeneous prefix (deepseek first-k dense layers)
+        dense_p, quant_p = _split_quant_layers(params["layers_pre"])
+        for l in range(k0):
+            x, kvl = layer(x, (l, gflags[l],
+                               _dense_layer_slice(dense_p, l)),
+                           _quant=quant_p)
+            pre_kv.append(kvl)
     x, (ks, vs) = jax.lax.scan(
-        layer, x, (jnp.arange(cfg.n_layers, dtype=jnp.int32), gflags,
-                   dense))
+        layer, x, (jnp.arange(cfg.n_layers - k0, dtype=jnp.int32),
+                   gflags[k0:], dense))
+    if pre_kv:
+        ks = jnp.concatenate(
+            [jnp.stack([k for k, _ in pre_kv]), ks], axis=0)
+        vs = jnp.concatenate(
+            [jnp.stack([v for _, v in pre_kv]), vs], axis=0)
 
     kv_dtype = x.dtype
     pad_len = kv_max_len - p
@@ -1245,15 +1407,16 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         lbias = bias if lbias is None else lbias
         return _attend_cache(q, K, V, l, lbias, cfg, sinks), K, V
 
-    def layer(carry, inputs):
+    def layer(carry, inputs, _quant=None):
         x, K, V = carry
-        l, g, lp_dense = inputs
+        l, lq, g, lp_dense = inputs   # l: global cache idx; lq: in-stack
         if cfg.sliding_pattern:    # static: qwen-family skips the selects
             lcos, lsin = jnp.where(g, cos, cos_l), jnp.where(g, sin, sin_l)
             lbias = jnp.where(g, bias, bias_l)
         else:
             lcos, lsin, lbias = cos, sin, bias
-        lp = _layer_params(lp_dense, quant, l)
+        lp = _layer_params(lp_dense, quant if _quant is None else _quant,
+                           lq)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
         heads, K, V = attn_core(q, k, v, K, V, l, lbias,
@@ -1271,6 +1434,17 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
                 mlp = rms_norm(mlp, lp["ffn_post_ln"], cfg.rms_eps)
             x = x + mlp
         return (x, K, V), jnp.int32(0)
+
+    k0 = _pre_layer_count(params)
+
+    def run_pre(carry, gflags):
+        dense_p, quant_p = _split_quant_layers(params["layers_pre"])
+        for l in range(k0):
+            carry, _ = layer(
+                carry, (l, l, gflags[l],
+                        _dense_layer_slice(dense_p, l)),
+                _quant=quant_p)
+        return carry
 
     if ("q8_mega" in params and b == 1
             and not isinstance(kv.k, QuantKV) and kv.k.ndim == 4):
@@ -1313,7 +1487,7 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
     logits = None                    # set in-branch when the head fuses
     if quant and fused_i and _unroll_decode(default=True):
         # megacall v3: int8-dot layer chain, residual column-major
-        lps = [_layer_params({key: w[l] for key, w in dense.items()},
+        lps = [_layer_params(_dense_layer_slice(dense, l),
                              quant, l) for l in range(cfg.n_layers)]
         h0 = rms_norm(x, lps[0]["input_ln"], cfg.rms_eps)
         qkv_raw = _proj(h0, lps[0]["qkv_w"])
@@ -1340,7 +1514,7 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         # l+1's qkv projection, so each layer costs ONE kernel launch;
         # the LAST layer's call also emits the lm_head logits when the
         # staged head path is available.
-        lps = [_layer_params({key: w[l] for key, w in dense.items()},
+        lps = [_layer_params(_dense_layer_slice(dense, l),
                              quant, l) for l in range(cfg.n_layers)]
         h0 = rms_norm(x, lps[0]["input_ln"], cfg.rms_eps)
         qkv_raw = _proj(h0, lps[0]["qkv_w"], True)
@@ -1369,15 +1543,22 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
         # so weights stream copy-free with no scalar-prefetch plumbing.
         gflags = _global_layer_flags(cfg)
         carry = (x, kv.k, kv.v)
-        for l in range(cfg.n_layers):
-            dense_l = {key: w[l] for key, w in dense.items()}
-            carry, _ = layer(carry, (l, gflags[l], dense_l))
+        if k0:
+            carry = run_pre(carry, gflags)
+        for l in range(k0, cfg.n_layers):
+            dense_l = _dense_layer_slice(dense, l - k0)
+            carry, _ = layer(carry, (l, l - k0, gflags[l], dense_l))
         x, ks, vs = carry
     else:
+        gflags = _global_layer_flags(cfg)
+        carry = (x, kv.k, kv.v)
+        if k0:
+            carry = run_pre(carry, gflags)
+        nl = cfg.n_layers - k0
         (x, ks, vs), _ = jax.lax.scan(
-            layer, (x, kv.k, kv.v),
-            (jnp.arange(cfg.n_layers, dtype=jnp.int32),
-             _global_layer_flags(cfg), dense))
+            layer, carry,
+            (k0 + jnp.arange(nl, dtype=jnp.int32),
+             jnp.arange(nl, dtype=jnp.int32), gflags[k0:], dense))
     if logits is None:
         x = rms_norm(x, params["final_ln"], cfg.rms_eps)
         logits = _logits(params, x[:, 0, :], cfg)
@@ -1454,15 +1635,16 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
         lbias = bias if lbias is None else lbias
         return _attend_cache(q, K, V, l, lbias, cfg, sinks), K, V
 
-    def layer(carry, inputs):
+    def layer(carry, inputs, _quant=None):
         x, K, V = carry
-        l, g, lp_dense = inputs
+        l, lq, g, lp_dense = inputs   # l: global cache idx; lq: in-stack
         if cfg.sliding_pattern:    # static: qwen-family skips the selects
             lcos, lsin = jnp.where(g, cos, cos_l), jnp.where(g, sin, sin_l)
             lbias = jnp.where(g, bias, bias_l)
         else:
             lcos, lsin, lbias = cos, sin, bias
-        lp = _layer_params(lp_dense, quant, l)
+        lp = _layer_params(lp_dense, quant if _quant is None else _quant,
+                           lq)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
         heads, K, V = attn_core(q, k, v, K, V, l, lbias,
@@ -1481,11 +1663,22 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
             x = x + mlp
         return (x, K, V), jnp.int32(0)
 
+    k0 = _pre_layer_count(params)
+
+    def run_pre(carry, gflags):
+        dense_p, quant_p = _split_quant_layers(params["layers_pre"])
+        for l in range(k0):
+            carry, _ = layer(
+                carry, (l, l, gflags[l],
+                        _dense_layer_slice(dense_p, l)),
+                _quant=quant_p)
+        return carry
+
     fused_i = "q8i_fused" in params
     logits = None                    # set in-branch when the head fuses
     if quant and fused_i and _unroll_decode(default=True):
         # megacall v3 (see qwen3_decode_step): int8-dot chain, m = B*T
-        lps = [_layer_params({key: w[l] for key, w in dense.items()},
+        lps = [_layer_params(_dense_layer_slice(dense, l),
                              quant, l) for l in range(cfg.n_layers)]
         h0 = rms_norm(x, lps[0]["input_ln"], cfg.rms_eps)
         qkv_raw = _proj(h0, lps[0]["qkv_w"])
@@ -1510,7 +1703,7 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
     elif quant and fused and _unroll_decode(default=True):
         # megacall v2 (see qwen3_decode_step): one Pallas call per layer,
         # lm_head fused into the last layer's call when available
-        lps = [_layer_params({key: w[l] for key, w in dense.items()},
+        lps = [_layer_params(_dense_layer_slice(dense, l),
                              quant, l) for l in range(cfg.n_layers)]
         h0 = rms_norm(x, lps[0]["input_ln"], cfg.rms_eps)
         qkv_raw = _proj(h0, lps[0]["qkv_w"], True)
@@ -1537,15 +1730,22 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
     elif quant and _unroll_decode():
         gflags = _global_layer_flags(cfg)
         carry = (x, kv.k, kv.v)
-        for l in range(cfg.n_layers):
-            dense_l = {key: w[l] for key, w in dense.items()}
-            carry, _ = layer(carry, (l, gflags[l], dense_l))
+        if k0:
+            carry = run_pre(carry, gflags)
+        for l in range(k0, cfg.n_layers):
+            dense_l = _dense_layer_slice(dense, l - k0)
+            carry, _ = layer(carry, (l, l - k0, gflags[l], dense_l))
         x, ks, vs = carry
     else:
+        gflags = _global_layer_flags(cfg)
+        carry = (x, kv.k, kv.v)
+        if k0:
+            carry = run_pre(carry, gflags)
+        nl = cfg.n_layers - k0
         (x, ks, vs), _ = jax.lax.scan(
-            layer, (x, kv.k, kv.v),
-            (jnp.arange(cfg.n_layers, dtype=jnp.int32),
-             _global_layer_flags(cfg), dense))
+            layer, carry,
+            (k0 + jnp.arange(nl, dtype=jnp.int32),
+             jnp.arange(nl, dtype=jnp.int32), gflags[k0:], dense))
     if logits is None:
         x = rms_norm(x, params["final_ln"], cfg.rms_eps)
         logits = _logits(params, x, cfg)                          # [B,T,V]
@@ -1580,14 +1780,15 @@ def qwen3_forward_logits(params, embeds, attn_mask, cfg: Qwen3Config):
 
     dense, quant = _split_quant_layers(params["layers"])
 
-    def layer(x, xs):
+    def layer(x, xs, _quant=None):
         l, g, lp_dense = xs
         if cfg.sliding_pattern:    # static: qwen-family skips the selects
             lcos, lsin = jnp.where(g, cos, cos_l), jnp.where(g, sin, sin_l)
             lbias = jnp.where(g, bias, bias_l)
         else:
             lcos, lsin, lbias = cos, sin, bias
-        lp = _layer_params(lp_dense, quant, l)
+        lp = _layer_params(lp_dense, quant if _quant is None else _quant,
+                           l)
         h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
         scores = _gqa_scores(q, k, cfg) + lbias
@@ -1603,9 +1804,17 @@ def qwen3_forward_logits(params, embeds, attn_mask, cfg: Qwen3Config):
         x = x + mlp
         return x, None
 
+    gflags = _global_layer_flags(cfg)
+    k0 = _pre_layer_count(params)
+    if k0:      # heterogeneous prefix (deepseek first-k dense layers)
+        dense_p, quant_p = _split_quant_layers(params["layers_pre"])
+        for l in range(k0):
+            x, _ = layer(x, (l, gflags[l],
+                             _dense_layer_slice(dense_p, l)),
+                         _quant=quant_p)
     x, _ = jax.lax.scan(
-        layer, x, (jnp.arange(cfg.n_layers, dtype=jnp.int32),
-                   _global_layer_flags(cfg), dense))
+        layer, x, (jnp.arange(cfg.n_layers - k0, dtype=jnp.int32),
+                   gflags[k0:], dense))
     x = rms_norm(x, params["final_ln"], cfg.rms_eps)
     return _logits(params, x, cfg)
 
@@ -1718,30 +1927,73 @@ def init_qwen3_params(rng, cfg: Qwen3Config, dtype=jnp.float32):
     layers = {
         "input_ln": jnp.ones((n, h), dtype),
         "post_ln": jnp.ones((n, h), dtype),
-        "q_w": norm(keys[0], (n, h, qd), s_h),
-        "k_w": norm(keys[1], (n, h, kd), s_h),
-        "v_w": norm(keys[2], (n, h, kd), s_h),
-        "o_w": norm(keys[3], (n, qd, h), s_q),
     }
-    if cfg.is_moe:
-        e, f = cfg.n_experts, cfg.moe_ffn_dim
-        mkeys = jax.random.split(keys[4], 8)
-        layers["router_w"] = norm(mkeys[0], (n, h, e), s_h)
-        layers["moe_gate_w"] = norm(mkeys[1], (n, e, h, f), s_h)
-        layers["moe_up_w"] = norm(mkeys[2], (n, e, h, f), s_h)
-        layers["moe_down_w"] = norm(mkeys[3], (n, e, f, h), f ** -0.5)
-        if cfg.router_bias:
-            layers["router_b"] = norm(mkeys[4], (n, e), 0.02)
-        if cfg.moe_bias:
-            layers["moe_gate_b"] = norm(mkeys[5], (n, e, f), 0.02)
-            layers["moe_up_b"] = norm(mkeys[6], (n, e, f), 0.02)
-            layers["moe_down_b"] = norm(mkeys[7], (n, e, h), 0.02)
+    if cfg.kv_lora_rank:
+        # MLA (deepseek): low-rank kv (+ optionally q); o contracts
+        # q_heads·v_head_dim rows
+        lora, rp = cfg.kv_lora_rank, cfg.qk_rope_dim
+        vd = cfg.v_head_dim or cfg.head_dim
+        akeys = jax.random.split(keys[0], 6)
+        if cfg.q_lora_rank:
+            layers["q_a_w"] = norm(akeys[0], (n, h, cfg.q_lora_rank), s_h)
+            layers["q_a_norm"] = jnp.ones((n, cfg.q_lora_rank), dtype)
+            layers["q_b_w"] = norm(akeys[1], (n, cfg.q_lora_rank, qd),
+                                   cfg.q_lora_rank ** -0.5)
+        else:
+            layers["q_w"] = norm(akeys[0], (n, h, qd), s_h)
+        layers["kv_a_w"] = norm(akeys[2], (n, h, lora + rp), s_h)
+        layers["kv_a_norm"] = jnp.ones((n, lora), dtype)
+        layers["kv_b_w"] = norm(
+            akeys[3], (n, lora, cfg.q_heads * (cfg.qk_nope_dim + vd)),
+            lora ** -0.5)
+        layers["o_w"] = norm(keys[3], (n, cfg.q_heads * vd, h),
+                             (cfg.q_heads * vd) ** -0.5)
     else:
         layers.update({
-            "gate_w": norm(keys[4], (n, h, cfg.ffn_dim), s_h),
-            "up_w": norm(keys[5], (n, h, cfg.ffn_dim), s_h),
-            "down_w": norm(keys[6], (n, cfg.ffn_dim, h), s_f),
+            "q_w": norm(keys[0], (n, h, qd), s_h),
+            "k_w": norm(keys[1], (n, h, kd), s_h),
+            "v_w": norm(keys[2], (n, h, kd), s_h),
+            "o_w": norm(keys[3], (n, qd, h), s_q),
         })
+    k0 = cfg.moe_first_dense if cfg.is_moe else 0
+
+    def moe_keys(nl, base):
+        # key derivations are frozen (split(base, 8) + fold_in for the
+        # shared experts): tests pin behaviors of specific seeds
+        e, f = cfg.n_experts, cfg.moe_ffn_dim
+        mkeys = jax.random.split(base, 8)
+        d = {
+            "router_w": norm(mkeys[0], (nl, h, e), s_h),
+            "moe_gate_w": norm(mkeys[1], (nl, e, h, f), s_h),
+            "moe_up_w": norm(mkeys[2], (nl, e, h, f), s_h),
+            "moe_down_w": norm(mkeys[3], (nl, e, f, h), f ** -0.5),
+        }
+        if cfg.router_bias:
+            d["router_b"] = norm(mkeys[4], (nl, e), 0.02)
+        if cfg.moe_bias:
+            d["moe_gate_b"] = norm(mkeys[5], (nl, e, f), 0.02)
+            d["moe_up_b"] = norm(mkeys[6], (nl, e, f), 0.02)
+            d["moe_down_b"] = norm(mkeys[7], (nl, e, h), 0.02)
+        if cfg.n_shared_experts:
+            sf = cfg.n_shared_experts * f
+            skeys = jax.random.split(jax.random.fold_in(base, 1), 3)
+            d["shared_gate_w"] = norm(skeys[0], (nl, h, sf), s_h)
+            d["shared_up_w"] = norm(skeys[1], (nl, h, sf), s_h)
+            d["shared_down_w"] = norm(skeys[2], (nl, sf, h), sf ** -0.5)
+        return d
+
+    def dense_keys(nl, base3):
+        kg, ku, kd2 = base3
+        return {
+            "gate_w": norm(kg, (nl, h, cfg.ffn_dim), s_h),
+            "up_w": norm(ku, (nl, h, cfg.ffn_dim), s_h),
+            "down_w": norm(kd2, (nl, cfg.ffn_dim, h), s_f),
+        }
+
+    if cfg.is_moe:
+        layers.update(moe_keys(n - k0, keys[4]))
+    else:
+        layers.update(dense_keys(n, (keys[4], keys[5], keys[6])))
     if cfg.qk_norm:
         layers["q_norm"] = jnp.ones((n, cfg.head_dim), dtype)
         layers["k_norm"] = jnp.ones((n, cfg.head_dim), dtype)
@@ -1763,6 +2015,19 @@ def init_qwen3_params(rng, cfg: Qwen3Config, dtype=jnp.float32):
         "final_ln": jnp.ones((h,), dtype),
         "embed": norm(keys[7], (cfg.vocab_size, h), 0.02),
     }
+    if k0:
+        # heterogeneous stacks (deepseek first_k_dense_replace): the
+        # first k layers carry a dense MLP; attention/norm keys split
+        # off the full-depth stacks built above
+        pre3 = jax.random.split(jax.random.fold_in(keys[5], 7), 3)
+        mlp_keys = set(moe_keys(1, keys[5])) | set(dense_keys(1, pre3))
+        pre = {key: w[:k0] for key, w in layers.items()
+               if key not in mlp_keys}
+        pre.update(dense_keys(k0, pre3))
+        main = {key: (w if key in mlp_keys else w[k0:])
+                for key, w in layers.items()}
+        params["layers"] = main
+        params["layers_pre"] = pre
     if not cfg.tie_embeddings:
         params["lm_head"] = norm(keys[7], (h, cfg.vocab_size), s_h)
     return params

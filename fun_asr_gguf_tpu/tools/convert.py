@@ -67,7 +67,26 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
             "model.layers.{}.post_attention_layernorm.weight"),
         "o_w": stack("model.layers.{}.self_attn.o_proj.weight"),
     }
-    if "model.layers.0.self_attn.qkv_proj.weight" in sd:
+    if "model.layers.0.self_attn.kv_a_proj_with_mqa.weight" in sd:
+        # deepseek MLA: low-rank kv (+ optional q) with a shared rotary
+        # key riding the kv_a projection's tail dims
+        if "model.layers.0.self_attn.q_a_proj.weight" in sd:
+            layers["q_a_w"] = stack(
+                "model.layers.{}.self_attn.q_a_proj.weight")
+            layers["q_a_norm"] = stack_vec(
+                "model.layers.{}.self_attn.q_a_layernorm.weight")
+            layers["q_b_w"] = stack(
+                "model.layers.{}.self_attn.q_b_proj.weight")
+        else:
+            layers["q_w"] = stack(
+                "model.layers.{}.self_attn.q_proj.weight")
+        layers["kv_a_w"] = stack(
+            "model.layers.{}.self_attn.kv_a_proj_with_mqa.weight")
+        layers["kv_a_norm"] = stack_vec(
+            "model.layers.{}.self_attn.kv_a_layernorm.weight")
+        layers["kv_b_w"] = stack(
+            "model.layers.{}.self_attn.kv_b_proj.weight")
+    elif "model.layers.0.self_attn.qkv_proj.weight" in sd:
         # phi3 stores one fused [q; k; v] projection
         # (reference Phi3MiniModel keeps it fused in GGUF too)
         qd = cfg.q_heads * cfg.head_dim
@@ -83,7 +102,46 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
             "k_w": stack("model.layers.{}.self_attn.k_proj.weight"),
             "v_w": stack("model.layers.{}.self_attn.v_proj.weight"),
         })
-    if cfg.is_moe and "model.layers.0.mlp.experts.gate_up_proj" in sd:
+    pre_mlp = {}
+    if cfg.is_moe and cfg.arch == "deepseek2":
+        # deepseek MoE: per-expert projections + shared experts; the
+        # first ``first_k_dense_replace`` layers carry a plain dense MLP
+        # (split into the ``layers_pre`` stack below)
+        k0 = cfg.moe_first_dense
+        rng_moe = range(k0, cfg.n_layers)
+
+        def estack_r(fmt):
+            return np.stack([
+                np.stack([t(fmt.format(i, e))
+                          for e in range(cfg.n_experts)])
+                for i in rng_moe])
+
+        layers["router_w"] = np.stack(
+            [t(f"model.layers.{i}.mlp.gate.weight") for i in rng_moe])
+        if cfg.router_bias:
+            layers["router_b"] = np.stack(
+                [sd[f"model.layers.{i}.mlp.gate.e_score_correction_bias"]
+                 .astype(np.float32) for i in rng_moe])
+        layers["moe_gate_w"] = estack_r(
+            "model.layers.{}.mlp.experts.{}.gate_proj.weight")
+        layers["moe_up_w"] = estack_r(
+            "model.layers.{}.mlp.experts.{}.up_proj.weight")
+        layers["moe_down_w"] = estack_r(
+            "model.layers.{}.mlp.experts.{}.down_proj.weight")
+        if cfg.n_shared_experts:
+            for ours, hf in (("shared_gate_w", "gate_proj"),
+                             ("shared_up_w", "up_proj"),
+                             ("shared_down_w", "down_proj")):
+                layers[ours] = np.stack(
+                    [t(f"model.layers.{i}.mlp.shared_experts."
+                       f"{hf}.weight") for i in rng_moe])
+        for ours, hf in (("gate_w", "gate_proj"), ("up_w", "up_proj"),
+                         ("down_w", "down_proj")):
+            if k0:
+                pre_mlp[ours] = np.stack(
+                    [t(f"model.layers.{i}.mlp.{hf}.weight")
+                     for i in range(k0)])
+    elif cfg.is_moe and "model.layers.0.mlp.experts.gate_up_proj" in sd:
         # gpt-oss expert block: stacked fused tensors, gate/up channels
         # INTERLEAVED along the last dim ([E, h, 2f], gate = [..., ::2] —
         # ``GptOssExperts``); biases per expert; biased router
@@ -161,6 +219,19 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
         "final_ln": sd["model.norm.weight"].astype(np.float32) + shift,
         "embed": sd["model.embed_tokens.weight"].astype(np.float32),
     }
+    if pre_mlp:
+        # heterogeneous stacks: attention/norm keys split at the dense
+        # prefix boundary; MoE keys already cover only the main stack
+        k0 = cfg.moe_first_dense
+        moe_keys = {"router_w", "router_b", "moe_gate_w", "moe_up_w",
+                    "moe_down_w", "shared_gate_w", "shared_up_w",
+                    "shared_down_w"}
+        pre = {key: w[:k0] for key, w in layers.items()
+               if key not in moe_keys}
+        pre.update(pre_mlp)
+        params["layers"] = {key: (w if key in moe_keys else w[k0:])
+                            for key, w in layers.items()}
+        params["layers_pre"] = pre
     if "lm_head.weight" in sd and not cfg.tie_embeddings:
         params["lm_head"] = t("lm_head.weight")
     return params
@@ -187,6 +258,11 @@ _HF_ARCHS = {
     # and router, interleaved fused gate_up experts, YaRN rope,
     # alternating sliding/full attention
     "GptOssForCausalLM": ("gpt-oss", False, True),
+    # deepseek2/3 (reference converter: DeepseekV2Model): MLA attention
+    # (low-rank kv + optional q compression, shared rotary key), MoE
+    # with shared experts / first-k dense layers / sigmoid+group routing
+    "DeepseekV2ForCausalLM": ("deepseek2", False, False),
+    "DeepseekV3ForCausalLM": ("deepseek2", False, False),
 }
 
 
@@ -276,6 +352,67 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
             rope_attn_factor=af,
             rope_yarn_factor=yf,
         )
+    ds = {}
+    if arch == "deepseek2":
+        rs = config.get("rope_scaling") or {}
+        if rs:
+            # DeepSeek yarn: factors via the shared NTK-by-parts recipe;
+            # attention factor from the mscale pair (HF
+            # _compute_yarn_parameters: get_mscale(f, m)/get_mscale(f,
+            # m_all) — identical mscales cancel to 1.0)
+            import math
+            from ..models.config import yarn_rope_params
+            f = float(rs.get("factor", 1.0))
+            ms = float(rs.get("mscale", 1.0) or 1.0)
+            msa = float(rs.get("mscale_all_dim", 0.0) or 0.0)
+
+            def get_mscale(scale, m):
+                return (0.1 * m * math.log(scale) + 1.0
+                        if scale > 1 and m else 1.0)
+            af = (get_mscale(f, ms) / get_mscale(f, msa)
+                  if msa else get_mscale(f, ms))
+            factors, _ = yarn_rope_params(
+                config["qk_rope_head_dim"],
+                float(config.get("rope_theta", 1e4)), f,
+                int(rs.get("original_max_position_embeddings", 4096)),
+                beta_fast=float(rs.get("beta_fast", 32.0)),
+                beta_slow=float(rs.get("beta_slow", 1.0)))
+            ds.update(rope_factors_short=factors, rope_attn_factor=af,
+                      rope_yarn_factor=f,
+                      rope_orig_max_position=int(
+                          rs.get("original_max_position_embeddings",
+                                 4096)))
+        moe_cfg = {}
+        if config.get("n_routed_experts"):
+            scoring = config.get("scoring_func", "softmax")
+            moe_cfg = dict(
+                n_experts=config["n_routed_experts"],
+                n_experts_per_tok=config["num_experts_per_tok"],
+                moe_ffn_dim=config["moe_intermediate_size"],
+                norm_topk_prob=bool(config.get("norm_topk_prob", False)),
+                moe_first_dense=int(
+                    config.get("first_k_dense_replace", 0)),
+                n_shared_experts=int(
+                    config.get("n_shared_experts", 0) or 0),
+                routed_scaling_factor=float(
+                    config.get("routed_scaling_factor", 1.0)),
+                router_scoring=("sigmoid" if scoring == "sigmoid"
+                                else "softmax_topk"),
+            )
+            if config.get("topk_method") == "noaux_tc":
+                moe_cfg.update(n_group=int(config.get("n_group", 0) or 0),
+                               topk_group=int(
+                                   config.get("topk_group", 0) or 0),
+                               router_bias=True)
+        ds.update(
+            q_lora_rank=int(config.get("q_lora_rank") or 0),
+            kv_lora_rank=config["kv_lora_rank"],
+            qk_nope_dim=config["qk_nope_head_dim"],
+            qk_rope_dim=config["qk_rope_head_dim"],
+            v_head_dim=config["v_head_dim"],
+            rope_dim=config["qk_rope_head_dim"],
+            rope_interleaved=True,
+            **moe_cfg)
     phi = {}
     if arch == "phi3":
         import math
@@ -311,18 +448,24 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
             sliding_pattern=(nl + 1) if sw else 0,
             rope_local_theta=float(config.get("rope_theta", 1e4)),
         )
+    if arch == "deepseek2":
+        # per-head qk dim is nope+rope (v may differ; cache pads)
+        head_dim = config["qk_nope_head_dim"] + config["qk_rope_head_dim"]
+    else:
+        head_dim = config.get("head_dim",
+                              config["hidden_size"]
+                              // config["num_attention_heads"])
     return Qwen3Config(
         **moe,
         **gemma,
         **oss,
+        **ds,
         **phi,
         hidden=config["hidden_size"],
         n_layers=config["num_hidden_layers"],
         q_heads=config["num_attention_heads"],
         kv_heads=config["num_key_value_heads"],
-        head_dim=config.get("head_dim",
-                            config["hidden_size"]
-                            // config["num_attention_heads"]),
+        head_dim=head_dim,
         ffn_dim=config["intermediate_size"],
         vocab_size=config["vocab_size"],
         rope_theta=float(config.get("rope_theta", 1e6)),
