@@ -262,6 +262,7 @@ def test_gguf_q8_0_round_trip_still_decodes(pair, tmp_path):
     assert np.array_equal(np.argmax(a, -1), np.argmax(b, -1))
 
 
+@pytest.mark.slow   # gate-trim: HF greedy parity above covers decode
 def test_tiny_gptoss_decode_consistency():
     """The random-init tiny_gptoss config must agree between the full
     forward and prefill+decode (covers the sinks/bias/topk-router path

@@ -349,6 +349,7 @@ class TestPipeline:
             np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                        rtol=5e-4, atol=1e-5)
 
+    @pytest.mark.slow   # gate-trim: pp_forward parity + dryrun cover pp
     def test_pp_train_step_decreases_loss(self):
         import optax
         from fun_asr_gguf_tpu.parallel.pipeline import (make_pp_train_step,
@@ -393,6 +394,7 @@ def test_validate_mesh_shape():
 
 
 class TestInt4TP:
+    @pytest.mark.slow   # gate-trim: int4 numerics covered unsharded
     def test_sharded_int4_generation_matches_single(self):
         """w4a16 weights under a TP mesh: same greedy tokens as the
         unsharded int4 model (group-scale axes shard with the packed

@@ -116,6 +116,7 @@ class TestMegaKernel:
         np.testing.assert_allclose(np.asarray(v_new), ref_v_row,
                                    rtol=2e-2, atol=2e-2)
 
+    @pytest.mark.slow   # gate-trim: decode-step parity covers the kernel
     def test_left_padded_window(self, mega_setup):
         """valid_from > 0 (left-padded prompt) masks the pad slots."""
         cfg, params, qp = mega_setup
@@ -146,6 +147,7 @@ class TestMegaKernel:
         np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
         assert int(got.argmax()) == int(ref.argmax())
 
+    @pytest.mark.slow   # gate-trim: decode-step parity covers the kernel
     def test_generate_chunk_matches_nonmega(self, mega_setup):
         """End-to-end integration: prefill_init + generate_chunk with the
         q8_mega marker (head-major cache + megakernel decode steps) emits
@@ -181,6 +183,7 @@ class TestMegaKernel:
         got = run(mega)
         assert got == base
 
+    @pytest.mark.slow   # gate-trim: compile-heavy negative case
     def test_fuse_mega_skips_tiny_shapes(self):
         from fun_asr_gguf_tpu.models.qwen3 import fuse_qwen3_params_q8_mega
         cfg = Qwen3Config.tiny(vocab_size=512)

@@ -430,6 +430,7 @@ class TestSpecToGen:
     sequence (the engine abandons drafting mid-utterance when the
     emitted-tokens-per-round rate drops below break-even)."""
 
+    @pytest.mark.slow   # gate-trim: the guardrail-engine E2E covers conversion
     def test_mid_stream_conversion_matches_pure_greedy(self):
         # XLA:CPU segfaults (rc=139/134) compiling THIS test's programs
         # late in a long suite — at three different crash sites across
