@@ -222,45 +222,62 @@ class BatchStreamDecoder:
             spec_k = models.config.spec_k
             emitted_total = 0
             first_chunk = True
+            n_gen_np = np.zeros((b,), np.int64)   # fresh prefill: 0 emitted
             while True:
                 # budget by state.n_gen (stop tokens are NOT counted, the
                 # reference single-stream semantics) — raw emitted-token
                 # counts would charge a stopping row one extra slot
-                n_gen = np.asarray(state.n_gen).astype(np.int64)
                 todo = np.minimum(chunk_len,
-                                  models.config.n_predict - n_gen)
+                                  models.config.n_predict - n_gen_np)
+                call_k = spec_k
                 if first_chunk and spec_k > 0:
                     # probe: cap the first spec chunk so a bad batch of
                     # drafts is abandoned quickly (core/decoder.py's
                     # single stream probes 16; at batch >= 4 a verify
                     # round costs ~1.6-2x a plain step, so the probe
-                    # shortens to the guardrail's 8-round minimum)
+                    # shortens to the guardrail's 8-round minimum).
+                    # Batched SAMPLED rounds additionally pay exact
+                    # acceptance top-k over B·(K+1)·vocab logits
+                    # (~30 ms/round at b=8, K=8 — measured r04), so the
+                    # probe runs at K=2: one third the acceptance math,
+                    # same discrimination (a ≥85%-agreement draft emits
+                    # ~2.6/round at K=2, over the 1+0.13·8 ≈ 2.04 bar;
+                    # a ~50% draft emits ~1.75 and is dropped — exactly
+                    # as at K=8)
                     todo = np.minimum(todo, 16 if b < 4 else 8)
+                    if b >= 4 and temperature > 0:
+                        call_k = min(spec_k, 2)
                     first_chunk = False
                 state, tokens = spec_generate_chunk(
                     models.llm_params, state, draft_dev,
                     models.hybrid_cfg.llm,
                     jnp.asarray(temperature, jnp.float32),
                     jnp.asarray(top_p, jnp.float32), top_k,
-                    spec_k=spec_k, chunk_len=chunk_len,
+                    spec_k=call_k, chunk_len=chunk_len,
                     stop_tokens=models.stop_tokens,
                     limit=jnp.asarray(todo, jnp.int32),
                     greedy=(temperature <= 0))
-                toks_np = np.asarray(tokens)
+                # ONE batched host fetch per chunk: over the remote
+                # tunnel every device→host read pays ~10 ms of RTT, and
+                # five scattered np.asarray calls per chunk were ~40% of
+                # the measured b=8 step 4 wall time (phase-timed r04)
+                (toks_np, n_gen_f, done, rounds_f,
+                 slots_np) = jax.device_get(
+                    (tokens, state.n_gen, state.done, state.rounds,
+                     state.slot_next))
+                n_gen_np = n_gen_f.astype(np.int64)
                 token_chunks.append(toks_np)
                 if on_chunk is not None:
                     on_chunk(toks_np)
                 n_emit = (toks_np >= 0).sum(axis=1)
                 emitted_total += int(n_emit.sum())
-                done = np.asarray(state.done)
-                active = ~done & (np.asarray(state.n_gen)
-                                  < models.config.n_predict)
+                active = ~done & (n_gen_np < models.config.n_predict)
                 if not np.any(active):
                     break
                 if not np.any(n_emit[active] > 0):
                     break   # safety: no forward progress should be impossible
                 if spec_k > 0 and min_acc:
-                    rounds = int(np.asarray(state.rounds).max())
+                    rounds = int(rounds_f.max())
                     if (rounds >= 8
                             and emitted_total / (rounds * b) < min_acc):
                         logger.info(
@@ -270,7 +287,6 @@ class BatchStreamDecoder:
                             rounds)
                         spec_k = 0
                         draft_dev = jnp.full_like(draft_dev, -1)
-                        slots_np = np.asarray(state.slot_next)
                         if bool((slots_np == slots_np[0]).all()):
                             # rows still slot-aligned (near-zero
                             # acceptance advances every row one token per
@@ -285,10 +301,9 @@ class BatchStreamDecoder:
                                         "plain chunk program")
                             state = spec_to_gen(state)
                             while True:
-                                n_gen = np.asarray(state.n_gen
-                                                   ).astype(np.int64)
-                                act = (~np.asarray(state.done)
-                                       & (n_gen < models.config.n_predict))
+                                act = (~done
+                                       & (n_gen_np
+                                          < models.config.n_predict))
                                 if not act.any():
                                     break
                                 # active rows share one budget: they
@@ -297,7 +312,7 @@ class BatchStreamDecoder:
                                 todo = int(np.minimum(
                                     chunk_len,
                                     models.config.n_predict
-                                    - n_gen[act]).max())
+                                    - n_gen_np[act]).max())
                                 state, tokens = generate_chunk(
                                     models.llm_params, state,
                                     models.hybrid_cfg.llm,
@@ -307,7 +322,9 @@ class BatchStreamDecoder:
                                     stop_tokens=models.stop_tokens,
                                     limit=jnp.asarray(todo, jnp.int32),
                                     greedy=(temperature <= 0))
-                                toks_np = np.asarray(tokens)
+                                toks_np, n_gen_f, done = jax.device_get(
+                                    (tokens, state.n_gen, state.done))
+                                n_gen_np = n_gen_f.astype(np.int64)
                                 token_chunks.append(toks_np)
                                 if on_chunk is not None:
                                     on_chunk(toks_np)
@@ -324,16 +341,15 @@ class BatchStreamDecoder:
                     stop_tokens=models.stop_tokens,
                     limit=jnp.asarray(todo, jnp.int32),
                     greedy=(temperature <= 0))
-                toks_np = np.asarray(tokens)
+                toks_np, done_np = jax.device_get((tokens, state.done))
                 token_chunks.append(toks_np)
                 if on_chunk is not None:
                     on_chunk(toks_np)
                 generated += todo
-                if bool(np.all(np.asarray(state.done))):
+                if bool(np.all(done_np)):
                     break
         tokens = np.concatenate(token_chunks, axis=1)
-        n_gen = np.asarray(state.n_gen)
-        aborted = np.asarray(state.aborted)
+        n_gen, aborted = jax.device_get((state.n_gen, state.aborted))
         t_gen = time.perf_counter() - t0
 
         # 5. assemble per-row results; retry aborted rows individually
