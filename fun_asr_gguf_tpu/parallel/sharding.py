@@ -14,9 +14,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 _COL_PARALLEL = ("q_w", "k_w", "v_w", "gate_w", "up_w",
-                 "qkv_w", "gate_up_w")
-_ROW_PARALLEL = ("o_w", "down_w")
+                 "qkv_w", "gate_up_w",
+                 # MLA (deepseek): per-head expansions shard on heads;
+                 # shared experts are a plain dense MLP
+                 "q_b_w", "kv_b_w", "shared_gate_w", "shared_up_w")
+_ROW_PARALLEL = ("o_w", "down_w", "shared_down_w")
 _MOE_EXPERT = ("moe_gate_w", "moe_up_w", "moe_down_w")
+# MLA low-rank down-projections + the shared rotary key: small, and the
+# rmsnorm over the compressed dim needs the full vector — replicate
+_MLA_REPL = ("q_a_w", "kv_a_w")
 
 
 def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
@@ -90,7 +96,8 @@ def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
         matmul_keys = ("q_w", "k_w", "v_w", "gate_w", "up_w") + _ROW_PARALLEL
         moe_keys = ()
     norm_keys = ("input_ln", "post_ln", "q_norm", "k_norm",
-                 "attn_post_ln", "ffn_post_ln")   # gemma sandwich norms
+                 "attn_post_ln", "ffn_post_ln",   # gemma sandwich norms
+                 "q_a_norm", "kv_a_norm")         # MLA low-rank norms
     # qwen2-family attention biases: [L, out] — column-split with their
     # projection's output channels
     bias_keys = ("q_b", "k_b", "v_b", "qkv_b")
@@ -109,7 +116,48 @@ def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
         layers[key] = moe_spec(key)
     if params is not None and "router_w" in params["layers"]:
         layers["router_w"] = repl       # tiny; feeds a replicated top-k
+        if "router_b" in params["layers"]:
+            layers["router_b"] = repl
+    if params is not None:
+        for key in _MLA_REPL:
+            if key in params["layers"]:
+                layers[key] = repl
     spec = {"layers": layers, "final_ln": repl, "embed": repl}
+    if params is not None and "layers_pre" in params:
+        # heterogeneous dense prefix (deepseek first-k dense layers):
+        # same per-key rules, with weight TYPES read from the pre stack
+        # (its dense MLP keys are absent from the MoE main stack)
+        from ..models.qwen3 import Int4Weight, Int8Weight
+
+        def pre_spec(key):
+            w = params["layers_pre"][key]
+            col = key in _COL_PARALLEL
+            if isinstance(w, QuantTensor):
+                return (QuantTensor(q=P(None, "tp", None),
+                                    d=P(None, "tp", None)) if col else
+                        QuantTensor(q=P(None, None, "tp"),
+                                    d=P(None, None, "tp")))
+            if isinstance(w, Int8Weight):
+                return (Int8Weight(w8=P(None, None, "tp"),
+                                   scale=P(None, None, "tp")) if col else
+                        Int8Weight(w8=P(None, "tp", None),
+                                   scale=P(None, None, None)))
+            if isinstance(w, Int4Weight):
+                return (Int4Weight(packed=P(None, None, "tp"),
+                                   scale=P(None, None, "tp")) if col else
+                        Int4Weight(packed=P(None, "tp", None),
+                                   scale=P(None, "tp", None)))
+            return P(None, None, "tp") if col else P(None, "tp", None)
+
+        pre = {}
+        for key in params["layers_pre"]:
+            if key in _COL_PARALLEL + _ROW_PARALLEL:
+                pre[key] = pre_spec(key)
+            elif key in bias_keys:
+                pre[key] = P(None, "tp")
+            else:
+                pre[key] = repl
+        spec["layers_pre"] = pre
     if params is not None and "lm_head" in params:
         spec["lm_head"] = repl
     if params is not None and "lm_head_q" in params:

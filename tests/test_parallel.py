@@ -56,6 +56,28 @@ class TestTPDecodeParity:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_sharded_deepseek_prefill_matches_single(self):
+        """MLA TP: per-head expansions (q_b/kv_b) column-shard, the
+        low-rank down-projections and shared rotary key replicate, the
+        heterogeneous dense prefix (layers_pre) shards like a plain
+        MLP, shared experts like a dense MLP — GSPMD parity vs
+        single-device for both deepseek variants."""
+        for name, cfg in (("v2", Qwen3Config.tiny_deepseek_v2()),
+                          ("v3", Qwen3Config.tiny_deepseek_v3())):
+            params = init_qwen3_params(jax.random.PRNGKey(5), cfg)
+            rng = np.random.default_rng(5)
+            e = jnp.asarray(rng.normal(size=(2, 6, cfg.hidden)),
+                            jnp.float32) * 0.1
+            m = jnp.ones((2, 6), jnp.float32)
+            ref, _ = qwen3_prefill(params, e, m, cfg)
+            mesh = make_mesh(dp=4, tp=2)
+            sharded = shard_llm_params(params, mesh)
+            assert "layers_pre" in sharded
+            out, _ = jax.jit(qwen3_prefill, static_argnames=("cfg",))(
+                sharded, e, m, cfg)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4, err_msg=name)
+
     def test_sharded_gemma_prefill_matches_single(self):
         """gemma's sandwich norms sit AFTER the row-parallel o_proj /
         down_proj psums; GSPMD must preserve that ordering."""
