@@ -19,6 +19,15 @@ Endpoints:
                                text/event-stream: one `data: {"piece": …}`
                                event per generated text piece, then a
                                final `data: {"done": true, …full result…}`.
+  POST /v1/stream/start      → open an incremental (streaming) session
+                               (?language=&context=&partial_tokens=);
+                               returns {"session": id}. Then
+                               POST /v1/stream/feed?session=ID with raw
+                               mono chunks (encoding=pcm16 default, or
+                               f32) at the engine sample rate → growing
+                               provisional transcript per chunk; and
+                               POST /v1/stream/finish?session=ID → the
+                               final batch-path-identical result.
   POST /v1/audio/transcriptions → OpenAI audio API compatible (drop-in
                                for whisper-API clients): multipart form
                                with `file`, optional `language` (ISO),
@@ -151,6 +160,12 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
     engine_lock: threading.Lock = None
     batcher: Optional[BatchDispatcher] = None
     server_version = "fun-asr-gguf-tpu"
+    # live streaming sessions {id: (StreamingSession, last_used_ts)} —
+    # class-level so every handler instance of this server shares them
+    sessions: dict = None
+    sessions_lock: threading.Lock = None
+    MAX_SESSIONS = 8
+    SESSION_IDLE_S = 600.0
 
     # -- helpers -------------------------------------------------------------
     def _send_json(self, code: int, payload: dict) -> bool:
@@ -195,11 +210,103 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
             return None
         return self.rfile.read(length)
 
+    # -- incremental (streaming) sessions ------------------------------------
+    def _streaming_route(self, parsed):
+        """POST /v1/stream/{start,feed,finish} — text flows while audio
+        is still arriving (see :mod:`..streaming`). Raw mono chunks at
+        the engine sample rate, pcm16 (default) or f32."""
+        import uuid
+
+        import numpy as np
+        q = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+        action = parsed.path.rsplit("/", 1)[-1]
+        now = time.time()
+        with self.sessions_lock:
+            for stale in [s for s, (_, ts) in self.sessions.items()
+                          if now - ts > self.SESSION_IDLE_S]:
+                self.sessions.pop(stale, None)
+        if action == "start":
+            with self.sessions_lock:
+                if len(self.sessions) >= self.MAX_SESSIONS:
+                    return self._send_json(
+                        429, {"error": "too many streaming sessions"})
+            try:
+                with self.engine_lock:
+                    sess = self.engine.create_streaming_session(
+                        language=q.get("language"),
+                        context=q.get("context"),
+                        partial_tokens=int(q.get("partial_tokens", 48)))
+            except Exception as e:                      # noqa: BLE001
+                logger.exception("stream start failed")
+                return self._send_json(500, {"error": str(e)})
+            sid = uuid.uuid4().hex[:16]
+            with self.sessions_lock:
+                self.sessions[sid] = (sess, now)
+            return self._send_json(200, {"session": sid})
+
+        sid = q.get("session", "")
+        with self.sessions_lock:
+            entry = self.sessions.get(sid)
+        if entry is None:
+            return self._send_json(404,
+                                   {"error": f"unknown session {sid!r}"})
+        sess = entry[0]
+        if action == "feed":
+            body = self._read_body()
+            if body is None:
+                return
+            enc = q.get("encoding", "pcm16")
+            if enc == "pcm16":
+                audio = np.frombuffer(body[:len(body) // 2 * 2],
+                                      np.int16).astype(np.float32) / 32768.0
+            elif enc in ("f32", "float32"):
+                audio = np.frombuffer(body[:len(body) // 4 * 4], np.float32)
+            else:
+                return self._send_json(
+                    400, {"error": f"unknown encoding {enc!r} "
+                                   "(pcm16 or f32)"})
+            try:
+                with self.engine_lock:
+                    part = sess.feed(audio)
+            except Exception as e:                      # noqa: BLE001
+                logger.exception("stream feed failed")
+                return self._send_json(500, {"error": str(e)})
+            with self.sessions_lock:
+                self.sessions[sid] = (sess, time.time())
+            return self._send_json(200, {
+                "text": part.text, "ctc_text": part.ctc_text,
+                "seconds": round(part.seconds, 3),
+                "latency_ms": round(part.latency_ms, 1),
+                "n_tokens": part.n_tokens})
+        if action == "finish":
+            with self.sessions_lock:
+                self.sessions.pop(sid, None)
+            try:
+                with self.engine_lock:
+                    res = sess.finish(
+                        temperature=float(q.get("temperature", 0.4)),
+                        top_p=float(q.get("top_p", 1.0)),
+                        top_k=int(q.get("top_k", 50)))
+            except Exception as e:                      # noqa: BLE001
+                logger.exception("stream finish failed")
+                return self._send_json(500, {"error": str(e)})
+            return self._send_json(200, {
+                "text": res.text,
+                "segments": [{"char": s["char"], "start": s["start"]}
+                             for s in (res.aligned or [])],
+                "ctc_text": "".join(r.text for r in res.ctc_results),
+                "hotwords": res.hotwords,
+                "first_text_ms": sess.stats.first_text_ms})
+        return self._send_json(
+            404, {"error": f"unknown stream action {action!r}"})
+
     def do_POST(self):
         parsed = urlparse(self.path)
         if parsed.path in ("/v1/audio/transcriptions",
                            "/audio/transcriptions"):
             return self._openai_transcription()
+        if parsed.path.startswith(("/v1/stream/", "/stream/")):
+            return self._streaming_route(parsed)
         if parsed.path not in ("/v1/transcribe", "/transcribe"):
             return self._send_json(404,
                                    {"error": f"unknown path {parsed.path!r}"})
@@ -566,6 +673,8 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8090,
         "engine": engine,
         "engine_lock": lock,
         "batcher": batcher,
+        "sessions": {},
+        "sessions_lock": threading.Lock(),
     })
     return ThreadingHTTPServer((host, port), handler)
 

@@ -360,3 +360,53 @@ class TestBatchedServer:
                 assert body.get("batched") is True
         finally:
             conn.close()
+
+
+class TestStreamingSessionAPI:
+    def _post(self, url, body=b""):
+        req = urllib.request.Request(url, data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read().decode("utf-8"))
+
+    def test_stream_session_lifecycle(self, served_engine):
+        base = served_engine
+        sid = self._post(f"{base}/v1/stream/start?partial_tokens=8"
+                         )["session"]
+        rng = np.random.default_rng(0)
+        full = (rng.normal(size=16000) * 0.05).astype(np.float32)
+        parts = []
+        for off in (0, 8000):
+            chunk = (full[off:off + 8000] * 32767).astype("<i2").tobytes()
+            parts.append(self._post(
+                f"{base}/v1/stream/feed?session={sid}", chunk))
+        assert parts[-1]["seconds"] == pytest.approx(1.0, abs=0.01)
+        assert isinstance(parts[-1]["text"], str)
+        assert parts[-1]["latency_ms"] > 0
+
+        final = self._post(
+            f"{base}/v1/stream/finish?session={sid}&temperature=0")
+        assert isinstance(final["text"], str)
+        # the session is gone after finish
+        err = self._post_err(f"{base}/v1/stream/feed?session={sid}",
+                             b"\x00\x00")
+        assert err == 404
+
+    def _post_err(self, url, body=b""):
+        req = urllib.request.Request(url, data=body, method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            return 200
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    def test_unknown_session_404(self, served_engine):
+        assert self._post_err(
+            f"{served_engine}/v1/stream/feed?session=nope",
+            b"\x00\x00") == 404
+
+    def test_bad_encoding_400(self, served_engine):
+        sid = self._post(f"{served_engine}/v1/stream/start")["session"]
+        assert self._post_err(
+            f"{served_engine}/v1/stream/feed?session={sid}&encoding=ogg",
+            b"\x00\x00") == 400
+        self._post(f"{served_engine}/v1/stream/finish?session={sid}")
