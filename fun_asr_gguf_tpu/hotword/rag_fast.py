@@ -12,79 +12,80 @@ in-row dependency resolved by a prefix min-scan — no JIT warm-up, same
 results.
 """
 
-from collections import defaultdict
 from typing import Dict, List, Tuple
 
 import numpy as np
 
-from . import logger
 from .algo_calc import SIMILAR_PHONEMES
 from .algo_phoneme import Phoneme
 
+# phoneme value → the union of its confusion sets (precomputed once from
+# the SIMILAR_PHONEMES table; query-side expansion looks up here instead
+# of walking every set per phoneme)
+_SIMILAR_UNION: Dict[str, frozenset] = {}
+for _s in SIMILAR_PHONEMES:
+    for _v in _s:
+        _SIMILAR_UNION[_v] = frozenset(
+            _SIMILAR_UNION.get(_v, frozenset()) | set(_s))
+
 
 class PhonemeEncoder:
-    """str phoneme → int code (0 reserved for padding)."""
+    """str phoneme → dense int code (0 reserved for padding)."""
 
     def __init__(self):
-        self.phoneme_to_code: Dict[str, int] = {}
-        self.code_to_phoneme: Dict[int, str] = {}
-        self.next_code = 1
+        self._codes: Dict[str, int] = {}
 
     def encode(self, phoneme: str) -> int:
-        code = self.phoneme_to_code.get(phoneme)
-        if code is None:
-            code = self.next_code
-            self.phoneme_to_code[phoneme] = code
-            self.code_to_phoneme[code] = phoneme
-            self.next_code += 1
-        return code
+        # auto-assign codes in first-seen order, starting at 1
+        return self._codes.setdefault(phoneme, len(self._codes) + 1)
+
+    def code_of(self, phoneme: str):
+        """Code for an already-seen phoneme, else None (query side must
+        not grow the vocabulary)."""
+        return self._codes.get(phoneme)
 
     def encode_sequence(self, phonemes: List[str]) -> np.ndarray:
-        return np.array([self.encode(p) for p in phonemes], dtype=np.int32)
+        return np.fromiter((self.encode(p) for p in phonemes),
+                           dtype=np.int32, count=len(phonemes))
 
 
 class PhonemeIndex:
     """Inverted index on the first two phonemes of each hotword."""
 
+    N_INDEX = 2                     # leading phonemes that key a hotword
+
     def __init__(self):
         self.encoder = PhonemeEncoder()
-        self.index: Dict[int, List[Tuple[str, np.ndarray]]] = defaultdict(list)
-        self.all_hotwords: List[Tuple[str, np.ndarray]] = []
+        self._buckets: Dict[int, List[Tuple[str, np.ndarray]]] = {}
+        self.n_entries = 0
 
     def add(self, hotword: str, phonemes: List[Phoneme]):
         if not phonemes:
             return
         codes = self.encoder.encode_sequence([p.value for p in phonemes])
-        for code in {int(codes[i]) for i in range(min(len(codes), 2))}:
-            self.index[code].append((hotword, codes))
-        self.all_hotwords.append((hotword, codes))
+        entry = (hotword, codes)
+        for code in set(codes[:self.N_INDEX].tolist()):
+            self._buckets.setdefault(code, []).append(entry)
+        self.n_entries += 1
+
+    def _query_codes(self, input_phonemes: List[Phoneme]) -> set:
+        """Index codes reachable from the input, zh phonemes expanded
+        through their confusion sets (so 'zang' also pulls the 'zhang'
+        bucket — the recall-side half of the fuzzy cost model)."""
+        values = set()
+        for p in input_phonemes:
+            values.add(p.value)
+            if p.lang == "zh":
+                values |= _SIMILAR_UNION.get(p.value, frozenset())
+        codes = (self.encoder.code_of(v) for v in values)
+        return {c for c in codes if c is not None}
 
     def get_candidates(self, input_phonemes: List[Phoneme]
                        ) -> List[Tuple[str, np.ndarray]]:
-        """Hotwords whose index phonemes occur in the input (with zh
-        similar-phoneme expansion of the query, reference ``:166-177``)."""
-        input_codes = set()
-        for p in input_phonemes:
-            code = self.encoder.phoneme_to_code.get(p.value)
-            if code is not None:
-                input_codes.add(code)
-            if p.lang != "zh":
-                continue
-            for s_set in SIMILAR_PHONEMES:
-                if p.value not in s_set:
-                    continue
-                for sim_val in s_set:
-                    sim_code = self.encoder.phoneme_to_code.get(sim_val)
-                    if sim_code is not None:
-                        input_codes.add(sim_code)
-
-        candidates, seen = [], set()
-        for code in input_codes:
-            for hw, codes in self.index.get(code, []):
-                if hw not in seen:
-                    candidates.append((hw, codes))
-                    seen.add(hw)
-        return candidates
+        seen: Dict[str, np.ndarray] = {}
+        for code in self._query_codes(input_phonemes):
+            seen.update(self._buckets.get(code, ()))
+        return list(seen.items())
 
     def encode_input(self, phonemes: List[Phoneme]) -> np.ndarray:
         return self.encoder.encode_sequence([p.value for p in phonemes])
