@@ -1,7 +1,7 @@
 # coding: utf-8
 """Phoneme-based hotword correction (the production corrector).
 
-Behavioral port of the reference PhonemeCorrector
+Behavioral equivalent of the reference PhonemeCorrector
 (``fun_asr_gguf/hotword/hot_phoneme.py``): two-stage retrieval — FastRAG
 coarse filter then boundary-constrained fuzzy search — classifying windows
 into ``matchs`` (score ≥ threshold, replaced in place) and ``similars``
@@ -18,6 +18,8 @@ from .algo_calc import fuzzy_substring_search_constrained
 from .algo_phoneme import Phoneme, get_phoneme_info
 from .rag_fast import FastRAG
 
+FAST_TOP_K = 100          # stage-1 candidate budget
+
 
 class MatchResult(NamedTuple):
     start: int
@@ -32,111 +34,108 @@ class CorrectionResult(NamedTuple):
     similars: List[Tuple[str, str, float]]
 
 
+def _spans_clash(a: Tuple[int, int], b: Tuple[int, int]) -> bool:
+    return a[0] < b[1] and b[0] < a[1]
+
+
 class PhonemeCorrector:
     """Two-stage fuzzy hotword corrector."""
 
     def __init__(self, threshold: float = 0.7,
                  similar_threshold: Optional[float] = None):
         self.threshold = threshold
-        self.similar_threshold = (similar_threshold
-                                  if similar_threshold is not None
-                                  else threshold - 0.2)
+        self.similar_threshold = (threshold - 0.2 if similar_threshold
+                                  is None else similar_threshold)
         self.max_diff = 2
-        self.top_k_candidates = 100
+        self.top_k_candidates = FAST_TOP_K
         self.hotwords: Dict[str, List[Phoneme]] = {}
-        self.fast_rag = FastRAG(
-            threshold=min(self.threshold, self.similar_threshold) - 0.1)
+        self.fast_rag = FastRAG(threshold=self._recall_floor)
         self._lock = threading.Lock()
+
+    @property
+    def _recall_floor(self) -> float:
+        """Stage-1/DP search floor: a notch under the laxer of the two
+        acceptance thresholds, so borderline windows survive to stage 2."""
+        return min(self.threshold, self.similar_threshold) - 0.1
 
     def update_hotwords(self, hotword_text: str) -> int:
         """Replace the hotword set (thread-safe). Lines starting with '#'
         and blanks are ignored."""
-        start_time = time.time()
-        lines = [line.strip() for line in hotword_text.splitlines()
-                 if line.strip() and not line.strip().startswith("#")]
-        new_hotwords = {}
-        for hw in lines:
-            phons = get_phoneme_info(hw)
-            if phons:
-                new_hotwords[hw] = phons
+        t0 = time.time()
+        entries = (ln.strip() for ln in hotword_text.splitlines())
+        fresh = {hw: ph for hw in entries
+                 if hw and not hw.startswith("#")
+                 and (ph := get_phoneme_info(hw))}
+        rag = FastRAG(threshold=self._recall_floor)
+        rag.add_hotwords(fresh)
         with self._lock:
-            self.hotwords = new_hotwords
-            self.fast_rag = FastRAG(
-                threshold=min(self.threshold, self.similar_threshold) - 0.1)
-            self.fast_rag.add_hotwords(new_hotwords)
+            self.hotwords, self.fast_rag = fresh, rag
         logger.debug("PhonemeCorrector updated %d hotwords in %.3fs",
-                     len(new_hotwords), time.time() - start_time)
-        return len(new_hotwords)
+                     len(fresh), time.time() - t0)
+        return len(fresh)
 
-    def _find_matches(self, text: str, fast_results, input_processed
-                      ) -> Tuple[List[MatchResult],
-                                 List[Tuple[str, str, float]]]:
+    def _windows(self, candidates, info):
+        """Stage 2: boundary-constrained DP per stage-1 candidate,
+        yielding (hotword, score, char_start, char_end)."""
+        floor = self._recall_floor
+        for hw, _coarse in candidates:
+            hw_info = [p.info[:5] for p in self.hotwords[hw]]
+            for score, lo, hi in fuzzy_substring_search_constrained(
+                    hw_info, info, threshold=floor):
+                yield hw, score, info[lo][5], info[hi - 1][6]
+
+    def _classify(self, text, candidates, info):
+        """Split DP windows into replacement matches and hint similars
+        (best window per hotword, ordered by score then hotword length)."""
         matches: List[MatchResult] = []
-        similars: List[Tuple[str, str, float]] = []
-        search_threshold = min(self.threshold, self.similar_threshold) - 0.1
+        best_hint: Dict[str, Tuple[str, float]] = {}
+        for hw, score, lo, hi in self._windows(candidates, info):
+            if score >= self.threshold:
+                matches.append(MatchResult(lo, hi, score, hw))
+            if score >= self.similar_threshold:
+                prev = best_hint.get(hw)
+                if prev is None or score > prev[1]:
+                    best_hint[hw] = (text[lo:hi], score)
+        hints = sorted(
+            ((origin, hw, score)
+             for hw, (origin, score) in best_hint.items()),
+            key=lambda h: (h[2], len(h[1])), reverse=True)
+        return matches, hints
 
-        for hw, _fast_score in fast_results:
-            hw_compare = [p.info[:5] for p in self.hotwords[hw]]
-            found = fuzzy_substring_search_constrained(
-                hw_compare, input_processed, threshold=search_threshold)
-            for score, start_idx, end_idx in found:
-                char_start = input_processed[start_idx][5]
-                char_end = input_processed[end_idx - 1][6]
-                if score >= self.threshold:
-                    matches.append(MatchResult(char_start, char_end, score, hw))
-                if score >= self.similar_threshold:
-                    similars.append((text[char_start:char_end], hw, score))
-
-        # keep the best-scoring window per distinct hotword for the hints
-        similars.sort(key=lambda x: (x[2], len(x[1])), reverse=True)
-        final_similars, seen_hw = [], set()
-        for origin, hw, score in similars:
-            if hw not in seen_hw:
-                final_similars.append((origin, hw, score))
-                seen_hw.add(hw)
-        return matches, final_similars
-
-    def _resolve_and_replace(self, text: str, matches: List[MatchResult]):
-        """Overlap resolution (score, then span length) + in-place edits."""
-        matches.sort(key=lambda m: (m.score, m.end - m.start), reverse=True)
-        final_matches: List[MatchResult] = []
-        all_matched_info, seen_hw_score = [], set()
-        occupied: List[Tuple[int, int]] = []
-        for m in matches:
-            if (m.hotword, m.score) not in seen_hw_score:
-                all_matched_info.append((m.hotword, m.score))
-                seen_hw_score.add((m.hotword, m.score))
-            if m.score < self.threshold:
+    def _apply(self, text: str, matches: List[MatchResult]):
+        """Greedy overlap resolution (score, then span length) followed by
+        right-to-left in-place edits."""
+        taken: List[Tuple[int, int]] = []
+        edits: List[MatchResult] = []
+        for m in sorted(matches, reverse=True,
+                        key=lambda m: (m.score, m.end - m.start)):
+            span = (m.start, m.end)
+            if any(_spans_clash(span, t) for t in taken):
                 continue
-            if any(not (m.end <= s or m.start >= e) for s, e in occupied):
-                continue
+            taken.append(span)
             if text[m.start:m.end] != m.hotword:
-                final_matches.append(m)
-            occupied.append((m.start, m.end))
+                edits.append(m)
 
-        final_matches.sort(key=lambda m: m.start, reverse=True)
-        chars = list(text)
-        for m in final_matches:
-            chars[m.start:m.end] = list(m.hotword)
-        replaced = [(text[m.start:m.end], m.hotword, m.score)
-                    for m in final_matches]
-        return "".join(chars), replaced, all_matched_info
+        out = list(text)
+        for m in sorted(edits, key=lambda m: m.start, reverse=True):
+            out[m.start:m.end] = m.hotword
+        return "".join(out), [(text[m.start:m.end], m.hotword, m.score)
+                              for m in sorted(edits, key=lambda m: m.start,
+                                              reverse=True)]
 
     def correct(self, text: str, k: int = 10) -> CorrectionResult:
         """Correct ``text`` in place and return top-k similar hotwords."""
+        empty = CorrectionResult(text=text, matchs=[], similars=[])
         if not text or not self.hotwords:
-            return CorrectionResult(text=text, matchs=[], similars=[])
-        input_phonemes = get_phoneme_info(text)
-        if not input_phonemes:
-            return CorrectionResult(text=text, matchs=[], similars=[])
-
+            return empty
+        phonemes = get_phoneme_info(text)
+        if not phonemes:
+            return empty
+        info = [p.info for p in phonemes]
         with self._lock:
-            fast_results = self.fast_rag.search(input_phonemes, top_k=100)
-            input_processed = [p.info for p in input_phonemes]
-            matches, similars = self._find_matches(text, fast_results,
-                                                   input_processed)
-
-        new_text, final_hw_info, _all_hw_info = self._resolve_and_replace(
-            text, matches)
-        return CorrectionResult(text=new_text, matchs=final_hw_info,
-                                similars=similars[:k])
+            candidates = self.fast_rag.search(phonemes,
+                                              top_k=self.top_k_candidates)
+            matches, hints = self._classify(text, candidates, info)
+        new_text, replaced = self._apply(text, matches)
+        return CorrectionResult(text=new_text, matchs=replaced,
+                                similars=hints[:k])
