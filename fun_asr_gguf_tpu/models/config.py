@@ -340,6 +340,28 @@ class Qwen3Config:
                            n_experts_per_tok=8, moe_ffn_dim=768)
 
     @staticmethod
+    def deepseek_v2_lite():
+        """DeepSeek-V2-Lite (HF deepseek-ai/DeepSeek-V2-Lite hparams):
+        MLA without q compression, 64 routed + 2 shared experts, first
+        layer dense, 40x YaRN."""
+        factors, _ = yarn_rope_params(64, 1e4, 40.0, 4096)
+        # the checkpoint's mscale == mscale_all_dim (0.707), so the HF
+        # yarn attention-factor pair cancels to exactly 1.0
+        af = 1.0
+        return Qwen3Config(
+            hidden=2048, n_layers=27, q_heads=16, kv_heads=16,
+            head_dim=192, ffn_dim=10944, vocab_size=102400,
+            rope_theta=1e4, max_position=163840, arch="deepseek2",
+            qk_norm=False, tie_embeddings=False,
+            rope_dim=64, kv_lora_rank=512, qk_nope_dim=128,
+            qk_rope_dim=64, v_head_dim=128, rope_interleaved=True,
+            n_experts=64, n_experts_per_tok=6, moe_ffn_dim=1408,
+            norm_topk_prob=False, moe_first_dense=1, n_shared_experts=2,
+            routed_scaling_factor=1.0,
+            rope_orig_max_position=4096, rope_factors_short=factors,
+            rope_attn_factor=af, rope_yarn_factor=40.0)
+
+    @staticmethod
     def gemma3_1b():
         """Gemma3-1B text decoder (HF google/gemma-3-1b-pt hparams)."""
         return Qwen3Config(
