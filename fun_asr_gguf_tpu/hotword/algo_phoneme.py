@@ -55,49 +55,32 @@ def _is_hanzi(ch: str) -> bool:
     return "一" <= ch <= "鿿"
 
 
+# boundary rules match the reference's unicode-aware char walk: hanzi
+# are "letters" for the digit boundary (isalpha() is true for them) but
+# never part of a camelCase step (they are neither upper nor lower)
+_CAMEL_RE = re.compile(
+    r"(?<=[a-z])(?=[A-Z])"
+    r"|(?<=[^\W\d_])(?=[0-9])"
+    r"|(?<=[0-9])(?=[^\W\d_])")
+_SEP_RE = re.compile(r"[\W_]+")
+_MIXED_TOKEN_RE = re.compile(r"[a-z]+|[0-9]+|\S")
+# span scan: hanzi runs / digit runs / alpha runs that break at a
+# lower->upper step (camelCase); everything else is skipped
+_SCAN_RE = re.compile(
+    r"(?P<zh>[\u4e00-\u9fff]+)|(?P<num>[0-9]+)|"
+    r"(?P<en>[A-Z]*[a-z]+|[A-Z]+)")
+
+
 def normalize_text(text: str) -> str:
-    """camelCase/digit-boundary splitting + separators → spaces + lowercase."""
-    result: List[str] = []
-    prev_char = ""
-    for char in text:
-        if char.isalnum() or _is_hanzi(char):
-            if char.isupper() and prev_char.islower():
-                result.append(" ")
-            elif char.isdigit() and prev_char.isalpha():
-                result.append(" ")
-            elif char.isalpha() and prev_char.isdigit():
-                result.append(" ")
-            result.append(char.lower())
-            prev_char = char
-        else:
-            if result and result[-1] != " ":
-                result.append(" ")
-            prev_char = ""
-    return "".join(result).strip()
+    """camelCase/digit-boundary splitting + separators → spaces +
+    lowercase (regex formulation of the reference's char walk)."""
+    return _SEP_RE.sub(" ", _CAMEL_RE.sub(" ", text)).strip().lower()
 
 
 def split_mixed_label(input_str: str) -> List[str]:
-    """Mixed zh/en string → tokens: english words, digit runs, single hanzi."""
-    tokens: List[str] = []
-    s = input_str.lower()
-    pos = 0
-    while pos < len(s):
-        if s[pos] == " ":
-            pos += 1
-            continue
-        m = re.match(r"[a-z]+", s[pos:])
-        if m:
-            tokens.append(m.group(0))
-            pos += len(m.group(0))
-            continue
-        m = re.match(r"[0-9]+", s[pos:])
-        if m:
-            tokens.append(m.group(0))
-            pos += len(m.group(0))
-            continue
-        tokens.append(s[pos])
-        pos += 1
-    return tokens
+    """Mixed zh/en string → tokens: english words, digit runs, single
+    non-space chars (hanzi included)."""
+    return _MIXED_TOKEN_RE.findall(input_str.lower())
 
 
 def _zh_char_phonemes(ch: str, idx: int = 0, with_span: bool = False
@@ -126,7 +109,7 @@ def get_phoneme_seq(text: str, ascii_split_char: bool = False) -> List[Phoneme]:
     normalized = normalize_text(text)
     seq: List[Phoneme] = []
     for token in split_mixed_label(normalized):
-        if re.match(r"^[a-z0-9]+$", token):
+        if token.isascii() and token.isalnum():
             lang = "num" if token.isdigit() else "en"
             if ascii_split_char:
                 seq.extend(Phoneme(c, lang, is_word_start=True,
@@ -150,50 +133,23 @@ def get_phoneme_info(text: str, ascii_split_char: bool = True) -> List[Phoneme]:
     phoneme stream stays contiguous for matching.
     """
     seq: List[Phoneme] = []
-    pos = 0
-    while pos < len(text):
-        char = text[pos]
-        if _is_hanzi(char):
-            pos = _process_zh(text, pos, seq)
-        elif "a" <= char.lower() <= "z" or "0" <= char <= "9":
-            pos = _process_en_num(text, pos, seq, ascii_split_char)
+    for m in _SCAN_RE.finditer(text):
+        if m.lastgroup == "zh":
+            for i in range(m.start(), m.end()):
+                seq.extend(_zh_char_phonemes(text[i], i, with_span=True))
+            continue
+        token = m.group().lower()
+        lang = "num" if m.lastgroup == "num" else "en"
+        if ascii_split_char:
+            last = len(token) - 1
+            seq.extend(
+                Phoneme(c, lang, is_word_start=(i == 0),
+                        is_word_end=(i == last),
+                        char_start=m.start() + i,
+                        char_end=m.start() + i + 1)
+                for i, c in enumerate(token))
         else:
-            pos += 1
+            seq.append(Phoneme(token, lang, is_word_start=True,
+                               is_word_end=True,
+                               char_start=m.start(), char_end=m.end()))
     return seq
-
-
-def _process_zh(text: str, pos: int, seq: List[Phoneme]) -> int:
-    scan = pos
-    while scan < len(text) and _is_hanzi(text[scan]):
-        seq.extend(_zh_char_phonemes(text[scan], scan, with_span=True))
-        scan += 1
-    return scan
-
-
-def _process_en_num(text: str, pos: int, seq: List[Phoneme],
-                    split_char: bool) -> int:
-    start_pos = pos
-    while pos < len(text):
-        char = text[pos]
-        low = char.lower()
-        if not ("a" <= low <= "z" or "0" <= char <= "9"):
-            break
-        if pos > start_pos:
-            prev = text[pos - 1]
-            if ((prev.islower() and char.isupper())
-                    or (prev.isalpha() and char.isdigit())
-                    or (prev.isdigit() and char.isalpha())):
-                break
-        pos += 1
-    token = text[start_pos:pos].lower()
-    lang = "num" if token.isdigit() else "en"
-    if split_char:
-        for i, c in enumerate(token):
-            seq.append(Phoneme(c, lang, is_word_start=(i == 0),
-                               is_word_end=(i == len(token) - 1),
-                               char_start=start_pos + i,
-                               char_end=start_pos + i + 1))
-    else:
-        seq.append(Phoneme(token, lang, is_word_start=True, is_word_end=True,
-                           char_start=start_pos, char_end=pos))
-    return pos
