@@ -197,6 +197,14 @@ class StreamingSession:
             self._t0 = t_tick
         self._buf = np.concatenate(
             [self._buf, np.asarray(audio, np.float32)])
+        max_samples = int(m.config.segment_pad_seconds * sr)
+        if len(self._buf) > max_samples:
+            raise ValueError(
+                f"streaming session exceeds one segment "
+                f"({m.config.segment_pad_seconds:.0f} s): feed at most "
+                "that much per session, finish(), and start a new "
+                "session (long audio routes through the orchestrator's "
+                "segmented path)")
 
         audio_embd, enc = m.encode_audio(self._buf)
         ctc_text = ""

@@ -181,3 +181,10 @@ class TestStreamingSession:
             assert sess.stats.first_text_ms is not None
         if p.ctc_text:
             assert sess.stats.first_ctc_ms is not None
+
+
+    def test_overlong_feed_raises_clearly(self, engine):
+        sess = engine.create_streaming_session(partial_tokens=8)
+        too_much = np.zeros(int(16000 * 2.5), np.float32)  # window is 2 s
+        with pytest.raises(ValueError, match="exceeds one segment"):
+            sess.feed(too_much)
