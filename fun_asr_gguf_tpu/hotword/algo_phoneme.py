@@ -71,10 +71,29 @@ _SCAN_RE = re.compile(
     r"(?P<en>[A-Z]*[a-z]+|[A-Z]+)")
 
 
+def _has_exotic_case(text: str) -> bool:
+    return any(ord(c) > 127 and (c.islower() or c.isupper()) for c in text)
+
+
 def normalize_text(text: str) -> str:
     """camelCase/digit-boundary splitting + separators → spaces +
     lowercase (regex formulation of the reference's char walk)."""
-    return _SEP_RE.sub(" ", _CAMEL_RE.sub(" ", text)).strip().lower()
+    if _has_exotic_case(text):
+        # rare path: non-ASCII cased letters (é, Cyrillic, …) — regex
+        # character classes cannot express unicode isupper()/islower(),
+        # so boundary-split pairwise (separators never trigger a
+        # boundary: they are neither alpha nor digit)
+        out = list(text[:1])
+        for a, b in zip(text, text[1:]):
+            if ((b.isupper() and a.islower())
+                    or (b.isdigit() and a.isalpha())
+                    or (b.isalpha() and a.isdigit())):
+                out.append(" ")
+            out.append(b)
+        text = "".join(out)
+    else:
+        text = _CAMEL_RE.sub(" ", text)
+    return _SEP_RE.sub(" ", text).strip().lower()
 
 
 def split_mixed_label(input_str: str) -> List[str]:

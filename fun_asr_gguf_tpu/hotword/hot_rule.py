@@ -31,9 +31,10 @@ class RuleCorrector:
             line = raw.strip()
             if not line or line.startswith("#"):
                 continue
-            pattern, sep, replacement = line.partition(" = ")
-            if sep:
-                yield pattern.strip(), replacement.strip()
+            if line.count(" = ") != 1:    # ambiguous lines are skipped
+                continue
+            pattern, _, replacement = line.partition(" = ")
+            yield pattern.strip(), replacement.strip()
 
     def update_rules(self, rule_text: str) -> int:
         """Replace the rule set (thread-safe). Returns the number of

@@ -165,17 +165,27 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
         # reference converter: DeepseekV2Model. MLA dims ride the
         # standard key/value-length KVs (key = qk_nope + qk_rope);
         # llama.cpp's expert_* KV family carries the MoE structure.
+        from .config import yarn_rope_params
         rp = int(g("rope.dimension_count", 0))
         gating = int(g("expert_gating_func", 1))
         k0 = int(g("leading_dense_block_count", 0))
+        theta_ds = float(g("rope.freq_base", 1e4))
         factors, af = (), 1.0
         yf = float(g("rope.scaling.factor", 0.0) or 0.0)
         orig = int(g("rope.scaling.original_context_length", 0))
         if "rope_factors_short.weight" in names:
             factors = tuple(float(x) for x in
                             reader.tensor("rope_factors_short.weight"))
-            af = float(f.get(f"{arch}.rope.scaling.attn_factor", 0.0)) \
-                or 1.0
+        elif yf > 1.0 and orig:
+            # upstream llama.cpp converters write yarn via KVs only —
+            # recompute the per-frequency divisors (same fallback as
+            # the gpt-oss block above)
+            factors, af = yarn_rope_params(rp, theta_ds, yf, orig)
+        if factors:
+            explicit = float(f.get(f"{arch}.rope.scaling.attn_factor",
+                                   0.0))
+            if explicit:
+                af = explicit
         dsk = dict(
             q_lora_rank=int(g("attention.q_lora_rank", 0) or 0),
             kv_lora_rank=int(g("attention.kv_lora_rank", 0)),

@@ -1023,15 +1023,8 @@ def _moe_route(logits, lp, cfg: Qwen3Config):
         if "router_b" in lp:     # e_score_correction_bias
             choice = choice + lp["router_b"].astype(jnp.float32)
         if cfg.n_group and cfg.topk_group:
-            n, e = choice.shape
-            per = e // cfg.n_group
-            grp = choice.reshape(n, cfg.n_group, per)
-            gscore = jnp.sum(jax.lax.top_k(grp, 2)[0], axis=-1)  # [N,G]
-            _, gi = jax.lax.top_k(gscore, cfg.topk_group)
-            keep = jnp.zeros((n, cfg.n_group), bool).at[
-                jnp.arange(n)[:, None], gi].set(True)
-            choice = jnp.where(
-                jnp.repeat(keep, per, axis=1), choice, 0.0)
+            # deepseek3 noaux_tc: groups ranked by top-2 biased sum
+            choice = _group_limit(choice, cfg, top2=True)
         _, topi = jax.lax.top_k(choice, k)
         topv = jnp.take_along_axis(scores, topi, axis=-1)
         if cfg.norm_topk_prob:
@@ -1041,12 +1034,33 @@ def _moe_route(logits, lp, cfg: Qwen3Config):
     if "router_b" in lp:
         logits = logits + lp["router_b"].astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
-    topv, topi = jax.lax.top_k(probs, k)                       # [N, K]
+    choice = probs
+    if cfg.n_group and cfg.topk_group:
+        # deepseek2 group_limited_greedy: groups ranked by their MAX
+        # score (``DeepseekV2MoEGate``), selection restricted to the
+        # surviving groups, weights from the unmasked probs
+        choice = _group_limit(probs, cfg, top2=False)
+    _, topi = jax.lax.top_k(choice, k)                         # [N, K]
+    topv = jnp.take_along_axis(probs, topi, axis=-1)
     if cfg.norm_topk_prob:
         topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
     if cfg.routed_scaling_factor != 1.0:
         topv = topv * cfg.routed_scaling_factor
     return topv, topi
+
+
+def _group_limit(choice, cfg: Qwen3Config, top2: bool):
+    """Zero out experts outside the top ``topk_group`` groups; a group's
+    rank is its top-2 sum (deepseek3) or its max (deepseek2)."""
+    n, e = choice.shape
+    per = e // cfg.n_group
+    grp = choice.reshape(n, cfg.n_group, per)
+    gscore = (jnp.sum(jax.lax.top_k(grp, 2)[0], axis=-1) if top2
+              else jnp.max(grp, axis=-1))                      # [N, G]
+    _, gi = jax.lax.top_k(gscore, cfg.topk_group)
+    keep = jnp.zeros((n, cfg.n_group), bool).at[
+        jnp.arange(n)[:, None], gi].set(True)
+    return jnp.where(jnp.repeat(keep, per, axis=1), choice, 0.0)
 
 
 def _moe_act(g, u, cfg: Qwen3Config):
@@ -2020,7 +2034,10 @@ def init_qwen3_params(rng, cfg: Qwen3Config, dtype=jnp.float32):
         # first k layers carry a dense MLP; attention/norm keys split
         # off the full-depth stacks built above
         pre3 = jax.random.split(jax.random.fold_in(keys[5], 7), 3)
-        mlp_keys = set(moe_keys(1, keys[5])) | set(dense_keys(1, pre3))
+        mlp_keys = {"router_w", "router_b", "moe_gate_w", "moe_up_w",
+                    "moe_down_w", "moe_gate_b", "moe_up_b", "moe_down_b",
+                    "shared_gate_w", "shared_up_w", "shared_down_w",
+                    "gate_w", "up_w", "down_w"}
         pre = {key: w[:k0] for key, w in layers.items()
                if key not in mlp_keys}
         pre.update(dense_keys(k0, pre3))

@@ -226,10 +226,14 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
                           if now - ts > self.SESSION_IDLE_S]:
                 self.sessions.pop(stale, None)
         if action == "start":
+            sid = uuid.uuid4().hex[:16]
             with self.sessions_lock:
+                # reserve the slot atomically: concurrent starts must
+                # not race past the cap (each session pins a prefix KV)
                 if len(self.sessions) >= self.MAX_SESSIONS:
                     return self._send_json(
                         429, {"error": "too many streaming sessions"})
+                self.sessions[sid] = (None, now)
             try:
                 with self.engine_lock:
                     sess = self.engine.create_streaming_session(
@@ -238,8 +242,9 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
                         partial_tokens=int(q.get("partial_tokens", 48)))
             except Exception as e:                      # noqa: BLE001
                 logger.exception("stream start failed")
+                with self.sessions_lock:
+                    self.sessions.pop(sid, None)
                 return self._send_json(500, {"error": str(e)})
-            sid = uuid.uuid4().hex[:16]
             with self.sessions_lock:
                 self.sessions[sid] = (sess, now)
             return self._send_json(200, {"session": sid})
@@ -247,7 +252,7 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
         sid = q.get("session", "")
         with self.sessions_lock:
             entry = self.sessions.get(sid)
-        if entry is None:
+        if entry is None or entry[0] is None:
             return self._send_json(404,
                                    {"error": f"unknown session {sid!r}"})
         sess = entry[0]
@@ -279,8 +284,6 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
                 "latency_ms": round(part.latency_ms, 1),
                 "n_tokens": part.n_tokens})
         if action == "finish":
-            with self.sessions_lock:
-                self.sessions.pop(sid, None)
             try:
                 with self.engine_lock:
                     res = sess.finish(
@@ -288,8 +291,12 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
                         top_p=float(q.get("top_p", 1.0)),
                         top_k=int(q.get("top_k", 50)))
             except Exception as e:                      # noqa: BLE001
+                # keep the session (and its buffered audio) so the
+                # client can retry finish after a transient failure
                 logger.exception("stream finish failed")
                 return self._send_json(500, {"error": str(e)})
+            with self.sessions_lock:
+                self.sessions.pop(sid, None)
             return self._send_json(200, {
                 "text": res.text,
                 "segments": [{"char": s["char"], "start": s["start"]}

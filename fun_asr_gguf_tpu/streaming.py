@@ -193,18 +193,20 @@ class StreamingSession:
                              "(resample before feeding, e.g. via "
                              "audio.load_audio)")
         t_tick = time.perf_counter()
-        if self._t0 is None:
-            self._t0 = t_tick
-        self._buf = np.concatenate(
-            [self._buf, np.asarray(audio, np.float32)])
+        audio = np.asarray(audio, np.float32)
         max_samples = int(m.config.segment_pad_seconds * sr)
-        if len(self._buf) > max_samples:
+        if len(self._buf) + len(audio) > max_samples:
+            # validate BEFORE buffering: a rejected chunk must not grow
+            # the session (finish() stays within the segment window)
             raise ValueError(
                 f"streaming session exceeds one segment "
                 f"({m.config.segment_pad_seconds:.0f} s): feed at most "
                 "that much per session, finish(), and start a new "
                 "session (long audio routes through the orchestrator's "
                 "segmented path)")
+        if self._t0 is None:
+            self._t0 = t_tick
+        self._buf = np.concatenate([self._buf, audio])
 
         audio_embd, enc = m.encode_audio(self._buf)
         ctc_text = ""

@@ -404,6 +404,11 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
                                topk_group=int(
                                    config.get("topk_group", 0) or 0),
                                router_bias=True)
+            elif config.get("topk_method") == "group_limited_greedy":
+                # full DeepSeek-V2: group-limited softmax routing
+                moe_cfg.update(n_group=int(config.get("n_group", 0) or 0),
+                               topk_group=int(
+                                   config.get("topk_group", 0) or 0))
         ds.update(
             q_lora_rank=int(config.get("q_lora_rank") or 0),
             kv_lora_rank=config["kv_lora_rank"],

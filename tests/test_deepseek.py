@@ -308,3 +308,31 @@ def test_gguf_round_trip(pair, tmp_path):
     b = np.asarray(qwen3_forward_logits(
         params2, params2["embed"][jnp.asarray(ids)], mask, cfg2))
     np.testing.assert_allclose(b, a, rtol=5e-2, atol=5e-3)  # f16 weights
+
+
+def test_logits_match_hf_v2_group_limited():
+    """Full DeepSeek-V2's group_limited_greedy softmax routing (groups
+    ranked by their max score) — regression for the softmax branch
+    ignoring n_group/topk_group."""
+    hf = dict(V2_CFG)
+    # real V2/V2-Chat checkpoints: norm_topk_prob=False (HF's V2 gate
+    # stores the flag but never applies it)
+    hf.update(n_routed_experts=8, topk_method="group_limited_greedy",
+              n_group=4, topk_group=2, norm_topk_prob=False,
+              routed_scaling_factor=1.5)
+    model = _hf_model(hf, seed=6)
+    cfg = qwen3_config_from_hf(hf)
+    assert cfg.n_group == 4 and cfg.topk_group == 2
+    assert cfg.router_scoring == "softmax_topk" and not cfg.router_bias
+    assert not cfg.norm_topk_prob
+    params = _jax_params(model, cfg)
+    from fun_asr_gguf_tpu.models.qwen3 import qwen3_forward_logits
+    rng = np.random.default_rng(11)
+    ids = rng.integers(0, cfg.vocab_size, size=(2, 14))
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(qwen3_forward_logits(
+        params, params["embed"][jnp.asarray(ids)],
+        jnp.ones(ids.shape, jnp.float32), cfg))
+    assert _cos(ref, got) > 0.99999
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
