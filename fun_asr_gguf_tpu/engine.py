@@ -153,16 +153,20 @@ class FunASREngine:
 
     def create_streaming_session(self, language: Optional[str] = None,
                                  context: Optional[str] = None,
-                                 partial_tokens: int = 48):
+                                 partial_tokens: int = 48, **kwargs):
         """True incremental transcription (TPU-native extension; the
         reference buffers whole segments, ``nano_dataclass.py:30-69``):
         ``session.feed(chunk)`` returns a growing provisional transcript
         while audio is still arriving; ``session.finish()`` runs the
-        standard full-pipeline decode. See :mod:`.streaming`."""
+        standard full-pipeline decode. Sessions are unbounded: past one
+        segment window the session rolls the window over the stream with
+        the long-audio orchestrator's windowing and merge. Extra kwargs
+        (``segment_size``, ``overlap``, ``temperature``, …) pass through
+        to :class:`.streaming.StreamingSession`."""
         from .streaming import StreamingSession
         return StreamingSession(self.models, language=language,
                                 context=context,
-                                partial_tokens=partial_tokens)
+                                partial_tokens=partial_tokens, **kwargs)
 
     def transcribe_batch(self, audio_paths, language: Optional[str] = None,
                          context: Optional[str] = None,

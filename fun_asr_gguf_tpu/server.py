@@ -235,11 +235,19 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
                         429, {"error": "too many streaming sessions"})
                 self.sessions[sid] = (None, now)
             try:
+                extra = {}
+                if "segment_size" in q:
+                    extra["segment_size"] = float(q["segment_size"])
+                if "overlap" in q:
+                    extra["overlap"] = float(q["overlap"])
+                if "temperature" in q:
+                    extra["temperature"] = float(q["temperature"])
                 with self.engine_lock:
                     sess = self.engine.create_streaming_session(
                         language=q.get("language"),
                         context=q.get("context"),
-                        partial_tokens=int(q.get("partial_tokens", 48)))
+                        partial_tokens=int(q.get("partial_tokens", 48)),
+                        **extra)
             except Exception as e:                      # noqa: BLE001
                 logger.exception("stream start failed")
                 with self.sessions_lock:
@@ -280,6 +288,8 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
                 self.sessions[sid] = (sess, time.time())
             return self._send_json(200, {
                 "text": part.text, "ctc_text": part.ctc_text,
+                "committed_text": part.committed_text,
+                "full_text": part.full_text,
                 "seconds": round(part.seconds, 3),
                 "latency_ms": round(part.latency_ms, 1),
                 "n_tokens": part.n_tokens})

@@ -30,6 +30,18 @@ Per ``feed()`` tick:
 ``finish()`` hands the buffered audio to the UNMODIFIED batch decoder
 (``StreamDecoder.decode_stream``) — final text, hotword recall,
 timestamp alignment and stats are byte-identical to non-streaming use.
+
+**Unbounded sessions.** When the fed audio reaches one segment window
+(``segment_size``, default the engine's pad window), the session *rolls
+over*: the completed window is decoded once through the full batch path
+(hotwords, alignment — the orchestrator's per-segment quality), its
+result is committed, and only the ``overlap`` tail stays buffered — the
+exact windowing of the long-audio orchestrator (size ``segment_size``,
+step ``size − overlap``; ``core/orchestrator.py``). Memory is O(window)
+in audio and O(text) in committed results, so a session can run
+indefinitely; ``finish()`` merges committed segments with the same
+anchor-overlap merge the batch long path uses, and a session that never
+filled one window returns a byte-identical single-segment result.
 """
 
 import time
@@ -63,11 +75,18 @@ def _extend_prefix(params, prefix_kv, chunk, slots, positions, valid_from,
 @dataclass
 class StreamingPartial:
     """One ``feed()`` tick's provisional output."""
-    text: str                 # partial LLM transcript (greedy)
-    ctc_text: str             # rolling CTC transcript
-    seconds: float            # audio fed so far
+    text: str                 # partial LLM transcript of the CURRENT window
+    ctc_text: str             # rolling CTC transcript (current window)
+    seconds: float            # audio fed so far (committed + buffered)
     latency_ms: float         # this tick's wall time (feed → text)
     n_tokens: int = 0         # partial tokens decoded
+    committed_text: str = ""  # final-quality text of rolled-over segments
+
+    @property
+    def full_text(self) -> str:
+        """committed (final-quality) text ++ the current provisional."""
+        return (self.committed_text + self.text if self.committed_text
+                else self.text)
 
 
 @dataclass
@@ -79,16 +98,29 @@ class StreamingStats:
 
 
 class StreamingSession:
-    """Incremental transcription over one ≤ segment-length utterance.
+    """Incremental transcription over an unbounded audio stream.
 
     Partials run WITHOUT hotword injection (hotwords would edit the
-    cached prefix); ``finish()`` is the full pipeline, hotwords included.
+    cached prefix); committed rollover segments and ``finish()`` are the
+    full pipeline, hotwords included.
+
+    ``segment_size``/``overlap`` control the rollover windowing
+    (defaults: the engine's pad window; overlap ``min(2 s, size/4)``) —
+    chosen to match the long-audio orchestrator so a streamed file and a
+    batch-transcribed file take identical segment boundaries.
+    ``temperature``/``top_p``/``top_k`` apply to committed-segment
+    decodes (a rollover happens mid-stream, before ``finish()``'s
+    sampling arguments exist).
     """
 
     def __init__(self, models, language: Optional[str] = None,
                  context: Optional[str] = None,
                  partial_tokens: int = 48,
-                 extend_bucket: Optional[int] = None):
+                 extend_bucket: Optional[int] = None,
+                 segment_size: Optional[float] = None,
+                 overlap: Optional[float] = None,
+                 temperature: float = 0.4, top_p: float = 1.0,
+                 top_k: int = 50):
         self.models = models
         self.language = language
         self.context = context
@@ -122,6 +154,27 @@ class StreamingSession:
         self.stats = StreamingStats()
         from .formats.tokenizer import StreamTextDecoder
         self._mk_decoder = lambda: StreamTextDecoder(models.tokenizer)
+
+        # rollover windowing (orchestrator-identical: step = size − ov)
+        sr = models.config.sample_rate
+        seg_s = (float(segment_size) if segment_size
+                 else float(models.config.segment_pad_seconds))
+        seg_s = min(seg_s, float(models.config.segment_pad_seconds))
+        ov_s = (float(overlap) if overlap is not None
+                else min(2.0, seg_s / 4.0))
+        if not 0.0 <= ov_s < seg_s:
+            raise ValueError(f"overlap {ov_s} must be in [0, "
+                             f"segment_size={seg_s})")
+        self.segment_size, self.overlap = seg_s, ov_s
+        self._seg_samples = int(seg_s * sr)
+        self._step_samples = self._seg_samples - int(ov_s * sr)
+        self._temperature, self._top_p, self._top_k = \
+            float(temperature), float(top_p), int(top_k)
+        self._committed: List[dict] = []   # orchestrator segment dicts
+        self._offsets: List[float] = []    # absolute segment starts (s)
+        self._consumed = 0                 # samples before buffer start
+        self._committed_text = ""
+        self._seg_decoder = None
 
     # -- internals --------------------------------------------------------
 
@@ -176,11 +229,60 @@ class StreamingSession:
         dec.flush()
         return dec.generated_text.strip(), n_toks
 
+    def _decode_buffer(self, temperature, top_p, top_k) -> DecodeResult:
+        """Full batch-path decode of the current buffer (one segment)."""
+        from .core.decoder import StreamDecoder
+        if self._seg_decoder is None:
+            self._seg_decoder = StreamDecoder(self.models)
+        stream = RecognitionStream()
+        stream.accept_waveform(self.models.config.sample_rate, self._buf)
+        return self._seg_decoder.decode_stream(
+            stream, self.language, self.context, verbose=False,
+            temperature=temperature, top_p=top_p, top_k=top_k)
+
+    def _commit(self, d_res: DecodeResult):
+        """Append one segment's final-quality result; refresh the merged
+        committed text."""
+        sr = self.models.config.sample_rate
+        self._offsets.append(self._consumed / sr)
+        self._committed.append({
+            "text": d_res.text,
+            "segments": d_res.aligned,
+            "duration": len(self._buf) / sr,
+            "hotwords": d_res.hotwords,
+            "ctc_results": d_res.ctc_results,
+            "ctc_text": "".join(r.text for r in d_res.ctc_results)
+                        if d_res.ctc_results else "",
+            "timings": d_res.timings,
+            "n_gen": d_res.n_gen,
+        })
+        from .text_merge import merge_transcription_results
+        self._committed_text, _ = merge_transcription_results(
+            [{"text": r["text"], "segments": r["segments"],
+              "duration": r["duration"]} for r in self._committed],
+            self._offsets, self.overlap)
+
+    def _rollover(self):
+        """The buffer holds one full window: decode it through the batch
+        path, commit, keep only the overlap tail (step = size − ov)."""
+        d_res = self._decode_buffer(self._temperature, self._top_p,
+                                    self._top_k)
+        d_res.audio_embd = None    # keep unbounded sessions O(text)
+        self._commit(d_res)
+        self._buf = self._buf[self._step_samples:].copy()
+        self._consumed += self._step_samples
+
     # -- public surface ---------------------------------------------------
 
     @property
     def seconds(self) -> float:
-        return len(self._buf) / self.models.config.sample_rate
+        return (self._consumed + len(self._buf)) \
+            / self.models.config.sample_rate
+
+    @property
+    def committed_text(self) -> str:
+        """Merged final-quality text of all rolled-over segments."""
+        return self._committed_text
 
     def feed(self, audio: np.ndarray,
              sample_rate: Optional[int] = None) -> StreamingPartial:
@@ -194,27 +296,25 @@ class StreamingSession:
                              "audio.load_audio)")
         t_tick = time.perf_counter()
         audio = np.asarray(audio, np.float32)
-        max_samples = int(m.config.segment_pad_seconds * sr)
-        if len(self._buf) + len(audio) > max_samples:
-            # validate BEFORE buffering: a rejected chunk must not grow
-            # the session (finish() stays within the segment window)
-            raise ValueError(
-                f"streaming session exceeds one segment "
-                f"({m.config.segment_pad_seconds:.0f} s): feed at most "
-                "that much per session, finish(), and start a new "
-                "session (long audio routes through the orchestrator's "
-                "segmented path)")
         if self._t0 is None:
             self._t0 = t_tick
+        # consume up to window boundaries; each full window rolls over
+        # (a chunk larger than the step can trigger several rollovers)
+        while len(self._buf) + len(audio) > self._seg_samples:
+            take = self._seg_samples - len(self._buf)
+            self._buf = np.concatenate([self._buf, audio[:take]])
+            audio = audio[take:]
+            self._rollover()
         self._buf = np.concatenate([self._buf, audio])
 
-        audio_embd, enc = m.encode_audio(self._buf)
-        ctc_text = ""
-        if m.config.enable_ctc and m.ctc_id2token:
-            from .ctc import decode_ctc
-            indices = np.asarray(m._ctc_fn(m.ctc_params, enc))
-            ctc_text, _, _ = decode_ctc(indices[0], m.ctc_id2token)
-        text, n_toks = self._extend_and_decode(audio_embd)
+        text, ctc_text, n_toks = "", "", 0
+        if len(self._buf):
+            audio_embd, enc = m.encode_audio(self._buf)
+            if m.config.enable_ctc and m.ctc_id2token:
+                from .ctc import decode_ctc
+                indices = np.asarray(m._ctc_fn(m.ctc_params, enc))
+                ctc_text, _, _ = decode_ctc(indices[0], m.ctc_id2token)
+            text, n_toks = self._extend_and_decode(audio_embd)
 
         now = time.perf_counter()
         tick_ms = (now - t_tick) * 1000.0
@@ -226,16 +326,49 @@ class StreamingSession:
             self.stats.first_ctc_ms = since_first
         return StreamingPartial(text=text, ctc_text=ctc_text,
                                 seconds=self.seconds,
-                                latency_ms=tick_ms, n_tokens=n_toks)
+                                latency_ms=tick_ms, n_tokens=n_toks,
+                                committed_text=self._committed_text)
 
     def finish(self, temperature: float = 0.4, top_p: float = 1.0,
                top_k: int = 50) -> DecodeResult:
-        """Final decode of the full buffered audio through the standard
-        batch path (hotwords, alignment, retry policy — identical to
-        non-streaming)."""
-        from .core.decoder import StreamDecoder
-        stream = RecognitionStream()
-        stream.accept_waveform(self.models.config.sample_rate, self._buf)
-        return StreamDecoder(self.models).decode_stream(
-            stream, self.language, self.context, verbose=False,
-            temperature=temperature, top_p=top_p, top_k=top_k)
+        """Final decode through the standard batch path (hotwords,
+        alignment, retry policy — identical to non-streaming).
+
+        A session that stayed within one window returns the plain
+        single-segment ``DecodeResult``, byte-identical to
+        ``decode_stream`` on the same audio. A rolled-over session
+        decodes its residual buffer as the last window and merges all
+        committed segments with the orchestrator's anchor-overlap merge
+        — the same text the long-audio batch path produces (``aligned``
+        carries absolute-time starts)."""
+        if not self._committed:
+            return self._decode_buffer(temperature, top_p, top_k)
+        if len(self._buf):
+            d_last = self._decode_buffer(temperature, top_p, top_k)
+            d_last.audio_embd = None
+            self._commit(d_last)
+            self._buf = np.zeros((0,), np.float32)
+
+        from .text_merge import merge_transcription_results
+        full_text, full_segs = merge_transcription_results(
+            [{"text": r["text"], "segments": r["segments"],
+              "duration": r["duration"]} for r in self._committed],
+            self._offsets, self.overlap)
+        self._committed_text = full_text
+        merged = DecodeResult(text=full_text, aligned=full_segs)
+        seen = set()
+        for r in self._committed:
+            merged.ctc_results.extend(r["ctc_results"])
+            merged.n_gen += r["n_gen"]
+            for h in r["hotwords"]:
+                if h not in seen:
+                    seen.add(h)
+                    merged.hotwords.append(h)
+            t = r["timings"]
+            for f in ("encode", "ctc", "ctc_infer", "ctc_decode",
+                      "ctc_cast", "ctc_argmax", "ctc_loop",
+                      "hotword_verify", "prepare", "inject",
+                      "llm_generate", "align"):
+                setattr(merged.timings, f,
+                        getattr(merged.timings, f) + getattr(t, f, 0.0))
+        return merged

@@ -183,8 +183,60 @@ class TestStreamingSession:
             assert sess.stats.first_ctc_ms is not None
 
 
-    def test_overlong_feed_raises_clearly(self, engine):
-        sess = engine.create_streaming_session(partial_tokens=8)
-        too_much = np.zeros(int(16000 * 2.5), np.float32)  # window is 2 s
-        with pytest.raises(ValueError, match="exceeds one segment"):
-            sess.feed(too_much)
+    def test_rollover_matches_long_batch_path(self, engine):
+        """A session fed past one window must take the orchestrator's
+        exact segment boundaries: final merged text == the long-audio
+        batch path on the same audio."""
+        rng = np.random.default_rng(7)
+        audio = (rng.normal(size=16000 * 5) * 0.05).astype(np.float32)
+        sess = engine.create_streaming_session(
+            partial_tokens=8, segment_size=2.0, overlap=0.5,
+            temperature=0.0)
+        step = int(16000 * 0.7)
+        last = None
+        for i in range(0, len(audio), step):
+            last = sess.feed(audio[i:i + step])
+        assert last.seconds == pytest.approx(5.0, abs=0.01)
+        assert last.committed_text == sess.committed_text
+        assert last.full_text.startswith(last.committed_text)
+        final = sess.finish(temperature=0.0)
+
+        batch = engine.transcribe(
+            "mem.wav", preloaded_audio=audio, verbose=False,
+            segment_size=2.0, overlap=0.5, temperature=0.0)
+        assert final.text == batch.text
+        # absolute-time alignment survives the merge
+        segs = [(s["char"], s["start"]) for s in final.aligned]
+        want = [(s["char"], s["start"]) for s in batch.segments]
+        assert segs == want
+
+    def test_rollover_memory_bounded(self, engine):
+        """An unbounded session keeps O(window) audio: the buffer never
+        exceeds one segment and committed results drop their embeds."""
+        sess = engine.create_streaming_session(
+            partial_tokens=8, segment_size=2.0, overlap=0.5,
+            temperature=0.0)
+        rng = np.random.default_rng(9)
+        for _ in range(8):                      # 8 × 0.9 s = 7.2 s fed
+            sess.feed((rng.normal(size=int(16000 * 0.9)) * 0.05)
+                      .astype(np.float32))
+        assert len(sess._buf) <= sess._seg_samples
+        assert len(sess._committed) >= 3
+        assert sess.seconds == pytest.approx(7.2, abs=0.01)
+
+    def test_single_window_exact_boundary_stays_single_segment(self, engine):
+        """Audio ending exactly at the window boundary must NOT roll
+        over (matches the orchestrator's `end >= duration` break): the
+        finish() result is the plain single-segment decode."""
+        rng = np.random.default_rng(11)
+        audio = (rng.normal(size=16000 * 2) * 0.05).astype(np.float32)
+        sess = engine.create_streaming_session(
+            partial_tokens=8, segment_size=2.0, overlap=0.5)
+        sess.feed(audio)
+        assert not sess._committed
+        final = sess.finish(temperature=0.0)
+        stream = engine.create_stream()
+        stream.accept_waveform(16000, audio)
+        direct = engine.decode_stream(stream, verbose=False,
+                                      temperature=0.0)
+        assert final.text == direct.text
