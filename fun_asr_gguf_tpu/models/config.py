@@ -139,6 +139,13 @@ class Qwen3Config:
     arch: str = "qwen3"          # GGUF general.architecture on export
     qk_norm: bool = True         # per-head RMSNorm on q/k (qwen3, gemma-like)
     attn_bias: bool = False      # q/k/v projection biases (qwen2 family)
+    # -- OLMo2 family (reference converter registers Olmo2Model at
+    # convert_hf_to_gguf.py:7042): post-norm-only layers
+    # (x = x + norm(f(x)); no input norms at all) and a full-width
+    # qk-RMSNorm applied to the whole projected vector BEFORE the head
+    # reshape (HF ``Olmo2Attention``). --
+    pre_norms: bool = True        # False: no input_ln/pre-ffn norm
+    qk_norm_full: bool = False    # qk-norm over q_heads*head_dim, not per-head
     # -- sparse MoE MLP (Qwen3-MoE family; reference converter registers
     # Qwen3MoeForCausalLM at convert_hf_to_gguf.py:4328) --
     n_experts: int = 0           # 0 = dense MLP
@@ -243,6 +250,43 @@ class Qwen3Config:
                            n_experts=n_experts,
                            n_experts_per_tok=n_experts_per_tok,
                            moe_ffn_dim=96)
+
+    @staticmethod
+    def tiny_glm4(vocab_size: int = 512):
+        """GLM-4-0414-shaped tiny config: sandwich norms (glm names),
+        partial interleaved rotary (rope_dim = head_dim/2; weights are
+        neox-permuted at load), qkv biases, fused gate_up MLP."""
+        return Qwen3Config(hidden=64, n_layers=2, q_heads=4, kv_heads=2,
+                           head_dim=16, ffn_dim=128, vocab_size=vocab_size,
+                           rope_theta=1e4, arch="glm4", qk_norm=False,
+                           attn_bias=True, post_norms=True, rope_dim=8,
+                           tie_embeddings=False)
+
+    @staticmethod
+    def tiny_olmo2(vocab_size: int = 512):
+        """OLMo2-shaped tiny config: post-norm-only layers, full-width
+        qk-norm, untied embeddings."""
+        return Qwen3Config(hidden=64, n_layers=2, q_heads=4, kv_heads=2,
+                           head_dim=16, ffn_dim=128, vocab_size=vocab_size,
+                           rope_theta=1e4, arch="olmo2", qk_norm=True,
+                           qk_norm_full=True, pre_norms=False,
+                           post_norms=True, tie_embeddings=False,
+                           rms_eps=1e-6)
+
+    @staticmethod
+    def tiny_mixtral(vocab_size: int = 512, n_experts: int = 8,
+                     n_experts_per_tok: int = 2):
+        """Mixtral-shaped tiny config: arch "llama" (no qk-norm, no
+        biases) with every layer sparse; intermediate_size is the expert
+        width and the top-k routing probs renormalize unconditionally
+        (HF ``MixtralSparseMoeBlock``)."""
+        return Qwen3Config(hidden=64, n_layers=2, q_heads=4, kv_heads=2,
+                           head_dim=16, ffn_dim=96, vocab_size=vocab_size,
+                           rope_theta=1e4, arch="llama", qk_norm=False,
+                           attn_bias=False, tie_embeddings=False,
+                           n_experts=n_experts,
+                           n_experts_per_tok=n_experts_per_tok,
+                           moe_ffn_dim=96, norm_topk_prob=True)
 
     @staticmethod
     def tiny_qwen2(vocab_size: int = 512):

@@ -58,6 +58,31 @@ def unflatten_tree(flat: Dict[str, np.ndarray]):
     return root
 
 
+def glm_neox_perm(n_out: int, head_dim: int, rope_dim: int,
+                  inverse: bool = False) -> np.ndarray:
+    """Output-channel permutation between GLM's interleaved ("normal")
+    rope ordering and half-split ("neox") ordering, per head.
+
+    llama.cpp stores glm4 q/k in the HF interleaved ordering and runs
+    NORM-type rope at runtime (reference ``convert_hf_to_gguf.py:8283``
+    Glm4Model.normal_to_neox documents the mapping; plain glm4 skips
+    the permute). This graph runs half-split partial rope, so the rope
+    channels are permuted at load and inverse-permuted on export —
+    q and k permute consistently, leaving attention scores unchanged.
+    """
+    idx = np.arange(n_out).reshape(-1, head_dim)
+    rot = idx[:, :rope_dim]
+    if not inverse:
+        rot = np.concatenate([rot[:, 0::2], rot[:, 1::2]], axis=1)
+    else:
+        half = rope_dim // 2
+        out = np.empty_like(rot)
+        out[:, 0::2] = rot[:, :half]
+        out[:, 1::2] = rot[:, half:]
+        rot = out
+    return np.concatenate([rot, idx[:, rope_dim:]], axis=1).reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # GGUF → Qwen3 params
 # ---------------------------------------------------------------------------
@@ -250,12 +275,28 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
             sliding_pattern=(nl + 1) if sw else 0,
             rope_local_theta=float(g("rope.freq_base", 1e4)),
         )
+    glm = {}
+    if str(arch) == "glm4":
+        # reference converter: Glm4Model (convert_hf_to_gguf.py:8246):
+        # sandwich norms under glm names, partial rotary dims via
+        # rope.dimension_count, fused [gate; up] in ffn_up
+        rd = int(g("rope.dimension_count", head_dim))
+        glm = dict(post_norms=True,
+                   rope_dim=0 if rd == head_dim else rd)
+    olmo = {}
+    if str(arch) == "olmo2":
+        # reference converter: Olmo2Model (convert_hf_to_gguf.py:7042);
+        # llama.cpp's olmo2 graph is post-norm-only (no attn_norm/
+        # ffn_norm tensors) with full-width qk-norm
+        olmo = dict(pre_norms=False, post_norms=True, qk_norm_full=True)
     return Qwen3Config(
         **moe,
         **gemma,
         **oss,
         **dsk,
         **phi,
+        **glm,
+        **olmo,
         hidden=hidden,
         n_layers=int(g("block_count", 28)),
         q_heads=q_heads,
@@ -345,10 +386,11 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
 
     names = set(r.tensor_names())
     layers = {
-        "input_ln": vstack("blk.{}.attn_norm.weight"),
-        "post_ln": vstack("blk.{}.ffn_norm.weight"),
         "o_w": stack(lambda i: mat(f"blk.{i}.attn_output.weight")),
     }
+    if "blk.0.attn_norm.weight" in names:
+        layers["input_ln"] = vstack("blk.{}.attn_norm.weight")
+        layers["post_ln"] = vstack("blk.{}.ffn_norm.weight")
     if "blk.0.attn_kv_a_mqa.weight" in names:
         # deepseek MLA layout (reference converter: DeepseekV2Model)
         if "blk.0.attn_q_a.weight" in names:
@@ -460,6 +502,25 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
         layers["q_b"] = vstack("blk.{}.attn_q.bias")
         layers["k_b"] = vstack("blk.{}.attn_k.bias")
         layers["v_b"] = vstack("blk.{}.attn_v.bias")
+    if cfg.arch == "glm4" and cfg.rope_dim:
+        # the file stores q/k in interleaved rope ordering (llama.cpp
+        # NORM rope); this graph runs half-split — permute rope channels
+        def permute_out(w, perm):
+            perm = jnp.asarray(perm)
+            if isinstance(w, QuantTensor):
+                # q [L, out, ...] / d [L, out, ...]: out-row reorder is
+                # block-safe (q8_0 blocks run along k)
+                return QuantTensor(q=w.q[:, perm], d=w.d[:, perm])
+            return w[..., perm]          # dense [L, in, out] / [L, out]
+        pq = glm_neox_perm(cfg.q_heads * cfg.head_dim, cfg.head_dim,
+                           cfg.rope_dim)
+        pk = glm_neox_perm(cfg.kv_heads * cfg.head_dim, cfg.head_dim,
+                           cfg.rope_dim)
+        layers["q_w"] = permute_out(layers["q_w"], pq)
+        layers["k_w"] = permute_out(layers["k_w"], pk)
+        if "q_b" in layers:
+            layers["q_b"] = permute_out(layers["q_b"], pq)
+            layers["k_b"] = permute_out(layers["k_b"], pk)
     # gpt-oss extras: per-head attention-sink logits + o_proj bias
     if "blk.0.attn_sinks.weight" in names:
         layers["sinks"] = vstack("blk.{}.attn_sinks.weight")
@@ -572,6 +633,11 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
                      cfg.rope_orig_max_position)
             w.add_kv(f"{arch}.rope.scaling.attn_factor",
                      float(cfg.rope_attn_factor))
+    if arch == "glm4":
+        # Glm4Model KV set (reference convert_hf_to_gguf.py:8277):
+        # partial rotary dims
+        w.add_kv(f"{arch}.rope.dimension_count",
+                 cfg.rope_dim or cfg.head_dim)
     if arch == "phi3":
         # Phi3MiniModel KV set (reference convert_hf_to_gguf.py:4760-4785):
         # rope dims, longrope original context, sliding window (0 marks
@@ -673,6 +739,19 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         w.add_tensor("rope_factors_long.weight",
                      np.asarray(cfg.rope_factors_long, np.float32))
     fuse_phi3 = cfg.arch == "phi3"
+    # glm4 fuses [gate; up] in ffn_up like phi3 but keeps q/k/v split,
+    # and stores q/k rope channels interleaved (inverse of the load
+    # permute)
+    fuse_ffn = cfg.arch in ("phi3", "glm4")
+    inv_q = inv_k = None
+    if cfg.arch == "glm4" and cfg.rope_dim:
+        inv_q = glm_neox_perm(cfg.q_heads * cfg.head_dim, cfg.head_dim,
+                              cfg.rope_dim, inverse=True)
+        inv_k = glm_neox_perm(cfg.kv_heads * cfg.head_dim, cfg.head_dim,
+                              cfg.rope_dim, inverse=True)
+
+    def outp(wv, perm):
+        return np.asarray(wv)[..., perm] if perm is not None else wv
     L_main = flat["layers"]
     L_pre = flat.get("layers_pre")
     k0 = L_pre["input_ln"].shape[0] if L_pre is not None else 0
@@ -680,10 +759,11 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         # heterogeneous stacks (deepseek): dense-prefix layers live in
         # layers_pre with their own local index
         L, li = (L_pre, i) if i < k0 else (L_main, i - k0)
-        w.add_tensor(f"blk.{i}.attn_norm.weight",
-                     np.asarray(L["input_ln"][li], np.float32))
-        w.add_tensor(f"blk.{i}.ffn_norm.weight",
-                     np.asarray(L["post_ln"][li], np.float32))
+        if "input_ln" in L:       # post-norm-only archs (olmo2) omit them
+            w.add_tensor(f"blk.{i}.attn_norm.weight",
+                         np.asarray(L["input_ln"][li], np.float32))
+            w.add_tensor(f"blk.{i}.ffn_norm.weight",
+                         np.asarray(L["post_ln"][li], np.float32))
         if "q_norm" in L:
             w.add_tensor(f"blk.{i}.attn_q_norm.weight",
                          np.asarray(L["q_norm"][li], np.float32))
@@ -696,9 +776,9 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
                          np.asarray(L["ffn_post_ln"][li], np.float32))
         if "q_b" in L:
             w.add_tensor(f"blk.{i}.attn_q.bias",
-                         np.asarray(L["q_b"][li], np.float32))
+                         np.asarray(outp(L["q_b"][li], inv_q), np.float32))
             w.add_tensor(f"blk.{i}.attn_k.bias",
-                         np.asarray(L["k_b"][li], np.float32))
+                         np.asarray(outp(L["k_b"][li], inv_k), np.float32))
             w.add_tensor(f"blk.{i}.attn_v.bias",
                          np.asarray(L["v_b"][li], np.float32))
         if "sinks" in L:
@@ -728,11 +808,11 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
                                 np.asarray(L["v_w"][li], np.float32)],
                                axis=1))
         else:
-            mat(f"blk.{i}.attn_q.weight", L["q_w"][li])
-            mat(f"blk.{i}.attn_k.weight", L["k_w"][li])
+            mat(f"blk.{i}.attn_q.weight", outp(L["q_w"][li], inv_q))
+            mat(f"blk.{i}.attn_k.weight", outp(L["k_w"][li], inv_k))
             mat(f"blk.{i}.attn_v.weight", L["v_w"][li])
         mat(f"blk.{i}.attn_output.weight", L["o_w"][li])
-        if fuse_phi3:
+        if fuse_ffn:
             mat(f"blk.{i}.ffn_up.weight",
                 np.concatenate([np.asarray(L["gate_w"][li], np.float32),
                                 np.asarray(L["up_w"][li], np.float32)],

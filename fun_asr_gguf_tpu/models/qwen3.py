@@ -675,6 +675,11 @@ def fuse_qwen3_params_q8(params):
             "fuse_qwen3_params_q8 supports bias-free archs only (qwen3/"
             "llama); qwen2-family biases would need perm-space handling — "
             "use the int8/bf16 paths instead")
+    if "input_ln" not in layers:
+        raise ValueError(
+            "fuse_qwen3_params_q8 needs pre-norm layers; post-norm-only "
+            "archs (olmo2) have no input_ln to permute — use the "
+            "int8/bf16 paths")
     for key in ("qkv_w", "o_w", "gate_up_w", "down_w"):
         if not isinstance(layers.get(key), QuantTensor):
             raise ValueError(
@@ -766,6 +771,10 @@ def fuse_qwen3_params_q8i(params):
         raise ValueError(
             "fuse_qwen3_params_q8i does not support sandwich-norm archs "
             "(gemma); use the int8/bf16 paths")
+    if "input_ln" not in layers:
+        raise ValueError(
+            "fuse_qwen3_params_q8i does not support post-norm-only archs "
+            "(olmo2); use the int8/bf16 paths")
     if "router_w" in layers:
         raise ValueError(
             "fuse_qwen3_params_q8i does not support MoE layers — use the "
@@ -795,10 +804,16 @@ def _qkv_post(qkv, lp, cfg: Qwen3Config, cos, sin):
         qkv = qkv + lp["qkv_b"].astype(qkv.dtype)
     qd = cfg.q_heads * cfg.head_dim
     kd = cfg.kv_heads * cfg.head_dim
-    q = qkv[..., :qd].reshape(b, t, cfg.q_heads, cfg.head_dim)
-    k = qkv[..., qd:qd + kd].reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    q = qkv[..., :qd]
+    k = qkv[..., qd:qd + kd]
     v = qkv[..., qd + kd:].reshape(b, t, cfg.kv_heads, cfg.head_dim)
-    if "q_norm" in lp:
+    if "q_norm" in lp and cfg.qk_norm_full:
+        # olmo2: RMSNorm over the whole projected vector, pre-reshape
+        q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+    q = q.reshape(b, t, cfg.q_heads, cfg.head_dim)
+    k = k.reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    if "q_norm" in lp and not cfg.qk_norm_full:
         q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
@@ -872,10 +887,14 @@ def _qkv(x, lp, cfg: Qwen3Config, cos, sin, pre: bool = False):
         q = q + lp["q_b"].astype(q.dtype)
         k = k + lp["k_b"].astype(k.dtype)
         v = v + lp["v_b"].astype(v.dtype)
+    if "q_norm" in lp and cfg.qk_norm_full:
+        # olmo2: RMSNorm over the whole projected vector, pre-reshape
+        q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
     q = q.reshape(b, t, cfg.q_heads, cfg.head_dim)
     k = k.reshape(b, t, cfg.kv_heads, cfg.head_dim)
     v = v.reshape(b, t, cfg.kv_heads, cfg.head_dim)
-    if "q_norm" in lp:
+    if "q_norm" in lp and not cfg.qk_norm_full:
         q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
@@ -1316,7 +1335,8 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
             lcos, lsin, lbias = cos, sin, bias
         lp = _layer_params(lp_dense, quant if _quant is None else _quant,
                            l)
-        h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
+        h = (rms_norm(x, lp["input_ln"], cfg.rms_eps)
+             if cfg.pre_norms else x)
         q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
         scores = _gqa_scores(q, k, cfg) + lbias
         probs = _attn_probs(scores, lp.get("sinks"))
@@ -1324,7 +1344,8 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
         if cfg.post_norms:
             attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
         x = x + attn
-        h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
+        h = (rms_norm(x, lp["post_ln"], cfg.rms_eps)
+             if cfg.pre_norms else x)
         mlp = _mlp_block(h, lp, cfg, fused)
         if cfg.post_norms:
             mlp = rms_norm(mlp, lp["ffn_post_ln"], cfg.rms_eps)
@@ -1431,7 +1452,8 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
             lcos, lsin, lbias = cos, sin, bias
         lp = _layer_params(lp_dense, quant if _quant is None else _quant,
                            lq)
-        h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
+        h = (rms_norm(x, lp["input_ln"], cfg.rms_eps)
+             if cfg.pre_norms else x)
         q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
         heads, K, V = attn_core(q, k, v, K, V, l, lbias,
                                 lp.get("sinks"))
@@ -1442,7 +1464,8 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
             if cfg.post_norms:
                 attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
             x = x + attn
-            h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
+            h = (rms_norm(x, lp["post_ln"], cfg.rms_eps)
+             if cfg.pre_norms else x)
             mlp = _mlp_block(h, lp, cfg)
             if cfg.post_norms:
                 mlp = rms_norm(mlp, lp["ffn_post_ln"], cfg.rms_eps)
@@ -1659,7 +1682,8 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
             lcos, lsin, lbias = cos, sin, bias
         lp = _layer_params(lp_dense, quant if _quant is None else _quant,
                            lq)
-        h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
+        h = (rms_norm(x, lp["input_ln"], cfg.rms_eps)
+             if cfg.pre_norms else x)
         q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
         heads, K, V = attn_core(q, k, v, K, V, l, lbias,
                                 lp.get("sinks"))
@@ -1670,7 +1694,8 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
             if cfg.post_norms:
                 attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
             x = x + attn
-            h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
+            h = (rms_norm(x, lp["post_ln"], cfg.rms_eps)
+             if cfg.pre_norms else x)
             mlp = _mlp_block(h, lp, cfg)
             if cfg.post_norms:
                 mlp = rms_norm(mlp, lp["ffn_post_ln"], cfg.rms_eps)
@@ -1803,7 +1828,8 @@ def qwen3_forward_logits(params, embeds, attn_mask, cfg: Qwen3Config):
             lcos, lsin, lbias = cos, sin, bias
         lp = _layer_params(lp_dense, quant if _quant is None else _quant,
                            l)
-        h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
+        h = (rms_norm(x, lp["input_ln"], cfg.rms_eps)
+             if cfg.pre_norms else x)
         q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
         scores = _gqa_scores(q, k, cfg) + lbias
         probs = _attn_probs(scores, lp.get("sinks"))
@@ -1811,7 +1837,8 @@ def qwen3_forward_logits(params, embeds, attn_mask, cfg: Qwen3Config):
         if cfg.post_norms:
             attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
         x = x + attn
-        h = rms_norm(x, lp["post_ln"], cfg.rms_eps)
+        h = (rms_norm(x, lp["post_ln"], cfg.rms_eps)
+             if cfg.pre_norms else x)
         mlp = _mlp_block(h, lp, cfg, fused)
         if cfg.post_norms:
             mlp = rms_norm(mlp, lp["ffn_post_ln"], cfg.rms_eps)
@@ -1938,10 +1965,10 @@ def init_qwen3_params(rng, cfg: Qwen3Config, dtype=jnp.float32):
     keys = jax.random.split(rng, 8)
     h, qd, kd = cfg.hidden, cfg.q_heads * cfg.head_dim, cfg.kv_heads * cfg.head_dim
     s_h, s_q, s_f = h ** -0.5, qd ** -0.5, cfg.ffn_dim ** -0.5
-    layers = {
-        "input_ln": jnp.ones((n, h), dtype),
-        "post_ln": jnp.ones((n, h), dtype),
-    }
+    layers = {}
+    if cfg.pre_norms:
+        layers["input_ln"] = jnp.ones((n, h), dtype)
+        layers["post_ln"] = jnp.ones((n, h), dtype)
     if cfg.kv_lora_rank:
         # MLA (deepseek): low-rank kv (+ optionally q); o contracts
         # q_heads·v_head_dim rows
@@ -2009,8 +2036,10 @@ def init_qwen3_params(rng, cfg: Qwen3Config, dtype=jnp.float32):
     else:
         layers.update(dense_keys(n, (keys[4], keys[5], keys[6])))
     if cfg.qk_norm:
-        layers["q_norm"] = jnp.ones((n, cfg.head_dim), dtype)
-        layers["k_norm"] = jnp.ones((n, cfg.head_dim), dtype)
+        layers["q_norm"] = jnp.ones(
+            (n, qd if cfg.qk_norm_full else cfg.head_dim), dtype)
+        layers["k_norm"] = jnp.ones(
+            (n, kd if cfg.qk_norm_full else cfg.head_dim), dtype)
     if cfg.attn_bias:
         bkeys = jax.random.split(keys[7], 4)
         layers["q_b"] = norm(bkeys[0], (n, qd), 0.02)

@@ -73,6 +73,16 @@ def pp_forward(params, embeds, attn_mask, cfg: Qwen3Config, mesh: Mesh,
     """Pipelined decoder forward: [B, T, D] embeds → [B, T, D] hidden
     (pre-final-norm). B must divide into n_micro microbatches and
     cfg.n_layers into mesh.shape['pp'] stages."""
+    if (cfg.sliding_pattern or cfg.post_norms or not cfg.pre_norms
+            or cfg.rope_global_scale != 1.0):
+        # _block applies one global-attention bias and one rope table to
+        # every layer; sliding-window interleaves (gemma3/phi3-mini/
+        # gpt-oss), sandwich norms and post-norm-only layers (olmo2)
+        # would be silently wrong here
+        raise NotImplementedError(
+            "pp_forward supports global-attention llama-family archs "
+            "only (no sliding-window pattern / sandwich or post-only "
+            "norms / linear rope position scaling)")
     pp = mesh.shape["pp"]
     b, t, d = embeds.shape
     if b % n_micro != 0:
@@ -81,14 +91,6 @@ def pp_forward(params, embeds, attn_mask, cfg: Qwen3Config, mesh: Mesh,
     if cfg.n_layers % pp != 0:
         raise ValueError(f"{cfg.n_layers} layers not divisible into "
                          f"{pp} stages")
-    if cfg.sliding_pattern or cfg.post_norms or cfg.rope_global_scale != 1.0:
-        # _block applies one global-attention bias and one rope table to
-        # every layer; sliding-window interleaves (gemma3/phi3-mini/
-        # gpt-oss) and sandwich norms would be silently wrong here
-        raise NotImplementedError(
-            "pp_forward supports global-attention llama-family archs "
-            "only (no sliding-window pattern / sandwich norms / linear "
-            "rope position scaling)")
     mb = b // n_micro
 
     i = jnp.arange(t)[:, None]

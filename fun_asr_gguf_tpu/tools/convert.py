@@ -51,22 +51,27 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
     # gemma stores zero-centered norm weights (RMSNorm multiplies by
     # 1+w); shifting at load keeps rms_norm a plain multiply everywhere
     # (the same +1 the reference converter bakes into GGUF exports,
-    # convert_hf_to_gguf.py:5898 norm_shift)
-    shift = 1.0 if cfg.post_norms else 0.0
+    # convert_hf_to_gguf.py:5898 norm_shift). olmo2 also has post
+    # norms but stores plain weights — key the shift on the arch.
+    shift = 1.0 if cfg.arch == "gemma3" else 0.0
 
     def nvec(fmt):
         return stack_vec(fmt) + shift
 
     layers = {
-        "input_ln": nvec("model.layers.{}.input_layernorm.weight"),
-        # gemma's pre-FFN norm lives under a different HF name; in the
-        # llama family post_attention_layernorm IS the pre-FFN norm
-        "post_ln": nvec(
-            "model.layers.{}.pre_feedforward_layernorm.weight"
-            if cfg.post_norms else
-            "model.layers.{}.post_attention_layernorm.weight"),
         "o_w": stack("model.layers.{}.self_attn.o_proj.weight"),
     }
+    if cfg.pre_norms:
+        layers["input_ln"] = nvec(
+            "model.layers.{}.input_layernorm.weight")
+        # gemma's pre-FFN norm lives under a different HF name; in the
+        # llama family post_attention_layernorm IS the pre-FFN norm —
+        # and in glm4 it is too (glm's attn post norm is
+        # post_self_attn_layernorm)
+        layers["post_ln"] = nvec(
+            "model.layers.{}.pre_feedforward_layernorm.weight"
+            if cfg.post_norms and cfg.arch != "glm4" else
+            "model.layers.{}.post_attention_layernorm.weight")
     if "model.layers.0.self_attn.kv_a_proj_with_mqa.weight" in sd:
         # deepseek MLA: low-rank kv (+ optional q) with a shared rotary
         # key riding the kv_a projection's tail dims
@@ -166,6 +171,25 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
             "model.layers.{}.mlp.experts.down_proj", full)
         layers["moe_down_b"] = egather(
             "model.layers.{}.mlp.experts.down_proj_bias", full)
+    elif (cfg.is_moe
+          and "model.layers.0.block_sparse_moe.gate.weight" in sd):
+        # Mixtral sparse block: block_sparse_moe.gate router + per-expert
+        # w1 (gate) / w3 (up) / w2 (down) (reference converter remaps
+        # the same names into expert stacks,
+        # convert_hf_to_gguf.py LlamaModel "block_sparse_moe" handling)
+        def estack(fmt):
+            return np.stack([
+                np.stack([t(fmt.format(i, e))
+                          for e in range(cfg.n_experts)])
+                for i in range(cfg.n_layers)])
+        layers["router_w"] = stack(
+            "model.layers.{}.block_sparse_moe.gate.weight")
+        layers["moe_gate_w"] = estack(
+            "model.layers.{}.block_sparse_moe.experts.{}.w1.weight")
+        layers["moe_up_w"] = estack(
+            "model.layers.{}.block_sparse_moe.experts.{}.w3.weight")
+        layers["moe_down_w"] = estack(
+            "model.layers.{}.block_sparse_moe.experts.{}.w2.weight")
     elif cfg.is_moe:
         # Qwen3-MoE sparse block: mlp.gate (router) + per-expert
         # gate/up/down projections (reference converter merges the same
@@ -202,14 +226,34 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
         layers["k_norm"] = nvec(
             "model.layers.{}.self_attn.k_norm.weight")
     if cfg.post_norms:
-        layers["attn_post_ln"] = nvec(
-            "model.layers.{}.post_attention_layernorm.weight")
-        layers["ffn_post_ln"] = nvec(
-            "model.layers.{}.post_feedforward_layernorm.weight")
+        if cfg.arch == "glm4":
+            layers["attn_post_ln"] = nvec(
+                "model.layers.{}.post_self_attn_layernorm.weight")
+            layers["ffn_post_ln"] = nvec(
+                "model.layers.{}.post_mlp_layernorm.weight")
+        else:
+            layers["attn_post_ln"] = nvec(
+                "model.layers.{}.post_attention_layernorm.weight")
+            layers["ffn_post_ln"] = nvec(
+                "model.layers.{}.post_feedforward_layernorm.weight")
     if cfg.attn_bias:
         layers["q_b"] = stack_vec("model.layers.{}.self_attn.q_proj.bias")
         layers["k_b"] = stack_vec("model.layers.{}.self_attn.k_proj.bias")
         layers["v_b"] = stack_vec("model.layers.{}.self_attn.v_proj.bias")
+    if cfg.arch == "glm4" and cfg.rope_dim:
+        # glm applies interleaved ("normal") rope; this graph runs
+        # half-split — permute the rope channels once here (the GGUF
+        # exporter permutes back to the llama.cpp glm4 layout)
+        from ..models.loaders import glm_neox_perm
+        pq = glm_neox_perm(cfg.q_heads * cfg.head_dim, cfg.head_dim,
+                           cfg.rope_dim)
+        pk = glm_neox_perm(cfg.kv_heads * cfg.head_dim, cfg.head_dim,
+                           cfg.rope_dim)
+        layers["q_w"] = layers["q_w"][..., pq]     # [L, in, out]
+        layers["k_w"] = layers["k_w"][..., pk]
+        if "q_b" in layers:
+            layers["q_b"] = layers["q_b"][..., pq]
+            layers["k_b"] = layers["k_b"][..., pk]
     if cfg.attn_out_bias:
         layers["o_b"] = stack_vec("model.layers.{}.self_attn.o_proj.bias")
     if cfg.attn_sinks:
@@ -244,6 +288,11 @@ _HF_ARCHS = {
     "Qwen2ForCausalLM": ("qwen2", False, True),
     "LlamaForCausalLM": ("llama", False, False),
     "MistralForCausalLM": ("llama", False, False),
+    # mixtral (reference converter: LlamaModel's block_sparse_moe
+    # handling in convert_hf_to_gguf.py — llama.cpp serves Mixtral as
+    # arch "llama" + expert_* KVs): softmax→top-k→renormalize routing,
+    # the same router math as qwen3moe with norm_topk_prob
+    "MixtralForCausalLM": ("llama", False, False),
     # gemma3 text (reference converter: Gemma3Model at
     # convert_hf_to_gguf.py:5896): qk-norm, no attention biases,
     # sandwich norms / GeGLU / sliding-window handled via config flags
@@ -263,6 +312,15 @@ _HF_ARCHS = {
     # with shared experts / first-k dense layers / sigmoid+group routing
     "DeepseekV2ForCausalLM": ("deepseek2", False, False),
     "DeepseekV3ForCausalLM": ("deepseek2", False, False),
+    # olmo2 (reference converter: Olmo2Model at
+    # convert_hf_to_gguf.py:7042): post-norm-only layers, full-width
+    # qk-norm applied before the head reshape
+    "Olmo2ForCausalLM": ("olmo2", True, False),
+    # glm4 / glm-4-0414 (reference converter: Glm4Model at
+    # convert_hf_to_gguf.py:8246): sandwich norms under glm names,
+    # partial interleaved rotary, fused gate_up MLP; attention_bias
+    # comes from the HF config
+    "Glm4ForCausalLM": ("glm4", False, False),
 }
 
 
@@ -286,6 +344,18 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
             n_experts_per_tok=config["num_experts_per_tok"],
             moe_ffn_dim=config["moe_intermediate_size"],
             norm_topk_prob=bool(config.get("norm_topk_prob", True)))
+    if hf_arch == "MixtralForCausalLM":
+        if config.get("sliding_window"):
+            raise ValueError(
+                "mixtral with a sliding window is not supported (arch "
+                "\"llama\" attends globally); set sliding_window null")
+        # every layer is sparse; intermediate_size IS the expert width,
+        # and HF renormalizes the top-k probs unconditionally
+        moe = dict(
+            n_experts=config["num_local_experts"],
+            n_experts_per_tok=config["num_experts_per_tok"],
+            moe_ffn_dim=config["intermediate_size"],
+            norm_topk_prob=True)
     gemma = {}
     if arch == "gemma3":
         # sliding pattern: every Nth layer is global. HF expresses this
@@ -453,6 +523,22 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
             sliding_pattern=(nl + 1) if sw else 0,
             rope_local_theta=float(config.get("rope_theta", 1e4)),
         )
+    glm = {}
+    if arch == "glm4":
+        hd = config.get("head_dim",
+                        config["hidden_size"]
+                        // config["num_attention_heads"])
+        rot = int(hd * config.get("partial_rotary_factor", 0.5))
+        glm = dict(post_norms=True,
+                   rope_dim=0 if rot == hd else rot)
+        attn_bias = bool(config.get("attention_bias", False))
+    olmo = {}
+    if arch == "olmo2":
+        if config.get("sliding_window"):
+            raise ValueError(
+                "olmo with a sliding window (olmo3-style layer_types) "
+                "is not supported; olmo2 attends globally")
+        olmo = dict(pre_norms=False, post_norms=True, qk_norm_full=True)
     if arch == "deepseek2":
         # per-head qk dim is nope+rope (v may differ; cache pads)
         head_dim = config["qk_nope_head_dim"] + config["qk_rope_head_dim"]
@@ -466,6 +552,8 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
         **oss,
         **ds,
         **phi,
+        **glm,
+        **olmo,
         hidden=config["hidden_size"],
         n_layers=config["num_hidden_layers"],
         q_heads=config["num_attention_heads"],
@@ -507,7 +595,8 @@ def convert_llm(hf_dir: str, out_path: str, outtype: str = "q8_0"):
     The direct equivalent of the reference's
     ``convert_hf_to_gguf.py <dir> --outfile x.gguf --outtype ...`` for
     the archs this decode graph runs (qwen3 / qwen2 / llama / mistral /
-    qwen3moe / gemma3 / phi3): weights + embedded vocab (BPE from
+    qwen3moe / gemma3 / phi3 / gpt-oss / deepseek2/3 / mixtral /
+    olmo2 / glm4): weights + embedded vocab (BPE from
     tokenizer.json or SentencePiece from tokenizer.model) + special
     tokens / chat template + general.* naming metadata.
     """

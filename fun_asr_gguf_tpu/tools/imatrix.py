@@ -72,7 +72,8 @@ def forward_collect(params, embeds, attn_mask, cfg: Qwen3Config
     layers = params["layers"]
     for l in range(cfg.n_layers):
         lp = {k: w[l] for k, w in layers.items()}
-        h = rms_norm(x, lp["input_ln"], cfg.rms_eps)
+        h = (rms_norm(x, lp["input_ln"], cfg.rms_eps)
+             if cfg.pre_norms else x)
         for t in ("attn_q", "attn_k", "attn_v"):
             acc(f"blk.{l}.{t}.weight", h)
         q, k, v = Q._qkv(h, lp, cfg, cos, sin)
@@ -80,8 +81,12 @@ def forward_collect(params, embeds, attn_mask, cfg: Qwen3Config
         probs = jax.nn.softmax(scores, axis=-1)
         merged = Q._merge_heads(Q._gqa_mix(probs, v, cfg), cfg)
         acc(f"blk.{l}.attn_output.weight", merged)
-        x = x + Q._proj(merged, lp["o_w"]).astype(x.dtype)
-        h2 = rms_norm(x, lp["post_ln"], cfg.rms_eps)
+        attn = Q._proj(merged, lp["o_w"])
+        if cfg.post_norms:   # sandwich (gemma3) / post-only (olmo2)
+            attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
+        x = x + attn.astype(x.dtype)
+        h2 = (rms_norm(x, lp["post_ln"], cfg.rms_eps)
+              if cfg.pre_norms else x)
         for t in ("ffn_gate", "ffn_up"):
             acc(f"blk.{l}.{t}.weight", h2)
         if "gate_up_w" in lp:
@@ -93,7 +98,10 @@ def forward_collect(params, embeds, attn_mask, cfg: Qwen3Config
             up = Q._proj(h2, lp["up_w"])
         act = jax.nn.silu(gate) * up
         acc(f"blk.{l}.ffn_down.weight", act)
-        x = x + Q._proj(act, lp["down_w"]).astype(x.dtype)
+        mlp = Q._proj(act, lp["down_w"])
+        if cfg.post_norms:
+            mlp = rms_norm(mlp, lp["ffn_post_ln"], cfg.rms_eps)
+        x = x + mlp.astype(x.dtype)
 
     xf = rms_norm(x, params["final_ln"], cfg.rms_eps)
     acc("output.weight", xf)
