@@ -155,6 +155,12 @@ class ModelManager:
                 # qwen2-family biases) keep the per-projection scan path.
                 from ..models.qwen3 import fuse_qwen3_params_q8
                 try:
+                    if self.hybrid_cfg.llm.residual_scale != 1.0:
+                        # granite: the megacall bakes plain residual
+                        # adds into the kernel — scan path only
+                        raise ValueError(
+                            "residual_scale != 1 (granite) is not "
+                            "expressible in the perm-space megacall")
                     self.llm_params = fuse_qwen3_params_q8(self.llm_params)
                 except ValueError as e:
                     logger.info("q8_0 megacall fuse unavailable: %s", e)

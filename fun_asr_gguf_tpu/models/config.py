@@ -146,6 +146,15 @@ class Qwen3Config:
     # reshape (HF ``Olmo2Attention``). --
     pre_norms: bool = True        # False: no input_ln/pre-ffn norm
     qk_norm_full: bool = False    # qk-norm over q_heads*head_dim, not per-head
+    # -- Granite family (reference converter registers GraniteModel at
+    # convert_hf_to_gguf.py:8851): llama structure + scalar multipliers.
+    # attention_multiplier rides attn_scale and embedding_multiplier
+    # rides embed_scale; logits_scaling (a DIVISOR in HF) is folded
+    # into final_ln at load — output_norm only feeds the lm head, so
+    # (h * g/s) @ W == ((h * g) @ W) / s exactly — and unfolded on
+    # export (logit_scale below is export bookkeeping). --
+    residual_scale: float = 1.0   # multiplies each block's residual branch
+    logit_scale: float = 1.0      # HF logits divisor (folded into final_ln)
     # -- sparse MoE MLP (Qwen3-MoE family; reference converter registers
     # Qwen3MoeForCausalLM at convert_hf_to_gguf.py:4328) --
     n_experts: int = 0           # 0 = dense MLP
@@ -250,6 +259,18 @@ class Qwen3Config:
                            n_experts=n_experts,
                            n_experts_per_tok=n_experts_per_tok,
                            moe_ffn_dim=96)
+
+    @staticmethod
+    def tiny_granite(vocab_size: int = 512):
+        """Granite-3-shaped tiny config: llama structure + the four
+        scalar multipliers (attention/embedding/residual/logits)."""
+        return Qwen3Config(hidden=64, n_layers=2, q_heads=4, kv_heads=2,
+                           head_dim=16, ffn_dim=128, vocab_size=vocab_size,
+                           rope_theta=1e4, arch="granite", qk_norm=False,
+                           attn_bias=False, tie_embeddings=True,
+                           attn_scale=0.0078125,       # 1/128
+                           embed_scale=12.0, residual_scale=0.22,
+                           logit_scale=8.0)
 
     @staticmethod
     def tiny_glm4(vocab_size: int = 512):

@@ -275,6 +275,16 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
             sliding_pattern=(nl + 1) if sw else 0,
             rope_local_theta=float(g("rope.freq_base", 1e4)),
         )
+    gran = {}
+    if str(arch) == "granite":
+        # reference converter: GraniteModel (convert_hf_to_gguf.py:8851)
+        # writes the four multipliers as {arch}.attention.scale /
+        # embedding_scale / residual_scale / logit_scale
+        gran = dict(
+            attn_scale=float(g("attention.scale", 0.0)),
+            embed_scale=float(g("embedding_scale", 1.0)),
+            residual_scale=float(g("residual_scale", 1.0)),
+            logit_scale=float(g("logit_scale", 1.0)))
     glm = {}
     if str(arch) == "glm4":
         # reference converter: Glm4Model (convert_hf_to_gguf.py:8246):
@@ -295,6 +305,7 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
         **oss,
         **dsk,
         **phi,
+        **gran,
         **glm,
         **olmo,
         hidden=hidden,
@@ -528,7 +539,10 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
         layers["o_b"] = vstack("blk.{}.attn_output.bias")
     params = {
         "layers": layers,
-        "final_ln": jnp.asarray(vec("output_norm.weight"), dtype),
+        # granite: fold the logits divisor into the head-only norm
+        # (exact — output_norm feeds nothing but the lm head)
+        "final_ln": jnp.asarray(vec("output_norm.weight")
+                                / cfg.logit_scale, dtype),
         "embed": jnp.asarray(embed, dtype),
     }
     if pre_mlp:
@@ -638,6 +652,13 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         # partial rotary dims
         w.add_kv(f"{arch}.rope.dimension_count",
                  cfg.rope_dim or cfg.head_dim)
+    if arch == "granite":
+        # GraniteModel KV set (reference convert_hf_to_gguf.py:8855)
+        if cfg.attn_scale:
+            w.add_kv(f"{arch}.attention.scale", float(cfg.attn_scale))
+        w.add_kv(f"{arch}.embedding_scale", float(cfg.embed_scale))
+        w.add_kv(f"{arch}.residual_scale", float(cfg.residual_scale))
+        w.add_kv(f"{arch}.logit_scale", float(cfg.logit_scale))
     if arch == "phi3":
         # Phi3MiniModel KV set (reference convert_hf_to_gguf.py:4760-4785):
         # rope dims, longrope original context, sliding window (0 marks
@@ -731,7 +752,8 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
     else:
         w.add_tensor("token_embd.weight", emb.astype(np.float16))
     w.add_tensor("output_norm.weight",
-                 np.asarray(flat["final_ln"], np.float32))
+                 np.asarray(flat["final_ln"], np.float32)
+                 * cfg.logit_scale)     # unfold the granite logits divisor
     if cfg.rope_factors_short:
         w.add_tensor("rope_factors_short.weight",
                      np.asarray(cfg.rope_factors_short, np.float32))

@@ -730,7 +730,9 @@ def fuse_qwen3_params_q8_mega(params, cfg: Qwen3Config):
             or (cfg.rope_dim and cfg.rope_dim != cfg.head_dim)
             or cfg.active_rope_factors
             or cfg.rope_attn_factor != 1.0
-            or cfg.rope_global_scale != 1.0):
+            or cfg.rope_global_scale != 1.0
+            # granite: residual adds are baked plain into the kernel
+            or cfg.residual_scale != 1.0):
         return params
     qd = cfg.q_heads * cfg.head_dim
     nq = layers["qkv_w"].q.shape[-2]
@@ -1343,13 +1345,15 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
         attn = _attn_out(_gqa_mix(probs, v, cfg), lp, cfg, fused)
         if cfg.post_norms:
             attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
-        x = x + attn
+        x = x + (attn * cfg.residual_scale
+                 if cfg.residual_scale != 1.0 else attn)
         h = (rms_norm(x, lp["post_ln"], cfg.rms_eps)
              if cfg.pre_norms else x)
         mlp = _mlp_block(h, lp, cfg, fused)
         if cfg.post_norms:
             mlp = rms_norm(mlp, lp["ffn_post_ln"], cfg.rms_eps)
-        x = x + mlp
+        x = x + (mlp * cfg.residual_scale
+                 if cfg.residual_scale != 1.0 else mlp)
         return x, (k, v)
 
     k0 = _pre_layer_count(params)
@@ -1463,13 +1467,15 @@ def qwen3_decode_step(params, kv: KVCache, token_embed, slot, position,
             attn = _attn_out(heads, lp, cfg)
             if cfg.post_norms:
                 attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
-            x = x + attn
+            x = x + (attn * cfg.residual_scale
+                     if cfg.residual_scale != 1.0 else attn)
             h = (rms_norm(x, lp["post_ln"], cfg.rms_eps)
              if cfg.pre_norms else x)
             mlp = _mlp_block(h, lp, cfg)
             if cfg.post_norms:
                 mlp = rms_norm(mlp, lp["ffn_post_ln"], cfg.rms_eps)
-            x = x + mlp
+            x = x + (mlp * cfg.residual_scale
+                     if cfg.residual_scale != 1.0 else mlp)
         return (x, K, V), jnp.int32(0)
 
     k0 = _pre_layer_count(params)
@@ -1693,13 +1699,15 @@ def qwen3_verify_step(params, kv: KVCache, token_embeds, slots, positions,
             attn = _attn_out(heads, lp, cfg)
             if cfg.post_norms:
                 attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
-            x = x + attn
+            x = x + (attn * cfg.residual_scale
+                     if cfg.residual_scale != 1.0 else attn)
             h = (rms_norm(x, lp["post_ln"], cfg.rms_eps)
              if cfg.pre_norms else x)
             mlp = _mlp_block(h, lp, cfg)
             if cfg.post_norms:
                 mlp = rms_norm(mlp, lp["ffn_post_ln"], cfg.rms_eps)
-            x = x + mlp
+            x = x + (mlp * cfg.residual_scale
+                     if cfg.residual_scale != 1.0 else mlp)
         return (x, K, V), jnp.int32(0)
 
     k0 = _pre_layer_count(params)
@@ -1836,13 +1844,15 @@ def qwen3_forward_logits(params, embeds, attn_mask, cfg: Qwen3Config):
         attn = _attn_out(_gqa_mix(probs, v, cfg), lp, cfg, fused)
         if cfg.post_norms:
             attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
-        x = x + attn
+        x = x + (attn * cfg.residual_scale
+                 if cfg.residual_scale != 1.0 else attn)
         h = (rms_norm(x, lp["post_ln"], cfg.rms_eps)
              if cfg.pre_norms else x)
         mlp = _mlp_block(h, lp, cfg, fused)
         if cfg.post_norms:
             mlp = rms_norm(mlp, lp["ffn_post_ln"], cfg.rms_eps)
-        x = x + mlp
+        x = x + (mlp * cfg.residual_scale
+                 if cfg.residual_scale != 1.0 else mlp)
         return x, None
 
     gflags = _global_layer_flags(cfg)

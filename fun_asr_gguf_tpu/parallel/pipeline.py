@@ -74,6 +74,7 @@ def pp_forward(params, embeds, attn_mask, cfg: Qwen3Config, mesh: Mesh,
     (pre-final-norm). B must divide into n_micro microbatches and
     cfg.n_layers into mesh.shape['pp'] stages."""
     if (cfg.sliding_pattern or cfg.post_norms or not cfg.pre_norms
+            or cfg.residual_scale != 1.0
             or cfg.rope_global_scale != 1.0):
         # _block applies one global-attention bias and one rope table to
         # every layer; sliding-window interleaves (gemma3/phi3-mini/

@@ -260,7 +260,10 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
         layers["sinks"] = stack_vec("model.layers.{}.self_attn.sinks")
     params = {
         "layers": layers,
-        "final_ln": sd["model.norm.weight"].astype(np.float32) + shift,
+        # granite: fold the HF logits divisor into the head-only norm
+        # (output_norm feeds nothing but the lm head — exact)
+        "final_ln": (sd["model.norm.weight"].astype(np.float32) + shift)
+        / cfg.logit_scale,
         "embed": sd["model.embed_tokens.weight"].astype(np.float32),
     }
     if pre_mlp:
@@ -321,6 +324,10 @@ _HF_ARCHS = {
     # partial interleaved rotary, fused gate_up MLP; attention_bias
     # comes from the HF config
     "Glm4ForCausalLM": ("glm4", False, False),
+    # granite (reference converter: GraniteModel at
+    # convert_hf_to_gguf.py:8851): llama structure + four scalar
+    # multipliers (attention/embedding/residual/logits)
+    "GraniteForCausalLM": ("granite", False, False),
 }
 
 
@@ -523,6 +530,14 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
             sliding_pattern=(nl + 1) if sw else 0,
             rope_local_theta=float(config.get("rope_theta", 1e4)),
         )
+    gran = {}
+    if arch == "granite":
+        gran = dict(
+            attn_scale=float(config.get("attention_multiplier", 0.0)
+                             or 0.0),
+            embed_scale=float(config.get("embedding_multiplier", 1.0)),
+            residual_scale=float(config.get("residual_multiplier", 1.0)),
+            logit_scale=float(config.get("logits_scaling", 1.0)))
     glm = {}
     if arch == "glm4":
         hd = config.get("head_dim",
@@ -552,6 +567,7 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
         **oss,
         **ds,
         **phi,
+        **gran,
         **glm,
         **olmo,
         hidden=config["hidden_size"],
@@ -596,7 +612,7 @@ def convert_llm(hf_dir: str, out_path: str, outtype: str = "q8_0"):
     ``convert_hf_to_gguf.py <dir> --outfile x.gguf --outtype ...`` for
     the archs this decode graph runs (qwen3 / qwen2 / llama / mistral /
     qwen3moe / gemma3 / phi3 / gpt-oss / deepseek2/3 / mixtral /
-    olmo2 / glm4): weights + embedded vocab (BPE from
+    olmo2 / glm4 / granite): weights + embedded vocab (BPE from
     tokenizer.json or SentencePiece from tokenizer.model) + special
     tokens / chat template + general.* naming metadata.
     """

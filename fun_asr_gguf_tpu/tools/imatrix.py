@@ -49,6 +49,8 @@ def forward_collect(params, embeds, attn_mask, cfg: Qwen3Config
     """
     b, p, _ = embeds.shape
     x = embeds
+    if cfg.embed_scale != 1.0:       # gemma / granite embedding scale
+        x = x * jnp.asarray(cfg.embed_scale, x.dtype)
     prompt_len = jnp.sum(attn_mask, axis=1).astype(jnp.int32)
     shift = p - prompt_len
     positions = jnp.maximum(
@@ -84,7 +86,8 @@ def forward_collect(params, embeds, attn_mask, cfg: Qwen3Config
         attn = Q._proj(merged, lp["o_w"])
         if cfg.post_norms:   # sandwich (gemma3) / post-only (olmo2)
             attn = rms_norm(attn, lp["attn_post_ln"], cfg.rms_eps)
-        x = x + attn.astype(x.dtype)
+        x = x + (attn * cfg.residual_scale
+                 if cfg.residual_scale != 1.0 else attn).astype(x.dtype)
         h2 = (rms_norm(x, lp["post_ln"], cfg.rms_eps)
               if cfg.pre_norms else x)
         for t in ("ffn_gate", "ffn_up"):
@@ -101,7 +104,8 @@ def forward_collect(params, embeds, attn_mask, cfg: Qwen3Config
         mlp = Q._proj(act, lp["down_w"])
         if cfg.post_norms:
             mlp = rms_norm(mlp, lp["ffn_post_ln"], cfg.rms_eps)
-        x = x + mlp.astype(x.dtype)
+        x = x + (mlp * cfg.residual_scale
+                 if cfg.residual_scale != 1.0 else mlp).astype(x.dtype)
 
     xf = rms_norm(x, params["final_ln"], cfg.rms_eps)
     acc("output.weight", xf)
