@@ -230,8 +230,12 @@ class ModelManager:
             self.prompt_builder = PromptBuilder(self.tokenizer,
                                                 self.embedding_table)
 
-            vprint("[4/6] 编译 TPU 程序 (warm-up)...", verbose)
-            self._warmup()
+            if self.config.warmup:
+                vprint("[4/6] 编译 TPU 程序 (warm-up)...", verbose)
+                self._warmup()
+            else:
+                vprint("[4/6] 跳过 warm-up (warmup=False): 程序首次调用时"
+                       "编译", verbose)
 
             vprint("[5/6] 初始化热词管理器...", verbose)
             hw_path = self.config.hotwords_path

@@ -138,6 +138,11 @@ class ASREngineConfig:
     warmup_all_buckets: bool = False         # compile every prefill bucket
                                              # at init (serving: no first-
                                              # request compile stalls)
+    warmup: bool = True                      # False: skip init-time compile
+                                             # warmup entirely; programs
+                                             # compile on first use (bench/
+                                             # batch-only callers that never
+                                             # touch the b=1 programs)
     speculative: bool = True                 # CTC-draft speculative decode
                                              # (distribution-preserving;
                                              # needs enable_ctc)

@@ -41,6 +41,7 @@ class FunASREngine:
                  compilation_cache_dir: Optional[str] = None,
                  int8_lm_head: bool = True,
                  warmup_all_buckets: bool = False,
+                 warmup: bool = True,
                  speculative: bool = True,
                  spec_k: int = 8,
                  spec_draft_len: int = 512,
@@ -80,6 +81,7 @@ class FunASREngine:
             compilation_cache_dir=compilation_cache_dir,
             int8_lm_head=int8_lm_head,
             warmup_all_buckets=warmup_all_buckets,
+            warmup=warmup,
             speculative=speculative,
             spec_k=spec_k,
             spec_draft_len=spec_draft_len,

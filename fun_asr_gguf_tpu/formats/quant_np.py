@@ -35,6 +35,16 @@ def q8_0_quantize(x: np.ndarray):
     k = x.shape[-1]
     if k % Q8_0_BLOCK != 0:
         raise ValueError(f"last dim {k} not a multiple of {Q8_0_BLOCK}")
+    try:
+        # single-pass C++ kernel (native/quant_kernels.cc), bit-identical;
+        # the numpy path below costs ~10 full memory passes, which on a
+        # 1-core host turns a 0.6B-param export into minutes
+        from ..native import q8_0_quantize_native
+        out = q8_0_quantize_native(x)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
     blocks = x.reshape(*x.shape[:-1], k // Q8_0_BLOCK, Q8_0_BLOCK)
     d = np.abs(blocks).max(axis=-1, keepdims=True) / 127.0
     # ggml quantizes against the UNROUNDED f32 scale and only then stores d

@@ -357,14 +357,19 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
     def t(name):  # dense-dequantized fetch, [out, in] -> [in, out]
         return np.ascontiguousarray(r.tensor(name).astype(np.float32).T)
 
+    # NOTE: every helper below returns NUMPY (incl. ml_dtypes bf16);
+    # per-layer eager jnp ops (asarray/stack/reshape) each dispatch an XLA
+    # program — on the 1-core build host a single compile costs seconds
+    # and a 0.6B load was spending >70 s in them. The finished tree is
+    # uploaded in ONE tree_map at the end (pure transfers, no compiles).
     def mat(name):
         info = r.tensor_info(name)
         if keep_quantized and info.ggml_type == GGMLType.Q8_0:
             q, d = r.tensor_q8_0(name)          # [out, in], [out, in/32]
             # QuantTensor stores k block-transposed (kernel layout)
-            return QuantTensor(q=block_permute(jnp.asarray(q)),
-                               d=jnp.asarray(d.astype(np.float32)))
-        return jnp.asarray(t(name), dtype)
+            return QuantTensor(q=np.ascontiguousarray(block_permute(q)),
+                               d=d.astype(np.float32))
+        return np.asarray(t(name), dtype)
 
     def mat_rows(name, row_slices):
         """Split a fused [out, in] tensor by output-row ranges (phi3's
@@ -374,11 +379,12 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
         info = r.tensor_info(name)
         if keep_quantized and info.ggml_type == GGMLType.Q8_0:
             q, d = r.tensor_q8_0(name)
-            return [QuantTensor(q=block_permute(jnp.asarray(q[a:b])),
-                                d=jnp.asarray(d[a:b].astype(np.float32)))
+            return [QuantTensor(q=np.ascontiguousarray(
+                                    block_permute(q[a:b])),
+                                d=d[a:b].astype(np.float32))
                     for a, b in row_slices]
         full = r.tensor(name).astype(np.float32)
-        return [jnp.asarray(np.ascontiguousarray(full[a:b].T), dtype)
+        return [np.asarray(np.ascontiguousarray(full[a:b].T), dtype)
                 for a, b in row_slices]
 
     def vec(name):
@@ -389,10 +395,10 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
     n = cfg.n_layers
     def stack(fn):
         items = [fn(i) for i in range(n)]
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *items)
+        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *items)
 
     def vstack(fmt):
-        return jnp.asarray(
+        return np.asarray(
             np.stack([vec(fmt.format(i)) for i in range(n)]), dtype)
 
     names = set(r.tensor_names())
@@ -423,7 +429,7 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
                for i in range(n)]
         for j, key in enumerate(("q_w", "k_w", "v_w")):
             layers[key] = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *[p[j] for p in qkv])
+                lambda *xs: np.stack(xs), *[p[j] for p in qkv])
     else:
         layers.update({
             "q_w": stack(lambda i: mat(f"blk.{i}.attn_q.weight")),
@@ -442,15 +448,15 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
 
         def e3(name, swap):
             a = r.tensor(name).astype(np.float32)      # [E, n, k]
-            return jnp.asarray(np.swapaxes(a, -1, -2) if swap else a,
-                               dtype)
+            return np.asarray(np.swapaxes(a, -1, -2) if swap else a,
+                              dtype)
 
         def mstack(fn):
             items = [fn(i) for i in moe_rng]
-            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+            return jax.tree_util.tree_map(lambda *xs: np.stack(xs),
                                           *items)
         layers["router_w"] = mstack(
-            lambda i: jnp.asarray(t(f"blk.{i}.ffn_gate_inp.weight"), dtype))
+            lambda i: np.asarray(t(f"blk.{i}.ffn_gate_inp.weight"), dtype))
         layers["moe_gate_w"] = mstack(
             lambda i: e3(f"blk.{i}.ffn_gate_exps.weight", True))
         layers["moe_up_w"] = mstack(
@@ -466,7 +472,7 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
                 lambda i: mat(f"blk.{i}.ffn_down_shexp.weight"))
         if f"blk.{k0}.exp_probs_b.bias" in names:
             # deepseek3 e-score correction bias (selection only)
-            layers["router_b"] = jnp.asarray(
+            layers["router_b"] = np.asarray(
                 np.stack([r.tensor(f"blk.{i}.exp_probs_b.bias")
                           .astype(np.float32) for i in moe_rng]), dtype)
         for key, nm in (("gate_w", "ffn_gate"), ("up_w", "ffn_up"),
@@ -474,14 +480,14 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
             if k0:   # dense prefix layers
                 items = [mat(f"blk.{i}.{nm}.weight") for i in range(k0)]
                 pre_mlp[key] = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *items)
+                    lambda *xs: np.stack(xs), *items)
         # gpt-oss carries a router bias + per-expert biases
         # (reference converter: GptOssModel, convert_hf_to_gguf.py:10123)
         if "blk.0.ffn_gate_inp.bias" in names:
             layers["router_b"] = vstack("blk.{}.ffn_gate_inp.bias")
         if "blk.0.ffn_gate_exps.bias" in names:
             def estack_b(fmt):           # per-layer [E, n] → [L, E, n]
-                return jnp.asarray(
+                return np.asarray(
                     np.stack([r.tensor(fmt.format(i)).astype(np.float32)
                               for i in range(n)]), dtype)
             layers["moe_gate_b"] = estack_b("blk.{}.ffn_gate_exps.bias")
@@ -495,7 +501,7 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
               for i in range(n)]
         for j, key in enumerate(("gate_w", "up_w")):
             layers[key] = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *[p[j] for p in gu])
+                lambda *xs: np.stack(xs), *[p[j] for p in gu])
         layers["down_w"] = stack(lambda i: mat(f"blk.{i}.ffn_down.weight"))
     else:
         layers.update({
@@ -517,7 +523,7 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
         # the file stores q/k in interleaved rope ordering (llama.cpp
         # NORM rope); this graph runs half-split — permute rope channels
         def permute_out(w, perm):
-            perm = jnp.asarray(perm)
+            perm = np.asarray(perm)
             if isinstance(w, QuantTensor):
                 # q [L, out, ...] / d [L, out, ...]: out-row reorder is
                 # block-safe (q8_0 blocks run along k)
@@ -541,9 +547,9 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
         "layers": layers,
         # granite: fold the logits divisor into the head-only norm
         # (exact — output_norm feeds nothing but the lm head)
-        "final_ln": jnp.asarray(vec("output_norm.weight")
-                                / cfg.logit_scale, dtype),
-        "embed": jnp.asarray(embed, dtype),
+        "final_ln": np.asarray(vec("output_norm.weight")
+                               / cfg.logit_scale, dtype),
+        "embed": np.asarray(embed, dtype),
     }
     if pre_mlp:
         # heterogeneous stacks (deepseek leading dense layers): split
@@ -561,8 +567,127 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
                             for key, w in layers.items()}
         params["layers_pre"] = pre
     if not cfg.tie_embeddings:
-        params["lm_head"] = jnp.asarray(t("output.weight"), dtype)
+        params["lm_head"] = np.asarray(t("output.weight"), dtype)
+    # single upload pass: pure host->device transfers, zero compiles
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+        params)
     return params, cfg, embed
+
+
+class _QD:
+    """A pre-quantized q8_0 tensor (split int8 quants + fp16 scales)."""
+
+    __slots__ = ("q", "d")
+
+    def __init__(self, q: np.ndarray, d: np.ndarray):
+        self.q, self.d = q, d
+
+
+class _QDStack:
+    """Stacked pre-quantized layers; ``[i]`` yields one layer's _QD."""
+
+    __slots__ = ("q", "d")
+
+    def __init__(self, q: np.ndarray, d: np.ndarray):
+        self.q, self.d = q, d
+
+    def __getitem__(self, i) -> _QD:
+        return _QD(self.q[i], self.d[i])
+
+
+# matmul-weight keys of the qwen3-family param tree (everything mat()/mat3()
+# exports as q8_0; norms/biases/sinks stay float)
+_EXPORT_MAT_KEYS = frozenset({
+    "q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w", "router_w",
+    "moe_gate_w", "moe_up_w", "moe_down_w",
+    "shared_gate_w", "shared_up_w", "shared_down_w",
+    "q_a_w", "q_b_w", "kv_a_w", "kv_b_w",
+})
+
+
+def _q8_export_quantize(x, transpose: bool):
+    """On-device q8_0: same f32 IEEE ops as formats/quant_np.q8_0_quantize
+    (absmax/127 scale, round half away from zero, fp16 RN scale store), so
+    the fetched bytes are bit-identical to the host quantizer's."""
+    x = x.astype(jnp.float32)
+    if transpose:
+        x = jnp.swapaxes(x, -1, -2)
+    shape = x.shape
+    blocks = x.reshape(*shape[:-1], shape[-1] // 32, 32)
+    d = jnp.max(jnp.abs(blocks), axis=-1, keepdims=True) / 127.0
+    inv = jnp.where(d == 0, 0.0, 1.0 / d)
+    q = blocks * inv
+    q = jnp.where(q >= 0, jnp.floor(q + 0.5), jnp.ceil(q - 0.5))
+    q = jnp.clip(q, -127, 127).astype(jnp.int8).reshape(shape)
+    return q, d[..., 0].astype(jnp.float16)
+
+
+_q8_export_jit = jax.jit(_q8_export_quantize, static_argnums=1)
+
+
+def _params_platform(params) -> Optional[str]:
+    for leaf in jax.tree_util.tree_leaves(params):
+        if isinstance(leaf, jax.Array):
+            try:
+                return next(iter(leaf.devices())).platform
+            except Exception:
+                return None
+    return None
+
+
+def _materialize_for_export(params, cfg: Qwen3Config, quantize_q8_0: bool):
+    """Fetch params to host for GGUF export.
+
+    For device-resident params (TPU over a remote tunnel: ~25 MB/s), the
+    f32 fetch of a 0.6B model is ~100 s of pure transfer. When the export
+    is q8_0 anyway, quantize the big matmul stacks ON DEVICE (transpose +
+    block-quant, one jitted program per shape) and fetch int8 quants +
+    fp16 scales instead — ~4x less tunnel traffic and no host quantize
+    pass at all. Norms/biases/scalars are fetched in bulk as usual.
+
+    phi3/glm4 post-process weight matrices host-side (fusion/permutes), so
+    they take the plain fetch path.
+    """
+    if any(isinstance(leaf, (_QD, _QDStack))
+           for leaf in jax.tree_util.tree_leaves(params)):
+        return params                # already host-quantized (fast_q8 path)
+    plat = _params_platform(params)
+    if (not quantize_q8_0 or plat in (None, "cpu")
+            or cfg.arch in ("phi3", "glm4")):
+        return jax.device_get(params)
+
+    flat: Dict = {}
+    for sect in ("layers", "layers_pre"):
+        if sect not in params:
+            continue
+        sub: Dict = {}
+        rest: Dict = {}
+        for k, v in params[sect].items():
+            if (k in _EXPORT_MAT_KEYS and hasattr(v, "ndim")
+                    and v.ndim >= 3 and v.shape[-2] % 32 == 0):
+                q, d = _q8_export_jit(v, True)
+                sub[k] = _QDStack(np.asarray(q), np.asarray(d))
+            else:
+                rest[k] = v
+        sub.update(jax.device_get(rest))
+        flat[sect] = sub
+    rest_top = {}
+    for k, v in params.items():
+        if k in ("layers", "layers_pre"):
+            continue
+        if (k == "lm_head" and hasattr(v, "ndim") and v.ndim == 2
+                and v.shape[0] % 32 == 0):
+            q, d = _q8_export_jit(v, True)
+            flat[k] = _QD(np.asarray(q), np.asarray(d))
+        elif (k == "embed" and hasattr(v, "ndim") and v.ndim == 2
+                and v.shape[-1] % 32 == 0):
+            q, d = _q8_export_jit(v, False)
+            flat[k] = _QD(np.asarray(q), np.asarray(d))
+        else:
+            rest_top[k] = v
+    flat.update(jax.device_get(rest_top))
+    return flat
 
 
 def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
@@ -730,7 +855,20 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
 
     def mat(name, arr2d):
         """our [in, out] -> gguf [out, in]; q8_0 blocks run along `in`."""
-        a = np.asarray(arr2d, dtype=np.float32).T
+        if isinstance(arr2d, _QD):     # pre-quantized on device
+            w.add_tensor_q8_0(name, np.ascontiguousarray(arr2d.q),
+                              np.ascontiguousarray(arr2d.d))
+            return
+        a32 = np.asarray(arr2d, dtype=np.float32)
+        if quantize_q8_0 and a32.ndim == 2 and a32.shape[0] % 32 == 0:
+            # fused C++ transpose+quantize: one read pass, no f32
+            # transpose materialization (native/quant_kernels.cc)
+            from ..native import q8_0_quantize_transpose_native
+            out = q8_0_quantize_transpose_native(a32)
+            if out is not None:
+                w.add_tensor_q8_0(name, out[0], out[1])
+                return
+        a = a32.T
         if quantize_q8_0 and a.shape[-1] % 32 == 0:
             w.add_tensor(name, a, ggml_type=GGMLType.Q8_0)
         else:
@@ -738,19 +876,38 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
 
     def mat3(name, arr3d):
         """stacked expert weights [E, in, out] -> gguf [E, out, in]."""
-        a = np.ascontiguousarray(
-            np.swapaxes(np.asarray(arr3d, np.float32), -1, -2))
+        if isinstance(arr3d, _QD):     # pre-quantized on device
+            w.add_tensor_q8_0(name, np.ascontiguousarray(arr3d.q),
+                              np.ascontiguousarray(arr3d.d))
+            return
+        a32 = np.asarray(arr3d, np.float32)
+        if quantize_q8_0 and a32.ndim == 3 and a32.shape[-2] % 32 == 0:
+            from ..native import q8_0_quantize_transpose_native
+            outs = [q8_0_quantize_transpose_native(a32[e])
+                    for e in range(a32.shape[0])]
+            if all(o is not None for o in outs):
+                w.add_tensor_q8_0(name, np.stack([o[0] for o in outs]),
+                                  np.stack([o[1] for o in outs]))
+                return
+        a = np.ascontiguousarray(np.swapaxes(a32, -1, -2))
         if quantize_q8_0 and a.shape[-1] % 32 == 0:
             w.add_tensor(name, a, ggml_type=GGMLType.Q8_0)
         else:
             w.add_tensor(name, a.astype(np.float16))
 
-    flat = jax.device_get(params)
-    emb = np.asarray(flat["embed"], dtype=np.float32)
-    if quantize_q8_0 and emb.shape[-1] % 32 == 0:
-        w.add_tensor("token_embd.weight", emb, ggml_type=GGMLType.Q8_0)
+    flat = _materialize_for_export(params, cfg, quantize_q8_0)
+    if isinstance(flat.get("embed"), _QD):
+        emb_qd = flat["embed"]
+        w.add_tensor_q8_0("token_embd.weight",
+                          np.ascontiguousarray(emb_qd.q),
+                          np.ascontiguousarray(emb_qd.d))
     else:
-        w.add_tensor("token_embd.weight", emb.astype(np.float16))
+        emb = np.asarray(flat["embed"], dtype=np.float32)
+        if quantize_q8_0 and emb.shape[-1] % 32 == 0:
+            w.add_tensor("token_embd.weight", emb,
+                         ggml_type=GGMLType.Q8_0)
+        else:
+            w.add_tensor("token_embd.weight", emb.astype(np.float16))
     w.add_tensor("output_norm.weight",
                  np.asarray(flat["final_ln"], np.float32)
                  * cfg.logit_scale)     # unfold the granite logits divisor
@@ -1070,15 +1227,116 @@ def _relist_stacked(tree):
     return tree
 
 
+def _random_q8_llm_tree(cfg: Qwen3Config, seed: int):
+    """Random decoder weights generated DIRECTLY in q8_0 space (int8
+    quants + fp16 scales), host-only — no device init, no f32 pass, no
+    quantizer. For bench/test checkpoints where only the weight *scale*
+    matters: the r4 bench lost its driver artifact to a 354 s random-
+    checkpoint write (2.4 GB f32 tunnel fetch + host quantize); this
+    path writes the same-format checkpoint in seconds.
+
+    Supports the standard dense attention/FFN layout (qwen3-class).
+    Returns None for MoE/MLA or non-32-multiple dims (callers fall back
+    to the full init+quantize path).
+    """
+    if cfg.is_moe or cfg.kv_lora_rank or not cfg.pre_norms:
+        return None
+    n, h = cfg.n_layers, cfg.hidden
+    qd = cfg.q_heads * cfg.head_dim
+    kd = cfg.kv_heads * cfg.head_dim
+    if any(dim % 32 for dim in (h, qd, cfg.ffn_dim)):
+        return None
+    rng = np.random.default_rng(seed)
+
+    def qstack(in_dim, out_dim, stacked=True):
+        shape = (n, out_dim, in_dim) if stacked else (out_dim, in_dim)
+        dshape = shape[:-1] + (in_dim // 32,)
+        # raw-bytes int8 (uniform [-128,127]) — ~5x faster than
+        # rng.integers on the 1-core host; dequant handles -128 fine
+        q = np.frombuffer(rng.bytes(int(np.prod(shape))),
+                          np.int8).reshape(shape)
+        # weight std ~0.02: uniform int8 * d with d ~ 2.7e-4
+        d = rng.uniform(2e-4, 3.5e-4, size=dshape).astype(np.float16)
+        cls = _QDStack if stacked else _QD
+        return cls(q, d)
+
+    layers = {
+        "input_ln": np.ones((n, h), np.float32),
+        "post_ln": np.ones((n, h), np.float32),
+        "q_w": qstack(h, qd),
+        "k_w": qstack(h, kd),
+        "v_w": qstack(h, kd),
+        "o_w": qstack(qd, h),
+        "gate_w": qstack(h, cfg.ffn_dim),
+        "up_w": qstack(h, cfg.ffn_dim),
+        "down_w": qstack(cfg.ffn_dim, h),
+    }
+    if cfg.qk_norm:
+        nd = (qd if cfg.qk_norm_full else cfg.head_dim)
+        kn = (kd if cfg.qk_norm_full else cfg.head_dim)
+        layers["q_norm"] = np.ones((n, nd), np.float32)
+        layers["k_norm"] = np.ones((n, kn), np.float32)
+    if cfg.attn_bias:
+        layers["q_b"] = rng.normal(0, 0.02, (n, qd)).astype(np.float32)
+        layers["k_b"] = rng.normal(0, 0.02, (n, kd)).astype(np.float32)
+        layers["v_b"] = rng.normal(0, 0.02, (n, kd)).astype(np.float32)
+        if cfg.attn_out_bias:
+            layers["o_b"] = rng.normal(0, 0.02, (n, h)).astype(np.float32)
+    params = {
+        "layers": layers,
+        "final_ln": np.ones((h,), np.float32),
+        "embed": qstack(h, cfg.vocab_size, stacked=False),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = qstack(h, cfg.vocab_size, stacked=False)
+    return params
+
+
 def create_random_checkpoint(ckpt_dir: str, cfg: Optional[HybridConfig] = None,
-                             seed: int = 0, quantize_q8_0: bool = True):
-    """Random-init checkpoint for tests/benchmarks (no artifacts required)."""
+                             seed: int = 0, quantize_q8_0: bool = True,
+                             fast_q8: bool = False):
+    """Random-init checkpoint for tests/benchmarks (no artifacts required).
+
+    ``fast_q8`` generates the decoder directly in q8_0 space on the host
+    (seconds instead of minutes on a tunneled device; see
+    :func:`_random_q8_llm_tree`) and pins the tiny encoder init to the
+    CPU backend so no remote compile/transfer happens at all.
+    """
     from .adaptor import init_adaptor_params, init_ctc_head_params
     from .qwen3 import init_qwen3_params
     from .sanm import init_encoder_params
     cfg = cfg or HybridConfig.tiny()
     rng = jax.random.PRNGKey(seed)
     k1, k2, k3, k4 = jax.random.split(rng, 4)
+    llm = _random_q8_llm_tree(cfg.llm, seed) \
+        if (fast_q8 and quantize_q8_0) else None
+    if llm is not None:
+        # no-jax encoder init: on this host every XLA compile costs
+        # seconds (1 slow core), and init_* triggers dozens of tiny
+        # jax.random programs. eval_shape traces the exact tree
+        # structure without compiling anything; numpy fills the values.
+        rng_np = np.random.default_rng(seed + 1)
+
+        def np_fill(tree_shapes):
+            def fill(path, s):
+                name = str(path[-1]) if path else ""
+                if not np.issubdtype(s.dtype, np.floating):
+                    return np.zeros(s.shape, s.dtype)
+                if "norm" in name or "scale" in name or "ln" in name:
+                    return np.ones(s.shape, s.dtype)
+                return rng_np.uniform(-0.05, 0.05,
+                                      s.shape).astype(s.dtype)
+            return jax.tree_util.tree_map_with_path(fill, tree_shapes)
+
+        enc = np_fill(jax.eval_shape(
+            lambda k: init_encoder_params(k, cfg.encoder), k1))
+        ada = np_fill(jax.eval_shape(
+            lambda k: init_adaptor_params(k, cfg.adaptor), k2))
+        ctc = np_fill(jax.eval_shape(
+            lambda k: init_ctc_head_params(k, cfg.ctc), k3))
+        save_checkpoint(ckpt_dir, cfg, enc, ada, ctc, llm,
+                        quantize_q8_0=True)
+        return cfg
     enc = init_encoder_params(k1, cfg.encoder)
     ada = init_adaptor_params(k2, cfg.adaptor)
     ctc = init_ctc_head_params(k3, cfg.ctc)

@@ -62,6 +62,24 @@ def _load():
             lib.load_wav_mono.argtypes = [
                 ctypes.c_char_p, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+            try:
+                # q8_0 block quantizers (quant_kernels.cc) — absent in a
+                # stale build of the library; callers fall back to numpy
+                f32p = ctypes.POINTER(ctypes.c_float)
+                i8p = ctypes.POINTER(ctypes.c_int8)
+                u16p = ctypes.POINTER(ctypes.c_uint16)
+                lib.q8_0_quantize_f32.restype = None
+                lib.q8_0_quantize_f32.argtypes = [
+                    f32p, ctypes.c_int64, i8p, u16p]
+                lib.q8_0_quantize_transpose_f32.restype = None
+                lib.q8_0_quantize_transpose_f32.argtypes = [
+                    f32p, ctypes.c_int64, ctypes.c_int64, i8p, u16p]
+                lib.q8_0_pack_blocks.restype = None
+                lib.q8_0_pack_blocks.argtypes = [
+                    i8p, u16p, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint8)]
+            except AttributeError:
+                pass
             _lib = lib
             return _lib
     _lib = False
@@ -200,4 +218,64 @@ def load_wav_mono_native(path: str, sample_rate: int) -> Optional[np.ndarray]:
                                 ctypes.POINTER(ctypes.c_double)), n)
     if got != n:
         return None
+    return out
+
+
+def q8_0_quantize_native(x: np.ndarray):
+    """Single-pass C++ q8_0 quantize along the last axis (blocks of 32).
+
+    Returns (q int8 [..., K], d float16 [..., K//32]) bit-identical to the
+    numpy path in formats/quant_np.py, or None when the library is absent.
+    """
+    lib = _load()
+    if not lib or not hasattr(lib, "q8_0_quantize_f32"):
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    k = x.shape[-1]
+    if k % 32 != 0:
+        return None
+    q = np.empty(x.shape, np.int8)
+    d = np.empty((*x.shape[:-1], k // 32), np.float16)
+    lib.q8_0_quantize_f32(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), x.size // 32,
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    return q, d
+
+
+def q8_0_quantize_transpose_native(x: np.ndarray):
+    """Fused transpose+quantize for GGUF export: ``x`` is our [in, out]
+    matrix; returns (q int8 [out, in], d float16 [out, in//32]) — i.e.
+    ``q8_0_quantize(x.T)`` without materializing the f32 transpose.
+    Returns None when the library is absent or in % 32 != 0.
+    """
+    lib = _load()
+    if not lib or not hasattr(lib, "q8_0_quantize_transpose_f32"):
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    if x.ndim != 2 or x.shape[0] % 32 != 0:
+        return None
+    in_dim, out_dim = x.shape
+    q = np.empty((out_dim, in_dim), np.int8)
+    d = np.empty((out_dim, in_dim // 32), np.float16)
+    lib.q8_0_quantize_transpose_f32(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), in_dim, out_dim,
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    return q, d
+
+
+def q8_0_pack_blocks_native(q: np.ndarray, d: np.ndarray):
+    """Interleave split (q, d) into the 34-byte-per-block ggml stream."""
+    lib = _load()
+    if not lib or not hasattr(lib, "q8_0_pack_blocks"):
+        return None
+    q = np.ascontiguousarray(q, dtype=np.int8)
+    d = np.ascontiguousarray(d, dtype=np.float16)
+    nb = q.size // 32
+    out = np.empty(nb * 34, np.uint8)
+    lib.q8_0_pack_blocks(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), nb,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out

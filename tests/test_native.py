@@ -158,3 +158,136 @@ class TestUniversalDecode:
 
     def test_missing_file(self):
         assert native.decode_audio_native("/nonexistent.mp3", 16000) is None
+
+
+class TestQ8QuantKernels:
+    """native/quant_kernels.cc vs the numpy reference quantizer."""
+
+    def _numpy_ref(self, x):
+        # the pre-native numpy path, inlined (q8_0_quantize now prefers
+        # the C++ kernel, so the reference is reproduced here)
+        x = np.asarray(x, dtype=np.float32)
+        k = x.shape[-1]
+        blocks = x.reshape(*x.shape[:-1], k // 32, 32)
+        d = np.abs(blocks).max(axis=-1, keepdims=True) / 127.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = np.where(d == 0, 0.0, 1.0 / d)
+        q = np.where(blocks * inv >= 0, np.floor(blocks * inv + 0.5),
+                     np.ceil(blocks * inv - 0.5))
+        q = np.clip(q, -127, 127).astype(np.int8)
+        return q.reshape(x.shape), d.astype(np.float16).squeeze(-1)
+
+    def test_contiguous_bit_parity(self):
+        from fun_asr_gguf_tpu.native import q8_0_quantize_native
+        x = np.random.default_rng(0).standard_normal((37, 96)).astype(
+            np.float32) * 0.3
+        out = q8_0_quantize_native(x)
+        if out is None:
+            import pytest
+            pytest.skip("native library not built")
+        qr, dr = self._numpy_ref(x)
+        assert np.array_equal(out[0], qr)
+        assert np.array_equal(out[1].view(np.uint16), dr.view(np.uint16))
+
+    def test_edge_values_parity(self):
+        from fun_asr_gguf_tpu.native import q8_0_quantize_native
+        # zero block, subnormal-fp16 scales, fp16-overflow scale, exact
+        # rounding ties
+        e = np.array([[0.0] * 32,
+                      [1e-30] * 32,
+                      [70000.0] * 32,
+                      [5e-8] * 32,
+                      [0.5, -0.5, 1.5, -1.5] * 8], np.float32)
+        out = q8_0_quantize_native(e)
+        if out is None:
+            import pytest
+            pytest.skip("native library not built")
+        qr, dr = self._numpy_ref(e)
+        assert np.array_equal(out[0], qr)
+        assert np.array_equal(out[1].view(np.uint16), dr.view(np.uint16))
+
+    def test_transpose_variant(self):
+        from fun_asr_gguf_tpu.native import q8_0_quantize_transpose_native
+        x = np.random.default_rng(1).standard_normal((64, 41)).astype(
+            np.float32)
+        out = q8_0_quantize_transpose_native(x)
+        if out is None:
+            import pytest
+            pytest.skip("native library not built")
+        qr, dr = self._numpy_ref(np.ascontiguousarray(x.T))
+        assert np.array_equal(out[0], qr)
+        assert np.array_equal(out[1].view(np.uint16), dr.view(np.uint16))
+
+    def test_pack_blocks(self):
+        from fun_asr_gguf_tpu.native import (q8_0_pack_blocks_native,
+                                             q8_0_quantize_native)
+        from fun_asr_gguf_tpu.formats.quant_np import q8_0_to_blocks
+        x = np.random.default_rng(2).standard_normal((8, 64)).astype(
+            np.float32)
+        out = q8_0_quantize_native(x)
+        if out is None:
+            import pytest
+            pytest.skip("native library not built")
+        packed = q8_0_pack_blocks_native(*out)
+        assert np.array_equal(packed, q8_0_to_blocks(*out))
+
+
+class TestDeviceExportQuantize:
+    """models/loaders._q8_export_quantize (the on-device export path)
+    must produce the same bytes as the host quantizer."""
+
+    def test_matches_host_quantizer(self):
+        import jax
+        from fun_asr_gguf_tpu.formats.quant_np import q8_0_quantize
+        from fun_asr_gguf_tpu.models.loaders import _q8_export_jit
+        x = np.random.default_rng(3).standard_normal((48, 64)).astype(
+            np.float32)
+        q, d = jax.device_get(_q8_export_jit(x, False))
+        qr, dr = q8_0_quantize(x)
+        assert np.array_equal(q, qr)
+        assert np.array_equal(d.view(np.uint16), dr.view(np.uint16))
+
+    def test_transpose_matches(self):
+        import jax
+        from fun_asr_gguf_tpu.formats.quant_np import q8_0_quantize
+        from fun_asr_gguf_tpu.models.loaders import _q8_export_jit
+        x = np.random.default_rng(4).standard_normal((64, 48)).astype(
+            np.float32)
+        q, d = jax.device_get(_q8_export_jit(x, True))
+        qr, dr = q8_0_quantize(np.ascontiguousarray(x.T))
+        assert np.array_equal(q, qr)
+        assert np.array_equal(d.view(np.uint16), dr.view(np.uint16))
+
+    def test_device_export_file_identical(self, tmp_path, monkeypatch):
+        """Force the device pre-quantize path on the CPU backend and
+        check the written GGUF is byte-identical to the host path."""
+        import jax
+        from fun_asr_gguf_tpu.models import loaders
+        from fun_asr_gguf_tpu.models.config import Qwen3Config
+        from fun_asr_gguf_tpu.models.qwen3 import init_qwen3_params
+        cfg = Qwen3Config.tiny()
+        params = init_qwen3_params(jax.random.PRNGKey(0), cfg)
+        f_host = tmp_path / "host.gguf"
+        f_dev = tmp_path / "dev.gguf"
+        loaders.save_qwen3_to_gguf(str(f_host), params, cfg)
+        monkeypatch.setattr(loaders, "_params_platform", lambda p: "tpu")
+        loaders.save_qwen3_to_gguf(str(f_dev), params, cfg)
+        assert f_host.read_bytes() == f_dev.read_bytes()
+
+
+class TestFastQ8Checkpoint:
+    def test_roundtrip_and_shapes(self, tmp_path):
+        from fun_asr_gguf_tpu.models.config import HybridConfig
+        from fun_asr_gguf_tpu.models.loaders import (create_random_checkpoint,
+                                                     load_checkpoint)
+        cfg = HybridConfig.tiny()
+        create_random_checkpoint(str(tmp_path), cfg, seed=0, fast_q8=True)
+        cfg2, enc, ada, ctc, llm, emb = load_checkpoint(
+            str(tmp_path), llm_keep_quantized=True)
+        assert cfg2.llm.n_layers == cfg.llm.n_layers
+        assert llm["layers"]["q_w"].q.shape[0] == cfg.llm.n_layers
+        assert emb.shape == (cfg.llm.vocab_size, cfg.llm.hidden)
+        # weights must have a sane scale (std ~0.02) for engine warmup
+        import jax
+        dq = np.asarray(llm["layers"]["q_w"].q, np.float32)
+        assert 0 < np.abs(dq).max() <= 128
