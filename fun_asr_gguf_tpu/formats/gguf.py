@@ -373,6 +373,7 @@ class GGUFWriter:
         self.kv: List[Tuple[str, Any, Optional[GGUFValueType]]] = []
         self.tensors: List[Tuple[str, np.ndarray, GGMLType, Optional[np.ndarray]]] = []
         self._raw: dict = {}
+        self._lazy: dict = {}          # name -> producer() for streamed write
         self._qw: dict = {}            # imatrix rows for weighted quant
         if arch is not None:
             self.add_kv("general.architecture", arch)
@@ -468,36 +469,61 @@ class GGUFWriter:
         self._raw[name] = raw
         self.tensors.append((name, holder, ggml_type, None))
 
+    def add_tensor_lazy(self, name: str, shape: Tuple[int, ...],
+                        ggml_type: GGMLType, producer,
+                        qw: Optional[np.ndarray] = None):
+        """Register a tensor whose data is produced DURING :meth:`write`
+        (streamed conversion, reference ``gguf/lazy.py`` class of
+        behavior): ``producer()`` is called once, its result quantized/
+        cast and written immediately, then freed — peak RSS stays ~one
+        tensor instead of the whole model. ``producer()`` returns a
+        float array of ``shape`` (block-quantized storage types) or an
+        array castable to the storage dtype."""
+        if qw is not None:
+            self._qw[name] = np.asarray(qw, np.float32)
+        self._lazy[name] = producer
+        self.tensors.append((name, _ShapeOnly(tuple(int(s) for s in shape)),
+                             ggml_type, None))
+
     # -- serialize ---------------------------------------------------------
+    def _materialize(self, name, arr, gtype, scales) -> bytes:
+        """Storage bytes for one tensor (quantize/cast on demand)."""
+        if name in self._raw:
+            return self._raw[name]
+        if gtype == GGMLType.Q8_0:
+            if scales is not None:
+                return q8_0_to_blocks(arr, scales).tobytes()
+            from .quant_np import q8_0_quantize
+            q, d = q8_0_quantize(np.asarray(arr, dtype=np.float32))
+            return q8_0_to_blocks(q, d).tobytes()
+        if gtype in _QUANTIZERS:
+            qw = self._qw.get(name)
+            arr32 = np.asarray(arr, dtype=np.float32)
+            return (_QUANTIZERS[gtype](arr32) if qw is None
+                    else _QUANTIZERS[gtype](arr32, qw)).tobytes()
+        if gtype == GGMLType.BF16:
+            from .quant_np import bf16_quantize
+            return bf16_quantize(np.asarray(arr, dtype=np.float32)).tobytes()
+        return np.ascontiguousarray(
+            arr.astype(_NUMPY_FOR_TYPE[gtype])).tobytes()
+
     def write(self):
         alignment = self.alignment
         self.add_kv("general.alignment", alignment, GGUFValueType.UINT32)
 
-        payloads: List[bytes] = []
+        # pass 1: offsets from SIZES only — nothing is quantized or
+        # materialized yet, so lazy tensors cost no memory here
         infos: List[bytes] = []
+        sizes: List[int] = []
         offset = 0
         for name, arr, gtype, scales in self.tensors:
+            n_el = int(np.prod(arr.shape, dtype=np.int64)) \
+                if arr.shape else 1
             if name in self._raw:
-                raw = self._raw[name]
-            elif gtype == GGMLType.Q8_0:
-                if scales is not None:
-                    raw = q8_0_to_blocks(arr, scales).tobytes()
-                else:
-                    from .quant_np import q8_0_quantize
-                    q, d = q8_0_quantize(np.asarray(arr, dtype=np.float32))
-                    raw = q8_0_to_blocks(q, d).tobytes()
-            elif gtype in _QUANTIZERS:
-                qw = self._qw.get(name)
-                arr32 = np.asarray(arr, dtype=np.float32)
-                raw = (_QUANTIZERS[gtype](arr32) if qw is None
-                       else _QUANTIZERS[gtype](arr32, qw)).tobytes()
-            elif gtype == GGMLType.BF16:
-                from .quant_np import bf16_quantize
-                raw = bf16_quantize(
-                    np.asarray(arr, dtype=np.float32)).tobytes()
+                nbytes = memoryview(self._raw[name]).nbytes
             else:
-                raw = np.ascontiguousarray(arr.astype(_NUMPY_FOR_TYPE[gtype])).tobytes()
-            pad = -len(raw) % alignment
+                nbytes = _type_nbytes(gtype, n_el)
+            pad = -nbytes % alignment
             name_b = name.encode("utf-8")
             ne = list(reversed(arr.shape))
             info = struct.pack("<Q", len(name_b)) + name_b
@@ -506,8 +532,8 @@ class GGUFWriter:
                 info += struct.pack("<Q", n)
             info += struct.pack("<IQ", int(gtype), offset)
             infos.append(info)
-            payloads.append((raw, pad))   # pad written separately: no copy
-            offset += len(raw) + pad
+            sizes.append(nbytes)
+            offset += nbytes + pad
 
         with open(self.path, "wb") as f:
             f.write(struct.pack("<IIQQ", GGUF_MAGIC, GGUF_VERSION,
@@ -519,7 +545,19 @@ class GGUFWriter:
             for info in infos:
                 f.write(info)
             f.write(b"\x00" * (-f.tell() % alignment))
-            for raw, pad in payloads:
+            # pass 2: produce → quantize → write → free, one tensor at
+            # a time
+            for (name, arr, gtype, scales), nbytes in zip(self.tensors,
+                                                          sizes):
+                if name in self._lazy:
+                    arr = np.asarray(self._lazy[name]())
+                raw = self._materialize(name, arr, gtype, scales)
+                if memoryview(raw).nbytes != nbytes:
+                    raise ValueError(
+                        f"tensor {name!r}: produced {memoryview(raw).nbytes}"
+                        f" bytes, expected {nbytes} (shape/type mismatch)")
                 f.write(raw)
+                pad = -nbytes % alignment
                 if pad:
                     f.write(b"\x00" * pad)
+                del raw, arr

@@ -87,6 +87,14 @@ def glm_neox_perm(n_out: int, head_dim: int, rope_dim: int,
 # GGUF → Qwen3 params
 # ---------------------------------------------------------------------------
 
+# GGUF llama-class archs this engine's decoder graph executes (each with
+# an HF-parity test in tests/test_multiarch.py or a dedicated suite)
+_GGUF_ARCHS = frozenset({
+    "qwen3", "qwen3moe", "qwen2", "llama", "gemma3", "phi3", "gpt-oss",
+    "deepseek2", "olmo2", "glm4", "granite",
+})
+
+
 def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
     """Read any llama-class GGUF's hyperparameters (qwen3 / qwen2 /
     llama / mistral — the arch family the reference's llama.dll loads).
@@ -96,6 +104,14 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
     deviate from the stock layout still load."""
     f = reader.fields
     arch = f.get("general.architecture", "qwen3")
+    if str(arch) not in _GGUF_ARCHS and not str(arch).startswith("gemma"):
+        # fail loudly with the supported-family list instead of loading
+        # an unknown graph with llama semantics (silently wrong output)
+        raise ValueError(
+            f"unsupported GGUF architecture {arch!r}; this engine "
+            f"implements: {sorted(_GGUF_ARCHS)}. Convert with "
+            "tools/convert.py (HF) or use a llama.cpp export of a "
+            "supported family.")
     def g(key, default):
         return f.get(f"{arch}.{key}", default)
     vocab, hidden = reader.tensor_info("token_embd.weight").shape
@@ -649,9 +665,11 @@ def _materialize_for_export(params, cfg: Qwen3Config, quantize_q8_0: bool):
     phi3/glm4 post-process weight matrices host-side (fusion/permutes), so
     they take the plain fetch path.
     """
-    if any(isinstance(leaf, (_QD, _QDStack))
+    from ..formats.lazy import LazyStack, LazyTensor
+    if any(isinstance(leaf, (_QD, _QDStack, LazyTensor, LazyStack))
            for leaf in jax.tree_util.tree_leaves(params)):
-        return params                # already host-quantized (fast_q8 path)
+        # already host-quantized (fast_q8) or streamed-lazy: passthrough
+        return params
     plat = _params_platform(params)
     if (not quantize_q8_0 or plat in (None, "cpu")
             or cfg.arch in ("phi3", "glm4")):
@@ -723,9 +741,11 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         w.add_kv(f"{arch}.expert_used_count", cfg.n_experts_per_tok)
         w.add_kv(f"{arch}.expert_feed_forward_length", cfg.moe_ffn_dim)
         w.add_kv(f"{arch}.norm_topk_prob", cfg.norm_topk_prob)
-    if cfg.post_norms:
-        # standard llama.cpp keys + explicit extras (llama.cpp hardcodes
-        # the gemma3 pattern/local-theta; we round-trip them losslessly)
+    if arch == "gemma3":
+        # gemma3-only KV block (llama.cpp hardcodes the pattern/local-
+        # theta; we round-trip them losslessly). Gated on the arch, not
+        # post_norms: olmo2/glm4 also set post_norms and must not carry
+        # spurious gemma keys the reference converter never writes
         w.add_kv(f"{arch}.attention.sliding_window", cfg.sliding_window)
         w.add_kv(f"{arch}.attention.sliding_window_pattern",
                  cfg.sliding_pattern)
@@ -853,8 +873,20 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         for key, val in tok_kvs.items():
             w.add_kv(key, val)
 
+    from ..formats.lazy import LazyTensor
+
     def mat(name, arr2d):
         """our [in, out] -> gguf [out, in]; q8_0 blocks run along `in`."""
+        if isinstance(arr2d, LazyTensor):   # streamed conversion: defer
+            in_dim, out_dim = arr2d.shape   # read+quantize to write()
+            raw = arr2d.raw_fn or (lambda a=arr2d: np.ascontiguousarray(
+                np.asarray(a, np.float32).T))
+            gt = (GGMLType.Q8_0 if quantize_q8_0 and in_dim % 32 == 0
+                  else GGMLType.F16)
+            w.add_tensor_lazy(name, (out_dim, in_dim), gt,
+                              producer=lambda r=raw: np.asarray(
+                                  r(), np.float32))
+            return
         if isinstance(arr2d, _QD):     # pre-quantized on device
             w.add_tensor_q8_0(name, np.ascontiguousarray(arr2d.q),
                               np.ascontiguousarray(arr2d.d))
@@ -876,6 +908,15 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
 
     def mat3(name, arr3d):
         """stacked expert weights [E, in, out] -> gguf [E, out, in]."""
+        if isinstance(arr3d, LazyTensor):
+            e_dim, in_dim, out_dim = arr3d.shape
+            gt = (GGMLType.Q8_0 if quantize_q8_0 and in_dim % 32 == 0
+                  else GGMLType.F16)
+            w.add_tensor_lazy(
+                name, (e_dim, out_dim, in_dim), gt,
+                producer=lambda a=arr3d: np.ascontiguousarray(
+                    np.swapaxes(np.asarray(a, np.float32), -1, -2)))
+            return
         if isinstance(arr3d, _QD):     # pre-quantized on device
             w.add_tensor_q8_0(name, np.ascontiguousarray(arr3d.q),
                               np.ascontiguousarray(arr3d.d))
@@ -896,7 +937,13 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
             w.add_tensor(name, a.astype(np.float16))
 
     flat = _materialize_for_export(params, cfg, quantize_q8_0)
-    if isinstance(flat.get("embed"), _QD):
+    if isinstance(flat.get("embed"), LazyTensor):
+        e = flat["embed"]
+        gt = (GGMLType.Q8_0 if quantize_q8_0 and e.shape[-1] % 32 == 0
+              else GGMLType.F16)
+        w.add_tensor_lazy("token_embd.weight", e.shape, gt,
+                          producer=lambda a=e: np.asarray(a, np.float32))
+    elif isinstance(flat.get("embed"), _QD):
         emb_qd = flat["embed"]
         w.add_tensor_q8_0("token_embd.weight",
                           np.ascontiguousarray(emb_qd.q),

@@ -84,9 +84,21 @@ class StreamingPartial:
 
     @property
     def full_text(self) -> str:
-        """committed (final-quality) text ++ the current provisional."""
-        return (self.committed_text + self.text if self.committed_text
-                else self.text)
+        """committed (final-quality) text ++ the current provisional.
+
+        The current window re-transcribes the rollover overlap, so its
+        partial can repeat the committed tail; an exact suffix/prefix
+        anchor is dropped here. When the two passes transcribe the
+        overlap *differently* (no exact anchor), the duplication stays
+        visible until the next commit merges it properly — partials are
+        provisional by contract."""
+        if not self.committed_text:
+            return self.text
+        c, p = self.committed_text, self.text
+        for k in range(min(len(c), len(p)), 1, -1):
+            if c.endswith(p[:k]):
+                return c + p[k:]
+        return c + p
 
 
 @dataclass
@@ -159,7 +171,16 @@ class StreamingSession:
         sr = models.config.sample_rate
         seg_s = (float(segment_size) if segment_size
                  else float(models.config.segment_pad_seconds))
-        seg_s = min(seg_s, float(models.config.segment_pad_seconds))
+        if seg_s > float(models.config.segment_pad_seconds):
+            # silently clamping would move rollover boundaries away from
+            # a batch transcribe() run with the same segment_size,
+            # breaking the identical-boundaries contract above
+            raise ValueError(
+                f"segment_size={seg_s} exceeds the engine's pad window "
+                f"(segment_pad_seconds="
+                f"{models.config.segment_pad_seconds}); create the "
+                "engine with a larger segment_pad_seconds or use a "
+                "smaller segment_size")
         ov_s = (float(overlap) if overlap is not None
                 else min(2.0, seg_s / 4.0))
         if not 0.0 <= ov_s < seg_s:
@@ -256,11 +277,21 @@ class StreamingSession:
             "timings": d_res.timings,
             "n_gen": d_res.n_gen,
         })
-        from .text_merge import merge_transcription_results
-        self._committed_text, _ = merge_transcription_results(
-            [{"text": r["text"], "segments": r["segments"],
-              "duration": r["duration"]} for r in self._committed],
-            self._offsets, self.overlap)
+        # incremental merge: fold ONLY the new segment into the running
+        # char/timestamp accumulator (O(overlap) per commit instead of
+        # re-merging all history — unbounded sessions stay O(1) per
+        # rollover); finish() still runs the authoritative full merge
+        from .text_merge import finalize_merge, merge_step
+        first = len(self._committed) == 1
+        self._merged_segments = merge_step(
+            getattr(self, "_merged_segments", []),
+            {"text": d_res.text, "segments": d_res.aligned},
+            self._offsets[-1], self.overlap, first=first)
+        if first:
+            self._committed_text = d_res.text
+        else:
+            self._committed_text, _ = finalize_merge(
+                list(self._merged_segments))
 
     def _rollover(self):
         """The buffer holds one full window: decode it through the batch

@@ -31,18 +31,52 @@ from ..models.loaders import (flatten_tree, load_encoder_from_pt,
                               save_qwen3_to_gguf)
 
 
+# archs whose big matmul weights can stream lazily through the exporter
+# (standard dense layout: no host-side fusion/permutes/expert stacks)
+_LAZY_ARCHS = ("qwen3", "qwen2", "llama", "granite", "olmo2", "gemma3")
+
+
 def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
-                               cfg: Qwen3Config) -> dict:
+                               cfg: Qwen3Config, lazy: bool = False) -> dict:
     """HF llama-family key schema → our param pytree (host numpy).
 
     Covers the archs the config can describe: Qwen3 (qk-norm), Qwen2/2.5
     (attention biases), Llama/Mistral (plain) — the HF module layout is
-    identical apart from those two feature axes."""
+    identical apart from those two feature axes.
+
+    ``lazy`` (supported for ``_LAZY_ARCHS``) defers every big matmul
+    weight behind a :class:`~..formats.lazy.LazyTensor`: nothing is read
+    until the GGUF writer streams tensors out one at a time (reference
+    ``gguf/lazy.py`` behavior; peak RSS ~ one tensor).
+    """
     def t(name):
         return np.ascontiguousarray(sd[name].astype(np.float32).T)
 
-    def stack(fmt):
+    def np_stack(fmt):
         return np.stack([t(fmt.format(i)) for i in range(cfg.n_layers)])
+
+    lazy = lazy and cfg.arch in _LAZY_ARCHS and not cfg.is_moe
+    if lazy:
+        from ..formats.lazy import LazyStack, LazyTensor
+
+        def shape_of(name):
+            return (sd.shape(name) if hasattr(sd, "shape")
+                    else sd[name].shape)
+
+        def t_lazy(name):
+            out_dim, in_dim = shape_of(name)        # HF stores [out, in]
+            return LazyTensor(
+                lambda n=name: np.ascontiguousarray(
+                    sd[n].astype(np.float32).T),
+                shape=(in_dim, out_dim),
+                raw_fn=lambda n=name: np.ascontiguousarray(
+                    sd[n].astype(np.float32)))
+
+        def stack(fmt):
+            return LazyStack([t_lazy(fmt.format(i))
+                              for i in range(cfg.n_layers)])
+    else:
+        stack = np_stack
 
     def stack_vec(fmt):
         return np.stack([sd[fmt.format(i)].astype(np.float32)
@@ -258,13 +292,20 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
         layers["o_b"] = stack_vec("model.layers.{}.self_attn.o_proj.bias")
     if cfg.attn_sinks:
         layers["sinks"] = stack_vec("model.layers.{}.self_attn.sinks")
+    if lazy:
+        from ..formats.lazy import LazyTensor as _LT
+        embed = _LT(lambda: sd["model.embed_tokens.weight"]
+                    .astype(np.float32),
+                    shape_of("model.embed_tokens.weight"))
+    else:
+        embed = sd["model.embed_tokens.weight"].astype(np.float32)
     params = {
         "layers": layers,
         # granite: fold the HF logits divisor into the head-only norm
         # (output_norm feeds nothing but the lm head — exact)
         "final_ln": (sd["model.norm.weight"].astype(np.float32) + shift)
         / cfg.logit_scale,
-        "embed": sd["model.embed_tokens.weight"].astype(np.float32),
+        "embed": embed,
     }
     if pre_mlp:
         # heterogeneous stacks: attention/norm keys split at the dense
@@ -280,7 +321,8 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
                             for key, w in layers.items()}
         params["layers_pre"] = pre
     if "lm_head.weight" in sd and not cfg.tie_embeddings:
-        params["lm_head"] = t("lm_head.weight")
+        params["lm_head"] = (t_lazy("lm_head.weight") if lazy
+                             else t("lm_head.weight"))
     return params
 
 
@@ -533,8 +575,12 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
     gran = {}
     if arch == "granite":
         gran = dict(
-            attn_scale=float(config.get("attention_multiplier", 0.0)
-                             or 0.0),
+            # HF GraniteConfig defaults attention_multiplier to 1.0; a
+            # 0 here would silently fall back to head_dim**-0.5
+            # (llama.cpp's rule) and diverge from HF logits for configs
+            # missing the key
+            attn_scale=float(config.get("attention_multiplier", 1.0)
+                             or 1.0),
             embed_scale=float(config.get("embedding_multiplier", 1.0)),
             residual_scale=float(config.get("residual_multiplier", 1.0)),
             logit_scale=float(config.get("logits_scaling", 1.0)))
@@ -618,10 +664,21 @@ def convert_llm(hf_dir: str, out_path: str, outtype: str = "q8_0"):
     """
     with open(os.path.join(hf_dir, "config.json")) as f:
         cfg = qwen3_config_from_hf(json.load(f))
-    sd = load_hf_safetensors_dir(hf_dir)
+    use_lazy = cfg.arch in _LAZY_ARCHS and not cfg.is_moe
+    if use_lazy:
+        # streamed conversion: read->quantize->write one tensor at a
+        # time; peak RSS ~ one tensor (reference gguf/lazy.py behavior)
+        from ..formats.lazy import LazyHFDict
+        try:
+            sd = LazyHFDict(hf_dir)
+        except Exception:
+            sd = load_hf_safetensors_dir(hf_dir)
+            use_lazy = False
+    else:
+        sd = load_hf_safetensors_dir(hf_dir)
     if not sd:
         raise FileNotFoundError(f"no .safetensors files in {hf_dir}")
-    params = qwen3_params_from_hf_state(sd, cfg)
+    params = qwen3_params_from_hf_state(sd, cfg, lazy=use_lazy)
     tok_json = os.path.join(hf_dir, "tokenizer.json")
     tok_spm = os.path.join(hf_dir, "tokenizer.model")
     save_qwen3_to_gguf(
@@ -636,7 +693,14 @@ def convert_llm(hf_dir: str, out_path: str, outtype: str = "q8_0"):
         os.replace(out_path, tmp)
         quantize_gguf(tmp, out_path, outtype)
         os.remove(tmp)
-    print(f"{out_path} ({outtype})")
+    try:
+        import resource
+        peak_mb = resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 1024.0
+        print(f"{out_path} ({outtype}) — peak RSS {peak_mb:.0f} MB"
+              f"{' [streamed]' if use_lazy else ''}")
+    except Exception:
+        print(f"{out_path} ({outtype})")
 
 
 def convert(model_dir: str, out_dir: str, outtype: str = "q8_0",

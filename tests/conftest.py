@@ -97,10 +97,32 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: heavyweight case (full-size weights / long runs); "
         "skipped unless --runslow or RUN_SLOW=1")
+    config.addinivalue_line(
+        "markers", "fast: host-side algorithmics + light jit — the "
+        "<2 min mid-development tier (`pytest -m fast`); the full "
+        "suite stays the merge gate")
+
+
+# Modules whose tests are host-side algorithmics or tiny-shape jits —
+# measured <=15 s per module on the 1-core CPU host. `pytest -m fast`
+# runs them all in under ~2 min; compile-heavy suites (engine e2e,
+# parallel meshes, spec decode, per-family HF parity) stay out.
+_FAST_MODULES = {
+    "test_audio", "test_batch", "test_ctc_align", "test_ctc_beam",
+    "test_datatypes", "test_display", "test_formats", "test_frontend",
+    "test_gguf_interop", "test_hotword", "test_imatrix", "test_loaders",
+    "test_metadata", "test_native", "test_prompt", "test_spm",
+    "test_srt", "test_text_merge", "test_tools", "test_convert_llm",
+    "test_utils",
+}
 
 
 def pytest_collection_modifyitems(config, items):
     import pytest
+    for item in items:
+        if item.module.__name__ in _FAST_MODULES \
+                and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
     if config.getoption("--runslow") or os.environ.get("RUN_SLOW") == "1":
         return
     skip = pytest.mark.skip(reason="slow: use --runslow or RUN_SLOW=1")

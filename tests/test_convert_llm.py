@@ -120,3 +120,47 @@ def test_convert_llm_end_to_end(hf_dir, tmp_path):
             jnp.asarray([0], jnp.int32), cfg)
         out.append(int(jnp.argmax(logits[0])))
     assert out == list(ref)
+
+
+def test_streamed_export_byte_identical(hf_dir, tmp_path):
+    """Lazy (streamed) conversion must produce byte-identical GGUF to the
+    eager path — same offsets, same quantized payloads."""
+    from fun_asr_gguf_tpu.formats.lazy import LazyHFDict, tree_has_lazy
+    from fun_asr_gguf_tpu.models.loaders import save_qwen3_to_gguf
+    from fun_asr_gguf_tpu.tools.convert import (load_hf_safetensors_dir,
+                                                qwen3_config_from_hf,
+                                                qwen3_params_from_hf_state)
+    d, _ = hf_dir
+    cfg = qwen3_config_from_hf(json.loads((d / "config.json").read_text()))
+    p_eager = qwen3_params_from_hf_state(
+        load_hf_safetensors_dir(str(d)), cfg)
+    f_eager = tmp_path / "eager.gguf"
+    save_qwen3_to_gguf(str(f_eager), p_eager, cfg, quantize_q8_0=True)
+
+    p_lazy = qwen3_params_from_hf_state(LazyHFDict(str(d)), cfg,
+                                        lazy=True)
+    assert tree_has_lazy(p_lazy), "lazy mode did not defer any tensors"
+    f_lazy = tmp_path / "lazy.gguf"
+    save_qwen3_to_gguf(str(f_lazy), p_lazy, cfg, quantize_q8_0=True)
+    assert f_eager.read_bytes() == f_lazy.read_bytes()
+
+
+def test_streamed_export_f16_byte_identical(hf_dir, tmp_path):
+    from fun_asr_gguf_tpu.formats.lazy import LazyHFDict
+    from fun_asr_gguf_tpu.models.loaders import save_qwen3_to_gguf
+    from fun_asr_gguf_tpu.tools.convert import (load_hf_safetensors_dir,
+                                                qwen3_config_from_hf,
+                                                qwen3_params_from_hf_state)
+    d, _ = hf_dir
+    cfg = qwen3_config_from_hf(json.loads((d / "config.json").read_text()))
+    f_eager = tmp_path / "eager16.gguf"
+    save_qwen3_to_gguf(
+        str(f_eager),
+        qwen3_params_from_hf_state(load_hf_safetensors_dir(str(d)), cfg),
+        cfg, quantize_q8_0=False)
+    f_lazy = tmp_path / "lazy16.gguf"
+    save_qwen3_to_gguf(
+        str(f_lazy),
+        qwen3_params_from_hf_state(LazyHFDict(str(d)), cfg, lazy=True),
+        cfg, quantize_q8_0=False)
+    assert f_eager.read_bytes() == f_lazy.read_bytes()

@@ -254,3 +254,43 @@ class TestCTCDecoderDraft:
         results, hotwords, draft, _ = CTCDecoder(m).decode(
             enc_output=None, enable_ctc=False, max_hotwords=10)
         assert results == [] and hotwords == [] and draft is None
+
+
+class TestIncrementalMerge:
+    """merge_step/finalize_merge (the streaming rollover path) must fold
+    to exactly what the batch merge_transcription_results produces."""
+
+    def _mk(self, text, t0=0.0, dt=0.5):
+        return {"text": text,
+                "segments": [{"char": c, "start": t0 + i * dt}
+                             for i, c in enumerate(text)]}
+
+    def test_fold_equals_batch(self):
+        from fun_asr_gguf_tpu.text_merge import (finalize_merge, merge_step,
+                                                 merge_transcription_results)
+        results = [self._mk("今天天气很好，阳光明媚"),
+                   self._mk("阳光明媚，适合出门散步"),
+                   self._mk("出门散步，心情愉快。。")]
+        offsets = [0.0, 4.0, 8.0]
+        overlap = 2.0
+        import copy
+        batch = merge_transcription_results(copy.deepcopy(results),
+                                            offsets, overlap)
+        acc = []
+        for i, r in enumerate(copy.deepcopy(results)):
+            acc = merge_step(acc, r, offsets[i], overlap, first=(i == 0))
+        assert finalize_merge(acc) == batch
+
+    def test_fold_with_empty_segment(self):
+        from fun_asr_gguf_tpu.text_merge import (finalize_merge, merge_step,
+                                                 merge_transcription_results)
+        results = [self._mk("第一段文本"), {"text": "x", "segments": []},
+                   self._mk("完全不同的内容")]
+        offsets = [0.0, 3.0, 6.0]
+        import copy
+        batch = merge_transcription_results(copy.deepcopy(results),
+                                            offsets, 1.0)
+        acc = []
+        for i, r in enumerate(copy.deepcopy(results)):
+            acc = merge_step(acc, r, offsets[i], 1.0, first=(i == 0))
+        assert finalize_merge(acc) == batch

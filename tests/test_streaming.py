@@ -240,3 +240,45 @@ class TestStreamingSession:
         direct = engine.decode_stream(stream, verbose=False,
                                       temperature=0.0)
         assert final.text == direct.text
+
+
+class TestAdvisorFixes:
+    def test_oversize_segment_size_raises(self, engine):
+        # pad window is 2.0 s; a larger segment_size must be rejected,
+        # not silently clamped (boundaries would diverge from a batch
+        # run with the same segment_size)
+        with pytest.raises(ValueError, match="segment_pad_seconds"):
+            engine.create_streaming_session(segment_size=5.0)
+
+    def test_full_text_dedups_exact_overlap(self):
+        from fun_asr_gguf_tpu.streaming import StreamingPartial
+        p = StreamingPartial(text="明媚，出门走走", ctc_text="",
+                             seconds=6.0, latency_ms=1.0,
+                             committed_text="今天阳光明媚，")
+        assert p.full_text == "今天阳光明媚，出门走走"
+        # no exact anchor -> plain concatenation (documented transient)
+        p2 = StreamingPartial(text="出门走走", ctc_text="", seconds=6.0,
+                              latency_ms=1.0, committed_text="今天阳光")
+        assert p2.full_text == "今天阳光出门走走"
+
+    def test_incremental_commit_matches_finish_merge(self, engine):
+        """A rolled-over session's committed_text (incremental merge)
+        must equal the full merge finish() computes over the same
+        committed segments."""
+        rng = np.random.default_rng(7)
+        sess = engine.create_streaming_session(segment_size=2.0,
+                                               overlap=0.5)
+        sr = 16000
+        audio = (rng.normal(size=int(sr * 5.2)) * 0.1).astype(np.float32)
+        for i in range(0, len(audio), sr // 2):
+            sess.feed(audio[i:i + sr // 2])
+        committed_incremental = sess.committed_text
+        from fun_asr_gguf_tpu.text_merge import merge_transcription_results
+        full, _ = merge_transcription_results(
+            [{"text": r["text"], "segments": r["segments"],
+              "duration": r["duration"]} for r in sess._committed],
+            sess._offsets, sess.overlap)
+        if len(sess._committed) == 1:
+            assert committed_incremental == sess._committed[0]["text"]
+        else:
+            assert committed_incremental == full

@@ -193,6 +193,31 @@ def test_trained_pipeline_transcribes_via_engine(tmp_path):
             assert isinstance(res.ctc_text, str)
         assert total_cer / n <= 0.05, (
             f"trained engine CER {total_cer / n:.3f} > 0.05")
+
+        # --- every serving surface must read the LEARNED mapping, not
+        # just structural-pass random weights (VERDICT r4 #8) ---
+
+        # batched serving: same utterances through transcribe_batch
+        wavs = [str(tmp_path / f"{t}.wav") for t in HELD_OUT]
+        batch_res = eng.transcribe_batch(wavs, temperature=0.0)
+        batch_cer = sum(cer(t, r.text)["cer"]
+                        for t, r in zip(HELD_OUT, batch_res)) / len(wavs)
+        assert batch_cer <= 0.05, (
+            f"trained transcribe_batch CER {batch_cer:.3f} > 0.05")
+
+        # streaming: feed in 1 s chunks; partials run on trained
+        # weights, and a single-window finish() equals the plain decode
+        audio = _synth(HELD_OUT[0], np.random.default_rng(7))
+        sess = eng.create_streaming_session(partial_tokens=8)
+        for i in range(0, len(audio), SR):
+            sess.feed(audio[i:i + SR])
+        fin = sess.finish(temperature=0.0)
+        assert cer(HELD_OUT[0], fin.text)["cer"] <= 0.05, (
+            f"streaming finish() text {fin.text!r} vs {HELD_OUT[0]!r}")
+        plain = eng.transcribe(wavs[0], verbose=False, temperature=0.0)
+        assert fin.text == plain.text, (
+            "single-window streaming finish() must equal the plain "
+            f"decode: {fin.text!r} != {plain.text!r}")
     finally:
         eng.cleanup()
         reset_hotword_manager()
