@@ -216,6 +216,13 @@ class Qwen3Config:
     # MoE structure extras:
     moe_first_dense: int = 0      # first k layers use a dense MLP
     n_shared_experts: int = 0     # always-on experts (x moe_ffn_dim)
+    # -- Qwen2-MoE family (reference converter registers
+    # Qwen2MoeForCausalLM in convert_hf_to_gguf.py): one shared expert
+    # with its OWN intermediate size, output gated by
+    # sigmoid(x @ shared_expert_gate) (HF Qwen2MoeSparseMoeBlock). --
+    shared_ffn_dim: int = 0       # shared-expert intermediate size
+    #                               (0 → n_shared_experts·moe_ffn_dim)
+    shared_expert_gate: bool = False  # sigmoid-gate the shared output
     routed_scaling_factor: float = 1.0   # multiplies routing weights
     # group-limited routing (deepseek3): pick topk_group groups by the
     # sum of each group's top-2 scores, then top-k inside the survivors
@@ -259,6 +266,22 @@ class Qwen3Config:
                            n_experts=n_experts,
                            n_experts_per_tok=n_experts_per_tok,
                            moe_ffn_dim=96)
+
+    @staticmethod
+    def tiny_qwen2moe(vocab_size: int = 512, n_experts: int = 8,
+                      n_experts_per_tok: int = 2):
+        """Qwen2-MoE-shaped tiny config: attention biases, no qk-norm,
+        NO top-k renormalization, one sigmoid-gated shared expert with
+        its own intermediate size (HF Qwen2MoeSparseMoeBlock)."""
+        return Qwen3Config(hidden=64, n_layers=2, q_heads=4, kv_heads=2,
+                           head_dim=16, ffn_dim=128, vocab_size=vocab_size,
+                           rope_theta=1e4, arch="qwen2moe",
+                           attn_bias=True, qk_norm=False,
+                           n_experts=n_experts,
+                           n_experts_per_tok=n_experts_per_tok,
+                           moe_ffn_dim=96, norm_topk_prob=False,
+                           n_shared_experts=1, shared_ffn_dim=160,
+                           shared_expert_gate=True)
 
     @staticmethod
     def tiny_granite(vocab_size: int = 512):

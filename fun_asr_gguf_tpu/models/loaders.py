@@ -90,8 +90,8 @@ def glm_neox_perm(n_out: int, head_dim: int, rope_dim: int,
 # GGUF llama-class archs this engine's decoder graph executes (each with
 # an HF-parity test in tests/test_multiarch.py or a dedicated suite)
 _GGUF_ARCHS = frozenset({
-    "qwen3", "qwen3moe", "qwen2", "llama", "gemma3", "phi3", "gpt-oss",
-    "deepseek2", "olmo2", "glm4", "granite",
+    "qwen3", "qwen3moe", "qwen2", "qwen2moe", "llama", "gemma3", "phi3",
+    "gpt-oss", "deepseek2", "olmo2", "glm4", "granite",
 })
 
 
@@ -125,7 +125,19 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
             n_experts=int(g("expert_count", 0)),
             n_experts_per_tok=int(g("expert_used_count", 0)),
             moe_ffn_dim=int(g("expert_feed_forward_length", 0)),
-            norm_topk_prob=bool(g("norm_topk_prob", True)))
+            # HF Qwen2MoeConfig defaults norm_topk_prob=False and
+            # llama.cpp writes no such KV for qwen2moe exports
+            norm_topk_prob=bool(g("norm_topk_prob",
+                                  str(arch) != "qwen2moe")))
+        if str(arch) == "qwen2moe":
+            # one sigmoid-gated shared expert with its own width
+            # (reference converter: Qwen2MoeModel KV set)
+            shared_ffn = int(g("expert_shared_feed_forward_length", 0))
+            moe.update(
+                shared_ffn_dim=shared_ffn,
+                n_shared_experts=1 if shared_ffn else 0,
+                shared_expert_gate=(
+                    "blk.0.ffn_gate_inp_shexp.weight" in names))
     head_dim = int(g("attention.key_length", hidden // q_heads))
     gemma = {}
     if str(arch).startswith("gemma") and str(arch) != "gemma3":
@@ -486,6 +498,12 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
                 lambda i: mat(f"blk.{i}.ffn_up_shexp.weight"))
             layers["shared_down_w"] = mstack(
                 lambda i: mat(f"blk.{i}.ffn_down_shexp.weight"))
+        if f"blk.{k0}.ffn_gate_inp_shexp.weight" in names:
+            # qwen2moe sigmoid gate: [1, h] matrix -> our [L, h] vector
+            layers["shexp_gate_w"] = np.asarray(np.stack(
+                [r.tensor(f"blk.{i}.ffn_gate_inp_shexp.weight")
+                 .astype(np.float32).reshape(-1) for i in moe_rng]),
+                dtype)
         if f"blk.{k0}.exp_probs_b.bias" in names:
             # deepseek3 e-score correction bias (selection only)
             layers["router_b"] = np.asarray(
@@ -573,7 +591,8 @@ def load_qwen3_from_gguf(path: str, dtype=jnp.bfloat16,
         # cover only the main stack
         moe_keys = {"router_w", "router_b", "moe_gate_w", "moe_up_w",
                     "moe_down_w", "moe_gate_b", "moe_up_b", "moe_down_b",
-                    "shared_gate_w", "shared_up_w", "shared_down_w"}
+                    "shared_gate_w", "shared_up_w", "shared_down_w",
+                    "shexp_gate_w"}
         sl = lambda w, a, b: jax.tree_util.tree_map(lambda x: x[a:b], w)
         pre = {key: sl(w, 0, k0) for key, w in layers.items()
                if key not in moe_keys}
@@ -741,6 +760,11 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
         w.add_kv(f"{arch}.expert_used_count", cfg.n_experts_per_tok)
         w.add_kv(f"{arch}.expert_feed_forward_length", cfg.moe_ffn_dim)
         w.add_kv(f"{arch}.norm_topk_prob", cfg.norm_topk_prob)
+        if arch == "qwen2moe":
+            # reference converter (Qwen2MoeModel): shared-expert width
+            w.add_kv(f"{arch}.expert_shared_feed_forward_length",
+                     cfg.shared_ffn_dim
+                     or cfg.n_shared_experts * cfg.moe_ffn_dim)
     if arch == "gemma3":
         # gemma3-only KV block (llama.cpp hardcodes the pattern/local-
         # theta; we round-trip them losslessly). Gated on the arch, not
@@ -1055,6 +1079,12 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
                 mat(f"blk.{i}.ffn_up_shexp.weight", L["shared_up_w"][li])
                 mat(f"blk.{i}.ffn_down_shexp.weight",
                     L["shared_down_w"][li])
+            if "shexp_gate_w" in L:
+                # qwen2moe shared-expert gate: Linear(h->1), llama.cpp
+                # stores it as a [1, h] matrix named ffn_gate_inp_shexp
+                w.add_tensor(f"blk.{i}.ffn_gate_inp_shexp.weight",
+                             np.asarray(L["shexp_gate_w"][li],
+                                        np.float32)[None, :])
             if "router_b" in L:
                 # deepseek3's e-score bias vs gpt-oss's logit bias
                 name = ("exp_probs_b.bias" if arch == "deepseek2"

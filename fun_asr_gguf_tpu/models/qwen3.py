@@ -1013,13 +1013,20 @@ def _moe_mlp(x, lp, cfg: Qwen3Config):
         out = _moe_dense_dispatch(xf, topv, topi, gw, uw, dw, cfg,
                                   gb=gb, ub=ub, db=db)
     if "shared_gate_w" in lp:
-        # deepseek shared experts: an always-on dense gated MLP added to
-        # the routed output (``DeepseekV2MLP`` at n_shared·moe_ffn width)
+        # deepseek/qwen2moe shared experts: an always-on dense gated MLP
+        # added to the routed output (``DeepseekV2MLP``; qwen2moe's
+        # ``Qwen2MoeSparseMoeBlock`` additionally scales it by
+        # sigmoid(x @ shared_expert_gate) per token)
         shared = _mlp(xf.astype(x.dtype),
                       {"gate_w": lp["shared_gate_w"],
                        "up_w": lp["shared_up_w"],
-                       "down_w": lp["shared_down_w"]}, act=cfg.act)
-        out = out + shared.astype(jnp.float32)
+                       "down_w": lp["shared_down_w"]}, act=cfg.act
+                      ).astype(jnp.float32)
+        if "shexp_gate_w" in lp:
+            gate = jax.nn.sigmoid(
+                xf @ lp["shexp_gate_w"].astype(jnp.float32))      # [N]
+            shared = shared * gate[:, None]
+        out = out + shared
     return out.reshape(*lead, h).astype(x.dtype)
 
 
@@ -2026,11 +2033,15 @@ def init_qwen3_params(rng, cfg: Qwen3Config, dtype=jnp.float32):
             d["moe_up_b"] = norm(mkeys[6], (nl, e, f), 0.02)
             d["moe_down_b"] = norm(mkeys[7], (nl, e, h), 0.02)
         if cfg.n_shared_experts:
-            sf = cfg.n_shared_experts * f
+            sf = cfg.shared_ffn_dim or cfg.n_shared_experts * f
             skeys = jax.random.split(jax.random.fold_in(base, 1), 3)
             d["shared_gate_w"] = norm(skeys[0], (nl, h, sf), s_h)
             d["shared_up_w"] = norm(skeys[1], (nl, h, sf), s_h)
             d["shared_down_w"] = norm(skeys[2], (nl, sf, h), sf ** -0.5)
+            if cfg.shared_expert_gate:
+                # qwen2moe: Linear(h -> 1, no bias) stored as a vector
+                d["shexp_gate_w"] = norm(
+                    jax.random.fold_in(base, 2), (nl, h), s_h)
         return d
 
     def dense_keys(nl, base3):
@@ -2076,7 +2087,7 @@ def init_qwen3_params(rng, cfg: Qwen3Config, dtype=jnp.float32):
         mlp_keys = {"router_w", "router_b", "moe_gate_w", "moe_up_w",
                     "moe_down_w", "moe_gate_b", "moe_up_b", "moe_down_b",
                     "shared_gate_w", "shared_up_w", "shared_down_w",
-                    "gate_w", "up_w", "down_w"}
+                    "shexp_gate_w", "gate_w", "up_w", "down_w"}
         pre = {key: w[:k0] for key, w in layers.items()
                if key not in mlp_keys}
         pre.update(dense_keys(k0, pre3))

@@ -240,6 +240,19 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
             "model.layers.{}.mlp.experts.{}.up_proj.weight")
         layers["moe_down_w"] = estack(
             "model.layers.{}.mlp.experts.{}.down_proj.weight")
+        if cfg.n_shared_experts and cfg.arch == "qwen2moe":
+            # Qwen2-MoE: one shared expert (own width) + sigmoid gate
+            # vector (Linear(h->1), HF shared_expert_gate)
+            for ours, hf in (("shared_gate_w", "gate_proj"),
+                             ("shared_up_w", "up_proj"),
+                             ("shared_down_w", "down_proj")):
+                layers[ours] = np.stack(
+                    [t(f"model.layers.{i}.mlp.shared_expert.{hf}.weight")
+                     for i in range(cfg.n_layers)])
+            layers["shexp_gate_w"] = np.stack(
+                [sd[f"model.layers.{i}.mlp.shared_expert_gate.weight"]
+                 .astype(np.float32).reshape(-1)
+                 for i in range(cfg.n_layers)])
     elif "model.layers.0.mlp.gate_up_proj.weight" in sd:
         # phi3 fused [gate; up] MLP input projection
         fd = cfg.ffn_dim
@@ -313,7 +326,7 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
         k0 = cfg.moe_first_dense
         moe_keys = {"router_w", "router_b", "moe_gate_w", "moe_up_w",
                     "moe_down_w", "shared_gate_w", "shared_up_w",
-                    "shared_down_w"}
+                    "shared_down_w", "shexp_gate_w"}
         pre = {key: w[:k0] for key, w in layers.items()
                if key not in moe_keys}
         pre.update(pre_mlp)
@@ -370,6 +383,10 @@ _HF_ARCHS = {
     # convert_hf_to_gguf.py:8851): llama structure + four scalar
     # multipliers (attention/embedding/residual/logits)
     "GraniteForCausalLM": ("granite", False, False),
+    # qwen2-moe (reference converter: Qwen2MoeModel): qwen2 attention
+    # (biases, no qk-norm), softmax top-k WITHOUT renormalization, one
+    # sigmoid-gated shared expert with its own intermediate size
+    "Qwen2MoeForCausalLM": ("qwen2moe", False, True),
 }
 
 
@@ -393,6 +410,22 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
             n_experts_per_tok=config["num_experts_per_tok"],
             moe_ffn_dim=config["moe_intermediate_size"],
             norm_topk_prob=bool(config.get("norm_topk_prob", True)))
+    if arch == "qwen2moe":
+        if (config.get("mlp_only_layers") or
+                config.get("decoder_sparse_step", 1) != 1):
+            raise ValueError(
+                "qwen2moe with dense interleaved layers (mlp_only_layers/"
+                "decoder_sparse_step) is not supported — all layers must "
+                "be sparse")
+        moe = dict(
+            n_experts=config["num_experts"],
+            n_experts_per_tok=config["num_experts_per_tok"],
+            moe_ffn_dim=config["moe_intermediate_size"],
+            # HF Qwen2MoeConfig default: no top-k renormalization
+            norm_topk_prob=bool(config.get("norm_topk_prob", False)),
+            n_shared_experts=1,
+            shared_ffn_dim=config["shared_expert_intermediate_size"],
+            shared_expert_gate=True)
     if hf_arch == "MixtralForCausalLM":
         if config.get("sliding_window"):
             raise ValueError(

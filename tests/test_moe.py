@@ -259,3 +259,126 @@ class TestGuards:
         assert L["moe_down_w"].shape == (cfg.n_layers, cfg.n_experts,
                                          cfg.moe_ffn_dim, cfg.hidden)
         assert "gate_w" not in L
+
+
+# ---------------------------------------------------------------------------
+# Qwen2-MoE (reference converter: Qwen2MoeModel in convert_hf_to_gguf.py):
+# qwen2 attention (biases, no qk-norm), softmax top-k WITHOUT
+# renormalization, one sigmoid-gated shared expert with its own width.
+# ---------------------------------------------------------------------------
+
+def _hf_qwen2_moe(cfg: Qwen3Config, seed=1):
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+    hf_cfg = Qwen2MoeConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden,
+        intermediate_size=cfg.ffn_dim,
+        moe_intermediate_size=cfg.moe_ffn_dim,
+        shared_expert_intermediate_size=cfg.shared_ffn_dim,
+        num_experts=cfg.n_experts,
+        num_experts_per_tok=cfg.n_experts_per_tok,
+        norm_topk_prob=cfg.norm_topk_prob,
+        decoder_sparse_step=1,
+        mlp_only_layers=[],
+        num_hidden_layers=cfg.n_layers,
+        num_attention_heads=cfg.q_heads,
+        num_key_value_heads=cfg.kv_heads,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.rms_eps,
+        tie_word_embeddings=cfg.tie_embeddings,
+        attention_dropout=0.0,
+        max_position_embeddings=cfg.max_position,
+        router_aux_loss_coef=0.0,
+        use_cache=True,
+    )
+    torch.manual_seed(seed)
+    return Qwen2MoeForCausalLM(hf_cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def tiny_qwen2moe():
+    cfg = Qwen3Config.tiny_qwen2moe(vocab_size=512)
+    model = _hf_qwen2_moe(cfg)
+    params = _my_params(model, cfg)
+    return model, params, cfg
+
+
+class TestQwen2MoeParity:
+    def test_param_structure(self, tiny_qwen2moe):
+        _, params, cfg = tiny_qwen2moe
+        L = params["layers"]
+        assert "shexp_gate_w" in L
+        assert L["shared_gate_w"].shape == (cfg.n_layers, cfg.hidden,
+                                            cfg.shared_ffn_dim)
+        assert L["shexp_gate_w"].shape == (cfg.n_layers, cfg.hidden)
+        assert "q_b" in L and "q_norm" not in L
+
+    def test_full_logits_match(self, tiny_qwen2moe):
+        from fun_asr_gguf_tpu.models.qwen3 import qwen3_forward_logits
+        model, params, cfg = tiny_qwen2moe
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, cfg.vocab_size, size=24)
+        with torch.no_grad():
+            hf_logits = model(
+                input_ids=torch.from_numpy(ids)[None],
+                attention_mask=torch.ones(1, len(ids), dtype=torch.long),
+            ).logits.numpy()
+        embeds = params["embed"][jnp.asarray(ids)][None]
+        my_logits = np.asarray(qwen3_forward_logits(
+            params, embeds, jnp.ones((1, len(ids)), jnp.float32), cfg))
+        assert _cos(hf_logits, my_logits) > 0.99999
+        np.testing.assert_allclose(my_logits, hf_logits, rtol=3e-4,
+                                   atol=3e-4)
+
+    def test_greedy_ids_match_hf_generate(self, tiny_qwen2moe):
+        model, params, cfg = tiny_qwen2moe
+        rng = np.random.default_rng(3)
+        ids = rng.integers(0, cfg.vocab_size, size=12)
+        n_new = 16
+        with torch.no_grad():
+            hf_ids = model.generate(
+                input_ids=torch.from_numpy(ids)[None],
+                do_sample=False, max_new_tokens=n_new, eos_token_id=None,
+                pad_token_id=0,
+            )[0, len(ids):].numpy().tolist()
+        assert _greedy_jax(params, cfg, ids.tolist(), n_new) == hf_ids
+
+    def test_gguf_roundtrip(self, tiny_qwen2moe, tmp_path):
+        from fun_asr_gguf_tpu.models.loaders import (load_qwen3_from_gguf,
+                                                     save_qwen3_to_gguf)
+        from fun_asr_gguf_tpu.models.qwen3 import qwen3_forward_logits
+        _, params, cfg = tiny_qwen2moe
+        path = str(tmp_path / "q2moe.gguf")
+        save_qwen3_to_gguf(path, params, cfg, quantize_q8_0=False)
+        params2, cfg2, _ = load_qwen3_from_gguf(path, dtype=jnp.float32)
+        assert cfg2.arch == "qwen2moe"
+        assert cfg2.shared_ffn_dim == cfg.shared_ffn_dim
+        assert cfg2.shared_expert_gate
+        assert not cfg2.norm_topk_prob
+        rng = np.random.default_rng(5)
+        ids = rng.integers(0, cfg.vocab_size, size=10)
+        embeds = params["embed"][jnp.asarray(ids)][None]
+        mask = jnp.ones((1, len(ids)), jnp.float32)
+        a = np.asarray(qwen3_forward_logits(params, embeds, mask, cfg))
+        e2 = params2["embed"][jnp.asarray(ids)][None]
+        b = np.asarray(qwen3_forward_logits(params2, e2, mask, cfg2))
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+    def test_hf_config_mapping(self):
+        from fun_asr_gguf_tpu.tools.convert import qwen3_config_from_hf
+        cfg = qwen3_config_from_hf({
+            "architectures": ["Qwen2MoeForCausalLM"],
+            "hidden_size": 2048, "num_hidden_layers": 24,
+            "num_attention_heads": 16, "num_key_value_heads": 16,
+            "intermediate_size": 5632, "vocab_size": 151936,
+            "num_experts": 60, "num_experts_per_tok": 4,
+            "moe_intermediate_size": 1408,
+            "shared_expert_intermediate_size": 5632,
+            "rope_theta": 1e6, "rms_norm_eps": 1e-6,
+            "tie_word_embeddings": False,
+        })
+        assert cfg.arch == "qwen2moe"
+        assert cfg.attn_bias and not cfg.qk_norm
+        assert not cfg.norm_topk_prob       # HF default
+        assert cfg.shared_ffn_dim == 5632
+        assert cfg.shared_expert_gate and cfg.n_shared_experts == 1
