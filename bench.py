@@ -753,10 +753,13 @@ def main():
                 lat = []
                 for _ in range(5):
                     sess = eng.create_streaming_session(partial_tokens=16)
-                    chunk = rng_a.normal(size=16000 * 4
-                                         ).astype(np.float32) * 0.1
+                    # NB: local name must not shadow the spec block's
+                    # ``chunk`` (chunk_len int) — the b8 section reuses
+                    # it as a STATIC jit argument after this block runs
+                    feed_audio = rng_a.normal(size=16000 * 4
+                                              ).astype(np.float32) * 0.1
                     t0 = time.perf_counter()
-                    sess.feed(chunk)
+                    sess.feed(feed_audio)
                     lat.append((time.perf_counter() - t0) * 1000.0)
                 _partial["latency_to_first_token_ms"] = round(min(lat), 1)
                 log(f"streaming: first-partial latency "
