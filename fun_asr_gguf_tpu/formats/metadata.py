@@ -220,6 +220,35 @@ def metadata_kvs(model_dir: Optional[str] = None,
                                     and all(isinstance(x, str)
                                             for x in val)):
             kvs[kv_key] = val
+    # explicit model-card naming overrides the id-decomposition defaults
+    # (reference Metadata.apply_metadata_heuristic precedence: card >
+    # directory-name heuristics)
+    if isinstance(card.get("model_name"), str):
+        kvs["general.name"] = card["model_name"]
+    if isinstance(card.get("model_creator"), str):
+        kvs["general.organization"] = card["model_creator"]
+    if org and basename:
+        kvs["general.repo_url"] = f"https://huggingface.co/{org}/" \
+            + (model_id.split("/", 1)[1] if model_id and "/" in model_id
+               else basename)
+    # base-model lineage (reference: general.base_model.N.* from the
+    # card's base_model entry — a model id string or a list of them)
+    base = card.get("base_model")
+    if isinstance(base, str):
+        base = [base]
+    if isinstance(base, list) and base \
+            and all(isinstance(x, str) for x in base):
+        kvs["general.base_model.count"] = len(base)
+        for i, bid in enumerate(base):
+            (_bname, borg, bbase, _bft, _bver, _bsz) = parse_model_id(
+                bid.rstrip("/").split("/")[-1], 0)
+            kvs[f"general.base_model.{i}.name"] = \
+                (bbase or bid.split("/")[-1]).replace("-", " ")
+            if "/" in bid:
+                kvs[f"general.base_model.{i}.organization"] = \
+                    bid.split("/")[0].replace("-", " ")
+                kvs[f"general.base_model.{i}.repo_url"] = \
+                    f"https://huggingface.co/{bid}"
     return kvs
 
 

@@ -114,3 +114,43 @@ def test_save_gguf_embeds_general_metadata(tmp_path):
     assert fields["general.finetune"] == "Chat"
     assert fields["general.version"] == "v1.0"
     assert fields["general.name"] == "Tiny Chat v1.0"
+
+
+class TestModelCardLineage:
+    def _dir_with_card(self, tmp_path, card_yaml, name="Qwen3-0.6B"):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "README.md").write_text(f"---\n{card_yaml}\n---\n# hi\n")
+        return str(d)
+
+    def test_base_model_lineage(self, tmp_path):
+        from fun_asr_gguf_tpu.formats.metadata import metadata_kvs
+        d = self._dir_with_card(
+            tmp_path,
+            "base_model: Qwen/Qwen3-0.6B-Base\nlicense: apache-2.0")
+        kvs = metadata_kvs(d, total_params=596_049_920)
+        assert kvs["general.base_model.count"] == 1
+        assert kvs["general.base_model.0.organization"] == "Qwen"
+        assert kvs["general.base_model.0.repo_url"] == \
+            "https://huggingface.co/Qwen/Qwen3-0.6B-Base"
+        assert kvs["general.license"] == "apache-2.0"
+
+    def test_base_model_list_and_overrides(self, tmp_path):
+        from fun_asr_gguf_tpu.formats.metadata import metadata_kvs
+        d = self._dir_with_card(
+            tmp_path,
+            "base_model:\n- org-a/Model-A-7B\n- org-b/Model-B-7B\n"
+            "model_name: Fancy Name\nmodel_creator: Some Lab")
+        kvs = metadata_kvs(d)
+        assert kvs["general.base_model.count"] == 2
+        assert kvs["general.base_model.1.organization"] == "org b"
+        assert kvs["general.name"] == "Fancy Name"
+        assert kvs["general.organization"] == "Some Lab"
+
+    def test_no_card_no_lineage(self, tmp_path):
+        from fun_asr_gguf_tpu.formats.metadata import metadata_kvs
+        d = tmp_path / "Llama-3-8B"
+        d.mkdir()
+        kvs = metadata_kvs(str(d), total_params=8_000_000_000)
+        assert "general.base_model.count" not in kvs
+        assert kvs["general.size_label"] == "8B"
