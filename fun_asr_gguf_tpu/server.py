@@ -709,7 +709,10 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--segment-pad-seconds", type=float, default=60.0,
                     help="static audio window compiled per segment")
     ap.add_argument("--compile-cache",
-                    help="persist XLA compiles here (fast restarts)")
+                    default=os.path.join(tempfile.gettempdir(),
+                                         "funasr_server_xla_cache"),
+                    help="persist XLA compiles here for fast restarts "
+                         "(default on; pass an empty string to disable)")
     ap.add_argument("--batch-window-ms", type=float, default=0.0,
                     help="micro-batch concurrent short requests within "
                          "this window into one device program")
