@@ -227,10 +227,11 @@ def metadata_kvs(model_dir: Optional[str] = None,
         kvs["general.name"] = card["model_name"]
     if isinstance(card.get("model_creator"), str):
         kvs["general.organization"] = card["model_creator"]
-    if org and basename:
-        kvs["general.repo_url"] = f"https://huggingface.co/{org}/" \
-            + (model_id.split("/", 1)[1] if model_id and "/" in model_id
-               else basename)
+    if org and model_id and "/" in model_id:
+        # org is only ever set for org-qualified ids, so the repo name
+        # is exactly the part after the slash
+        kvs["general.repo_url"] = \
+            f"https://huggingface.co/{org}/{model_id.split('/', 1)[1]}" 
     # base-model lineage (reference: general.base_model.N.* from the
     # card's base_model entry — a model id string or a list of them)
     base = card.get("base_model")

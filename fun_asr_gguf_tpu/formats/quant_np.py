@@ -49,7 +49,13 @@ def q8_0_quantize(x: np.ndarray):
     d = np.abs(blocks).max(axis=-1, keepdims=True) / 127.0
     # ggml quantizes against the UNROUNDED f32 scale and only then stores d
     # as fp16 (quantize_row_q8_0_ref); matching that keeps our bytes
-    # bit-identical to ggml/gguf-py for every input.
+    # bit-identical to ggml/gguf-py for every input. One deviation, shared
+    # by the C++ and on-device paths: a SUBNORMAL d (absmax < ~1.5e-36)
+    # flushes to a zero block — 1/d would overflow to inf (UB in ggml's
+    # own reference, denormal-flushed to q=0 on TPU), and the stored fp16
+    # scale underflows to 0 anyway, so the dequantized block is 0 either
+    # way; flushing makes all three quantizers byte-identical.
+    d = np.where(d < np.finfo(np.float32).tiny, 0.0, d)
     with np.errstate(divide="ignore", invalid="ignore"):
         inv = np.where(d == 0, 0.0, 1.0 / d)
     q = _round_half_away(blocks * inv)
@@ -67,6 +73,13 @@ def q8_0_dequantize(q: np.ndarray, d: np.ndarray) -> np.ndarray:
 
 def q8_0_to_blocks(q: np.ndarray, d: np.ndarray) -> np.ndarray:
     """Pack (q, d) into the ggml on-disk byte stream (uint8 [n_blocks*34])."""
+    try:
+        from ..native import q8_0_pack_blocks_native
+        out = q8_0_pack_blocks_native(q, d)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
     k = q.shape[-1]
     nb = int(np.prod(q.shape[:-1], dtype=np.int64)) * (k // Q8_0_BLOCK)
     qb = q.reshape(nb, Q8_0_BLOCK).view(np.uint8)

@@ -651,6 +651,9 @@ def _q8_export_quantize(x, transpose: bool):
     shape = x.shape
     blocks = x.reshape(*shape[:-1], shape[-1] // 32, 32)
     d = jnp.max(jnp.abs(blocks), axis=-1, keepdims=True) / 127.0
+    # subnormal d flushes to a zero block on every path (TPU flushes
+    # denormals anyway; numpy/C++ match — see quant_np.q8_0_quantize)
+    d = jnp.where(d < np.finfo(np.float32).tiny, 0.0, d)
     inv = jnp.where(d == 0, 0.0, 1.0 / d)
     q = blocks * inv
     q = jnp.where(q >= 0, jnp.floor(q + 0.5), jnp.ceil(q - 0.5))
@@ -1316,7 +1319,11 @@ def _random_q8_llm_tree(cfg: Qwen3Config, seed: int):
     Returns None for MoE/MLA or non-32-multiple dims (callers fall back
     to the full init+quantize path).
     """
-    if cfg.is_moe or cfg.kv_lora_rank or not cfg.pre_norms:
+    if (cfg.is_moe or cfg.kv_lora_rank or not cfg.pre_norms
+            or cfg.post_norms or cfg.arch not in ("qwen3", "qwen2",
+                                                  "llama")):
+        # only the plain dense layouts; fused/permuted/sandwich-norm
+        # archs would write structurally incomplete checkpoints
         return None
     n, h = cfg.n_layers, cfg.hidden
     qd = cfg.q_heads * cfg.head_dim

@@ -70,6 +70,9 @@ def quantize_weight(w: jnp.ndarray) -> QuantTensor:
     blocks = wt.reshape(*wt.shape[:-1], k // BLOCK, BLOCK)
     absmax = jnp.max(jnp.abs(blocks), axis=-1)
     d = absmax / 127.0
+    # subnormal d -> zero block, matching quant_np/C++/export paths
+    # (the stored fp16 scale underflows to 0 regardless)
+    d = jnp.where(d < 1.17549435e-38, 0.0, d)
     inv = jnp.where(d == 0, 0.0, 1.0 / d)
     scaled = blocks * inv[..., None]
     q = (jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)

@@ -248,6 +248,13 @@ class ASRRequestHandler(BaseHTTPRequestHandler):
                         context=q.get("context"),
                         partial_tokens=int(q.get("partial_tokens", 48)),
                         **extra)
+            except ValueError as e:
+                # client parameter errors (e.g. segment_size beyond the
+                # engine's pad window) are 400s with the actionable
+                # message, not opaque 500s
+                with self.sessions_lock:
+                    self.sessions.pop(sid, None)
+                return self._send_json(400, {"error": str(e)})
             except Exception as e:                      # noqa: BLE001
                 logger.exception("stream start failed")
                 with self.sessions_lock:
@@ -709,8 +716,11 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--segment-pad-seconds", type=float, default=60.0,
                     help="static audio window compiled per segment")
     ap.add_argument("--compile-cache",
-                    default=os.path.join(tempfile.gettempdir(),
-                                         "funasr_server_xla_cache"),
+                    default=os.path.join(
+                        tempfile.gettempdir(),
+                        f"funasr_server_xla_cache_{os.getuid()}"
+                        if hasattr(os, "getuid")
+                        else "funasr_server_xla_cache"),
                     help="persist XLA compiles here for fast restarts "
                          "(default on; pass an empty string to disable)")
     ap.add_argument("--batch-window-ms", type=float, default=0.0,

@@ -278,20 +278,40 @@ class StreamingSession:
             "n_gen": d_res.n_gen,
         })
         # incremental merge: fold ONLY the new segment into the running
-        # char/timestamp accumulator (O(overlap) per commit instead of
-        # re-merging all history — unbounded sessions stay O(1) per
-        # rollover); finish() still runs the authoritative full merge
-        from .text_merge import finalize_merge, merge_step
+        # char/timestamp accumulator, then FREEZE everything the next
+        # window's merge can never revisit (its overlap lookback starts
+        # at next_offset − 1 s). Per-commit algorithmic work is O(active
+        # window), not O(session history) — unbounded sessions never
+        # re-run SequenceMatcher over old text; finish() still runs the
+        # authoritative full merge.
+        from .text_merge import PUNCS, finalize_merge, merge_step
         first = len(self._committed) == 1
-        self._merged_segments = merge_step(
-            getattr(self, "_merged_segments", []),
+        off = self._offsets[-1]
+        tail = merge_step(
+            getattr(self, "_merged_tail", []),
             {"text": d_res.text, "segments": d_res.aligned},
-            self._offsets[-1], self.overlap, first=first)
+            off, self.overlap, first=first)
+        if not hasattr(self, "_frozen_text"):
+            self._frozen_text, self._frozen_last = "", ""
+        next_lookback = off + (self.segment_size - self.overlap) - 1.0
+        keep_from = 0
+        while (keep_from < len(tail) - 1
+               and tail[keep_from]["start"] < next_lookback):
+            keep_from += 1
+        for s in tail[:keep_from]:   # incremental finalize (dedup carry)
+            ch = s["char"]
+            if self._frozen_last and ch in PUNCS \
+                    and ch == self._frozen_last:
+                continue
+            self._frozen_text += ch
+            self._frozen_last = ch
+        self._merged_tail = tail[keep_from:]
         if first:
             self._committed_text = d_res.text
         else:
-            self._committed_text, _ = finalize_merge(
-                list(self._merged_segments))
+            tail_text, _ = finalize_merge(self._merged_tail,
+                                          prev_char=self._frozen_last)
+            self._committed_text = self._frozen_text + tail_text
 
     def _rollover(self):
         """The buffer holds one full window: decode it through the batch

@@ -85,15 +85,22 @@ def merge_step(full_segments: List[Dict[str, Any]],
     return full_segments
 
 
-def finalize_merge(full_segments: List[Dict[str, Any]]
+def finalize_merge(full_segments: List[Dict[str, Any]],
+                   prev_char: str = ""
                    ) -> Tuple[str, List[Dict[str, Any]]]:
-    """Punctuation dedup + text join over an accumulated segment list."""
+    """Punctuation dedup + text join over an accumulated segment list.
+
+    ``prev_char`` carries the dedup state across a split fold (streaming
+    keeps an already-finalized frozen head; passing its last emitted
+    char makes finalize(head) ++ finalize(tail, head[-1]) equal
+    finalize(head ++ tail))."""
     clean_segments: List[Dict[str, Any]] = []
+    last = prev_char
     for s in full_segments:
-        if (clean_segments and s["char"] in PUNCS
-                and clean_segments[-1]["char"] == s["char"]):
+        if last and s["char"] in PUNCS and last == s["char"]:
             continue
         clean_segments.append(s)
+        last = s["char"]
 
     full_text = "".join(s["char"] for s in clean_segments)
     return full_text, clean_segments

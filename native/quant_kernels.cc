@@ -59,7 +59,15 @@ static inline void quant_block(const float* x, int8_t* q, uint16_t* d16) {
     const float a = std::fabs(x[i]);
     if (a > amax) amax = a;
   }
-  const float d = amax / 127.0f;
+  float d = amax / 127.0f;
+  // subnormal d: 1/d overflows to inf and the int8 cast of the rounded
+  // result is UB (ggml's own reference has the same hole). Both the
+  // numpy and on-device paths treat such blocks as zero — the fp16
+  // scale they store underflows to 0 anyway, so the dequantized block
+  // is 0 regardless of q. Flush here for cross-path byte identity.
+  if (d < 1.17549435e-38f) {     // FLT_MIN (smallest normal)
+    d = 0.0f;
+  }
   const float id = (d != 0.0f) ? 1.0f / d : 0.0f;
   for (int i = 0; i < 32; ++i) {
     q[i] = static_cast<int8_t>(std::roundf(x[i] * id));

@@ -108,12 +108,10 @@ def pytest_configure(config):
 # runs them all in under ~2 min; compile-heavy suites (engine e2e,
 # parallel meshes, spec decode, per-family HF parity) stay out.
 _FAST_MODULES = {
-    "test_audio", "test_batch", "test_ctc_align", "test_ctc_beam",
-    "test_datatypes", "test_display", "test_formats", "test_frontend",
-    "test_gguf_interop", "test_hotword", "test_imatrix", "test_loaders",
-    "test_metadata", "test_native", "test_prompt", "test_spm",
-    "test_srt", "test_text_merge", "test_tools", "test_convert_llm",
-    "test_utils",
+    "test_batch", "test_ctc_align", "test_ctc_beam", "test_datatypes",
+    "test_formats", "test_frontend", "test_gguf_interop", "test_hotword",
+    "test_imatrix", "test_loaders", "test_metadata", "test_native",
+    "test_prompt", "test_spm", "test_tools", "test_convert_llm",
 }
 
 

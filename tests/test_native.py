@@ -170,6 +170,11 @@ class TestQ8QuantKernels:
         k = x.shape[-1]
         blocks = x.reshape(*x.shape[:-1], k // 32, 32)
         d = np.abs(blocks).max(axis=-1, keepdims=True) / 127.0
+        # subnormal d flushes to a zero block (shared contract across
+        # numpy/C++/on-device paths: 1/d would overflow to inf — UB in
+        # ggml's own reference — and the stored fp16 scale underflows
+        # to 0 anyway)
+        d = np.where(d < np.finfo(np.float32).tiny, 0.0, d)
         with np.errstate(divide="ignore", invalid="ignore"):
             inv = np.where(d == 0, 0.0, 1.0 / d)
         q = np.where(blocks * inv >= 0, np.floor(blocks * inv + 0.5),
@@ -197,6 +202,8 @@ class TestQ8QuantKernels:
                       [1e-30] * 32,
                       [70000.0] * 32,
                       [5e-8] * 32,
+                      [1e-40] * 32,     # subnormal absmax -> zero block
+                      [1e-37] * 32,     # subnormal d (absmax/127)
                       [0.5, -0.5, 1.5, -1.5] * 8], np.float32)
         out = q8_0_quantize_native(e)
         if out is None:
