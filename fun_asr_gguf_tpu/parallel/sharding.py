@@ -122,6 +122,14 @@ def llm_param_sharding(mesh: Mesh, params: Dict = None) -> Dict:
         for key in _MLA_REPL:
             if key in params["layers"]:
                 layers[key] = repl
+        # catch-all: any layer key without an explicit rule replicates
+        # (small vectors: attention sinks, o_proj/expert biases, the
+        # qwen2moe shared-expert gate, ...). Without this, a new param
+        # key crashes device_put with a spec-tree mismatch instead of
+        # degrading to replication.
+        for key in params["layers"]:
+            if key not in layers:
+                layers[key] = repl
     spec = {"layers": layers, "final_ln": repl, "embed": repl}
     if params is not None and "layers_pre" in params:
         # heterogeneous dense prefix (deepseek first-k dense layers):

@@ -382,3 +382,28 @@ class TestQwen2MoeParity:
         assert not cfg.norm_topk_prob       # HF default
         assert cfg.shared_ffn_dim == 5632
         assert cfg.shared_expert_gate and cfg.n_shared_experts == 1
+
+
+class TestQwen2MoeSharding:
+    def test_tp_spec_covers_every_param_key(self, tiny_qwen2moe):
+        """Every layer key (incl. the shexp gate vector) must get a
+        sharding rule — a missing key crashes device_put with a
+        spec-tree mismatch instead of degrading to replication."""
+        from jax.sharding import Mesh
+        from fun_asr_gguf_tpu.parallel.sharding import llm_param_sharding
+        _, params, cfg = tiny_qwen2moe
+        devs = np.array(jax.devices()[:2]).reshape(1, 2)
+        mesh = Mesh(devs, ("dp", "tp"))
+        spec = llm_param_sharding(mesh, params)
+        assert set(spec["layers"].keys()) == set(params["layers"].keys())
+        sharded = jax.device_put(params, spec)
+        from fun_asr_gguf_tpu.models.qwen3 import qwen3_forward_logits
+        ids = np.random.default_rng(0).integers(0, cfg.vocab_size, size=8)
+        mask = jnp.ones((1, len(ids)), jnp.float32)
+        a = np.asarray(qwen3_forward_logits(
+            sharded, sharded["embed"][jnp.asarray(ids)][None]
+            .astype(jnp.float32), mask, cfg))
+        b = np.asarray(qwen3_forward_logits(
+            params, params["embed"][jnp.asarray(ids)][None]
+            .astype(jnp.float32), mask, cfg))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
