@@ -119,6 +119,9 @@ def _record_spread(label, samples):
         _spread[label] = round((max(samples) - lo) / lo * 100, 1)
 
 
+_cache_sentinel = None     # set by main(); cleared on signal exit
+
+
 def _emit_and_exit(*_args):
     _update_headline()
     _update_bandwidth()
@@ -127,6 +130,15 @@ def _emit_and_exit(*_args):
     # the driver parses the LAST line — keep ours clean
     sys.stdout.write("\n" + json.dumps(_partial) + "\n")
     sys.stdout.flush()
+    # os._exit skips atexit: clear the compile-cache sentinel here or
+    # the NEXT run wipes the whole cache as "unclean" and pays every
+    # compile again (observed: a 205 s cold param init after an
+    # alarm-cut run)
+    if _cache_sentinel and os.path.exists(_cache_sentinel):
+        try:
+            os.remove(_cache_sentinel)
+        except OSError:
+            pass
     os._exit(0)
 
 
@@ -179,6 +191,8 @@ def main():
             shutil.rmtree(cache_dir, ignore_errors=True)
         os.makedirs(cache_dir, exist_ok=True)
         open(sentinel, "w").close()
+        global _cache_sentinel
+        _cache_sentinel = sentinel
         import atexit
         atexit.register(lambda: os.path.exists(sentinel)
                         and os.remove(sentinel))
