@@ -65,12 +65,14 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
 
         def t_lazy(name):
             out_dim, in_dim = shape_of(name)        # HF stores [out, in]
+            # astype(copy=False): an f32 checkpoint tensor passes through
+            # without a second full-size copy (peak-RSS matters here)
             return LazyTensor(
                 lambda n=name: np.ascontiguousarray(
-                    sd[n].astype(np.float32).T),
+                    sd[n].astype(np.float32, copy=False).T),
                 shape=(in_dim, out_dim),
                 raw_fn=lambda n=name: np.ascontiguousarray(
-                    sd[n].astype(np.float32)))
+                    sd[n].astype(np.float32, copy=False)))
 
         def stack(fmt):
             return LazyStack([t_lazy(fmt.format(i))
@@ -308,7 +310,7 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
     if lazy:
         from ..formats.lazy import LazyTensor as _LT
         embed = _LT(lambda: sd["model.embed_tokens.weight"]
-                    .astype(np.float32),
+                    .astype(np.float32, copy=False),
                     shape_of("model.embed_tokens.weight"))
     else:
         embed = sd["model.embed_tokens.weight"].astype(np.float32)
