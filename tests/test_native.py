@@ -298,3 +298,26 @@ class TestFastQ8Checkpoint:
         import jax
         dq = np.asarray(llm["layers"]["q_w"].q, np.float32)
         assert 0 < np.abs(dq).max() <= 128
+
+
+class TestQuantizerFuzz:
+    def test_random_shapes_and_scales_parity(self):
+        """Fuzz numpy-vs-C++ bit parity across shapes and magnitude
+        regimes (incl. fp16-overflow and subnormal-scale blocks)."""
+        from fun_asr_gguf_tpu.native import q8_0_quantize_native
+        from fun_asr_gguf_tpu.formats.quant_np import q8_0_quantize
+        if q8_0_quantize_native(np.zeros((1, 32), np.float32)) is None:
+            import pytest
+            pytest.skip("native library not built")
+        rng = np.random.default_rng(123)
+        for trial in range(20):
+            rows = int(rng.integers(1, 40))
+            k = 32 * int(rng.integers(1, 9))
+            scale = 10.0 ** rng.uniform(-41, 5)
+            x = (rng.standard_normal((rows, k)) * scale).astype(np.float32)
+            # sprinkle exact ties and zeros
+            x[rng.random(x.shape) < 0.05] = 0.0
+            qn, dn = q8_0_quantize_native(x)
+            qr, dr = q8_0_quantize(x)
+            assert np.array_equal(qn, qr), f"trial {trial} scale {scale}"
+            assert np.array_equal(dn.view(np.uint16), dr.view(np.uint16))

@@ -282,3 +282,28 @@ class TestAdvisorFixes:
             assert committed_incremental == sess._committed[0]["text"]
         else:
             assert committed_incremental == full
+
+
+@pytest.mark.slow
+class TestUnboundedSoak:
+    def test_many_rollovers_bounded_and_merge_equal(self, engine):
+        """~30 rollovers through the frozen-head incremental merge: the
+        committed text must equal the authoritative full merge and the
+        active tail must stay O(window)."""
+        rng = np.random.default_rng(11)
+        sess = engine.create_streaming_session(segment_size=2.0,
+                                               overlap=0.5)
+        sr = 16000
+        step = int(1.5 * sr)
+        for _ in range(30):
+            sess.feed((rng.normal(size=step) * 0.1).astype(np.float32))
+        assert len(sess._committed) >= 28
+        # active tail is bounded by the lookback window, not history
+        assert len(sess._merged_tail) <= max(
+            40, 4 * len(sess._committed[0].get("segments") or [1]))
+        from fun_asr_gguf_tpu.text_merge import merge_transcription_results
+        full, _ = merge_transcription_results(
+            [{"text": r["text"], "segments": r["segments"],
+              "duration": r["duration"]} for r in sess._committed],
+            sess._offsets, sess.overlap)
+        assert sess.committed_text == full
