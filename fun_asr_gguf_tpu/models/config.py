@@ -49,6 +49,37 @@ def yarn_rope_params(head_dim: int, rope_theta: float, factor: float,
     return (tuple(float(f) for f in factors), float(attention_factor))
 
 
+def llama3_rope_factors(head_dim: int, rope_theta: float, factor: float,
+                        low_freq_factor: float, high_freq_factor: float,
+                        orig_max_position: int) -> tuple:
+    """Llama-3.1 rope scaling as per-frequency divisors of inv_freq.
+
+    Mirrors HF ``_compute_llama3_parameters`` / the reference
+    converter's ``generate_extra_tensors`` (LlamaModel, llama3 branch —
+    the ``rope_freqs.weight`` tensor llama.cpp consumes): wavelengths
+    shorter than the high-freq threshold keep plain rope (divisor 1),
+    longer than the low-freq threshold divide by ``factor``, and the
+    band between interpolates smoothly. Rides the same
+    ``rope_factors_*`` machinery as longrope/YaRN.
+    """
+    import math
+
+    import numpy as np
+
+    dim = head_dim
+    inv = 1.0 / (rope_theta ** (np.arange(0, dim, 2, dtype=np.float64)
+                                / dim))
+    wavelen = 2.0 * math.pi / inv
+    low_wl = orig_max_position / low_freq_factor
+    high_wl = orig_max_position / high_freq_factor
+    smooth = ((orig_max_position / wavelen - low_freq_factor)
+              / (high_freq_factor - low_freq_factor))
+    mid = 1.0 / ((1.0 - smooth) / factor + smooth)
+    out = np.where(wavelen < high_wl, 1.0,
+                   np.where(wavelen > low_wl, factor, mid))
+    return tuple(float(x) for x in out)
+
+
 @dataclass(frozen=True)
 class EncoderConfig:
     """SenseVoiceEncoderSmall (``model_definition.py:191-214``)."""

@@ -327,7 +327,21 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
         # llama.cpp's olmo2 graph is post-norm-only (no attn_norm/
         # ffn_norm tensors) with full-width qk-norm
         olmo = dict(pre_norms=False, post_norms=True, qk_norm_full=True)
+    l3 = {}
+    if str(arch) in ("llama", "granite"):
+        # Llama-3.1 class per-frequency rope divisors ship as ONE
+        # rope_freqs.weight tensor (reference converter: LlamaModel
+        # generate_extra_tensors); linear scaling as rope.scaling KVs
+        if "rope_freqs.weight" in names:
+            l3["rope_factors_short"] = tuple(
+                float(x) for x in reader.tensor("rope_freqs.weight"))
+            orig = int(g("rope.scaling.original_context_length", 0))
+            if orig:
+                l3["rope_orig_max_position"] = orig
+        if str(f.get(f"{arch}.rope.scaling.type", "")) == "linear":
+            l3["rope_global_scale"] = float(g("rope.scaling.factor", 1.0))
     return Qwen3Config(
+        **l3,
         **moe,
         **gemma,
         **oss,
@@ -986,11 +1000,25 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
                  np.asarray(flat["final_ln"], np.float32)
                  * cfg.logit_scale)     # unfold the granite logits divisor
     if cfg.rope_factors_short:
-        w.add_tensor("rope_factors_short.weight",
+        # llama.cpp name conventions: phi3 longrope ships short/long
+        # factor tensors; the llama family (Llama-3.1 rope scaling)
+        # ships ONE rope_freqs.weight (reference converter:
+        # LlamaModel.generate_extra_tensors)
+        short_name = ("rope_freqs.weight"
+                      if arch in ("llama", "granite")
+                      else "rope_factors_short.weight")
+        w.add_tensor(short_name,
                      np.asarray(cfg.rope_factors_short, np.float32))
+        if arch in ("llama", "granite") and cfg.rope_orig_max_position:
+            w.add_kv(f"{arch}.rope.scaling.original_context_length",
+                     cfg.rope_orig_max_position)
     if cfg.rope_factors_long:
         w.add_tensor("rope_factors_long.weight",
                      np.asarray(cfg.rope_factors_long, np.float32))
+    if cfg.rope_global_scale != 1.0 and arch in ("llama", "granite"):
+        w.add_kv(f"{arch}.rope.scaling.type", "linear")
+        w.add_kv(f"{arch}.rope.scaling.factor",
+                 float(cfg.rope_global_scale))
     fuse_phi3 = cfg.arch == "phi3"
     # glm4 fuses [gate; up] in ffn_up like phi3 but keeps q/k/v split,
     # and stores q/k rope channels interleaved (inverse of the load

@@ -642,6 +642,33 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
         head_dim = config.get("head_dim",
                               config["hidden_size"]
                               // config["num_attention_heads"])
+    l3 = {}
+    if arch in ("llama", "granite") and config.get("rope_scaling"):
+        # Llama-3.1/3.2 class rope scaling on the plain-llama graph.
+        # Silently ignoring it would produce wrong logits for every
+        # >8k-context Llama-3 checkpoint — handle or refuse loudly.
+        rs = config["rope_scaling"]
+        rtype = str(rs.get("rope_type") or rs.get("type") or "").lower()
+        if rtype == "llama3":
+            from ..models.config import llama3_rope_factors
+            l3 = dict(
+                rope_factors_short=llama3_rope_factors(
+                    head_dim, float(config.get("rope_theta", 1e4)),
+                    float(rs.get("factor", 8.0)),
+                    float(rs.get("low_freq_factor", 1.0)),
+                    float(rs.get("high_freq_factor", 4.0)),
+                    int(rs.get("original_max_position_embeddings",
+                               8192))),
+                rope_orig_max_position=int(
+                    rs.get("original_max_position_embeddings", 8192)))
+        elif rtype == "linear":
+            l3 = dict(rope_global_scale=float(rs.get("factor", 1.0)))
+        elif rtype in ("", "default"):
+            pass
+        else:
+            raise ValueError(
+                f"{arch} rope scaling type {rtype!r} is not supported "
+                "(llama3 and linear are)")
     return Qwen3Config(
         **moe,
         **gemma,
@@ -651,6 +678,7 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
         **gran,
         **glm,
         **olmo,
+        **l3,
         hidden=config["hidden_size"],
         n_layers=config["num_hidden_layers"],
         q_heads=config["num_attention_heads"],

@@ -217,3 +217,109 @@ class TestHFConfigMapping:
         with pytest.raises(ValueError, match="unsupported"):
             qwen3_config_from_hf(
                 dict(base, architectures=["FalconForCausalLM"]))
+
+
+class TestLlama3RopeScaling:
+    """Llama-3.1-class rope scaling (rope_type=llama3): per-frequency
+    divisors must match HF exactly and round-trip through the llama.cpp
+    rope_freqs.weight convention."""
+
+    def _cfg_and_model(self):
+        from transformers import LlamaConfig, LlamaForCausalLM
+        from fun_asr_gguf_tpu.models.config import (Qwen3Config,
+                                                    llama3_rope_factors)
+        rs = dict(rope_type="llama3", factor=8.0, low_freq_factor=1.0,
+                  high_freq_factor=4.0,
+                  original_max_position_embeddings=64)
+        hf_cfg = LlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, rope_theta=10000.0,
+            rms_norm_eps=1e-6, tie_word_embeddings=True,
+            max_position_embeddings=256, attention_dropout=0.0,
+            rope_scaling=dict(rs), use_cache=True)
+        torch.manual_seed(5)
+        model = LlamaForCausalLM(hf_cfg).eval()
+        factors = llama3_rope_factors(16, 10000.0, 8.0, 1.0, 4.0, 64)
+        cfg = Qwen3Config(
+            hidden=64, n_layers=2, q_heads=4, kv_heads=2, head_dim=16,
+            ffn_dim=96, vocab_size=256, rope_theta=10000.0,
+            arch="llama", qk_norm=False, attn_bias=False,
+            max_position=256, rope_factors_short=factors,
+            rope_orig_max_position=64)
+        return model, cfg
+
+    def test_factors_match_hf_inv_freq(self):
+        from transformers import LlamaConfig
+        from transformers.modeling_rope_utils import \
+            ROPE_INIT_FUNCTIONS
+        from fun_asr_gguf_tpu.models.config import llama3_rope_factors
+        hf_cfg = LlamaConfig(
+            hidden_size=64, num_attention_heads=4, rope_theta=10000.0,
+            max_position_embeddings=256,
+            rope_scaling=dict(rope_type="llama3", factor=8.0,
+                              low_freq_factor=1.0, high_freq_factor=4.0,
+                              original_max_position_embeddings=64))
+        inv_hf, _ = ROPE_INIT_FUNCTIONS["llama3"](hf_cfg, "cpu")
+        base = 1.0 / (10000.0 ** (np.arange(0, 16, 2) / 16.0))
+        ours = base / np.asarray(
+            llama3_rope_factors(16, 10000.0, 8.0, 1.0, 4.0, 64))
+        np.testing.assert_allclose(ours, inv_hf.numpy(), rtol=1e-6)
+
+    def test_full_logits_match_hf(self):
+        from fun_asr_gguf_tpu.models.qwen3 import qwen3_forward_logits
+        model, cfg = self._cfg_and_model()
+        params = _my_params_from_hf(model, cfg)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, cfg.vocab_size, size=100)  # spans the
+        # smooth-interp position range where scaling actually bites
+        with torch.no_grad():
+            hf_logits = model(
+                input_ids=torch.from_numpy(ids)[None],
+                attention_mask=torch.ones(1, len(ids), dtype=torch.long),
+            ).logits.numpy()
+        embeds = params["embed"][jnp.asarray(ids)][None]
+        mine = np.asarray(qwen3_forward_logits(
+            params, embeds, jnp.ones((1, len(ids)), jnp.float32), cfg))
+        assert _cos(hf_logits, mine) > 0.99999
+        np.testing.assert_allclose(mine, hf_logits, rtol=4e-4, atol=4e-4)
+
+    def test_hf_config_mapping_and_roundtrip(self, tmp_path):
+        from fun_asr_gguf_tpu.models.loaders import (load_qwen3_from_gguf,
+                                                     save_qwen3_to_gguf)
+        from fun_asr_gguf_tpu.tools.convert import qwen3_config_from_hf
+        mapped = qwen3_config_from_hf({
+            "architectures": ["LlamaForCausalLM"],
+            "hidden_size": 64, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "num_key_value_heads": 2,
+            "intermediate_size": 96, "vocab_size": 256,
+            "rope_theta": 10000.0, "rms_norm_eps": 1e-6,
+            "max_position_embeddings": 256,
+            "rope_scaling": {"rope_type": "llama3", "factor": 8.0,
+                             "low_freq_factor": 1.0,
+                             "high_freq_factor": 4.0,
+                             "original_max_position_embeddings": 64}})
+        assert len(mapped.rope_factors_short) == 8
+        assert mapped.rope_orig_max_position == 64
+
+        model, cfg = self._cfg_and_model()
+        params = _my_params_from_hf(model, cfg)
+        path = str(tmp_path / "l3.gguf")
+        save_qwen3_to_gguf(path, params, cfg, quantize_q8_0=False)
+        from fun_asr_gguf_tpu.formats.gguf import GGUFReader
+        assert "rope_freqs.weight" in GGUFReader(path).tensor_names()
+        p2, cfg2, _ = load_qwen3_from_gguf(path, dtype=jnp.float32)
+        np.testing.assert_allclose(cfg2.rope_factors_short,
+                                   cfg.rope_factors_short, rtol=1e-6)
+        assert cfg2.rope_orig_max_position == 64
+
+    def test_unsupported_rope_type_raises(self):
+        from fun_asr_gguf_tpu.tools.convert import qwen3_config_from_hf
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="rope scaling type"):
+            qwen3_config_from_hf({
+                "architectures": ["LlamaForCausalLM"],
+                "hidden_size": 64, "num_hidden_layers": 2,
+                "num_attention_heads": 4, "num_key_value_heads": 2,
+                "intermediate_size": 96, "vocab_size": 256,
+                "rope_scaling": {"rope_type": "yarn", "factor": 4.0}})
