@@ -428,6 +428,15 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
             n_shared_experts=1,
             shared_ffn_dim=config["shared_expert_intermediate_size"],
             shared_expert_gate=True)
+    if hf_arch == "MistralForCausalLM" and config.get("sliding_window"):
+        # llama.cpp serves mistral as arch "llama" and ignores its SWA
+        # the same way; only contexts beyond the window (4096 on v0.1)
+        # would differ from HF. Warn instead of silently dropping it.
+        import logging
+        logging.getLogger(__name__).warning(
+            "mistral sliding_window=%s ignored (llama.cpp-compatible "
+            "global attention; differs from HF only beyond the window)",
+            config["sliding_window"])
     if hf_arch == "MixtralForCausalLM":
         if config.get("sliding_window"):
             raise ValueError(
