@@ -300,19 +300,24 @@ class BatchStreamDecoder:
                                         "aligned — switching to the "
                                         "plain chunk program")
                             state = spec_to_gen(state)
+                            # pipelined like the no-spec loop: budget
+                            # conservatively by the last-FETCHED n_gen
+                            # plus the in-flight chunk's limit, so a
+                            # lagged fetch can never overshoot n_predict
+                            inflight = 0
+                            pending2 = None
                             while True:
                                 act = (~done
-                                       & (n_gen_np
+                                       & (n_gen_np + inflight
                                           < models.config.n_predict))
                                 if not act.any():
                                     break
-                                # active rows share one budget: they
-                                # advanced in lockstep through the spec
-                                # phase (uniform slots) and keep doing so
                                 todo = int(np.minimum(
                                     chunk_len,
-                                    models.config.n_predict
+                                    models.config.n_predict - inflight
                                     - n_gen_np[act]).max())
+                                if todo <= 0:
+                                    break
                                 state, tokens = generate_chunk(
                                     models.llm_params, state,
                                     models.hybrid_cfg.llm,
@@ -322,15 +327,36 @@ class BatchStreamDecoder:
                                     stop_tokens=models.stop_tokens,
                                     limit=jnp.asarray(todo, jnp.int32),
                                     greedy=(temperature <= 0))
-                                toks_np, n_gen_f, done = jax.device_get(
-                                    (tokens, state.n_gen, state.done))
+                                if pending2 is not None:
+                                    (toks_np, n_gen_f,
+                                     done) = jax.device_get(pending2)
+                                    n_gen_np = n_gen_f.astype(np.int64)
+                                    token_chunks.append(toks_np)
+                                    if on_chunk is not None:
+                                        on_chunk(toks_np)
+                                pending2 = (tokens, jnp.copy(state.n_gen),
+                                            jnp.copy(state.done))
+                                inflight = todo
+                            if pending2 is not None:
+                                (toks_np, n_gen_f,
+                                 done) = jax.device_get(pending2)
                                 n_gen_np = n_gen_f.astype(np.int64)
                                 token_chunks.append(toks_np)
                                 if on_chunk is not None:
                                     on_chunk(toks_np)
                             break
         else:
+            # pipelined chunk loop: dispatch chunk k+1 BEFORE fetching
+            # chunk k's tokens, so the ~10-40 ms device->host fetch
+            # overlaps device execution instead of sitting on the
+            # serial path (measured +15% aggregate at b=8 over the
+            # tunnel). Safe on early stop: the chunk program's device
+            # loop exits immediately when all rows are done, so a
+            # speculatively dispatched trailing chunk costs ~one step.
+            # state.done must be snapshotted out (jnp.copy): the next
+            # dispatch DONATES the state's buffers.
             generated = 0
+            pending = None
             while generated < models.config.n_predict:
                 todo = min(chunk_len, models.config.n_predict - generated)
                 state, tokens = generate_chunk(
@@ -341,13 +367,22 @@ class BatchStreamDecoder:
                     stop_tokens=models.stop_tokens,
                     limit=jnp.asarray(todo, jnp.int32),
                     greedy=(temperature <= 0))
-                toks_np, done_np = jax.device_get((tokens, state.done))
+                generated += todo
+                all_done = False
+                if pending is not None:
+                    toks_np, done_np = jax.device_get(pending)
+                    token_chunks.append(toks_np)
+                    if on_chunk is not None:
+                        on_chunk(toks_np)
+                    all_done = bool(np.all(done_np))
+                pending = (tokens, jnp.copy(state.done))
+                if all_done:
+                    break
+            if pending is not None:
+                toks_np, _ = jax.device_get(pending)
                 token_chunks.append(toks_np)
                 if on_chunk is not None:
                     on_chunk(toks_np)
-                generated += todo
-                if bool(np.all(done_np)):
-                    break
         tokens = np.concatenate(token_chunks, axis=1)
         n_gen, aborted = jax.device_get((state.n_gen, state.aborted))
         t_gen = time.perf_counter() - t0

@@ -19,6 +19,9 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 logger = logging.getLogger("fun_asr_gguf_tpu.core")
 
 from ..ctc import align_timestamps, decode_ctc
@@ -159,41 +162,41 @@ class LLMDecoder:
         generated = 0
         stop_set = set(models.stop_tokens) | {models.eos_token}
         first_spec = True
-        while generated < n_predict:
-            todo = min(chunk_len, n_predict - generated)
-            # always dispatch the same compiled chunk program; `limit`
-            # (traced) trims the final partial chunk
-            if draft_ids is not None:
-                if first_spec:
-                    # probe: cap the first spec chunk so the acceptance
-                    # guardrail below can bail after ≤16 emissions instead
-                    # of paying a full chunk of verify passes on a bad
-                    # draft — `limit` is traced, so this reuses the same
-                    # compiled program (no extra compile)
-                    todo = min(todo, 16)
-                    first_spec = False
-                state, tokens = models.spec_generate(
-                    state, draft_ids, temperature=temperature, top_p=top_p,
-                    top_k=top_k, chunk_len=chunk_len, limit=todo)
-            else:
-                state, tokens = models.generate(
-                    state, temperature=temperature, top_p=top_p, top_k=top_k,
-                    chunk_len=chunk_len, limit=todo)
-            toks = np.asarray(tokens)[0]
-            n_emitted = 0
-            for t in toks.tolist():
+
+        def push_toks(toks_np) -> int:
+            n = 0
+            for t in toks_np.tolist():
                 if t < 0:
                     continue
-                n_emitted += 1
+                n += 1
                 if t in stop_set:
                     continue
                 text_decoder.push(t)
+            return n
+
+        done_early = False
+        while generated < n_predict and draft_ids is not None:
+            todo = min(chunk_len, n_predict - generated)
+            if first_spec:
+                # probe: cap the first spec chunk so the acceptance
+                # guardrail below can bail after ≤16 emissions instead
+                # of paying a full chunk of verify passes on a bad
+                # draft — `limit` is traced, so this reuses the same
+                # compiled program (no extra compile)
+                todo = min(todo, 16)
+                first_spec = False
+            state, tokens = models.spec_generate(
+                state, draft_ids, temperature=temperature, top_p=top_p,
+                top_k=top_k, chunk_len=chunk_len, limit=todo)
             # spec chunks may emit fewer than `todo` (budget-truncated
             # acceptance at the chunk boundary); count what actually came
-            generated += n_emitted if draft_ids is not None else todo
+            n_emitted = push_toks(np.asarray(tokens)[0])
+            generated += n_emitted
             if bool(np.asarray(state.done)[0]):
+                done_early = True
                 break
-            if draft_ids is not None and n_emitted == 0:
+            if n_emitted == 0:
+                done_early = True
                 break   # safety: no forward progress should be impossible
 
             # acceptance-rate guardrail: a verify round costs about one
@@ -203,17 +206,41 @@ class LLMDecoder:
             # A pending `forbid` (probabilistic rejection at the chunk
             # boundary) rides along: spec_to_gen hands it to the plain
             # chunk's first draw, which consumes it exactly.
-            if draft_ids is not None:
-                rounds = int(np.asarray(state.rounds)[0])
-                min_acc = getattr(models.config, "spec_min_accept", 1.35)
-                if (rounds >= 8 and min_acc > 0
-                        and generated / rounds < min_acc):
-                    from ..models.speculative import spec_to_gen
-                    logger.info(
-                        "speculation off: %.2f tokens/round < %.2f "
-                        "(%d rounds)", generated / rounds, min_acc, rounds)
-                    state = spec_to_gen(state)
-                    draft_ids = None
+            rounds = int(np.asarray(state.rounds)[0])
+            min_acc = getattr(models.config, "spec_min_accept", 1.35)
+            if (rounds >= 8 and min_acc > 0
+                    and generated / rounds < min_acc):
+                from ..models.speculative import spec_to_gen
+                logger.info(
+                    "speculation off: %.2f tokens/round < %.2f "
+                    "(%d rounds)", generated / rounds, min_acc, rounds)
+                state = spec_to_gen(state)
+                draft_ids = None
+
+        # plain chunks, PIPELINED: dispatch chunk k+1 before fetching
+        # chunk k — the ~10-40 ms tunnel fetch overlaps device execution
+        # (the chunk program's device loop exits immediately once done,
+        # so a speculatively dispatched trailing chunk is ~free).
+        # state.done is snapshotted out because the next dispatch
+        # DONATES the state's buffers.
+        pending = None
+        while not done_early and generated < n_predict:
+            todo = min(chunk_len, n_predict - generated)
+            state, tokens = models.generate(
+                state, temperature=temperature, top_p=top_p, top_k=top_k,
+                chunk_len=chunk_len, limit=todo)
+            generated += todo
+            prev_done = False
+            if pending is not None:
+                toks_prev, done_prev = jax.device_get(pending)
+                push_toks(toks_prev[0])
+                prev_done = bool(done_prev[0])
+            pending = (tokens, jnp.copy(state.done))
+            if prev_done:
+                break
+        if pending is not None:
+            toks_prev, _ = jax.device_get(pending)
+            push_toks(toks_prev[0])
         res.is_aborted = bool(np.asarray(state.aborted)[0])
         text_decoder.flush()
 
