@@ -349,6 +349,23 @@ class ModelManager:
         audio_embd = np.asarray(embd[0, :target_len, :], dtype=np.float32)
         return audio_embd, enc
 
+    def encode_audio_device(self, audio: np.ndarray):
+        """Like :meth:`encode_audio`, but keeps the window embedding ON
+        DEVICE: (embd [1, T, h] device, enc_output device, target_len).
+        The streaming partial tick assembles its extension chunk on
+        device, so fetching the multi-MB embedding to host (and
+        re-uploading it) would be pure tunnel waste."""
+        n = len(audio)
+        window = self.pad_window_samples(n)
+        buf = np.zeros(window, dtype=np.float32)
+        buf[:n] = audio
+        enc, embd, _mask = audio_encoder_forward(
+            {"encoder": self.encoder_params, "adaptor": self.adaptor_params},
+            self.frontend_consts,
+            jnp.asarray(buf[None]), jnp.asarray([n], jnp.int32),
+            cfg=self.audio_cfg, compute_dtype=self._compute_dtype)
+        return embd, enc, audio_token_length(n, self.audio_cfg.frontend)
+
     def ctc_indices(self, enc_output) -> np.ndarray:
         """enc_output [1,T,d] → argmax indices [T] (int32, host)."""
         idx = self._ctc_fn(self.ctc_params, enc_output)

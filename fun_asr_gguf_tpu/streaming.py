@@ -60,6 +60,29 @@ from .models.generate import RING, GenState, generate_chunk
 from .models.qwen3 import qwen3_prefill, qwen3_verify_step
 
 
+@partial(jax.jit, static_argnames=("t_ext",))
+def _assemble_chunk(embd, suffix, n_audio, t_ext):
+    """Build the extension chunk ON DEVICE: [audio-embd ++ suffix ++ 0]
+    in the static ``t_ext`` bucket. The previous host-side assembly
+    fetched the full window embedding (~MBs) and re-uploaded a ~6 MB
+    f32 chunk every tick — over a ~25 MB/s tunnel that round-trip was
+    most of the first-partial latency."""
+    b, t, h = embd.shape
+    if t > t_ext:
+        # the encoder's padded window can carry a few more slots than
+        # the extension bucket; everything past the bucket is pad
+        # garbage by construction (n_audio + n_suffix <= t_ext)
+        embd = embd[:, :t_ext]
+        t = t_ext
+    mask = (jnp.arange(t, dtype=jnp.int32)[None, :, None]
+            < n_audio)                       # zero the pad/garbage tail
+    out = jnp.zeros((b, t_ext, h), embd.dtype)
+    out = jax.lax.dynamic_update_slice(
+        out, jnp.where(mask, embd, 0), (0, 0, 0))
+    return jax.lax.dynamic_update_slice(
+        out, suffix.astype(embd.dtype)[None], (0, n_audio, 0))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _extend_prefix(params, prefix_kv, chunk, slots, positions, valid_from,
                    last, cfg):
@@ -145,6 +168,8 @@ class StreamingSession:
         p_embd, s_embd, self._n_prefix, self._n_suffix, _ = \
             models.prompt_builder.build_prompt(None, language, ctx)
         self._suffix = s_embd.astype(np.float32)
+        self._suffix_dev = jnp.asarray(self._suffix,
+                                       models._compute_dtype)
 
         # extension bucket: audio tokens for the LARGEST window + suffix,
         # rounded up to 32 (one static verify shape per session config)
@@ -199,17 +224,19 @@ class StreamingSession:
 
     # -- internals --------------------------------------------------------
 
-    def _extend_and_decode(self, audio_embd: np.ndarray):
-        """verify-pass extension + bounded greedy decode. Returns
-        (text, n_tokens)."""
+    def _extend_and_decode(self, audio_embd, n_audio: int):
+        """verify-pass extension + bounded greedy decode over a
+        DEVICE-resident window embedding ([1, T, h]; valid length
+        ``n_audio``). Returns the partial-token DEVICE array (the
+        caller fetches it together with the CTC indices — one sync per
+        tick); decode text with :meth:`_decode_partial_tokens`."""
         m = self.models
         cfg = self._cfg
-        n_audio = audio_embd.shape[0]
         n_valid = n_audio + self._n_suffix
-        chunk = np.zeros((1, self._t_ext, audio_embd.shape[1]), np.float32)
-        chunk[0, :n_audio] = audio_embd
-        chunk[0, n_audio:n_valid] = self._suffix
-        chunk_dev = jnp.asarray(chunk, m._compute_dtype)
+        chunk_dev = _assemble_chunk(
+            audio_embd.astype(m._compute_dtype),
+            self._suffix_dev, jnp.asarray(n_audio, jnp.int32),
+            self._t_ext)
         positions = (self._n_prefix
                      + jnp.arange(self._t_ext, dtype=jnp.int32))[None, :]
         logits, kv = _extend_prefix(
@@ -235,14 +262,18 @@ class StreamingSession:
         budget = min(self.partial_tokens,
                      8 + n_audio)
         chunk_len = self.partial_tokens
-        dec = self._mk_decoder()
-        stop = set(m.stop_tokens) | {m.eos_token}
         state, tokens = generate_chunk(
             m.llm_params, state, cfg, jnp.asarray(0.0), jnp.asarray(1.0),
             50, chunk_len=chunk_len, stop_tokens=m.stop_tokens,
             limit=jnp.asarray(budget, jnp.int32), greedy=True)
+        return tokens      # device array — caller fetches (one sync)
+
+    def _decode_partial_tokens(self, toks_np) -> tuple:
+        m = self.models
+        dec = self._mk_decoder()
+        stop = set(m.stop_tokens) | {m.eos_token}
         n_toks = 0
-        for t in np.asarray(tokens)[0].tolist():
+        for t in toks_np[0].tolist():
             if t < 0 or t in stop:
                 continue
             dec.push(t)
@@ -360,12 +391,24 @@ class StreamingSession:
 
         text, ctc_text, n_toks = "", "", 0
         if len(self._buf):
-            audio_embd, enc = m.encode_audio(self._buf)
+            # dispatch the WHOLE tick (encode → CTC → chunk assembly →
+            # prefix-extend → partial decode) before the first fetch:
+            # dispatches queue asynchronously, so the tick pays ONE
+            # device→host sync instead of one per stage (each sync over
+            # the tunnel costs ~RTT ≈ tens of ms)
+            embd_dev, enc, n_audio = m.encode_audio_device(self._buf)
+            idx_dev = None
             if m.config.enable_ctc and m.ctc_id2token:
+                idx_dev = m._ctc_fn(m.ctc_params, enc)
+            tokens_dev = self._extend_and_decode(embd_dev, n_audio)
+            if idx_dev is not None:
                 from .ctc import decode_ctc
-                indices = np.asarray(m._ctc_fn(m.ctc_params, enc))
-                ctc_text, _, _ = decode_ctc(indices[0], m.ctc_id2token)
-            text, n_toks = self._extend_and_decode(audio_embd)
+                indices, toks_np = jax.device_get((idx_dev, tokens_dev))
+                ctc_text, _, _ = decode_ctc(np.asarray(indices)[0],
+                                            m.ctc_id2token)
+            else:
+                toks_np = jax.device_get(tokens_dev)
+            text, n_toks = self._decode_partial_tokens(np.asarray(toks_np))
 
         now = time.perf_counter()
         tick_ms = (now - t_tick) * 1000.0
