@@ -336,16 +336,7 @@ class ModelManager:
         """audio [n] float → (audio_embd [T_llm,llm_dim] f32 np,
         enc_output [1,T_lfr,d] device array). Mirrors
         ``nano_onnx.encode_audio`` semantics incl. the valid-length trim."""
-        n = len(audio)
-        window = self.pad_window_samples(n)
-        buf = np.zeros(window, dtype=np.float32)
-        buf[:n] = audio
-        enc, embd, _mask = audio_encoder_forward(
-            {"encoder": self.encoder_params, "adaptor": self.adaptor_params},
-            self.frontend_consts,
-            jnp.asarray(buf[None]), jnp.asarray([n], jnp.int32),
-            cfg=self.audio_cfg, compute_dtype=self._compute_dtype)
-        target_len = audio_token_length(n, self.audio_cfg.frontend)
+        embd, enc, target_len = self.encode_audio_device(audio)
         audio_embd = np.asarray(embd[0, :target_len, :], dtype=np.float32)
         return audio_embd, enc
 

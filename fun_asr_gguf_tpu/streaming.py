@@ -176,6 +176,14 @@ class StreamingSession:
         max_window = int(models.config.segment_pad_seconds
                          * models.config.sample_rate)
         need = audio_token_length(max_window) + self._n_suffix
+        if extend_bucket and extend_bucket < need:
+            # the on-device chunk assembly clamps writes into the static
+            # bucket; an undersized user bucket would silently truncate
+            # valid audio tokens instead of erroring
+            raise ValueError(
+                f"extend_bucket={extend_bucket} is smaller than the "
+                f"window needs ({need} = audio tokens + suffix); omit it "
+                "or pass a larger value")
         self._t_ext = extend_bucket or (-(-need // 32) * 32)
         self._cap = (self._n_prefix + self._t_ext
                      + self.partial_tokens + 8)

@@ -660,9 +660,12 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
         rtype = str(rs.get("rope_type") or rs.get("type") or "").lower()
         if rtype == "llama3":
             from ..models.config import llama3_rope_factors
+            # SAME rope_theta fallback as the Qwen3Config construction
+            # below — factors derived from a different base than the
+            # forward pass uses would be silently wrong
             l3 = dict(
                 rope_factors_short=llama3_rope_factors(
-                    head_dim, float(config.get("rope_theta", 1e4)),
+                    head_dim, float(config.get("rope_theta", 1e6)),
                     float(rs.get("factor", 8.0)),
                     float(rs.get("low_freq_factor", 1.0)),
                     float(rs.get("high_freq_factor", 4.0)),
