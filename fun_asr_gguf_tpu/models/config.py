@@ -207,6 +207,8 @@ class Qwen3Config:
     rope_local_theta: float = 1e4  # sliding layers' rope base
     rope_global_scale: float = 1.0  # linear position scale, global layers
     final_softcap: float = 0.0    # cap·tanh(logits/cap) when > 0
+    attn_softcap: float = 0.0     # gemma2: cap·tanh(scores/cap) on the
+    #                               scaled attention logits, pre-mask
     # -- Phi-3 family (reference converter registers Phi3MiniModel at
     # convert_hf_to_gguf.py:4651): longrope scaling + partial rotary.
     # Factor tuples are per-frequency divisors of inv_freq (HF

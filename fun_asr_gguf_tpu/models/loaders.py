@@ -90,8 +90,8 @@ def glm_neox_perm(n_out: int, head_dim: int, rope_dim: int,
 # GGUF llama-class archs this engine's decoder graph executes (each with
 # an HF-parity test in tests/test_multiarch.py or a dedicated suite)
 _GGUF_ARCHS = frozenset({
-    "qwen3", "qwen3moe", "qwen2", "qwen2moe", "llama", "gemma3", "phi3",
-    "gpt-oss", "deepseek2", "olmo2", "glm4", "granite",
+    "qwen3", "qwen3moe", "qwen2", "qwen2moe", "llama", "gemma2", "gemma3",
+    "phi3", "gpt-oss", "deepseek2", "olmo2", "glm4", "granite",
 })
 
 
@@ -140,14 +140,29 @@ def qwen3_config_from_gguf(reader: GGUFReader) -> Qwen3Config:
                     "blk.0.ffn_gate_inp_shexp.weight" in names))
     head_dim = int(g("attention.key_length", hidden // q_heads))
     gemma = {}
-    if str(arch).startswith("gemma") and str(arch) != "gemma3":
+    if str(arch).startswith("gemma") and str(arch) not in ("gemma2",
+                                                           "gemma3"):
         # gemma (v1) lacks the sandwich-norm tensors this graph expects
-        # and gemma2 needs attention-logit softcapping + a different
-        # sliding pattern — loading them with gemma3 semantics would be
-        # silently wrong
+        # — loading it with gemma2/3 semantics would be silently wrong
         raise ValueError(
-            f"unsupported arch {arch!r}: only gemma3 of the gemma "
-            "family is implemented")
+            f"unsupported arch {arch!r}: gemma2 and gemma3 of the "
+            "gemma family are implemented")
+    if str(arch) == "gemma2":
+        # llama.cpp gemma2 KV set (reference converter: Gemma2Model):
+        # sandwich norms, NO qk-norm, attention-logit softcapping,
+        # alternating sliding/global, one rope base for both branches
+        gemma = dict(
+            post_norms=True,
+            act="gelu_tanh",
+            embed_scale=float(hidden) ** 0.5,
+            attn_scale=float(g("attention.query_pre_attn_scalar", 256))
+            ** -0.5,
+            sliding_window=int(g("attention.sliding_window", 0)),
+            sliding_pattern=2 if g("attention.sliding_window", 0) else 0,
+            rope_local_theta=float(g("rope.freq_base", 1e4)),
+            attn_softcap=float(g("attn_logit_softcapping", 50.0)),
+            final_softcap=float(g("final_logit_softcapping", 30.0)),
+        )
     if str(arch) == "gemma3":
         # llama.cpp hardcodes the gemma3 local rope base (10k) and the
         # 5-local:1-global pattern; our exporter also writes them as
@@ -782,6 +797,14 @@ def save_qwen3_to_gguf(path: str, params, cfg: Qwen3Config,
             w.add_kv(f"{arch}.expert_shared_feed_forward_length",
                      cfg.shared_ffn_dim
                      or cfg.n_shared_experts * cfg.moe_ffn_dim)
+    if arch == "gemma2":
+        # llama.cpp gemma2 KV set (reference converter: Gemma2Model)
+        w.add_kv(f"{arch}.attention.sliding_window", cfg.sliding_window)
+        w.add_kv(f"{arch}.attn_logit_softcapping", float(cfg.attn_softcap))
+        w.add_kv(f"{arch}.final_logit_softcapping",
+                 float(cfg.final_softcap))
+        w.add_kv(f"{arch}.attention.query_pre_attn_scalar",
+                 float(cfg.attn_scale ** -2) if cfg.attn_scale else 256.0)
     if arch == "gemma3":
         # gemma3-only KV block (llama.cpp hardcodes the pattern/local-
         # theta; we round-trip them losslessly). Gated on the arch, not

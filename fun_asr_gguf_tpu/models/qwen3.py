@@ -326,7 +326,8 @@ def _attend_cache(q, K, V, l, bias, cfg, sinks=None):
 
     Batched serving routes through the fused Pallas flash-decode
     kernel instead (same numerics class; see ops/flash_decode.py)."""
-    if sinks is None:    # the flash kernel has no sink column
+    if sinks is None and not cfg.attn_softcap:
+        # the flash kernel has neither a sink column nor score softcap
         flash = _attend_cache_flash(q, K, V, l, bias, cfg)
         if flash is not None:
             return flash
@@ -340,9 +341,10 @@ def _attend_cache(q, K, V, l, bias, cfg, sinks=None):
         b, _, t, s = scores.shape
         kscale = jnp.transpose(ks[..., 0].astype(jnp.float32),
                                (0, 2, 1))                  # [B,kh,S]
-        scores = (scores.reshape(b, cfg.kv_heads, group, t, s)
-                  * kscale[:, :, None, None, :]
-                  ).reshape(b, cfg.q_heads, t, s) + bias
+        scores = _softcap_scores(
+            (scores.reshape(b, cfg.kv_heads, group, t, s)
+             * kscale[:, :, None, None, :]
+             ).reshape(b, cfg.q_heads, t, s), cfg) + bias
         probs = _attn_probs(scores, sinks)
         vscale = jnp.transpose(vs[..., 0].astype(jnp.float32), (0, 2, 1))
         probs = (probs.reshape(b, cfg.kv_heads, group, t, s)
@@ -351,7 +353,7 @@ def _attend_cache(q, K, V, l, bias, cfg, sinks=None):
         return _gqa_mix(probs, vq.astype(q.dtype), cfg)
     k_cache = _kv_layer_slice(K, l, q.dtype)
     v_cache = _kv_layer_slice(V, l, q.dtype)
-    scores = _gqa_scores(q, k_cache, cfg) + bias
+    scores = _softcap_scores(_gqa_scores(q, k_cache, cfg), cfg) + bias
     probs = _attn_probs(scores, sinks)
     return _gqa_mix(probs, v_cache, cfg)
 
@@ -1269,6 +1271,16 @@ def _dual_rope(positions, cfg: Qwen3Config, dtype):
     return cos_g, sin_g, cos_l, sin_l
 
 
+def _softcap_scores(scores, cfg: Qwen3Config):
+    """gemma2 attention-logit softcapping: cap·tanh(s/cap) applied to
+    the SCALED scores, before the mask/bias (HF Gemma2Attention). A
+    no-op unless cfg.attn_softcap > 0."""
+    if not cfg.attn_softcap:
+        return scores
+    cap = jnp.float32(cfg.attn_softcap)
+    return jnp.tanh(scores / cap) * cap
+
+
 def _gqa_scores(q, k, cfg: Qwen3Config):
     """q [B,T,qh,D], k [B,S,kh,D] → scores [B,qh,T,S] (f32, scaled)."""
     group = cfg.q_heads // cfg.kv_heads
@@ -1347,7 +1359,7 @@ def qwen3_prefill(params, embeds, attn_mask, cfg: Qwen3Config,
         h = (rms_norm(x, lp["input_ln"], cfg.rms_eps)
              if cfg.pre_norms else x)
         q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
-        scores = _gqa_scores(q, k, cfg) + lbias
+        scores = _softcap_scores(_gqa_scores(q, k, cfg), cfg) + lbias
         probs = _attn_probs(scores, lp.get("sinks"))
         attn = _attn_out(_gqa_mix(probs, v, cfg), lp, cfg, fused)
         if cfg.post_norms:
@@ -1846,7 +1858,7 @@ def qwen3_forward_logits(params, embeds, attn_mask, cfg: Qwen3Config):
         h = (rms_norm(x, lp["input_ln"], cfg.rms_eps)
              if cfg.pre_norms else x)
         q, k, v = _qkv(h, lp, cfg, lcos, lsin, fused)
-        scores = _gqa_scores(q, k, cfg) + lbias
+        scores = _softcap_scores(_gqa_scores(q, k, cfg), cfg) + lbias
         probs = _attn_probs(scores, lp.get("sinks"))
         attn = _attn_out(_gqa_mix(probs, v, cfg), lp, cfg, fused)
         if cfg.post_norms:

@@ -89,7 +89,7 @@ def qwen3_params_from_hf_state(sd: Dict[str, np.ndarray],
     # (the same +1 the reference converter bakes into GGUF exports,
     # convert_hf_to_gguf.py:5898 norm_shift). olmo2 also has post
     # norms but stores plain weights — key the shift on the arch.
-    shift = 1.0 if cfg.arch == "gemma3" else 0.0
+    shift = 1.0 if cfg.arch in ("gemma2", "gemma3") else 0.0
 
     def nvec(fmt):
         return stack_vec(fmt) + shift
@@ -358,6 +358,10 @@ _HF_ARCHS = {
     # sandwich norms / GeGLU / sliding-window handled via config flags
     "Gemma3ForCausalLM": ("gemma3", True, False),
     "Gemma3TextModel": ("gemma3", True, False),
+    # gemma2 (reference converter: Gemma2Model): sandwich norms like
+    # gemma3 but NO qk-norm, attention-logit softcapping, alternating
+    # sliding/global from layer 0, one rope base for both
+    "Gemma2ForCausalLM": ("gemma2", False, False),
     # phi3 family (reference converter: Phi3MiniModel at
     # convert_hf_to_gguf.py:4651): fused qkv/gate_up projections,
     # longrope scaling, optional all-layer sliding window
@@ -450,6 +454,23 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
             moe_ffn_dim=config["intermediate_size"],
             norm_topk_prob=True)
     gemma = {}
+    if arch == "gemma2":
+        gemma = dict(
+            post_norms=True,
+            act="gelu_tanh",
+            embed_scale=float(config["hidden_size"]) ** 0.5,
+            attn_scale=float(config.get("query_pre_attn_scalar", 256))
+            ** -0.5,
+            sliding_window=int(config.get("sliding_window", 4096) or 0),
+            # HF Gemma2: sliding at even layer indices, global at odd
+            sliding_pattern=2,
+            # one rope base for both branches (no local/global split)
+            rope_local_theta=float(config.get("rope_theta", 1e4)),
+            attn_softcap=float(
+                config.get("attn_logit_softcapping") or 0.0),
+            final_softcap=float(
+                config.get("final_logit_softcapping") or 0.0),
+        )
     if arch == "gemma3":
         # sliding pattern: every Nth layer is global. HF expresses this
         # as layer_types or sliding_window_pattern; both map to N.

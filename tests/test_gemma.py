@@ -273,3 +273,148 @@ def test_final_softcap_applied():
     x = jnp.ones((1, 32), jnp.float32) * 100.0
     out = np.asarray(_logits(params, x, cfg))
     assert np.all(np.abs(out) <= 5.0 + 1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Gemma2 (reference converter: Gemma2Model): sandwich norms like gemma3
+# but NO qk-norm, ATTENTION-logit softcapping (cap·tanh(s/cap) on the
+# scaled scores, pre-mask), alternating sliding/global from layer 0, and
+# one rope base for both branches.
+# ---------------------------------------------------------------------------
+
+HF_CFG2 = dict(
+    architectures=["Gemma2ForCausalLM"],
+    vocab_size=97,
+    hidden_size=64,
+    intermediate_size=96,
+    num_hidden_layers=4,
+    num_attention_heads=2,
+    num_key_value_heads=1,
+    head_dim=32,
+    query_pre_attn_scalar=32,
+    sliding_window=8,
+    attn_logit_softcapping=50.0,
+    final_logit_softcapping=30.0,
+    rope_theta=10_000.0,
+    rms_norm_eps=1e-6,
+    tie_word_embeddings=True,
+    max_position_embeddings=512,
+)
+
+
+def _hf_model2(seed=3):
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+    kw = {k: v for k, v in HF_CFG2.items() if k != "architectures"}
+    torch.manual_seed(seed)
+    return Gemma2ForCausalLM(
+        Gemma2Config(attention_dropout=0.0, use_cache=True,
+                     hidden_activation="gelu_pytorch_tanh", **kw)
+    ).eval()
+
+
+@pytest.fixture(scope="module")
+def pair2():
+    model = _hf_model2()
+    cfg = qwen3_config_from_hf(dict(HF_CFG2))
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    params = jax.tree_util.tree_map(
+        jnp.asarray, qwen3_params_from_hf_state(sd, cfg))
+    return model, cfg, params
+
+
+def test_gemma2_config_mapping():
+    cfg = qwen3_config_from_hf(dict(HF_CFG2))
+    assert cfg.arch == "gemma2" and cfg.post_norms and not cfg.qk_norm
+    assert cfg.act == "gelu_tanh"
+    assert cfg.attn_softcap == pytest.approx(50.0)
+    assert cfg.final_softcap == pytest.approx(30.0)
+    assert (cfg.sliding_window, cfg.sliding_pattern) == (8, 2)
+    assert cfg.rope_local_theta == pytest.approx(cfg.rope_theta)
+    assert cfg.attn_scale == pytest.approx(32 ** -0.5)
+
+
+def test_gemma2_logits_match_hf(pair2):
+    from fun_asr_gguf_tpu.models.qwen3 import qwen3_forward_logits
+    model, cfg, params = pair2
+    rng = np.random.default_rng(0)
+    # sequence longer than the sliding window so BOTH the softcap and
+    # the alternating mask bite
+    ids = rng.integers(0, cfg.vocab_size, size=(2, 24))
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.numpy()
+    embeds = params["embed"][jnp.asarray(ids)]
+    mask = jnp.ones(ids.shape, jnp.float32)
+    got = np.asarray(qwen3_forward_logits(params, embeds, mask, cfg))
+    cos = np.sum(ref * got) / (np.linalg.norm(ref) * np.linalg.norm(got))
+    assert cos > 0.99999
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_gemma2_greedy_ids_match_hf_generate(pair2):
+    from fun_asr_gguf_tpu.models.qwen3 import (qwen3_decode_step,
+                                               qwen3_prefill)
+    model, cfg, params = pair2
+    rng = np.random.default_rng(2)
+    p, n_new = 12, 10
+    ids = rng.integers(0, cfg.vocab_size, size=(1, p))
+    with torch.no_grad():
+        ref = model.generate(
+            torch.tensor(ids), max_new_tokens=n_new, do_sample=False,
+            use_cache=True).numpy()[0, p:]
+    embeds = params["embed"][jnp.asarray(ids)]
+    mask = jnp.ones((1, p), jnp.float32)
+    logits, kv = qwen3_prefill(params, embeds.astype(jnp.float32), mask,
+                               cfg, kv_max_len=p + n_new)
+    out = [int(jnp.argmax(logits[0]))]
+    for t in range(n_new - 1):
+        emb = params["embed"][jnp.asarray([out[-1]])].astype(jnp.float32)
+        logits, kv = qwen3_decode_step(
+            params, kv, emb, jnp.asarray(p + t, jnp.int32),
+            jnp.asarray([p + t], jnp.int32), jnp.asarray([0], jnp.int32),
+            cfg)
+        out.append(int(jnp.argmax(logits[0])))
+    assert out == list(ref)
+
+
+def test_gemma2_attn_softcap_actually_bites(pair2):
+    """Zeroing attn_softcap must CHANGE the logits — guards against the
+    softcap silently not being applied on some path."""
+    from dataclasses import replace
+    from fun_asr_gguf_tpu.models.qwen3 import qwen3_forward_logits
+    _, cfg, params = pair2
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, cfg.vocab_size, size=(1, 16))
+    embeds = params["embed"][jnp.asarray(ids)]
+    mask = jnp.ones(ids.shape, jnp.float32)
+    # random tiny weights keep scores << 50, where tanh is ~identity;
+    # a small cap makes any missing-application bug unmissable
+    with_cap = np.asarray(qwen3_forward_logits(
+        params, embeds, mask, replace(cfg, attn_softcap=0.05)))
+    without = np.asarray(qwen3_forward_logits(
+        params, embeds, mask, replace(cfg, attn_softcap=0.0)))
+    assert not np.allclose(with_cap, without, atol=1e-4)
+
+
+def test_gemma2_gguf_round_trip(pair2, tmp_path):
+    from fun_asr_gguf_tpu.formats.gguf import GGUFReader
+    from fun_asr_gguf_tpu.models.loaders import (load_qwen3_from_gguf,
+                                                 save_qwen3_to_gguf)
+    from fun_asr_gguf_tpu.models.qwen3 import qwen3_forward_logits
+    _, cfg, params = pair2
+    path = str(tmp_path / "gemma2_tiny.gguf")
+    save_qwen3_to_gguf(path, params, cfg, quantize_q8_0=False)
+    fields = GGUFReader(path).fields
+    assert fields["gemma2.attn_logit_softcapping"] == pytest.approx(50.0)
+    params2, cfg2, _ = load_qwen3_from_gguf(path, dtype=jnp.float32)
+    assert cfg2.arch == "gemma2" and cfg2.post_norms
+    assert cfg2.attn_softcap == pytest.approx(50.0)
+    assert cfg2.sliding_pattern == 2
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, cfg.vocab_size, size=(1, 10))
+    e1 = params["embed"][jnp.asarray(ids)]
+    e2 = params2["embed"][jnp.asarray(ids)]
+    m = jnp.ones(ids.shape, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(qwen3_forward_logits(params, e1, m, cfg)),
+        np.asarray(qwen3_forward_logits(params2, e2, m, cfg2)),
+        rtol=2e-3, atol=2e-3)
