@@ -73,15 +73,24 @@ def _update_bandwidth():
     """Effective weight-streaming GB/s per decode lane (bytes-per-token x
     tok/s; batched lanes read weights once per STEP). A lower bound on
     achieved HBM bandwidth (KV/activation reads come on top), tracked so
-    rounds measure efficiency vs the chip's ~819 GB/s, not just tok/s."""
+    rounds measure efficiency vs the chip's ~819 GB/s, not just tok/s.
+
+    Uses the DECODE-READ bytes (``llm_*_read_mb``): the bf16 embedding
+    table sits in HBM but is gathered one row per token (the logits run
+    through a separate quantized head), so counting it would overstate
+    the stream — an earlier revision did, and the 1.7B preset came out
+    'faster than the chip' (836 of 819 GB/s), which is how the bug was
+    caught."""
     bw = {}
-    for lane, mb_key in (("bf16", "llm_bf16_mb"), ("int8", "llm_int8_mb"),
-                         ("q8_0", "llm_q8_0_mb"), ("int4", "llm_int4_mb")):
+    for lane, mb_key in (("bf16", "llm_bf16_read_mb"),
+                         ("int8", "llm_int8_read_mb"),
+                         ("q8_0", "llm_q8_0_read_mb"),
+                         ("int4", "llm_int4_read_mb")):
         tps = _partial.get(f"generate_tokens_per_s_{lane}")
         mb = _partial.get(mb_key)
         if tps and mb:
             bw[lane] = round(tps * mb / 1e3, 1)
-    mb8 = _partial.get("llm_int8_mb")
+    mb8 = _partial.get("llm_int8_read_mb")
     if mb8:
         for b in (4, 8, 16, 32):
             tps = _partial.get(f"generate_tokens_per_s_batch{b}")
@@ -376,15 +385,32 @@ def main():
                        for x in jax.tree_util.tree_leaves(tree)
                        if hasattr(x, "dtype")))
 
+    def decode_read_bytes(tree):
+        """Bytes actually STREAMED per decode token: the whole tree
+        minus the embedding table (gathered one row per token) whenever
+        the logits run through a separate head tensor."""
+        total = tree_bytes(tree)
+        has_head = any(k in tree for k in ("lm_head", "lm_head_i8",
+                                           "lm_head_q"))
+        if has_head and "embed" in tree:
+            total -= int(sum(x.size * x.dtype.itemsize
+                             for x in jax.tree_util.tree_leaves(
+                                 tree["embed"]) if hasattr(x, "dtype")))
+        return total
+
     per_tok_bf16 = measure_generation(llm_packed, "generate[bf16]")
     _partial["generate_tokens_per_s_bf16"] = round(1.0 / per_tok_bf16, 1)
     _partial["llm_bf16_mb"] = round(tree_bytes(llm_packed) / 1e6, 1)
+    _partial["llm_bf16_read_mb"] = round(
+        decode_read_bytes(llm_packed) / 1e6, 1)
     _partial["encoder_mb"] = round(tree_bytes(audio_params) / 1e6, 1)
     _emit_partial("bf16")
 
     # the engine's "auto" default: per-channel int8 layers + int8 head
     llm_int8 = quantize_qwen3_params_int8(llm_packed)
     _partial["llm_int8_mb"] = round(tree_bytes(llm_int8) / 1e6, 1)
+    _partial["llm_int8_read_mb"] = round(
+        decode_read_bytes(llm_int8) / 1e6, 1)
     try:
         per_tok_int8 = measure_generation(llm_int8, "generate[int8]")
         _partial["generate_tokens_per_s_int8"] = round(1.0 / per_tok_int8, 1)
@@ -886,6 +912,8 @@ def main():
             quantize_lm_head(quantize_qwen3_params(llm_params), cfg.llm)))
         jax.block_until_ready(qparams["layers"]["qkv_w"].q)
         _partial["llm_q8_0_mb"] = round(tree_bytes(qparams) / 1e6, 1)
+        _partial["llm_q8_0_read_mb"] = round(
+            decode_read_bytes(qparams) / 1e6, 1)
         per_tok_q8 = measure_generation(qparams, "generate[q8_0]")
         _partial["generate_tokens_per_s_q8_0"] = round(1.0 / per_tok_q8, 1)
     except Exception as e:  # pallas path may be unavailable
@@ -913,6 +941,8 @@ def main():
         per_tok_int4 = measure_generation(llm_int4, "generate[int4]")
         _partial["generate_tokens_per_s_int4"] = round(1.0 / per_tok_int4, 1)
         _partial["llm_int4_mb"] = round(tree_bytes(llm_int4) / 1e6, 1)
+        _partial["llm_int4_read_mb"] = round(
+            decode_read_bytes(llm_int4) / 1e6, 1)
         del llm_int4
     except Exception as e:
         log("int4 generation failed:", e)
