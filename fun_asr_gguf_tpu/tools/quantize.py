@@ -54,32 +54,46 @@ def quantize_gguf(in_path: str, out_path: str, ttype: str = "q8_0",
     gtype = QUANT_TYPES.get(ttype)
     block = _BLOCK_FORMATS[gtype][0] if gtype is not None else 1
     n_converted = 0
+    # STREAMED requantization: register lazy producers; the writer
+    # dequantizes, requantizes and writes ONE tensor at a time (peak
+    # RSS ~ one f32 tensor — a 0.6B file previously held its entire
+    # dequantized model in RAM until write())
     for info in r.tensors:
-        data = r.tensor(info.name)          # dequantized f32/f16 view
-        arr = np.asarray(data, dtype=np.float32)
-        quantizable = (arr.ndim == 2 and arr.shape[-1] % block == 0
-                       and info.name.endswith(".weight")
-                       and "norm" not in info.name)
+        name, shape = info.name, tuple(int(x) for x in info.shape)
+
+        def producer(n=name):
+            return np.asarray(r.tensor(n), dtype=np.float32)
+
+        quantizable = (len(shape) == 2 and shape[-1] % block == 0
+                       and name.endswith(".weight")
+                       and "norm" not in name)
         if quantizable and gtype is not None:
-            qw = qw_map.get(info.name)
-            if qw is not None and len(qw) != arr.shape[-1]:
-                print(f"warning: imatrix row for {info.name} has "
-                      f"{len(qw)} channels, tensor has {arr.shape[-1]} "
+            qw = qw_map.get(name)
+            if qw is not None and len(qw) != shape[-1]:
+                print(f"warning: imatrix row for {name} has "
+                      f"{len(qw)} channels, tensor has {shape[-1]} "
                       "— ignoring")
                 qw = None
-            w.add_tensor(info.name, arr, ggml_type=gtype, qw=qw)
+            w.add_tensor_lazy(name, shape, gtype, producer, qw=qw)
             n_weighted += qw is not None
             n_converted += 1
         elif quantizable and ttype == "f16":
-            w.add_tensor(info.name, arr.astype(np.float16))
+            w.add_tensor_lazy(name, shape, GGMLType.F16, producer)
             n_converted += 1
         elif quantizable and ttype == "bf16":
-            w.add_tensor(info.name, arr, ggml_type=GGMLType.BF16)
+            w.add_tensor_lazy(name, shape, GGMLType.BF16, producer)
             n_converted += 1
         else:
-            w.add_tensor(info.name, arr.astype(np.float32))
+            w.add_tensor_lazy(name, shape, GGMLType.F32, producer)
     w.write()
     extra = f" ({n_weighted} imatrix-weighted)" if qw_map else ""
+    try:
+        import resource
+        peak_mb = resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 1024.0
+        extra += f" — peak RSS {peak_mb:.0f} MB [streamed]"
+    except Exception:
+        pass
     print(f"{out_path}: {n_converted}/{len(r.tensors)} tensors -> "
           f"{ttype}{extra}")
 
