@@ -386,6 +386,8 @@ class StreamDecoder:
         stream.set_result(text=text, timestamps=timestamps, tokens=tokens)
         return DecodeResult(
             text=text, ctc_results=ctc_results, aligned=aligned,
-            audio_embd=audio_embd, n_prefix=n_p, n_suffix=n_s,
+            audio_embd=audio_embd,
+            n_audio_tokens=int(audio_embd.shape[0]),
+            n_prefix=n_p, n_suffix=n_s,
             n_gen=llm_res.n_gen, timings=timings, hotwords=hotwords,
             is_aborted=llm_res.is_aborted)

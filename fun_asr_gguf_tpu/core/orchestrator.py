@@ -22,6 +22,16 @@ from .decoder import StreamDecoder
 from .model_manager import ModelManager
 
 
+def _n_audio(d_res) -> int:
+    """Audio-token count: the explicit field when set (batched decode
+    keeps the embedding on device), else the host embedding's length."""
+    if getattr(d_res, "n_audio_tokens", 0):
+        return int(d_res.n_audio_tokens)
+    return int(d_res.audio_embd.shape[0]) if d_res.audio_embd is not None \
+        else 0
+
+
+
 class TranscriptionOrchestrator:
     """Drives full-file transcription."""
 
@@ -291,10 +301,10 @@ class TranscriptionOrchestrator:
                                  t_llm):
         stats = Statistics(
             audio_duration=len(audio) / self.models.config.sample_rate,
-            n_input_tokens=(d_res.audio_embd.shape[0] + d_res.n_prefix
+            n_input_tokens=(_n_audio(d_res) + d_res.n_prefix
                             + d_res.n_suffix),
             n_prefix_tokens=d_res.n_prefix,
-            n_audio_tokens=d_res.audio_embd.shape[0],
+            n_audio_tokens=_n_audio(d_res),
             n_suffix_tokens=d_res.n_suffix,
             n_generated_tokens=d_res.n_gen)
         if t_inject > 0:

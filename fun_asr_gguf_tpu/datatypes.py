@@ -204,6 +204,8 @@ class DecodeResult:
     ctc_results: List = field(default_factory=list)
     aligned: List[Dict[str, Any]] = field(default_factory=list)
     audio_embd: Optional[np.ndarray] = None
+    n_audio_tokens: int = 0       # LLM audio-token count (set even when
+    #                               audio_embd stays on device)
     n_prefix: int = 0
     n_suffix: int = 0
     n_gen: int = 0
