@@ -141,7 +141,10 @@ class BatchStreamDecoder:
             models.frontend_consts,
             models.put_batch(buf), models.put_batch(lens, jnp.int32),
             cfg=models.audio_cfg, compute_dtype=models._compute_dtype)
-        # embd STAYS ON DEVICE: the prompts assemble there too
+        # embd STAYS ON DEVICE: the prompts assemble there too. Block
+        # for the timing split only — without it the async encoder's
+        # runtime lands in whichever stage fetches first (t_ctc)
+        enc.block_until_ready()
         t_encode = time.perf_counter() - t0
 
         # 2. batched CTC + per-row hotwords

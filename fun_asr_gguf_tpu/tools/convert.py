@@ -462,10 +462,13 @@ def qwen3_config_from_hf(config: dict) -> Qwen3Config:
             attn_scale=float(config.get("query_pre_attn_scalar", 256))
             ** -0.5,
             sliding_window=int(config.get("sliding_window", 4096) or 0),
-            # HF Gemma2: sliding at even layer indices, global at odd
-            sliding_pattern=2,
-            # one rope base for both branches (no local/global split)
-            rope_local_theta=float(config.get("rope_theta", 1e4)),
+            # HF Gemma2: sliding at even layer indices, global at odd;
+            # sliding_window: null means global everywhere — pattern 0,
+            # or the even layers' empty mask would softmax to NaN
+            sliding_pattern=(2 if config.get("sliding_window") else 0),
+            # one rope base for both branches — use the SAME fallback as
+            # the generic rope_theta below or the two halves split
+            rope_local_theta=float(config.get("rope_theta", 1e6)),
             attn_softcap=float(
                 config.get("attn_logit_softcapping") or 0.0),
             final_softcap=float(

@@ -79,7 +79,7 @@ def forward_collect(params, embeds, attn_mask, cfg: Qwen3Config
         for t in ("attn_q", "attn_k", "attn_v"):
             acc(f"blk.{l}.{t}.weight", h)
         q, k, v = Q._qkv(h, lp, cfg, cos, sin)
-        scores = Q._gqa_scores(q, k, cfg) + bias
+        scores = Q._softcap_scores(Q._gqa_scores(q, k, cfg), cfg) + bias
         probs = jax.nn.softmax(scores, axis=-1)
         merged = Q._merge_heads(Q._gqa_mix(probs, v, cfg), cfg)
         acc(f"blk.{l}.attn_output.weight", merged)

@@ -34,6 +34,15 @@ def quantize_gguf(in_path: str, out_path: str, ttype: str = "q8_0",
     """``imatrix``: path to an .npz from ``tools/imatrix.py`` — tensors
     with a matching row get the importance-weighted scale search (the
     llama-quantize --imatrix behavior); others quantize as before."""
+    import os as _os
+    if _os.path.abspath(in_path) == _os.path.abspath(out_path):
+        # the streamed writer truncates the output BEFORE the lazy
+        # producers read from the input's memmap — in-place would
+        # feed it zero pages (or SIGBUS)
+        raise ValueError(
+            "in-place requantization is not supported (the streamed "
+            "writer reads the input while writing); use a different "
+            "output path and rename afterwards")
     qw_map = {}
     if imatrix:
         from .imatrix import load_imatrix

@@ -418,3 +418,13 @@ def test_gemma2_gguf_round_trip(pair2, tmp_path):
         np.asarray(qwen3_forward_logits(params, e1, m, cfg)),
         np.asarray(qwen3_forward_logits(params2, e2, m, cfg2)),
         rtol=2e-3, atol=2e-3)
+
+
+def test_gemma2_null_sliding_window_is_global():
+    """HF sliding_window: null means global attention everywhere; the
+    converter must not leave pattern=2 with window=0 (empty masks ->
+    NaN logits)."""
+    hf = dict(HF_CFG2)
+    hf["sliding_window"] = None
+    cfg = qwen3_config_from_hf(hf)
+    assert cfg.sliding_pattern == 0 and cfg.sliding_window == 0
