@@ -483,3 +483,65 @@ def test_iq4_quantize_roundtrip(tname):
     scale = np.sqrt((x ** 2).mean())
     assert np.sqrt(((ours - x) ** 2).mean()) < tol * scale
     np.testing.assert_array_equal(ours[0, :256], np.zeros(256, np.float32))
+
+
+def test_our_llama3_rope_freqs_reads_via_reference(tmp_path):
+    """r5 additions through the reference reader: a llama export with
+    Llama-3.1 rope scaling must expose the llama.cpp-convention
+    rope_freqs.weight tensor, and a gemma2 export its KV set."""
+    import jax
+    refgguf = _ref_gguf()
+    from fun_asr_gguf_tpu.models.config import (Qwen3Config,
+                                                llama3_rope_factors)
+    from fun_asr_gguf_tpu.models.loaders import save_qwen3_to_gguf
+    from fun_asr_gguf_tpu.models.qwen3 import init_qwen3_params
+
+    factors = llama3_rope_factors(16, 10000.0, 8.0, 1.0, 4.0, 64)
+    cfg = Qwen3Config(hidden=64, n_layers=2, q_heads=4, kv_heads=2,
+                      head_dim=16, ffn_dim=96, vocab_size=128,
+                      rope_theta=10000.0, arch="llama", qk_norm=False,
+                      rope_factors_short=factors,
+                      rope_orig_max_position=64)
+    params = init_qwen3_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "l3.gguf")
+    save_qwen3_to_gguf(path, params, cfg, quantize_q8_0=False)
+
+    r = refgguf.GGUFReader(path)
+    names = {t.name for t in r.tensors}
+    assert "rope_freqs.weight" in names
+    t = next(t for t in r.tensors if t.name == "rope_freqs.weight")
+    np.testing.assert_allclose(np.asarray(t.data, np.float32),
+                               np.asarray(factors, np.float32),
+                               rtol=1e-6)
+
+
+def test_our_gemma2_kvs_read_via_reference(tmp_path):
+    import jax
+    refgguf = _ref_gguf()
+    from fun_asr_gguf_tpu.models.config import Qwen3Config
+    from fun_asr_gguf_tpu.models.loaders import save_qwen3_to_gguf
+    from fun_asr_gguf_tpu.models.qwen3 import init_qwen3_params
+
+    cfg = Qwen3Config(hidden=64, n_layers=2, q_heads=2, kv_heads=1,
+                      head_dim=32, ffn_dim=96, vocab_size=128,
+                      rope_theta=1e4, arch="gemma2", qk_norm=False,
+                      post_norms=True, act="gelu_tanh",
+                      embed_scale=8.0, attn_scale=32 ** -0.5,
+                      sliding_window=8, sliding_pattern=2,
+                      rope_local_theta=1e4, attn_softcap=50.0,
+                      final_softcap=30.0)
+    params = init_qwen3_params(jax.random.PRNGKey(1), cfg)
+    path = str(tmp_path / "g2.gguf")
+    save_qwen3_to_gguf(path, params, cfg, quantize_q8_0=False)
+
+    r = refgguf.GGUFReader(path)
+    fields = {f.name: f for f in r.fields.values()}
+    def scalar(name):
+        f = fields[name]
+        return float(f.parts[f.data[0]][0])
+    assert scalar("gemma2.attn_logit_softcapping") == pytest.approx(50.0)
+    assert scalar("gemma2.final_logit_softcapping") == pytest.approx(30.0)
+    assert scalar("gemma2.attention.sliding_window") == pytest.approx(8)
+    names = {t.name for t in r.tensors}
+    assert "blk.0.post_attention_norm.weight" in names
+    assert "blk.0.post_ffw_norm.weight" in names
