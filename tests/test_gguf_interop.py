@@ -545,3 +545,33 @@ def test_our_gemma2_kvs_read_via_reference(tmp_path):
     names = {t.name for t in r.tensors}
     assert "blk.0.post_attention_norm.weight" in names
     assert "blk.0.post_ffw_norm.weight" in names
+
+
+def test_our_qwen2moe_reads_via_reference(tmp_path):
+    import jax
+    refgguf = _ref_gguf()
+    from fun_asr_gguf_tpu.models.config import Qwen3Config
+    from fun_asr_gguf_tpu.models.loaders import save_qwen3_to_gguf
+    from fun_asr_gguf_tpu.models.qwen3 import init_qwen3_params
+
+    cfg = Qwen3Config.tiny_qwen2moe(vocab_size=128)
+    params = init_qwen3_params(jax.random.PRNGKey(2), cfg)
+    path = str(tmp_path / "q2moe.gguf")
+    save_qwen3_to_gguf(path, params, cfg, quantize_q8_0=False)
+
+    r = refgguf.GGUFReader(path)
+    fields = {f.name: f for f in r.fields.values()}
+    def scalar(name):
+        f = fields[name]
+        return float(f.parts[f.data[0]][0])
+    assert scalar("qwen2moe.expert_shared_feed_forward_length") \
+        == pytest.approx(cfg.shared_ffn_dim)
+    assert scalar("qwen2moe.expert_count") == pytest.approx(cfg.n_experts)
+    names = {t.name for t in r.tensors}
+    # llama.cpp qwen2moe tensor set: expert stacks + gated shared expert
+    assert "blk.0.ffn_gate_exps.weight" in names
+    assert "blk.0.ffn_gate_shexp.weight" in names
+    assert "blk.0.ffn_gate_inp_shexp.weight" in names
+    t = next(t for t in r.tensors
+             if t.name == "blk.0.ffn_gate_inp_shexp.weight")
+    assert tuple(int(x) for x in t.shape) == (cfg.hidden, 1)
